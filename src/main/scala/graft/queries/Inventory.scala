@@ -1,0 +1,21 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregated operator inventory — the single registry behind
+  * SparkEntry.queries / SparkEntry.oracleSql (SURVEY.md §2).
+  */
+object Inventory {
+  val all: Seq[QueryDef] =
+    Relational.defs ++ VectorQueries.defs ++ WindowQueries.defs ++
+      TextQueries.defs
+
+  require(all.map(_.key).distinct.size == all.size,
+    "duplicate query keys in inventory")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.key -> q.build).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.key -> o)).toMap
+}

@@ -1,0 +1,586 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Relational operator inventory (SURVEY.md §2.1–2.4, 2.6, 2.7):
+  * scans, projections/filters, every join shape, aggregations,
+  * sort/limit/top-k, set operations — all composed from Spark built-ins
+  * so Catalyst keeps pushdown, pruning, partial aggregation and join
+  * strategy selection (SURVEY.md §4.2).
+  *
+  * Scale notes (100 TB design intent, verified via .explain on local):
+  *  - dimension joins (`part`, `customer`, buckets) use `broadcast()` —
+  *    no shuffle of the fact table;
+  *  - fact-fact joins shuffle on the join key once and aggregate with
+  *    map-side partial aggregation;
+  *  - every scan projects only needed columns (parquet column pruning)
+  *    and filters early (predicate pushdown into row-group skipping).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  private val scanParquet = QueryDef(
+    "q_scan_parquet",
+    "Full parquet scan + min/max/count/sum — exercises vectorized read " +
+      "and aggregate pushdown-friendly stats.",
+    Some("""SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
+           |       max(l_orderkey) AS max_key,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM lineitem""".stripMargin),
+    (s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"),
+        sumMoney(col("l_extendedprice")).as("sum_price"))
+  )
+
+  private val scanJsonl = QueryDef(
+    "q_scan_jsonl",
+    "JSONL round-trip (reference rag_chatbot/main.py:8-13): serialize " +
+      "each row to a JSON line, re-parse with a declared schema, project. " +
+      "Oracle is the identity query — round-trip must be lossless.",
+    Some("""SELECT doc_id, lang, source, n_chars,
+           |       CAST(length(text) AS BIGINT) AS text_len
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val js = documents(s, d)
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("line"))
+      val parsed = js.select(from_json(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")).as("r"))
+      parsed.select(
+        col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.source").as("source"), col("r.n_chars").as("n_chars"),
+        lng(length(col("r.text"))).as("text_len"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ------------------------------------------------- projections / filters
+
+  private val project = QueryDef(
+    "q_project",
+    "Column projection (reference rag_chatbot/main.py:16-17) — parquet " +
+      "scan must read only the three projected columns (ReadSchema).",
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+           |FROM customer ORDER BY c_custkey""".stripMargin),
+    (s, d) => customer(s, d)
+      .select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
+  )
+
+  private val filterPred = QueryDef(
+    "q_filter_pred",
+    "Predicate filter (reference app/main.py:25-26,139) — range + " +
+      "comparison predicates, all pushed to the parquet scan.",
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+           |  AND l_discount > 0.05 AND l_quantity < 25
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05 && col("l_quantity") < 25)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), dateStr(col("l_shipdate")).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+  )
+
+  private val filterNull = QueryDef(
+    "q_filter_null",
+    "Null/validity filter (reference app/main.py:47,106): synthesize " +
+      "corrupt JSON on event_id%7==0, keep only rows whose JSON parses " +
+      "— the reference's skip-don't-crash stance.",
+    Some("""WITH r AS (
+           |  SELECT event_type,
+           |         CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS raw
+           |  FROM events),
+           |p AS (
+           |  SELECT event_type,
+           |         CASE WHEN json_valid(raw)
+           |              THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k
+           |  FROM r)
+           |SELECT event_type, count(*) AS n_valid, CAST(sum(k) AS BIGINT) AS sum_k
+           |FROM p WHERE k IS NOT NULL
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => events(s, d)
+      // corruption is *prepended*: Spark's get_json_object is lenient
+      // about trailing garbage but rejects a broken prefix, matching
+      // DuckDB's json_valid on this shape
+      .withColumn("raw", when(col("event_id") % 7 === 0,
+        concat(lit("x"), col("props"))).otherwise(col("props")))
+      .withColumn("k", get_json_object(col("raw"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_valid"), lng(sum(col("k"))).as("sum_k"))
+      .orderBy("event_type")
+  )
+
+  private val enrich = QueryDef(
+    "q_enrich",
+    "Lineage enrichment (reference app/main.py:107-109): computed " +
+      "columns + a deterministic global sequence number.",
+    Some("""SELECT doc_id, source || '.pdf' AS source_file,
+           |       CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count,
+           |       n_chars,
+           |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS seq
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        concat(col("source"), lit(".pdf")).as("source_file"),
+        lng(size(split(col("text"), " "))).as("word_count"),
+        col("n_chars"))
+      .withColumn("seq", lng(row_number().over(Window.orderBy("doc_id"))))
+      .orderBy("doc_id")
+  )
+
+  // ----------------------------------------------------------------- joins
+
+  private val joinLookup = QueryDef(
+    "q_join_lookup",
+    "Key lookup join (reference rag_chatbot/main.py:46-47, positional " +
+      "ids made explicit): fact→dim fk join; dim side broadcast.",
+    Some("""SELECT o.o_orderkey, c.c_name, o.o_totalprice
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |ORDER BY o.o_orderkey""".stripMargin),
+    (s, d) => orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  )
+
+  private val joinBroadcast = QueryDef(
+    "q_join_broadcast",
+    "Broadcast hash join: lineitem ⋈ part on partkey, dim broadcast — " +
+      "zero shuffle of the fact side; revenue per brand.",
+    Some("""SELECT p.p_brand, count(*) AS n_items,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+           |                (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        dbl(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"))).as("revenue"))
+      .orderBy("p_brand")
+  )
+
+  private val joinSmj = QueryDef(
+    "q_join_smj",
+    "Large-large sort-merge join (merge hint): lineitem ⋈ orders on " +
+      "orderkey — single shuffle on the key, then partial+final agg.",
+    Some("""SELECT o.o_orderpriority, count(*) AS n_items,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin),
+    (s, d) => lineitem(s, d).hint("merge")
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  )
+
+  private val joinOuter = QueryDef(
+    "q_join_outer",
+    "Left outer join preserving order-less customers; aggregates with " +
+      "nulls from the unmatched side.",
+    Some("""SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           |       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+           |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin),
+    (s, d) => customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dbl(coalesce(sum(money(col("o_totalprice"))), lit(0))).as("total_spent"))
+      .orderBy("c_custkey")
+  )
+
+  /** High-value order threshold: ~p99 of o_totalprice, so that both the
+    * semi and anti sets stay non-empty at every scale factor.
+    */
+  private val HighValue = 490000.0
+
+  private val joinSemi = QueryDef(
+    "q_join_semi",
+    "Left semi join (EXISTS): customers having at least one high-value order.",
+    Some(s"""SELECT c_custkey, c_name FROM customer c
+            |WHERE EXISTS (SELECT 1 FROM orders o
+            |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > $HighValue)
+            |ORDER BY c_custkey""".stripMargin),
+    (s, d) => customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > HighValue),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  )
+
+  private val joinAnti = QueryDef(
+    "q_join_anti",
+    "Left anti join (NOT EXISTS): customers with no high-value order.",
+    Some(s"""SELECT c_custkey, c_name FROM customer c
+            |WHERE NOT EXISTS (SELECT 1 FROM orders o
+            |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > $HighValue)
+            |ORDER BY c_custkey""".stripMargin),
+    (s, d) => customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > HighValue),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  )
+
+  private val joinTheta = QueryDef(
+    "q_join_theta",
+    "Non-equi (range) theta join: lineitem banded by quantity range — " +
+      "tiny band table broadcast, so the BNLJ never shuffles the fact side.",
+    Some("""WITH bands(band_id, lo, hi) AS (
+           |  VALUES (1, 0, 10), (2, 10, 20), (3, 20, 30), (4, 30, 40), (5, 40, 51))
+           |SELECT b.band_id, count(*) AS n_items,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+           |GROUP BY b.band_id ORDER BY b.band_id""".stripMargin),
+    (s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (1, 0, 10), (2, 10, 20), (3, 20, 30), (4, 30, 40), (5, 40, 51)))
+        .toDF("band_id", "lo", "hi")
+      lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_items"),
+          sumMoney(col("l_extendedprice")).as("sum_price"))
+        .orderBy("band_id")
+    }
+  )
+
+  private val joinAsof = QueryDef(
+    "q_join_asof",
+    "As-of join: for every purchase event, the latest click by the same " +
+      "user at-or-before its timestamp. Implemented Spark-side as " +
+      "union + running `last(ignoreNulls)` window — one shuffle by user, " +
+      "no range-join blowup (scales linearly, unlike crossJoin+filter). " +
+      "Oracle uses the identical gaps-window construction.",
+    Some("""WITH ev AS (
+           |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+           |  FROM events WHERE event_type IN ('click', 'purchase')),
+           |tagged AS (
+           |  SELECT *, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind FROM ev),
+           |runs AS (
+           |  SELECT *,
+           |    max(CASE WHEN kind = 0 THEN event_id END)
+           |      OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+           |    max(CASE WHEN kind = 0 THEN epoch_us(ts) END)
+           |      OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+           |  FROM tagged)
+           |SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_id,
+           |       epoch_us(ts) - last_click_us AS gap_us
+           |FROM runs WHERE kind = 1
+           |ORDER BY user_id, ts_us, event_id""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // event_id is monotone within a user's click stream, so running max
+      // == id of the latest click at-or-before this row (clicks sort
+      // before purchases on ties via kind).
+      ev.withColumn("last_click_id",
+          max(when(col("kind") === 0, col("event_id"))).over(w))
+        .withColumn("last_click_us",
+          max(when(col("kind") === 0, epochUs(col("ts")))).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"),
+          col("last_click_id"),
+          (epochUs(col("ts")) - col("last_click_us")).as("gap_us"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }
+  )
+
+  // ---------------------------------------------------------- aggregations
+
+  private val aggCount = QueryDef(
+    "q_agg_count",
+    "Grouped counts (reference app/main.py:95-96,112-117 valid/invalid " +
+      "counters) + distinct users per type.",
+    Some("""SELECT event_type, count(*) AS n,
+           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), lng(countDistinct(col("user_id"))).as("n_users"))
+      .orderBy("event_type")
+  )
+
+  private val aggHash = QueryDef(
+    "q_agg_hash",
+    "TPC-H Q1-shaped multi-aggregate hash aggregation with exact " +
+      "decimal arithmetic (partial+final agg; map-side combine).",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1999-06-01'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-06-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        dbl(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"))).as("sum_disc_price"),
+        dbl(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"))).as("sum_charge"),
+        round(sumMoney(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(sumMoney(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  )
+
+  private val aggDistinct = QueryDef(
+    "q_agg_distinct",
+    "Exact count-distinct per group (expand+two-phase agg under the hood).",
+    Some("""SELECT l_returnflag,
+           |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+           |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+           |  CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS nd_month
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    (s, d) => lineitem(s, d).groupBy("l_returnflag")
+      .agg(lng(countDistinct(col("l_partkey"))).as("nd_part"),
+        lng(countDistinct(col("l_suppkey"))).as("nd_supp"),
+        lng(countDistinct(date_format(col("l_shipdate"), "yyyy-MM"))).as("nd_month"))
+      .orderBy("l_returnflag")
+  )
+
+  private val aggRollup = QueryDef(
+    "q_agg_rollup",
+    "Rollup over (returnflag, linestatus); subtotal rows surfaced via " +
+      "coalesce to 'ALL' (keys never collide with real values).",
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           |       coalesce(l_linestatus, 'ALL') AS ls,
+           |       count(*) AS n,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY rf, ls""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+  )
+
+  private val aggCube = QueryDef(
+    "q_agg_cube",
+    "Cube over (orderstatus, orderpriority).",
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+           |       coalesce(o_orderpriority, 'ALL') AS pri,
+           |       count(*) AS n,
+           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |ORDER BY st, pri""".stripMargin),
+    (s, d) => orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("sum_price"))
+      .orderBy("st", "pri")
+  )
+
+  private val aggCollect = QueryDef(
+    "q_agg_collect",
+    "Order-preserving list aggregation (reference app/main.py:81 " +
+      "'\\n\\n'.join of ordered pages): per-user event-type sequence in " +
+      "explicit (ts, event_id) order — sort_array over (key, value) " +
+      "structs, never bare collect_list (which has no order contract).",
+    Some("""SELECT user_id, count(*) AS n,
+           |       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+           |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events) e
+           |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    (s, d) => events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          ",").as("seq"))
+      .orderBy("user_id")
+  )
+
+  // --------------------------------------------------- sort / limit / topk
+
+  private val sortLimit = QueryDef(
+    "q_sort_limit",
+    "Global sort + limit → Spark TakeOrderedAndProject (per-partition " +
+      "top-k then merge on the driver; never a full global sort).",
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+           |FROM lineitem
+           |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+           |LIMIT 100""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  )
+
+  private val topkGroup = QueryDef(
+    "q_topk_group",
+    "Top-3 per group via ranked window (single shuffle by group key).",
+    Some("""SELECT p_brand, CAST(rk AS BIGINT) AS rk, p_partkey, p_retailprice
+           |FROM (SELECT p_brand, p_partkey, p_retailprice,
+           |             row_number() OVER (PARTITION BY p_brand
+           |                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+           |      FROM part) t
+           |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin),
+    (s, d) => part(s, d)
+      .withColumn("rk", lng(row_number().over(
+        Window.partitionBy("p_brand")
+          .orderBy(col("p_retailprice").desc, col("p_partkey")))))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "rk", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rk")
+  )
+
+  // ------------------------------------------------------------------ sets
+
+  private val union = QueryDef(
+    "q_union",
+    "Union-all + distinct-count: multiplicity 2 where both branch " +
+      "predicates hold — exercises bag and set union in one result.",
+    Some("""SELECT p_partkey, count(*) AS multiplicity FROM (
+           |  SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1', 'Brand#2')
+           |  UNION ALL
+           |  SELECT p_partkey FROM part WHERE p_size <= 5
+           |) u GROUP BY p_partkey ORDER BY p_partkey""".stripMargin),
+    (s, d) => {
+      val p = part(s, d)
+      p.filter(col("p_brand").isin("Brand#1", "Brand#2")).select("p_partkey")
+        .unionAll(p.filter(col("p_size") <= 5).select("p_partkey"))
+        .groupBy("p_partkey").agg(count(lit(1)).as("multiplicity"))
+        .orderBy("p_partkey")
+    }
+  )
+
+  private val intersect = QueryDef(
+    "q_intersect",
+    "Intersect (distinct semantics in both engines).",
+    Some("""SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1', 'Brand#2')
+           |INTERSECT
+           |SELECT p_partkey FROM part WHERE p_size <= 25
+           |ORDER BY p_partkey""".stripMargin),
+    (s, d) => {
+      val p = part(s, d)
+      p.filter(col("p_brand").isin("Brand#1", "Brand#2")).select("p_partkey")
+        .intersect(p.filter(col("p_size") <= 25).select("p_partkey"))
+        .orderBy("p_partkey")
+    }
+  )
+
+  private val except = QueryDef(
+    "q_except",
+    "Except (distinct semantics in both engines).",
+    Some("""SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1', 'Brand#2')
+           |EXCEPT
+           |SELECT p_partkey FROM part WHERE p_size <= 25
+           |ORDER BY p_partkey""".stripMargin),
+    (s, d) => {
+      val p = part(s, d)
+      p.filter(col("p_brand").isin("Brand#1", "Brand#2")).select("p_partkey")
+        .except(p.filter(col("p_size") <= 25).select("p_partkey"))
+        .orderBy("p_partkey")
+    }
+  )
+
+  // ------------------------------------------------------- TPC-H headliners
+
+  private val tpchQ3 = QueryDef(
+    "q_tpch_q3",
+    "TPC-H Q3-shaped 3-way join + agg + top-10: customer(seg) ⋈ orders " +
+      "⋈ lineitem; dims broadcast, one fact shuffle, TakeOrdered tail.",
+    Some("""SELECT l.l_orderkey,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           |       o.o_orderpriority
+           |FROM customer c
+           |JOIN orders o ON c.c_custkey = o.o_custkey
+           |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           |WHERE c.c_mktsegment = 'BUILDING'
+           |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+           |  AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+           |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    (s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dbl(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          dateStr(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }
+  )
+
+  private val tpchQ5 = QueryDef(
+    "q_tpch_q5",
+    "TPC-H Q5-shaped 5-way join: region→nation→customer→orders→lineitem " +
+      "with all dimension sides broadcast; revenue per nation.",
+    Some("""SELECT n.n_name,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           |       count(*) AS n_items
+           |FROM region r
+           |JOIN nation n ON n.n_regionkey = r.r_regionkey
+           |JOIN customer c ON c.c_nationkey = n.n_nationkey
+           |JOIN orders o ON o.o_custkey = c.c_custkey
+           |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+           |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val dims = customer(s, d)
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name")
+      lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(dbl(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(
+    scanParquet, scanJsonl, project, filterPred, filterNull, enrich,
+    joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
+    joinTheta, joinAsof,
+    aggCount, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
+    sortLimit, topkGroup, union, intersect, except,
+    tpchQ3, tpchQ5)
+}

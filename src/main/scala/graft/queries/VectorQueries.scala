@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Vector / similarity-search inventory (SURVEY.md §2.3 q_knn_join,
+  * §2.6 q_topk_knn, §2.4 centroid, §2.8 array HOFs).
+  *
+  * The reference's retrieval path (rag_chatbot/main.py:27,36,39-47) is an
+  * *exact* brute-force squared-L2 scan (faiss.IndexFlatL2) with k=1 and a
+  * refusal threshold — exactness is what makes it oracle-checkable, and
+  * the O(N·d) scan is exactly what Spark parallelizes.
+  *
+  * Scale design: the probe set is the small side and is broadcast, so
+  * the big corpus never shuffles for the distance computation; per-probe
+  * top-k is a window over the probe partition. At 100 TB the same plan
+  * holds (probes broadcast, corpus scanned partition-parallel); the
+  * LSH-bucketed ANN variant in DedupQueries is the sub-linear path.
+  */
+object VectorQueries {
+
+  /** Distance gate. The reference uses 1.0 for MiniLM embeddings
+    * (rag_chatbot/main.py:39); the synthetic 64-d vectors have per-probe
+    * min squared-L2 ≈ 1.0–1.4, so 1.28 keeps both the match and the
+    * refusal branch exercised at every scale factor.
+    */
+  private val Threshold = 1.28
+  /** Reference refusal string, rag_chatbot/main.py:43. */
+  private val Refusal = "I don't have information on that subject."
+
+  private def l2Duck(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
+  private val topkKnn = QueryDef(
+    "q_topk_knn",
+    "The reference's full retrieval semantics (rag_chatbot/main.py:31-47):" +
+      " exact top-1 squared-L2 neighbor per probe, threshold gate, refusal" +
+      " fallback. Probes broadcast; ties broken on vec_id.",
+    Some(s"""WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10),
+            |corpus AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+            |dists AS (
+            |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, c.label,
+            |         round(${l2Duck("p.embedding", "c.embedding")}, 6) AS d2
+            |  FROM probes p CROSS JOIN corpus c),
+            |ranked AS (
+            |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d2, cand_id) AS rn
+            |  FROM dists)
+            |SELECT probe_id, cand_id AS match_id, d2,
+            |       CASE WHEN d2 > $Threshold
+            |            THEN 'I don''t have information on that subject.'
+            |            ELSE 'label=' || CAST(label AS VARCHAR) END AS answer
+            |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("label"))
+      val w = Window.partitionBy("probe_id").orderBy("d2", "cand_id")
+      corpus.join(broadcast(probes))
+        .withColumn("d2", round(l2sq("p_emb", "c_emb"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("cand_id").as("match_id"), col("d2"),
+          when(col("d2") > Threshold, lit(Refusal))
+            .otherwise(concat(lit("label="), col("label").cast("string"))).as("answer"))
+        .orderBy("probe_id")
+    }
+  )
+
+  private val knnJoin = QueryDef(
+    "q_knn_join",
+    "General k-NN similarity join (k=3) per probe — same broadcast plan " +
+      "as q_topk_knn without the threshold gate.",
+    Some(s"""WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10),
+            |corpus AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+            |dists AS (
+            |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+            |         round(${l2Duck("p.embedding", "c.embedding")}, 6) AS d2
+            |  FROM probes p CROSS JOIN corpus c),
+            |ranked AS (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY d2, cand_id) AS BIGINT) AS rk
+            |  FROM dists)
+            |SELECT probe_id, rk, cand_id, d2
+            |FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy("probe_id").orderBy("d2", "cand_id")
+      corpus.join(broadcast(probes))
+        .withColumn("d2", round(l2sq("p_emb", "c_emb"), 6))
+        .withColumn("rk", lng(row_number().over(w)))
+        .filter(col("rk") <= 3)
+        .select("probe_id", "rk", "cand_id", "d2")
+        .orderBy("probe_id", "rk")
+    }
+  )
+
+  private val vecCentroid = QueryDef(
+    "q_vec_centroid",
+    "Per-label centroid (ML feature prep): posexplode to (label, pos, " +
+      "val), exact decimal sums per position, single double division. " +
+      "One shuffle keyed by (label, pos); at scale this is the standard " +
+      "dimension-parallel mean-vector pattern.",
+    Some("""WITH x AS (
+           |  SELECT label,
+           |         unnest(generate_series(1, len(embedding))) AS ord,
+           |         unnest(embedding) AS val
+           |  FROM embeddings)
+           |SELECT label, CAST(ord - 1 AS BIGINT) AS pos,
+           |       round(CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS centroid
+           |FROM x GROUP BY label, ord ORDER BY label, pos""".stripMargin),
+    (s, d) => embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy("label", "pos")
+      .agg(round(dbl(sum(col("val").cast("decimal(20,10)"))) / count(lit(1)), 6)
+        .as("centroid"))
+      .select(col("label"), lng(col("pos")).as("pos"), col("centroid"))
+      .orderBy("label", "pos")
+  )
+
+  private val arrayFns = QueryDef(
+    "q_array_fns",
+    "Array higher-order functions (SURVEY §2.8): size, element access, " +
+      "slice, norms, elementwise transform+aggregate — codegen'd HOFs, " +
+      "no UDFs.",
+    Some("""SELECT vec_id,
+           |       CAST(len(embedding) AS BIGINT) AS dim,
+           |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           |       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm2,
+           |       round(list_sum(list_transform(embedding[1:8], x -> abs(CAST(x AS DOUBLE)))), 6) AS l1_head,
+           |       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+           |FROM embeddings ORDER BY vec_id""".stripMargin),
+    (s, d) => embeddings(s, d).select(
+      col("vec_id"),
+      lng(size(col("embedding"))).as("dim"),
+      round(dbl(element_at(col("embedding"), 1)), 6).as("first_val"),
+      round(norm2("embedding"), 6).as("norm2"),
+      round(expr("aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE), (acc, x) -> acc + abs(CAST(x AS DOUBLE)))"), 6).as("l1_head"),
+      lng(size(filter(col("embedding"), _ > 0))).as("n_pos"))
+      .orderBy("vec_id")
+  )
+
+  val defs: Seq[QueryDef] = Seq(topkKnn, knnJoin, vecCentroid, arrayFns)
+}

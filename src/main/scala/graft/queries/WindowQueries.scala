@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Window-function inventory (SURVEY.md §2.5): the reference's ±2-page
+  * sliding window (app/main.py:76-82), plus ranking, frame aggregates
+  * and lead/lag. All are one-shuffle plans keyed by the partition column
+  * — the partition key (doc_id / user_id / customer) is what a 1000-
+  * executor cluster parallelizes over, so no global sorts anywhere.
+  */
+object WindowQueries {
+
+  /** Synthetic page size: documents.text is one string; the reference's
+    * unit of windowing is a PDF page (app/main.py:19-27). Pages here are
+    * fixed 120-char slices so both engines derive identical page sets.
+    */
+  private val PageLen = 120
+
+  private val windowPages = QueryDef(
+    "q_window_pages",
+    "The reference's sliding page window (app/main.py:76-82): ±2-page " +
+      "frame over page order, centered on odd pages (1-based, stride 2), " +
+      "joined with '\\n\\n' (app/main.py:81). Order comes from the window " +
+      "frame over page_no — never from implicit row order.",
+    Some(s"""WITH pages AS (
+            |  SELECT doc_id,
+            |         unnest(generate_series(1, CAST(ceil(length(text) / $PageLen.0) AS INT))) AS page_no,
+            |         unnest(list_transform(generate_series(1, CAST(ceil(length(text) / $PageLen.0) AS INT)),
+            |                i -> substr(text, (i - 1) * $PageLen + 1, $PageLen))) AS page_text
+            |  FROM documents),
+            |ctx AS (
+            |  SELECT doc_id, page_no,
+            |         string_agg(page_text, chr(10) || chr(10))
+            |           OVER (PARTITION BY doc_id ORDER BY page_no
+            |                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS window_text
+            |  FROM pages)
+            |SELECT doc_id, CAST(page_no AS BIGINT) AS page_no, window_text,
+            |       CAST(length(window_text) AS BIGINT) AS window_len
+            |FROM ctx WHERE page_no % 2 = 1
+            |ORDER BY doc_id, page_no""".stripMargin),
+    (s, d) => {
+      val pages = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(1, CAST(ceil(length(text) / $PageLen.0) AS INT)), i -> substring(text, (i - 1) * $PageLen + 1, $PageLen))"))
+            .as(Seq("p0", "page_text")))
+        .select(col("doc_id"), (col("p0") + 1).as("page_no"), col("page_text"))
+      val w = Window.partitionBy("doc_id").orderBy("page_no").rowsBetween(-2, 2)
+      pages
+        .withColumn("window_text", array_join(collect_list(col("page_text")).over(w), "\n\n"))
+        .filter(col("page_no") % 2 === 1)
+        .select(col("doc_id"), lng(col("page_no")).as("page_no"),
+          col("window_text"), lng(length(col("window_text"))).as("window_len"))
+        .orderBy("doc_id", "page_no")
+    }
+  )
+
+  private val windowRank = QueryDef(
+    "q_window_rank",
+    "Ranking: top-3 orders per customer by totalprice (row_number with " +
+      "explicit tiebreak).",
+    Some("""SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+           |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+           |             row_number() OVER (PARTITION BY o_custkey
+           |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |      FROM orders) t
+           |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+    (s, d) => orders(s, d)
+      .withColumn("rn", lng(row_number().over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")))))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  )
+
+  private val windowFrame = QueryDef(
+    "q_window_frame",
+    "Analytic frame aggregates per user: running total and 5-row moving " +
+      "average over event time. Sums in exact decimal so frame-evaluation " +
+      "order (sequential in Spark, segment-tree in DuckDB) cannot change " +
+      "the result.",
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           |                  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+           |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           |  round(CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+           |        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+           |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin),
+    (s, d) => {
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMov = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      events(s, d)
+        .withColumn("v", money(col("value")))
+        .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("ts_us"),
+          dbl(sum(col("v")).over(wRun)).as("running_total"),
+          round(dbl(sum(col("v")).over(wMov)) / count(lit(1)).over(wMov), 6).as("moving_avg"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }
+  )
+
+  private val windowLeadLag = QueryDef(
+    "q_window_lead_lag",
+    "lag/lead per user: inter-event gap in µs and the next event type.",
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           |                  event_type FROM events)
+           |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+           |         (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+           |       lead(event_type, 1) OVER
+           |         (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("ts_us", epochUs(col("ts")))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(windowPages, windowRank, windowFrame, windowLeadLag)
+}

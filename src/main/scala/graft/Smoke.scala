@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Local dev smoke: schema/read sanity across all tables. */
+/** Local dev tool: time specific inventory queries (all if no args).
+  * Usage: runMain graft.Smoke <sfDir> [key ...]
+  */
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -11,23 +13,13 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.001"
-    for (n <- Seq("lineitem", "orders", "customer", "documents", "embeddings")) {
-      val df = core.Tables.t(spark, d, n)
-      println(s"$n: ${df.count()} rows; ${df.schema.simpleString.take(200)}")
-    }
-    try {
-      val ev = core.Tables.events(spark, d)
-      ev.printSchema()
-      ev.show(3, truncate = false)
-    } catch {
-      case e: Throwable =>
-        println(s"EVENTS READ FAILED: ${e.getMessage}")
-        println("retry with nanosAsLong...")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev2 = core.Tables.events(spark, d)
-        ev2.printSchema()
-        ev2.show(3, truncate = false)
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val keys = if (args.length > 1) args.drop(1).toSeq
+               else SparkEntry.queries.keys.toSeq.sorted
+    for (k <- keys) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(k)(spark, d).count()
+      println(f"[smoke] $k%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d rows")
     }
     spark.stop()
   }

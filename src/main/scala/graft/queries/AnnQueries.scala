@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Approximate-nearest-neighbor inventory (north-star "similarity
+  * search"): brute-force cosine top-k as the exact baseline, and an
+  * IVF (inverted-file) variant as the sub-linear scale path — probe the
+  * top-2 nearest coarse centroids, scan only those clusters.
+  *
+  * Scale design: brute force = broadcast probes × partition-parallel
+  * corpus scan (linear, embarrassingly parallel); IVF = the same with
+  * the corpus pre-partitioned by cluster id, so each probe touches
+  * ~2/k of the data. Centroids here are the per-label mean vectors
+  * (labels play the role of a trained coarse quantizer).
+  */
+object AnnQueries {
+
+  private val annCosine = QueryDef(
+    "q_ann_cosine",
+    "Exact brute-force cosine top-10 per probe (the correctness " +
+      "baseline every ANN variant is judged against).",
+    Some("""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+           |corpus AS (SELECT vec_id AS cand_id, embedding AS ce, label FROM embeddings WHERE vec_id >= 5),
+           |scored AS (
+           |  SELECT probe_id, cand_id, label,
+           |    round(list_sum(list_transform(list_zip(pe, ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+           |          (sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |           sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+           |  FROM probes CROSS JOIN corpus),
+           |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rk
+           |           FROM scored)
+           |SELECT probe_id, rk, cand_id, label, cos_sim
+           |FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      corpus.join(broadcast(probes))
+        .withColumn("cos_sim", round(cosine("pe", "ce"), 6))
+        .withColumn("rk", lng(row_number().over(w)))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "rk", "cand_id", "label", "cos_sim")
+        .orderBy("probe_id", "rk")
+    }
+  )
+
+  private val annIvf = QueryDef(
+    "q_ann_ivf",
+    "IVF-style ANN: per-label centroids as the coarse quantizer; each " +
+      "probe ranks centroids by L2, scans only the top-2 clusters, " +
+      "then exact top-10 within them. Sub-linear: ~2/10 of the corpus " +
+      "touched per probe.",
+    Some("""WITH expl AS (
+           |  SELECT label, unnest(generate_series(1, len(embedding))) AS ord,
+           |         unnest(embedding) AS val
+           |  FROM embeddings),
+           |cent_long AS (
+           |  SELECT label, ord,
+           |         round(CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
+           |  FROM expl GROUP BY label, ord),
+           |cent AS (SELECT label, list(c ORDER BY ord) AS ce FROM cent_long GROUP BY label),
+           |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+           |pc AS (
+           |  SELECT probe_id, label,
+           |    round(list_sum(list_transform(list_zip(pe, ce), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2c
+           |  FROM probes CROSS JOIN cent),
+           |top2 AS (SELECT probe_id, label FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d2c, label) AS cr FROM pc) t
+           |  WHERE cr <= 2),
+           |search AS (
+           |  SELECT p.probe_id, e.vec_id AS cand_id, e.label,
+           |    round(list_sum(list_transform(list_zip(p.pe, e.embedding), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6) AS d2
+           |  FROM top2 t
+           |  JOIN probes p ON p.probe_id = t.probe_id
+           |  JOIN embeddings e ON e.label = t.label AND e.vec_id >= 5),
+           |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY d2, cand_id) AS BIGINT) AS rk
+           |           FROM search)
+           |SELECT probe_id, rk, cand_id, label, d2
+           |FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy("label", "pos")
+        .agg(round(dbl(sum(col("val").cast("decimal(20,10)"))) / count(lit(1)), 6).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val wc = Window.partitionBy("probe_id").orderBy(col("d2c"), col("label"))
+      val top2 = probes.join(broadcast(cent))
+        .withColumn("d2c", round(l2sq("pe", "ce"), 6))
+        .withColumn("cr", row_number().over(wc))
+        .filter(col("cr") <= 2)
+        .select("probe_id", "pe", "label")
+      val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
+      e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label"))
+        .join(broadcast(top2), "label")
+        .withColumn("d2", round(l2sq("pe", "ce"), 6))
+        .withColumn("rk", lng(row_number().over(w)))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "rk", "cand_id", "label", "d2")
+        .orderBy("probe_id", "rk")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(annCosine, annIvf)
+}

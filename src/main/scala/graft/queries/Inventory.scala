@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Inventory {
   val all: Seq[QueryDef] =
     Relational.defs ++ VectorQueries.defs ++ WindowQueries.defs ++
-      TextQueries.defs
+      TextQueries.defs ++ DedupQueries.defs ++ AnnQueries.defs ++
+      TextAnalysisQueries.defs ++ PipelineQueries.defs ++
+      StreamingQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

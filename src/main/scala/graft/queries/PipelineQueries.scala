@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.ops.Annotate
+import graft.util.Det._
+
+/** The reference's full generation pipeline (SURVEY.md §3.1) as one
+  * lazy Spark plan: page split → ±2-page odd-center sliding window →
+  * character chunking → annotator (deterministic stub via
+  * mapPartitions, the LLM seam) → 3-stage JSON salvage → lineage
+  * enrichment. Stages 2–9 of app/main.py:65-117, minus the real LLM.
+  *
+  * Because the stub is a pure function of the chunk, the whole chain is
+  * oracle-checkable end-to-end — the DuckDB twin recomputes the
+  * expected question/answer directly.
+  *
+  * Scale: one shuffle (the page window by doc_id); chunking and
+  * annotation are partition-local; salvage/enrichment are codegen'd
+  * projections. 100 TB of PDFs = more doc_id partitions, same plan.
+  */
+object PipelineQueries {
+
+  private val PageLen = 120
+  private val ChunkSize = 100
+  private val ChunkStride = 80
+
+  private val pipelineQa = QueryDef(
+    "q_pipeline_qa",
+    "End-to-end PDF→Q&A pipeline with the deterministic stub annotator " +
+      "(window → chunk → annotate → salvage → enrich).",
+    Some(s"""WITH pages AS (
+            |  SELECT doc_id,
+            |         unnest(generate_series(1, CAST(ceil(length(text) / $PageLen.0) AS INT))) AS page_no,
+            |         unnest(list_transform(generate_series(1, CAST(ceil(length(text) / $PageLen.0) AS INT)),
+            |                i -> substr(text, (i - 1) * $PageLen + 1, $PageLen))) AS page_text
+            |  FROM documents),
+            |win AS (
+            |  SELECT doc_id, (page_no + 1) // 2 AS window_index,
+            |         string_agg(page_text, chr(10) || chr(10))
+            |           OVER (PARTITION BY doc_id ORDER BY page_no
+            |                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS wtext
+            |  FROM pages QUALIFY page_no % 2 = 1),
+            |chunks AS (
+            |  SELECT doc_id, window_index,
+            |         unnest(generate_series(1, CAST((length(wtext) + ${ChunkStride - (ChunkSize - ChunkStride) - 1}) // $ChunkStride AS INT))) AS subchunk_index,
+            |         unnest(list_transform(generate_series(1, CAST((length(wtext) + ${ChunkStride - (ChunkSize - ChunkStride) - 1}) // $ChunkStride AS INT)),
+            |                i -> substr(wtext, (i - 1) * $ChunkStride + 1, $ChunkSize))) AS chunk
+            |  FROM win)
+            |SELECT doc_id, CAST(window_index AS BIGINT) AS window_index,
+            |       CAST(subchunk_index AS BIGINT) AS subchunk_index,
+            |       'What does chunk ' || subchunk_index || ' of window ' || window_index ||
+            |         ' in doc ' || doc_id || ' discuss?' AS question,
+            |       substr(replace(chunk, chr(10), ' '), 1, 30) AS answer,
+            |       'doc_' || doc_id || '.pdf' AS source_file
+            |FROM chunks
+            |ORDER BY doc_id, window_index, subchunk_index""".stripMargin),
+    (s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      // 1. page split (reference: extract_pages_from_pdf, app/main.py:19-27)
+      val pages = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(1, CAST(ceil(length(text) / $PageLen.0) AS INT)), i -> substring(text, (i - 1) * $PageLen + 1, $PageLen))"))
+            .as(Seq("p0", "page_text")))
+        .select(col("doc_id"), (col("p0") + 1).as("page_no"), col("page_text"))
+      // 2. ±2-page window, odd centers (app/main.py:76-82)
+      val w = Window.partitionBy("doc_id").orderBy("page_no").rowsBetween(-2, 2)
+      val windows = pages
+        .withColumn("wtext", array_join(collect_list(col("page_text")).over(w), "\n\n"))
+        .filter(col("page_no") % 2 === 1)
+        .select(col("doc_id"), expr("(page_no + 1) DIV 2").as("window_index"), col("wtext"))
+      // 3. sub-chunking (app/main.py:84-88,101)
+      val chunks = windows
+        .select(col("doc_id"), col("window_index"),
+          posexplode(expr(
+            s"transform(sequence(1, CAST(ceil((length(wtext) - ${ChunkSize - ChunkStride}) / $ChunkStride.0) AS INT)), i -> substring(wtext, (i - 1) * $ChunkStride + 1, $ChunkSize))"))
+            .as(Seq("c0", "chunk")))
+        .select(col("doc_id"), col("window_index"),
+          (col("c0") + 1).cast("long").as("subchunk_index"), col("chunk"))
+        .as[Annotate.Chunk]
+      // 4. annotator seam (app/main.py:37-44,105) — mapPartitions, stub
+      val raw = Annotate.annotate(chunks, Annotate.StubAnnotator)
+      // 5. 3-stage salvage (app/main.py:46-58) + validity filter (:106)
+      val fenced = "(?s)```json\\s*(\\{.*?\\})\\s*```"
+      val salvaged = raw
+        .withColumn("cand", coalesce(
+          when(get_json_object(col("raw"), "$.question").isNotNull, col("raw")),
+          nullif(regexp_extract(col("raw"), fenced, 1), lit("")),
+          nullif(regexp_extract(col("raw"), "(?s)`(\\{.*?\\})`", 1), lit(""))))
+        .withColumn("question", get_json_object(col("cand"), "$.question"))
+        .withColumn("answer", get_json_object(col("cand"), "$.answer"))
+        .filter(col("question").isNotNull && col("answer").isNotNull)
+      // 6. lineage enrichment (app/main.py:107-109)
+      salvaged
+        .select(col("doc_id"), col("window_index"), col("subchunk_index"),
+          col("question"), col("answer"),
+          concat(lit("doc_"), col("doc_id"), lit(".pdf")).as("source_file"))
+        .orderBy("doc_id", "window_index", "subchunk_index")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pipelineQa)
+}

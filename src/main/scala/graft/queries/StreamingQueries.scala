@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.streaming.StreamingOps
+
+/** Batch twins of the streaming inventory (SURVEY.md §2.9).
+  *
+  * Streaming queries cannot be DuckDB-checked as streams, so each
+  * operator is validated two ways: (1) the *identical builder* from
+  * graft.streaming.StreamingOps run here in batch mode against the
+  * DuckDB oracle, and (2) MemoryStream scalatest suites
+  * (StreamingSpec) proving the same builder produces the same result
+  * incrementally with watermarks.
+  */
+object StreamingQueries {
+
+  private val HourUs = 3600000000L
+  private val HalfHourUs = 1800000000L
+
+  private val streamTumbling = QueryDef(
+    "q_stream_tumbling",
+    "Tumbling 1h event-time window counts per event type (stream twin: " +
+      "withWatermark('ts', '10 minutes') + the same builder).",
+    Some(s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS e_us, event_type,
+            |                 CAST(value AS DECIMAL(18,2)) AS v FROM events)
+            |SELECT (e_us // $HourUs) * $HourUs AS ws_us,
+            |       (e_us // $HourUs) * $HourUs + $HourUs AS we_us,
+            |       event_type, count(*) AS n,
+            |       CAST(sum(v) AS DOUBLE) AS sum_value
+            |FROM e GROUP BY 1, 2, 3 ORDER BY ws_us, event_type""".stripMargin),
+    (s, d) => StreamingOps.windowToEpoch(
+      StreamingOps.tumbling(events(s, d)), col("event_type"))
+      .orderBy("ws_us", "event_type")
+  )
+
+  private val streamSliding = QueryDef(
+    "q_stream_sliding",
+    "Sliding 1h/30m event-time windows (every event in exactly two " +
+      "windows) per event type.",
+    Some(s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS e_us, event_type,
+            |                 CAST(value AS DECIMAL(18,2)) AS v FROM events),
+            |x AS (SELECT unnest([(e_us // $HalfHourUs) * $HalfHourUs,
+            |                     (e_us // $HalfHourUs) * $HalfHourUs - $HalfHourUs]) AS ws_us,
+            |             e_us, event_type, v
+            |      FROM e)
+            |SELECT ws_us, ws_us + $HourUs AS we_us, event_type, count(*) AS n,
+            |       CAST(sum(v) AS DOUBLE) AS sum_value
+            |FROM x GROUP BY 1, 2, 3 ORDER BY ws_us, event_type""".stripMargin),
+    (s, d) => StreamingOps.windowToEpoch(
+      StreamingOps.sliding(events(s, d)), col("event_type"))
+      .orderBy("ws_us", "event_type")
+  )
+
+  private val streamSession = QueryDef(
+    "q_stream_session",
+    "Session windows per user, 30m inactivity gap (session end = last " +
+      "event + gap, Spark semantics). Oracle twin: gaps-and-islands.",
+    Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us,
+            |                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+            |flagged AS (
+            |  SELECT *, CASE WHEN e_us - lag(e_us) OVER
+            |                   (PARTITION BY user_id ORDER BY e_us, event_id) < $HalfHourUs
+            |                 THEN 0 ELSE 1 END AS new_session
+            |  FROM e),
+            |sess AS (
+            |  SELECT *, sum(new_session) OVER
+            |              (PARTITION BY user_id ORDER BY e_us, event_id
+            |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            |  FROM flagged)
+            |SELECT user_id, min(e_us) AS ws_us, max(e_us) + $HalfHourUs AS we_us,
+            |       count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_value
+            |FROM sess GROUP BY user_id, sid ORDER BY user_id, ws_us""".stripMargin),
+    (s, d) => StreamingOps.windowToEpoch(
+      StreamingOps.sessions(events(s, d)), col("user_id"))
+      .select("user_id", "ws_us", "we_us", "n", "sum_value")
+      .orderBy("user_id", "ws_us")
+  )
+
+  val defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSession)
+}

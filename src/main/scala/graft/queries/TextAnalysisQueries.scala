@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.ops.Multimodal
+import graft.util.Det._
+
+/** Text-analysis + multimodal inventory (north-star: language-ID,
+  * quality scoring, token counting, multimodal columns).
+  */
+object TextAnalysisQueries {
+
+  private val langId = QueryDef(
+    "q_lang_id",
+    "N-gram-heuristic language ID: per-language word-frequency profiles " +
+      "learned from the corpus itself (integer parts-per-million scores " +
+      "— exact in both engines), each document classified to the argmax " +
+      "profile. The profile is a small broadcast table; classification " +
+      "is a map-side join + one aggregation.",
+    Some("""WITH ex AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+           |prof AS (SELECT lang AS plang, w, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY 1, 2),
+           |tot AS (SELECT plang, CAST(sum(cnt) AS BIGINT) AS tot FROM prof GROUP BY 1),
+           |iscore AS (SELECT p.plang, p.w, (p.cnt * 1000000) // t.tot AS ppm
+           |           FROM prof p JOIN tot t ON p.plang = t.plang),
+           |scored AS (
+           |  SELECT e.doc_id, min(e.lang) AS actual_lang, i.plang,
+           |         CAST(sum(i.ppm) AS BIGINT) AS score
+           |  FROM ex e JOIN iscore i ON e.w = i.w
+           |  GROUP BY e.doc_id, i.plang),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+           |           FROM scored)
+           |SELECT doc_id, actual_lang, plang AS pred_lang, score,
+           |       actual_lang = plang AS is_correct
+           |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val ex = documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val prof = ex.groupBy(col("lang").as("plang"), col("w"))
+        .agg(lng(count(lit(1))).as("cnt"))
+      val tot = prof.groupBy("plang").agg(lng(sum(col("cnt"))).as("tot"))
+      val iscore = prof.join(tot, "plang")
+        .select(col("plang"), col("w"), expr("(cnt * 1000000) DIV tot").as("ppm"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
+      ex.join(broadcast(iscore), "w")
+        .groupBy("doc_id", "plang")
+        .agg(min(col("lang")).as("actual_lang"), lng(sum(col("ppm"))).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("actual_lang"), col("plang").as("pred_lang"),
+          col("score"), (col("actual_lang") === col("pred_lang")).as("is_correct"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val qualityScore = QueryDef(
+    "q_quality_score",
+    "Heuristic document quality scoring: length, stopword ratio, short-" +
+      "word ratio, mean word length — weighted into one [0,1] score. " +
+      "All ratios are int/int double divisions (engine-identical).",
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS chars FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |         CAST(len(ws) AS BIGINT) AS n_words,
+           |         CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+           |         CAST(len(list_filter(ws, w -> length(w) <= 3)) AS BIGINT) AS n_short,
+           |         CAST(chars AS BIGINT) AS chars
+           |  FROM t)
+           |SELECT doc_id, n_words, n_stop, n_short,
+           |       round(CAST(chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
+           |       round(0.4 * (least(n_words, 100) / 100.0) +
+           |             0.3 * (CAST(n_stop AS DOUBLE) / n_words) +
+           |             0.3 * (1.0 - CAST(n_short AS DOUBLE) / n_words), 6) AS quality
+           |FROM m ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        lng(length(col("text"))).as("chars"))
+      .select(col("doc_id"),
+        lng(size(col("ws"))).as("n_words"),
+        lng(size(expr("filter(ws, w -> w IN ('the', 'a'))"))).as("n_stop"),
+        lng(size(expr("filter(ws, w -> length(w) <= 3)"))).as("n_short"),
+        col("chars"))
+      .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_short"),
+        round(dbl(col("chars") - (col("n_words") - 1)) / col("n_words"), 6).as("avg_word_len"),
+        round(lit(0.4) * (least(col("n_words"), lit(100)) / lit(100.0)) +
+          lit(0.3) * (dbl(col("n_stop")) / col("n_words")) +
+          lit(0.3) * (lit(1.0) - dbl(col("n_short")) / col("n_words")), 6).as("quality"))
+      .orderBy("doc_id")
+  )
+
+  private val tokenCount = QueryDef(
+    "q_token_count",
+    "Token counting: whitespace tokens, BPE-ish regex tokens " +
+      "(letter-runs | digit-runs | other), and the chars/4 estimate.",
+    Some("""SELECT doc_id,
+           |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           |       CAST(len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1)) AS BIGINT) AS re_tokens,
+           |       (length(text) + 3) // 4 AS est_bpe
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d).select(
+      col("doc_id"),
+      lng(size(split(col("text"), " "))).as("ws_tokens"),
+      lng(size(expr("regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1)"))).as("re_tokens"),
+      expr("(length(text) + 3) DIV 4").as("est_bpe"))
+      .orderBy("doc_id")
+  )
+
+  private val multimodalMeta = QueryDef(
+    "q_multimodal_meta",
+    "Multimodal column plumbing: text bytes stand in for opaque media " +
+      "payloads (no codecs in this environment — SURVEY.md §2 multimodal" +
+      " STUB note); modality metadata, stride-sampled 'frames', per-" +
+      "frame polynomial hashes and fixed-width features, all computed " +
+      "executor-side via mapPartitions over a typed Dataset " +
+      "(graft.ops.Multimodal). The oracle recomputes the stub decode " +
+      "arithmetic in SQL.",
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS media_id,
+            |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+            |         text, CAST(length(text) AS BIGINT) AS byte_len,
+            |         greatest((length(text) + 39) // 40, 1) AS n_frames
+            |  FROM documents),
+            |f AS (
+            |  SELECT media_id, modality, byte_len, CAST(n_frames AS BIGINT) AS n_frames,
+            |    list_transform(generate_series(0, CAST(n_frames AS INT) - 1),
+            |      i -> substr(text, i * 40 + 1, 8)) AS frames
+            |  FROM m),
+            |h AS (
+            |  SELECT media_id, modality, byte_len, n_frames,
+            |    list_transform(frames, fr -> ${graft.ops.TextAnalysis.hashDuck("fr")}) AS fhs,
+            |    frames
+            |  FROM f)
+            |SELECT media_id, modality, byte_len, n_frames,
+            |       CAST(40 AS BIGINT) AS frame_stride,
+            |       list_reduce(list_prepend(CAST(0 AS BIGINT), fhs), (a, x) -> (a + x) % ${graft.ops.TextAnalysis.P}) AS signature,
+            |       round(CASE WHEN n_frames >= 1 THEN CAST(list_sum(list_transform(string_split(frames[1], ''), c -> CAST(ascii(c) AS BIGINT))) AS DOUBLE) / length(frames[1]) ELSE 0.0 END, 6) AS feat0,
+            |       round(CASE WHEN n_frames >= 2 THEN CAST(list_sum(list_transform(string_split(frames[2], ''), c -> CAST(ascii(c) AS BIGINT))) AS DOUBLE) / length(frames[2]) ELSE 0.0 END, 6) AS feat1,
+            |       round(CASE WHEN n_frames >= 3 THEN CAST(list_sum(list_transform(string_split(frames[3], ''), c -> CAST(ascii(c) AS BIGINT))) AS DOUBLE) / length(frames[3]) ELSE 0.0 END, 6) AS feat2,
+            |       round(CASE WHEN n_frames >= 4 THEN CAST(list_sum(list_transform(string_split(frames[4], ''), c -> CAST(ascii(c) AS BIGINT))) AS DOUBLE) / length(frames[4]) ELSE 0.0 END, 6) AS feat3
+            |FROM h ORDER BY media_id""".stripMargin),
+    (s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lng(length(col("text"))).as("byte_len"))
+        .as[Multimodal.MediaRow]
+      Multimodal.featurize(media)
+        .select(col("media_id"), col("modality"), col("byte_len"),
+          col("n_frames"), col("frame_stride"), col("signature"),
+          round(element_at(col("features"), 1), 6).as("feat0"),
+          round(element_at(col("features"), 2), 6).as("feat1"),
+          round(element_at(col("features"), 3), 6).as("feat2"),
+          round(element_at(col("features"), 4), 6).as("feat3"))
+        .orderBy("media_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount, multimodalMeta)
+}

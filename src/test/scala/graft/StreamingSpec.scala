@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+/** Structured-Streaming behavior (SURVEY.md §5.2 item 6): watermarked
+  * tumbling windows, late-data drop, streaming dedup, session windows,
+  * and batch-twin equivalence — all via MemoryStream so a batch of
+  * events drives the streaming query synchronously.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+
+  private def drain(q: StreamingQuery): Unit = { q.processAllAvailable() }
+
+  test("tumbling window with watermark: counts per window, late row dropped") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamingOps.tumbling(
+      mem.toDF().withWatermark("ts", "10 minutes"), "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumb").start()
+    try {
+      mem.addData(
+        Ev(1, t(5), 1, "click", 1.0), Ev(2, t(20), 1, "click", 2.0),
+        Ev(3, t(70), 2, "view", 3.0))
+      drain(q)
+      // advance watermark far past hour 10 so its windows finalize
+      mem.addData(Ev(4, t(240), 2, "view", 1.0))
+      drain(q)
+      val out1 = spark.table("tumb")
+        .select(col("w.start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(out1.contains(("2024-01-01 10:00:00", "click", 2L)))
+      assert(out1.contains(("2024-01-01 11:00:00", "view", 1L)))
+      // late arrival inside the already-finalized hour 10 → dropped
+      mem.addData(Ev(5, t(25), 1, "click", 9.0))
+      drain(q)
+      mem.addData(Ev(6, t(300), 2, "view", 1.0))
+      drain(q)
+      val clicks10 = spark.table("tumb")
+        .filter(col("event_type") === "click" &&
+          col("w.start").cast("string") === "2024-01-01 10:00:00")
+        .agg(sum("n")).as[Long].collect()
+      assert(clicks10.headOption.contains(2L), "late click must not reopen the window")
+    } finally q.stop()
+  }
+
+  test("streaming dedup by event_id emits each id once") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.dedup(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      mem.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(1), 1, "view", 1.0))
+      drain(q)
+      mem.addData(Ev(1, t(0), 1, "click", 1.0), Ev(3, t(2), 1, "click", 1.0))
+      drain(q)
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("session windows: 30m gap merges and splits correctly (stream)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamingOps.sessions(
+      mem.toDF().withWatermark("ts", "10 minutes"), "30 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      // user 1: events at 10:00, 10:20 (one session); 11:30 (new session)
+      mem.addData(Ev(1, t(0), 1, "a", 1.0), Ev(2, t(20), 1, "a", 1.0),
+        Ev(3, t(90), 1, "a", 1.0))
+      drain(q)
+      mem.addData(Ev(9, t(400), 9, "z", 0.0)) // advance watermark
+      drain(q)
+      val sess = spark.table("sess")
+        .filter(col("user_id") === 1)
+        .select(col("w.start").cast("string"), col("w.end").cast("string"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(sess.contains(("2024-01-01 10:00:00", "2024-01-01 10:50:00", 2L)))
+      assert(sess.contains(("2024-01-01 11:30:00", "2024-01-01 12:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("batch twin equivalence: streaming complete-mode tumbling == batch") {
+    implicit val sc = spark.sqlContext
+    val evs = Seq(
+      Ev(1, t(5), 1, "click", 1.5), Ev(2, t(20), 1, "click", 2.25),
+      Ev(3, t(70), 2, "view", 3.0), Ev(4, t(75), 2, "click", 0.5))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.tumbling(mem.toDF(), "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("twin").start()
+    try {
+      mem.addData(evs: _*)
+      drain(q)
+      val streamed = spark.table("twin")
+        .select(col("w.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      val batch = StreamingOps.tumbling(evs.toDF(), "1 hour")
+        .select(col("w.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("incremental json file sink: checkpointed append (reference app/main.py:99-111 upgrade)") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.appendJsonSink(mem.toDF(), s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData(Ev(1, t(0), 1, "click", 1.0))
+      drain(q)
+      mem.addData(Ev(2, t(1), 1, "view", 2.0))
+      drain(q)
+      val rows = spark.read.json(s"$dir/out").count()
+      assert(rows == 2)
+    } finally q.stop()
+  }
+}

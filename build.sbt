@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark codegen emits a class per plan; a 59-query inventory (plus
+  // warmup) overflows the default 240m code cache, after which the JIT
+  // stops compiling and queries degrade 10-40x mid-run.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:MaxMetaspaceSize=2g",
 )

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables._
 import graft.ops.TextAnalysis._
 import graft.util.Det._
+import graft.functions.GraftFunctions.shingleHashes
 
 /** Near-duplicate detection inventory (north-star "dedup" ops, graded
   * first-class): MinHash+LSH, n-gram Jaccard with prefix filtering,
@@ -100,7 +101,7 @@ object DedupQueries {
     (s, d) => {
       // persist: `sh` feeds signatures AND the two verification joins;
       // without it every self-join side recomputes the shingle hashing
-      val sh = plantedWords(s, d).withColumn("sh", expr(shinglesSpark(3)))
+      val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
         .select("doc_id", "sh").persist()
       val bands = minhashSigs(sh)
         .select(col("doc_id"), explode(expr(bandsSpark)).as("band_key"))
@@ -113,7 +114,10 @@ object DedupQueries {
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("n_int", lng(expr("size(filter(sh_a, x -> array_contains(sh_b, x)))")))
+        // native merge-intersect over the sorted-distinct shingle arrays
+        // (same value as the interpreted filter/array_contains HOF)
+        .withColumn("n_int",
+          graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
         .withColumn("n_tot", lng(expr("size(sh_a) + size(sh_b)")))
         .filter(lit(5) * col("n_int") >= lit(3) * (col("n_tot") - col("n_int")))
         .select(col("doc_a"), col("doc_b"), col("n_int"),
@@ -148,7 +152,7 @@ object DedupQueries {
             |WHERE 5 * p.n_int >= 3 * (sa.n + sb.n - p.n_int)
             |ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => {
-      val sh = plantedWords(s, d).withColumn("sh", expr(shinglesSpark(3)))
+      val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
         .select("doc_id", "sh").persist()
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
       // global document frequency per shingle → total order (df, h)
@@ -169,18 +173,18 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // intersection sizes via the inverted index restricted to
-      // candidates (codegen'd joins + count — a per-pair array-scan HOF
-      // here is interpreted and quadratic in shingle count)
-      val nInt = cand
-        .join(ex.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-        .join(ex.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_int"))
-      val sizes = sh.select(col("doc_id"), lng(size(col("sh"))).as("n"))
-      nInt
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      // intersection sizes via a native merge-intersect over the two
+      // sorted-distinct shingle arrays — one codegen'd scan per
+      // candidate pair, replacing the two-join + groupBy inverted-index
+      // phase (the candidate set collides heavily on this small-vocab
+      // corpus, so the joined intermediate was tens of millions of rows)
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          lng(size(col("sh"))).as("na")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          lng(size(col("sh"))).as("nb")), "doc_b")
+        .withColumn("n_int",
+          graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
         .withColumn("n_tot", col("na") + col("nb"))
         .filter(lit(5) * col("n_int") >= lit(3) * (col("n_tot") - col("n_int")))
         .select(col("doc_a"), col("doc_b"), col("n_int"),
@@ -240,7 +244,7 @@ object DedupQueries {
             |ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => {
       val sh = plantedWords(s, d)
-        .withColumn("sh", expr(shinglesSpark(3)))
+        .withColumn("sh", shingleHashes(col("ws"), 3))
         .select("doc_id", "sh")
       // persist: both sides of the band self-join reuse the signatures
       val sig = simhashSigs(sh).persist()
@@ -278,20 +282,25 @@ object DedupQueries {
       |         FROM embeddings),
       |u AS (SELECT * FROM base UNION ALL SELECT * FROM pert)""".stripMargin
 
-  /** Random-hyperplane LSH, AND-OR scheme: 8 planes as 2 band groups
-    * of 4 sign bits (OR across groups lifts recall: a pair is a
-    * candidate if all 4 bits agree in *either* group). Plane j
-    * component i = ((j·64 + i)·2654435761 mod 97) − 48, folded
-    * sequentially so both engines produce the identical double dot
-    * product. Band key = g·16 + 4 sign bits of group g.
+  /** Random-hyperplane LSH, AND-OR scheme: 32 planes as 4 band groups
+    * of 8 sign bits (OR across groups lifts recall: a pair is a
+    * candidate if all 8 bits agree in *any* group — planted twins at
+    * cosine ≈ 0.99 agree per-bit w.p. ≈ 0.955, so recall ≈
+    * 1 − (1 − 0.955⁸)⁴ ≈ 0.99, while 8-bit bands cut random-pair
+    * collisions ~16× vs 4-bit). Plane j component i =
+    * ((j·64 + i)·2654435761 mod 97) − 48, folded sequentially so both
+    * engines produce the identical double dot product. Band key =
+    * g·256 + 8 sign bits of group g. Spark computes the keys with the
+    * native [[graft.functions.HyperplaneLshKeys]] expression (same
+    * arithmetic, codegen'd).
     */
-  private val lshKeysSpark =
-    "transform(sequence(0, 1), g -> g * 16 + aggregate(transform(sequence(0, 3), p -> CASE WHEN aggregate(transform(e, (x, i) -> x * (((((g * 4 + p) * 64 + i) * 2654435761) % 97) - 48)), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END), 0, (a, b) -> a * 2 + b))"
+  private val lshGroups = 4
+  private val lshBits = 8
   private val lshKeysDuck =
-    """list_transform(generate_series(0, 1), g -> g * 16 +
-      |  list_reduce(list_prepend(0, list_transform(generate_series(0, 3),
+    s"""list_transform(generate_series(0, ${lshGroups - 1}), g -> g * ${1 << lshBits} +
+      |  list_reduce(list_prepend(0, list_transform(generate_series(0, ${lshBits - 1}),
       |    p -> CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(e, generate_series(1, len(e))),
-      |                   q -> CAST(q[1] AS DOUBLE) * (((((g * 4 + p) * 64 + (q[2] - 1)) * 2654435761) % 97) - 48))),
+      |                   q -> CAST(q[1] AS DOUBLE) * (((((g * $lshBits + p) * 64 + (q[2] - 1)) * 2654435761) % 97) - 48))),
       |                   (acc, v) -> acc + v) > 0
       |              THEN 1 ELSE 0 END)), (a, b) -> a * 2 + b))""".stripMargin
 
@@ -321,7 +330,8 @@ object DedupQueries {
     (s, d) => {
       val bkt = plantedVecs(s, d)
         .withColumn("n2", norm2("e"))
-        .withColumn("keys", expr(lshKeysSpark))
+        .withColumn("keys",
+          graft.functions.VectorFunctions.hyperplaneLshKeys(col("e"), lshGroups, lshBits, 64))
         .persist()
       val keyed = bkt.select(col("vec_id"), explode(col("keys")).as("band_key"))
       val cand = keyed.as("a")
@@ -352,7 +362,7 @@ object DedupQueries {
             |FROM sh ORDER BY doc_id""".stripMargin),
     (s, d) => documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("sh", expr(shinglesSpark(3)))
+      .withColumn("sh", shingleHashes(col("ws"), 3))
       .select(col("doc_id"), lng(size(col("sh"))).as("n_shingles"),
         expr("array_min(sh)").as("min_h"), expr("array_max(sh)").as("max_h"),
         expr(s"(array_min(sh) * 31 + size(sh)) % $P").as("fingerprint"))

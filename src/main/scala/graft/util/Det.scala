@@ -42,25 +42,40 @@ object Det {
   def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
   def epochUs(c: Column): Column = unix_micros(c)
 
-  /** Squared L2 distance between two float-array columns, computed as a
+  /** Squared L2 distance between two float/double-array columns: a
     * sequential fold in array order with double widening — bit-identical
     * to the DuckDB twin `list_sum(list_transform(list_zip(a,b), ...))`.
     * Squared (not rooted) L2 matches FAISS IndexFlatL2, which returns
     * squared distances (reference rag_chatbot/main.py:27,36).
+    * Native codegen'd expression; [[l2sqHof]] is the HOF form it
+    * replaced, kept as the spec-checked semantic twin.
     */
-  def l2sq(a: String, b: String): Column = expr(
+  def l2sq(a: String, b: String): Column =
+    graft.functions.VectorFunctions.vecL2Sq(col(a), col(b))
+
+  def l2sqHof(a: String, b: String): Column = expr(
     s"""aggregate(zip_with($a, $b,
        |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
 
-  /** Dot product of two float-array columns (double-widened fold). */
-  def dot(a: String, b: String): Column = expr(
+  /** Dot product of two float/double-array columns (double-widened
+    * sequential fold; native, spec-twin [[dotHof]]).
+    */
+  def dot(a: String, b: String): Column =
+    graft.functions.VectorFunctions.vecDot(col(a), col(b))
+
+  def dotHof(a: String, b: String): Column = expr(
     s"""aggregate(zip_with($a, $b,
        |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
 
-  /** Squared L2 norm of a float-array column. */
-  def norm2(a: String): Column = expr(
+  /** Squared L2 norm of a float/double-array column (native, spec-twin
+    * [[norm2Hof]]).
+    */
+  def norm2(a: String): Column =
+    graft.functions.VectorFunctions.vecNorm2(col(a))
+
+  def norm2Hof(a: String): Column = expr(
     s"""aggregate($a, CAST(0 AS DOUBLE),
        |  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin)
 

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates (SURVEY.md §4.2, builder contract
+  * "optimize for scale"): these assertions pin the *shape* of the plans
+  * — pushdown reaching the parquet scan, pruned read schemas, broadcast
+  * for dim tables, map-side partial aggregation, top-k pushdown, and no
+  * accidental cartesian products anywhere in the 59-query inventory.
+  * A regression that silently de-optimizes a plan fails here even while
+  * results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def planOf(key: String): SparkPlan =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan
+
+  private def planString(key: String): String = planOf(key).toString
+
+  private def formatted(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q_filter_pred: predicate reaches the parquet scan (PushedFilters)") {
+    val s = formatted("q_filter_pred")
+    assert(s.contains("PushedFilters: ["), s.takeRight(2000))
+    assert(!s.matches("(?s).*PushedFilters: \\[\\].*"),
+      "no filters pushed down:\n" + s.takeRight(2000))
+  }
+
+  test("q_project: scan reads only the projected columns") {
+    val s = formatted("q_project")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(s).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty)
+    // q_project selects a 2-3 column subset of a wider table; the scan
+    // schema must not contain more than those columns
+    assert(readSchemas.forall(_.split(",").length <= 3),
+      s"unpruned read schema: $readSchemas")
+  }
+
+  test("q_join_broadcast: dim side broadcast, no shuffle of the fact side") {
+    val s = planString("q_join_broadcast")
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+  }
+
+  test("q_tpch_q3 / q_tpch_q5: multi-join plans broadcast their dim tables") {
+    assert(planString("q_tpch_q3").contains("BroadcastHashJoin"))
+    assert(planString("q_tpch_q5").contains("BroadcastHashJoin"))
+  }
+
+  test("q_agg_hash: partial (map-side) + final aggregation") {
+    val s = planString("q_agg_hash")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "expected partial+final HashAggregate:\n" + s.take(2000))
+  }
+
+  test("q_sort_limit: top-k pushed down (TakeOrderedAndProject)") {
+    assert(planString("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("no accidental CartesianProduct in any declared query") {
+    // the kNN/ANN family broadcasts its probe side (BroadcastNestedLoop),
+    // which is the intended all-pairs scan — CartesianProductExec with a
+    // shuffled build side is never intended
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { k =>
+      planString(k).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // the dedup shingle scan must appear under a WholeStageCodegen span,
+    // not as a fallback project; AQE finalizes the plan only on
+    // execution, so run the query first
+    val df = SparkEntry.queries("q_fingerprint")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // `*(n)` is the whole-stage-codegen stage marker in the plan string;
+    // the project evaluating shingle_hashes must carry one
+    val shingleLine = s.linesIterator.find(_.contains("shingle_hashes("))
+    assert(shingleLine.isDefined, s.take(3000))
+    assert(shingleLine.get.contains("*("),
+      "shingle_hashes project not codegen'd: " + shingleLine.get)
+  }
+}

@@ -112,5 +112,61 @@ object AnnQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(annCosine, annIvf)
+  private val annLsh = QueryDef(
+    "q_ann_lsh",
+    "LSH-bucketed ANN: random-hyperplane band keys (4 groups × 8 sign " +
+      "bits, native HyperplaneLshKeys expression) bucket the corpus; " +
+      "each probe scans only vectors sharing at least one band key, " +
+      "then exact cosine top-10 within the candidates. The bucket join " +
+      "replaces the all-pairs scan — at scale the corpus is hash-" +
+      "partitioned by band_key and probes broadcast.",
+    Some("""WITH keyed AS (
+           |  SELECT vec_id, embedding, unnest(
+           |    list_transform(generate_series(0, 3), g -> g * 256 +
+           |      list_reduce(list_prepend(0, list_transform(generate_series(0, 7),
+           |        p -> CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(embedding, generate_series(1, len(embedding))),
+           |                       q -> CAST(q[1] AS DOUBLE) * (((((g * 8 + p) * 64 + (q[2] - 1)) * 2654435761) % 97) - 48))),
+           |                       (acc, v) -> acc + v) > 0
+           |                  THEN 1 ELSE 0 END)), (a, b) -> a * 2 + b))) AS band_key
+           |  FROM embeddings),
+           |cand AS (
+           |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+           |  FROM keyed p JOIN keyed c ON p.band_key = c.band_key
+           |  WHERE p.vec_id < 5 AND c.vec_id >= 5),
+           |scored AS (
+           |  SELECT cand.probe_id, cand.cand_id, ce.label,
+           |    round(list_sum(list_transform(list_zip(pe.embedding, ce.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+           |          (sqrt(list_sum(list_transform(pe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |           sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+           |  FROM cand
+           |  JOIN embeddings pe ON pe.vec_id = cand.probe_id
+           |  JOIN embeddings ce ON ce.vec_id = cand.cand_id),
+           |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rk
+           |           FROM scored)
+           |SELECT probe_id, rk, cand_id, label, cos_sim
+           |FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
+    (s, d) => {
+      import graft.functions.VectorFunctions._
+      val e = embeddings(s, d)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+        explode(hyperplaneLshKeys(col("embedding"), 4, 8, 64)).as("band_key"))
+      val cand = keyed(e.filter(col("vec_id") >= 5)).as("c")
+        .join(broadcast(keyed(e.filter(col("vec_id") < 5)).as("p")), "band_key")
+        .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("cand_id"))
+        .distinct()
+      val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      cand
+        .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("label")), "cand_id")
+        .join(broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))), "probe_id")
+        .withColumn("cos_sim", round(cosine("pe", "ce"), 6))
+        .withColumn("rk", lng(row_number().over(w)))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "rk", "cand_id", "label", "cos_sim")
+        .orderBy("probe_id", "rk")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh)
 }

@@ -168,5 +168,37 @@ object AnnQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh)
+  /** Same result as [[annCosine]] (same DuckDB twin), computed through
+    * the map-side partial top-k [[graft.functions.TopKByScore]]
+    * Aggregator instead of a window sort: each map task reduces its
+    * partition to k candidates per probe *before* the shuffle, so the
+    * exchange carries O(partitions·k) rows per probe instead of the full
+    * N·M score matrix — the shape that survives 100 TB.
+    */
+  private val annTopkAgg = QueryDef(
+    "q_ann_topk_agg",
+    "Brute-force cosine top-10 via partial-aggregating TopKByScore " +
+      "Aggregator (map-side combine replaces the window sort's full " +
+      "shuffle of the score matrix).",
+    annCosine.oracle,
+    (s, d) => {
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label"))
+      val topk = graft.functions.TopKByScore.topK(10)
+      corpus.join(broadcast(probes))
+        .withColumn("cos_sim", round(cosine("pe", "ce"), 6))
+        .groupBy("probe_id")
+        .agg(topk(col("cand_id"), col("label"), col("cos_sim")).as("top"))
+        .select(col("probe_id"), posexplode(col("top")).as(Seq("p0", "c")))
+        .select(col("probe_id"), lng(col("p0") + 1).as("rk"),
+          col("c.cand_id").as("cand_id"), col("c.label").as("label"),
+          col("c.score").as("cos_sim"))
+        .orderBy("probe_id", "rk")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg)
 }

@@ -75,6 +75,19 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("q_ann_topk_agg: TopKByScore runs as partial + final aggregation") {
+    val df = SparkEntry.queries("q_ann_topk_agg")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val aggLines = s.linesIterator.filter(_.contains("Aggregate")).toList
+    // typed Aggregator buffers run in ObjectHashAggregate; partial
+    // (map-side, before the exchange) + final = 2 nodes, with the
+    // partial one carrying partial_topkbyscore
+    assert(aggLines.size >= 2, s"expected partial+final agg:\n$s")
+    assert(s.contains("partial_topkbyscore"),
+      "no map-side partial top-k:\n" + aggLines.mkString("\n"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the dedup shingle scan must appear under a WholeStageCodegen span,
     // not as a fallback project; AQE finalizes the plan only on

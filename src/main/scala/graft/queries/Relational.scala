@@ -325,6 +325,21 @@ object Relational {
       .orderBy("event_type")
   )
 
+  private val aggSalted = QueryDef(
+    "q_agg_salted",
+    "Two-stage salted aggregation (skew mitigation, graft.ops.Skew): " +
+      "salt spreads each hot low-cardinality key over 16 reducers for " +
+      "partial count/sum, stage 2 combines partials — identical result " +
+      "to the direct GROUP BY the oracle runs, with every reduce task " +
+      "bounded at volume/16 under arbitrary key skew.",
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => graft.ops.Skew.saltedSumCount(events(s, d), Seq("event_type"),
+      col("value"), col("event_id"), 16)
+      .orderBy("event_type")
+  )
+
   private val aggHash = QueryDef(
     "q_agg_hash",
     "TPC-H Q1-shaped multi-aggregate hash aggregation with exact " +
@@ -580,7 +595,7 @@ object Relational {
     scanParquet, scanJsonl, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
     joinTheta, joinAsof,
-    aggCount, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
+    aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
     sortLimit, topkGroup, union, intersect, except,
     tpchQ3, tpchQ5)
 }

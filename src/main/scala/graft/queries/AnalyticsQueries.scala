@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** SQL-analytics surface beyond the core relational inventory: pivot,
+  * exact quantiles, exact moment statistics, and a raw-SQL entry point
+  * exercising `spark.sql` + Catalyst subquery decorrelation
+  * (SURVEY.md §4.2 `RewritePredicateSubquery` row).
+  */
+object AnalyticsQueries {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val pivot = QueryDef(
+    "q_pivot",
+    "Pivot: per user-cohort event counts, one column per event type. " +
+      "Explicit value list keeps the schema static (a dynamic pivot " +
+      "would need a driver-side distinct pass — at scale the value " +
+      "list is always declared).",
+    Some("""SELECT user_id % 10 AS cohort,
+           |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+           |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin),
+    (s, d) => events(s, d)
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy("cohort")
+      .pivot("event_type", eventTypes)
+      .agg(lng(count(lit(1))))
+      .na.fill(0L, eventTypes)
+      .orderBy("cohort")
+  )
+
+  private val quantiles = QueryDef(
+    "q_quantiles",
+    "Exact interpolated quantiles (median / p90) of value per event " +
+      "type — Spark `percentile` and DuckDB `quantile_cont` share the " +
+      "linear-interpolation definition, so results match bit-for-bit " +
+      "under rounding. (approx_percentile is banned by the determinism " +
+      "rules, SURVEY §7.5.)",
+    Some("""SELECT event_type,
+           |       round(quantile_cont(value, 0.5), 6) AS p50,
+           |       round(quantile_cont(value, 0.9), 6) AS p90
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      .orderBy("event_type")
+  )
+
+  private val moments = QueryDef(
+    "q_moments",
+    "Exact moment statistics: mean and population variance derived " +
+      "from exact DECIMAL sums (Σx, Σx²) with a single double division " +
+      "at the end — engine-identical, unlike native stddev/var whose " +
+      "float summation order differs between engines.",
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           |        - (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+           |          * (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)), 6) AS var_pop
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val sx = dbl(sum(money(col("value"))))
+      val sxx = dbl(sum(money(col("value")) * money(col("value"))))
+      val n = count(lit(1))
+      events(s, d)
+        .groupBy("event_type")
+        .agg(lng(n).as("n"),
+          round(sx / n, 6).as("mean"),
+          round(sxx / n - (sx / n) * (sx / n), 6).as("var_pop"))
+        .orderBy("event_type")
+    }
+  )
+
+  private val sqlExists = QueryDef(
+    "q_sql_exists",
+    "Raw-SQL entry point (spark.sql over registered temp views), " +
+      "TPC-H Q4 shape: order-priority counts for orders with at least " +
+      "one late lineitem. The correlated EXISTS decorrelates to a left " +
+      "semi join (Catalyst RewritePredicateSubquery) — no per-row " +
+      "subquery execution at any scale.",
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+           |FROM orders o
+           |WHERE EXISTS (
+           |  SELECT 1 FROM lineitem l
+           |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    (s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+          |FROM orders o
+          |WHERE EXISTS (
+          |  SELECT 1 FROM lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists)
+}

@@ -10,7 +10,7 @@ object Inventory {
     Relational.defs ++ VectorQueries.defs ++ WindowQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ AnnQueries.defs ++
       TextAnalysisQueries.defs ++ PipelineQueries.defs ++
-      StreamingQueries.defs
+      StreamingQueries.defs ++ AnalyticsQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

@@ -105,5 +105,30 @@ object AnalyticsQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists)
+  private val groupingSets = QueryDef(
+    "q_grouping_sets",
+    "GROUPING SETS via SQL (SURVEY §2.4): per-(type,cohort), per-type, " +
+      "and grand-total aggregates in one pass — Catalyst expands to a " +
+      "single Expand + hash aggregation, not three scans.",
+    Some("""SELECT coalesce(event_type, '<all>') AS event_type,
+           |       coalesce(CAST(user_id % 4 AS VARCHAR), '<all>') AS cohort,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events
+           |GROUP BY GROUPING SETS ((event_type, user_id % 4), (event_type), ())
+           |ORDER BY event_type, cohort""".stripMargin),
+    (s, d) => {
+      events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """SELECT coalesce(event_type, '<all>') AS event_type,
+          |       coalesce(CAST(user_id % 4 AS STRING), '<all>') AS cohort,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events
+          |GROUP BY GROUPING SETS ((event_type, user_id % 4), (event_type), ())
+          |ORDER BY event_type, cohort""".stripMargin)
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists, groupingSets)
 }

@@ -53,6 +53,23 @@ object StreamingOps {
       epochUs(col("w.end")).as("we_us")) ++ keyCols ++
       Seq(col("n"), col("sum_value"))): _*)
 
+  /** Watermarked stream-stream inner join: purchases joined to the
+    * same user's clicks within [-30m, 0] of the purchase. Both sides
+    * carry watermarks and the join condition bounds the time range, so
+    * each side's buffered state is evicted once the other side's
+    * watermark passes the range — bounded state, the only
+    * stream-stream join shape that survives unbounded inputs.
+    * Works identically on batch frames (the spec's batch twin).
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    purchases.alias("p").join(clicks.alias("c"),
+      col("p.user_id") === col("c.user_id") &&
+        col("c.ts") >= col("p.ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c.ts") <= col("p.ts"))
+      .select(col("p.user_id").as("user_id"),
+        col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"),
+        epochUs(col("p.ts")).as("p_us"), epochUs(col("c.ts")).as("c_us"))
+
   /** Incremental JSON append sink (streaming twin of the reference's
     * flush-per-record JSONL append): file sink + checkpoint =
     * exactly-once.

@@ -132,4 +132,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == 2)
     } finally q.stop()
   }
+
+  test("stream-stream join: watermarked interval join == batch twin") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingOps.clickToPurchase(
+      clicks.toDF().withWatermark("ts", "10 minutes"),
+      purchases.toDF().withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    val cs = Seq(
+      Ev(10, t(0), 1, "click", 0), Ev(11, t(25), 1, "click", 0),
+      Ev(12, t(50), 1, "click", 0), Ev(13, t(10), 2, "click", 0))
+    val ps = Seq(
+      Ev(20, t(30), 1, "purchase", 5.0), // joins clicks at t25 (and t0? 30m window: t0 is exactly -30m → included)
+      Ev(21, t(90), 2, "purchase", 7.0)) // no click within 30m
+    try {
+      clicks.addData(cs: _*)
+      purchases.addData(ps: _*)
+      drain(q)
+      // push both watermarks far ahead so all join state finalizes
+      clicks.addData(Ev(98, t(500), 9, "click", 0))
+      purchases.addData(Ev(99, t(500), 9, "purchase", 0))
+      drain(q)
+      val stream = spark.table("ssj")
+        .filter(col("user_id") =!= 9)
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      val batch = StreamingOps.clickToPurchase(cs.toDF(), ps.toDF())
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(stream === batch)
+      assert(stream === Set((20L, 10L), (20L, 11L)))
+    } finally q.stop()
+  }
 }

@@ -50,24 +50,21 @@ object DedupQueries {
     * mod P — plain arithmetic so the oracle computes bit-identical
     * signatures.
     *
-    * Spark computes the signature via explode + 16 codegen'd `min`
-    * aggregates (map-side partial agg, one shuffle by doc_id) rather
-    * than a per-row HOF fold: Spark evaluates lambda functions
-    * interpreted with per-element boxing (~µs/step — 30s+ at sf0.1),
-    * while the equivalent groupBy aggregation is whole-stage-codegen'd.
-    * min is order-independent, so the result is identical to the
-    * sequential fold the DuckDB oracle uses.
+    * Spark computes the signature with the native per-row
+    * [[graft.functions.MinHashSigs]] expression: the signature is a
+    * pure function of the row's shingle array, so it runs inside the
+    * scan stage with no explode and no shuffle (the first exchange of
+    * the whole query is the band join). `min` is order-independent, so
+    * the result is identical to the sequential fold the DuckDB oracle
+    * uses. (P as the fold seed: every permuted value is < P, so the
+    * seed never survives as a minimum.)
     */
   private val sigsDuck =
     s"list_transform(generate_series(0, 15), j -> list_reduce(list_prepend(CAST($P AS BIGINT), sh), (m, h) -> least(m, (h * (((j + 1) * 2654435761) % $P) + j * 40503) % $P)))"
 
-  private def minhashSigs(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val aggs = (0 until 16).map(j =>
-      min(expr(s"(h * ((${j + 1} * 2654435761) % $P) + $j * 40503) % $P")).as(s"m$j"))
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until 16).map(j => col(s"m$j")): _*).as("sigs"))
-  }
+  private def minhashSigs(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.SketchFunctions.minHashSigs(col("sh"), 16).as("sigs"))
 
   /** 4 bands × 4 rows: band key = band index + joined signature slice. */
   private val bandsSpark =
@@ -202,21 +199,15 @@ object DedupQueries {
     * documents; 3-gram shingles are near-unique per doc and give
     * independent signatures (this is also the production choice).
     */
-  /** Spark twin of [[simhashDuck]]: explode + 32 codegen'd ±1 `sum`
-    * aggregates, then a column fold packing the sign bits MSB-first —
-    * identical to the sequential fold (sum is order-independent), ~50×
-    * faster than the interpreted HOF lambda version.
+  /** Spark twin of [[simhashDuck]]: the native per-row
+    * [[graft.functions.SimHashSig]] expression — one pass over the
+    * shingle array inside the scan stage, no explode, no shuffle
+    * (integer ±1 sums are order-independent, so it matches the oracle's
+    * sequential fold bit-for-bit).
     */
-  private def simhashSigs(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val aggs = (0 until 32).map(j =>
-      sum(expr(s"CASE WHEN ((h * (2 * $j + 3) + $j) % $P) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
-    val sums = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val sig = (0 until 32).foldLeft(lit(0L)) { (acc, j) =>
-      acc * 2 + when(col(s"s$j") > 0, 1).otherwise(0)
-    }
-    sums.select(col("doc_id"), sig.as("sig"))
-  }
+  private def simhashSigs(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.SketchFunctions.simHashSig(col("sh")).as("sig"))
 
   private val simhashDuck =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 31),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.{ScoredCand, ShingleHashes, TopKByScore, VectorExprs}
+import graft.functions.{ScoredCand, ShingleHashes, SketchExprs, TopKByScore, VectorExprs}
 import graft.ops.Chunker
 
 /** Property-based invariants (SURVEY.md §5.2 item 5) — pure-JVM checks
@@ -124,6 +124,33 @@ object GraftProperties extends Properties("graft") {
         ws.map(org.apache.spark.unsafe.types.UTF8String.fromString))
       val got = ShingleHashes.compute(arr, n).toLongArray()
       got.sameElements(refShingles(ws, n))
+    }
+
+  private val shingleSetGen: Gen[Array[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, SketchExprs.P - 1))
+      .map(_.distinct.sorted.toArray)
+
+  property("MinHashSigs == per-permutation reference fold") =
+    forAll(shingleSetGen) { sh =>
+      val P = SketchExprs.P
+      val expected = (0 until 16).map { j =>
+        val aj = ((j + 1L) * 2654435761L) % P
+        sh.map(h => (h * aj + j * 40503L) % P).min
+      }
+      SketchExprs.minhash(
+        UnsafeArrayData.fromPrimitiveArray(sh), 16).toLongArray()
+        .sameElements(expected)
+    }
+
+  property("SimHashSig == per-bit reference fold") =
+    forAll(shingleSetGen) { sh =>
+      val P = SketchExprs.P
+      val expected = (0 until 32).foldLeft(0L) { (acc, j) =>
+        val s = sh.map(h =>
+          if (((h * (2L * j + 3) + j) % P) % 2 == 1) 1L else -1L).sum
+        acc * 2 + (if (s > 0) 1L else 0L)
+      }
+      SketchExprs.simhash(UnsafeArrayData.fromPrimitiveArray(sh)) == expected
     }
 
   property("kNN invariant: top-1 distance <= every other distance") =

@@ -130,5 +130,36 @@ object AnalyticsQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists, groupingSets)
+  private val trainTestSplit = QueryDef(
+    "q_split_train_test",
+    "Deterministic hash-based train/valid/test split (80/10/10) — the " +
+      "training-data-pipeline split must be a pure function of the row " +
+      "key, not rand() or TABLESAMPLE: reproducible across engines, " +
+      "runs, task retries, and repartitioning. Bucket = " +
+      "(doc_id·2654435761) mod 100.",
+    Some("""WITH b AS (
+           |  SELECT doc_id, n_chars, (doc_id * 2654435761) % 100 AS bucket FROM documents),
+           |s AS (
+           |  SELECT CASE WHEN bucket < 80 THEN 'train'
+           |              WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+           |         doc_id, n_chars
+           |  FROM b)
+           |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |FROM s GROUP BY split ORDER BY split""".stripMargin),
+    (s, d) => documents(s, d)
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(lng(count(lit(1))).as("n_docs"),
+        lng(sum(col("n_chars"))).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+  )
+
+  val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists,
+    groupingSets, trainTestSplit)
 }

@@ -135,12 +135,13 @@ object Relational {
            |       n_chars,
            |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS seq
            |FROM documents ORDER BY doc_id""".stripMargin),
-    (s, d) => documents(s, d)
-      .select(col("doc_id"),
-        concat(col("source"), lit(".pdf")).as("source_file"),
-        lng(size(split(col("text"), " "))).as("word_count"),
-        col("n_chars"))
-      .withColumn("seq", lng(row_number().over(Window.orderBy("doc_id"))))
+    (s, d) => graft.ops.Sequence.globalSequence(
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(col("source"), lit(".pdf")).as("source_file"),
+          lng(size(split(col("text"), " "))).as("word_count"),
+          col("n_chars")),
+      key = "doc_id", seqName = "seq")
       .orderBy("doc_id")
   )
 

@@ -75,6 +75,20 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("no unpartitioned Window (single-partition sort) in any declared query") {
+    // a Window with an empty partitionSpec funnels the whole input through
+    // one task — Spark itself warns "No Partition Defined for Window
+    // operation". q_enrich previously did this for its global sequence;
+    // ops/Sequence now assigns it with a bucketed two-pass scheme. This
+    // gate keeps the anti-pattern out of every declared query for good.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { k =>
+      val lp = SparkEntry.queries(k)(spark, sf).queryExecution.optimizedPlan
+      lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
+    }
+    assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
+  }
+
   test("q_ann_topk_agg: TopKByScore runs as partial + final aggregation") {
     val df = SparkEntry.queries("q_ann_topk_agg")(spark, sf)
     df.collect()

@@ -33,7 +33,7 @@ import graft.functions.GraftFunctions.shingleHashes
 object DedupQueries {
 
   /** documents ∪ perturbed twins, as word arrays (`ws`). */
-  private def plantedWords(s: SparkSession, d: String): DataFrame = {
+  private[graft] def plantedWords(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
     base.unionAll(base.select((col("doc_id") + 100000).as("doc_id"),
       expr("concat(ws, array('zz', 'yy'))").as("ws")))
@@ -124,6 +124,46 @@ object DedupQueries {
     }
   )
 
+  /** AllPairs/PPJoin prefix table for `q_dedup_ngram`: shingle arrays
+    * globally ordered rarest-first by (df, h), exploded to the first
+    * plen = n − ceil(3n/5) + 1 positions only. Columns:
+    * (doc_id, h, pos, n).
+    */
+  private[graft] def ngramPrefix(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    // global document frequency per shingle → total order (df, h)
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)").as("shs"))
+      .withColumn("n", size(col("shs")))
+      .withColumn("plen", col("n") - expr("(3 * n + 4) DIV 5") + 1)
+    ordered
+      .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos", "h")),
+        col("plen"), col("n"))
+      .filter(col("pos") < col("plen"))
+      .select("doc_id", "h", "pos", "n")
+  }
+
+  /** Prefix-collision pairs (pre-distinct), bounded by PPJoin's length +
+    * positional filters (see q_dedup_ngram doc for the losslessness
+    * argument). `bounded = false` reproduces the bare AllPairs join for
+    * diagnostics; callers `.distinct()` for the candidate set.
+    */
+  private[graft] def ngramCandidates(prefix: DataFrame,
+                                     bounded: Boolean = true): DataFrame = {
+    val alpha = // = ceil(3·(na+nb)/8): minimum intersection for J ≥ 3/5
+      floor((lit(3) * (col("a.n") + col("b.n")) + lit(7)) / lit(8)).cast("int")
+    val base = col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+    val cond = if (!bounded) base else base &&
+      lit(5) * least(col("a.n"), col("b.n")) >=
+        lit(3) * greatest(col("a.n"), col("b.n")) &&
+      lit(1) + least(col("a.n") - col("a.pos") - lit(1),
+        col("b.n") - col("b.pos") - lit(1)) >= alpha
+    prefix.as("a").join(prefix.as("b"), cond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
   private val dedupNgram = QueryDef(
     "q_dedup_ngram",
     "N-gram Jaccard similarity self-join with *prefix filtering* " +
@@ -151,25 +191,24 @@ object DedupQueries {
     (s, d) => {
       val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
         .select("doc_id", "sh").persist()
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-      // global document frequency per shingle → total order (df, h)
-      val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      val ordered = ex.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)").as("shs"))
-        .withColumn("n", size(col("shs")))
-        .withColumn("plen", col("n") - expr("(3 * n + 4) DIV 5") + 1)
-      val prefix = ordered
-        .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos", "h")),
-          col("plen"))
-        .filter(col("pos") < col("plen"))
-        .select("doc_id", "h")
-        .persist()
-      val cand = prefix.as("a")
-        .join(prefix.as("b"), col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val prefix = ngramPrefix(sh).persist()
+      // PPJoin candidate bounds (Xiao et al., WWW'08), both
+      // exactness-preserving for J ≥ 3/5 (oracle brute-forces the full
+      // inverted index and must still match):
+      //  - length filter: J ≥ 3/5 ⟹ n_int ≥ (3/5)·n_union ≥
+      //    (3/5)·max(na,nb) and n_int ≤ min(na,nb), so
+      //    5·min ≥ 3·max — prunes pairs before they exist;
+      //  - positional filter: shingle arrays share one global (df, h)
+      //    order, so a collision at (pos_a, pos_b) bounds the overlap by
+      //    1 + min(na−pos_a−1, nb−pos_b−1); J ≥ 3/5 ⟺ 8·n_int ≥
+      //    3·(na+nb) ⟺ n_int ≥ ceil(3(na+nb)/8) = α. The *smallest*
+      //    common shingle of a qualifying pair sits in both prefixes
+      //    with every common shingle at later positions, so its
+      //    collision row has bound ≥ α — any-collision semantics loses
+      //    nothing. A hot prefix shingle shared by k docs now yields
+      //    only the pairs whose sizes and positions can still qualify,
+      //    not k² candidates.
+      val cand = ngramCandidates(prefix).distinct()
       // intersection sizes via a native merge-intersect over the two
       // sorted-distinct shingle arrays — one codegen'd scan per
       // candidate pair, replacing the two-join + groupBy inverted-index

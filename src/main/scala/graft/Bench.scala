@@ -26,19 +26,27 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.sharedState.cacheManager.clearCache()
-    // Per query: min of two timed runs. The host VM stalls entire-JVM
-    // execution for tens of seconds at unpredictable points; the min
-    // strips those one-off stalls and reports steady-state plan cost.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // Per query: min across three INTERLEAVED passes over the whole
+    // inventory. The host VM stalls entire-JVM execution for tens of
+    // seconds at unpredictable points; back-to-back repeats of one query
+    // let a single stall poison every sample of that query (observed in
+    // BENCH_r02: 26 s recorded for a 1.2 s steady-state plan), whereas a
+    // time-localized stall hits DIFFERENT queries in each interleaved
+    // pass, so the per-query min strips it.
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = (1 to 3).flatMap { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         // noop sink forces full computation of every output column
         // (count() would let Catalyst prune the projections being timed)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+    }
+    val results = samples.groupBy(_._1).map { case (n, ts) =>
+      n -> ts.map(_._2).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

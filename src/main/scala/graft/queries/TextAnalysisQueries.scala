@@ -16,18 +16,23 @@ object TextAnalysisQueries {
     "q_lang_id",
     "N-gram-heuristic language ID: per-language word-frequency profiles " +
       "learned from the corpus itself (integer parts-per-million scores " +
-      "— exact in both engines), each document classified to the argmax " +
-      "profile. The profile is a small broadcast table; classification " +
-      "is a map-side join + one aggregation.",
+      "— exact in both engines), capped to the top-64 words per language " +
+      "(rank by ppm desc, word asc) so the broadcast stays bounded at " +
+      "languages × 64 rows on any corpus size, each document classified " +
+      "to the argmax profile. Classification is a map-side join + one " +
+      "aggregation.",
     Some("""WITH ex AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
            |prof AS (SELECT lang AS plang, w, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY 1, 2),
            |tot AS (SELECT plang, CAST(sum(cnt) AS BIGINT) AS tot FROM prof GROUP BY 1),
            |iscore AS (SELECT p.plang, p.w, (p.cnt * 1000000) // t.tot AS ppm
            |           FROM prof p JOIN tot t ON p.plang = t.plang),
+           |capped AS (SELECT plang, w, ppm FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY plang ORDER BY ppm DESC, w) AS rk
+           |  FROM iscore) WHERE rk <= 64),
            |scored AS (
            |  SELECT e.doc_id, min(e.lang) AS actual_lang, i.plang,
            |         CAST(sum(i.ppm) AS BIGINT) AS score
-           |  FROM ex e JOIN iscore i ON e.w = i.w
+           |  FROM ex e JOIN capped i ON e.w = i.w
            |  GROUP BY e.doc_id, i.plang),
            |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
            |           FROM scored)
@@ -42,8 +47,14 @@ object TextAnalysisQueries {
       val tot = prof.groupBy("plang").agg(lng(sum(col("cnt"))).as("tot"))
       val iscore = prof.join(tot, "plang")
         .select(col("plang"), col("w"), expr("(cnt * 1000000) DIV tot").as("ppm"))
+      // bound the broadcast: top-64 words per language (deterministic
+      // ppm-desc, word-asc rank) — languages × 64 rows on ANY corpus size,
+      // vs the unbounded full (word × language) vocabulary
+      val wk = Window.partitionBy("plang").orderBy(col("ppm").desc, col("w"))
+      val capped = iscore.withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 64).drop("rk")
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
-      ex.join(broadcast(iscore), "w")
+      ex.join(broadcast(capped), "w")
         .groupBy("doc_id", "plang")
         .agg(min(col("lang")).as("actual_lang"), lng(sum(col("ppm"))).as("score"))
         .withColumn("rn", row_number().over(w))

@@ -43,23 +43,28 @@ object Relational {
 
   private val scanJsonl = QueryDef(
     "q_scan_jsonl",
-    "JSONL round-trip (reference rag_chatbot/main.py:8-13): serialize " +
-      "each row to a JSON line, re-parse with a declared schema, project. " +
-      "Oracle is the identity query — round-trip must be lossless.",
+    "On-disk JSONL scan (reference rag_chatbot/main.py:8-13): write the " +
+      "documents table as JSON lines, read the files back through the " +
+      "declared-schema JSON source (no inference), project. The oracle " +
+      "reads the SAME files via read_json_auto — scan must be lossless. " +
+      "Output dir is keyed by the sf name so correctness (sf0.01) and " +
+      "bench (sf0.1) runs never clobber each other.",
     Some("""SELECT doc_id, lang, source, n_chars,
            |       CAST(length(text) AS BIGINT) AS text_len
-           |FROM documents ORDER BY doc_id""".stripMargin),
+           |FROM read_json_auto('/root/repo/target/jsonl_scan/sf0.01/*.json')
+           |ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      val js = documents(s, d)
-        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
-          col("source"), col("n_chars"))).as("line"))
-      val parsed = js.select(from_json(col("line"),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")).as("r"))
-      parsed.select(
-        col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
-        col("r.source").as("source"), col("r.n_chars").as("n_chars"),
-        lng(length(col("r.text"))).as("text_len"))
+      // eager side effect at construction time: materialize the JSONL dir
+      // so both this query's read-back and the DuckDB oracle see the files
+      val outDir = s"/root/repo/target/jsonl_scan/${new java.io.File(d).getName}"
+      documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").json(outDir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      s.read.schema(schema).json(outDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          lng(length(col("text"))).as("text_len"))
         .orderBy("doc_id")
     }
   )

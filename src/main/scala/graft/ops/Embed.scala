@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The embedding seam (SURVEY.md §7.4; reference rag_chatbot/main.py:20-23).
+  *
+  * The reference embeds chunks with SentenceTransformers before indexing
+  * them in FAISS. Like the LLM call ([[Annotate.Annotator]]), the model is
+  * an external black box: the engine's job is the *plumbing* — schema,
+  * executor-side batching, one model instance per partition, never a
+  * driver-side loop. The text→vector transform is a pluggable [[Embedder]]
+  * applied with `mapPartitions`; the deterministic [[HashedNgramEmbedder]]
+  * stub (feature hashing over character n-grams, the classic
+  * hashing-trick) is the default so the full text→vector→retrieve path
+  * stays testable offline. Swapping in a real model changes one class,
+  * not the pipeline.
+  */
+object Embed {
+
+  /** One text heading into embedding. */
+  final case class TextRow(doc_id: Long, text: String)
+
+  /** One embedded text; `embedding` matches the `embeddings` table's
+    * element type so retrieval queries run unchanged on either source.
+    */
+  final case class EmbeddedRow(doc_id: Long, embedding: Array[Float])
+
+  /** External-model seam: executor-side, one instance per partition. */
+  trait Embedder extends Serializable {
+    /** Output dimensionality (constant per embedder). */
+    def dim: Int
+    def embed(rows: Iterator[TextRow]): Iterator[EmbeddedRow]
+  }
+
+  /** Deterministic stub: character `n`-grams hashed into `dim` signed
+    * buckets (feature hashing / hashing trick), then L2-normalized.
+    * A pure function of the text — repartition/retry stable — with the
+    * property that similar texts land near each other, so retrieval
+    * specs exercise real nearest-neighbor behavior, not fixture luck.
+    */
+  final class HashedNgramEmbedder(val dim: Int = 64, n: Int = 3) extends Embedder {
+    require(dim > 0 && n > 0)
+    def embed(rows: Iterator[TextRow]): Iterator[EmbeddedRow] = rows.map { r =>
+      val acc = new Array[Double](dim)
+      val t = r.text
+      var i = 0
+      while (i + n <= t.length) {
+        var h = 1125899906842597L
+        var j = i
+        while (j < i + n) { h = h * 31 + t.charAt(j); j += 1 }
+        val b = (((h % dim) + dim) % dim).toInt
+        acc(b) += (if (((h >>> 16) & 1L) == 0L) 1.0 else -1.0)
+        i += 1
+      }
+      var ss = 0.0
+      var k = 0
+      while (k < dim) { ss += acc(k) * acc(k); k += 1 }
+      val norm = math.sqrt(ss)
+      val v = new Array[Float](dim)
+      k = 0
+      while (k < dim) {
+        v(k) = if (norm == 0.0) 0.0f else (acc(k) / norm).toFloat
+        k += 1
+      }
+      EmbeddedRow(r.doc_id, v)
+    }
+  }
+
+  /** Apply an embedder executor-side with per-partition instantiation —
+    * the corpus never leaves the executors and the model (in a real
+    * implementation) is constructed once per partition, mirroring the
+    * reference's single module-level model object.
+    */
+  def embed(ds: Dataset[TextRow], embedder: Embedder = new HashedNgramEmbedder())
+           (implicit s: SparkSession): Dataset[EmbeddedRow] = {
+    import s.implicits._
+    ds.mapPartitions(embedder.embed _)
+  }
+}

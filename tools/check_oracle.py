@@ -45,10 +45,14 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # q_scan_jsonl's oracle pins the driver's sf0.01 side-output dir;
+    # when mimicking at another sf, point it at that sf's dir instead
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        sql = sql.replace("/jsonl_scan/sf0.01/", f"/jsonl_scan/{sf_name}/")
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

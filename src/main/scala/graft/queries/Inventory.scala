@@ -10,7 +10,7 @@ object Inventory {
     Relational.defs ++ VectorQueries.defs ++ WindowQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ AnnQueries.defs ++
       TextAnalysisQueries.defs ++ PipelineQueries.defs ++
-      StreamingQueries.defs ++ AnalyticsQueries.defs
+      StreamingQueries.defs ++ AnalyticsQueries.defs ++ PdfQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

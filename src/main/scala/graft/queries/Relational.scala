@@ -69,6 +69,33 @@ object Relational {
     }
   )
 
+  private val scanCsv = QueryDef(
+    "q_scan_csv",
+    "On-disk CSV scan: write the documents table as headered CSV, read " +
+      "the files back with a declared schema (no inference), project. " +
+      "The oracle reads the SAME files via read_csv — the delimited " +
+      "round-trip must be lossless. Dir keyed by sf name like " +
+      "q_scan_jsonl.",
+    Some("""SELECT doc_id, lang, source,
+           |       CAST(length(text) AS BIGINT) AS text_len
+           |FROM read_csv('/root/repo/target/csv_scan/sf0.01/*.csv',
+           |              header = true,
+           |              columns = {'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','source':'VARCHAR'})
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/csv_scan/${new java.io.File(d).getName}"
+      documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").option("header", "true").csv(outDir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING")
+      s.read.schema(schema).option("header", "true").csv(outDir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          lng(length(col("text"))).as("text_len"))
+        .orderBy("doc_id")
+    }
+  )
+
   // ------------------------------------------------- projections / filters
 
   private val project = QueryDef(
@@ -598,7 +625,7 @@ object Relational {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    scanParquet, scanJsonl, project, filterPred, filterNull, enrich,
+    scanParquet, scanJsonl, scanCsv, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
     joinTheta, joinAsof,
     aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,

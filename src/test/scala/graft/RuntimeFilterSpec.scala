@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runtime bloom-filter pruning — the third leg of the scale toolkit
+  * next to broadcast joins and AQE skew splitting: when a shuffle join's
+  * small side is filtered selectively, Catalyst can inject a
+  * bloom-filter semi-join onto the LARGE side so fact rows that cannot
+  * match die at/near the scan instead of traveling through the
+  * exchange. At 100 TB the exchange is the bottleneck; this is the
+  * optimizer feature that keeps non-broadcastable selective joins
+  * viable, and this spec pins that it engages.
+  */
+class RuntimeFilterSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("selective dim filter injects a bloom filter on the fact side of a shuffle join") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+
+      val fact = spark.range(0, 200000)
+        .select(col("id").as("k"), (col("id") % 1000).as("v"))
+      val dim = spark.range(0, 10000)
+        .select(col("id").as("k"), (col("id") % 7).as("cat"))
+        .filter(col("cat") === 3) // selective: 1/7 of the dim survives
+      val joined = fact.join(dim, "k")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
+        "no runtime bloom filter injected:\n" + optimized.take(3000))
+      // and it actually runs: result matches the arithmetic expectation
+      assert(joined.count() == 10000 / 7 + (if (3 < 10000 % 7) 1 else 0))
+    }
+  }
+}

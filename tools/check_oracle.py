@@ -53,6 +53,7 @@ def main():
         if only and name not in only:
             continue
         sql = sql.replace("/jsonl_scan/sf0.01/", f"/jsonl_scan/{sf_name}/")
+        sql = sql.replace("/csv_scan/sf0.01/", f"/csv_scan/{sf_name}/")
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

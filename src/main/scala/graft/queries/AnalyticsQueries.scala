@@ -160,6 +160,30 @@ object AnalyticsQueries {
       .orderBy("split")
   )
 
+  private val aggFiltered = QueryDef(
+    "q_agg_filtered",
+    "Conditional aggregation (FILTER clause semantics) in one pass: " +
+      "per event_type, total count, count of high-value events, exact " +
+      "decimal sum over even users only, and distinct high-value users " +
+      "— Spark count/sum(when(...)) ≡ SQL FILTER (WHERE ...), no " +
+      "self-joins, one aggregation.",
+    Some("""SELECT event_type,
+           |       CAST(count(*) AS BIGINT) AS n_total,
+           |       CAST(count(*) FILTER (WHERE value > 10.0) AS BIGINT) AS n_hi,
+           |       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE user_id % 2 = 0), 0) AS DOUBLE) AS sum_even,
+           |       CAST(count(DISTINCT user_id) FILTER (WHERE value > 10.0) AS BIGINT) AS hi_users
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("value") > 10.0, lit(1))).as("n_hi"),
+        dbl(coalesce(sum(when(col("user_id") % 2 === 0, money(col("value")))), lit(0)))
+          .as("sum_even"),
+        lng(countDistinct(when(col("value") > 10.0, col("user_id")))).as("hi_users"))
+      .orderBy("event_type")
+  )
+
   val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists,
-    groupingSets, trainTestSplit)
+    groupingSets, trainTestSplit, aggFiltered)
 }

@@ -624,11 +624,68 @@ object Relational {
     }
   )
 
+  private val tpchQ1 = QueryDef(
+    "q_tpch_q1",
+    "TPC-H Q1-shaped pricing summary: one full lineitem pass, exact " +
+      "decimal sums for every money column, derived averages as " +
+      "round(sum/count, 6). The canonical map-side-partial-aggregation " +
+      "workload: 60k rows (or 60 billion) reduce to 6 groups before the " +
+      "exchange.",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           |       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           |       CAST(count(*) AS BIGINT) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    (s, d) => {
+      val discPrice = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dbl(sum(expr("CAST(l_quantity AS DECIMAL(12,2))"))).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          dbl(sum(expr(discPrice))).as("sum_disc_price"),
+          dbl(sum(expr(s"$discPrice * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"))).as("sum_charge"),
+          round(dbl(sum(expr("CAST(l_quantity AS DECIMAL(12,2))"))) / count(lit(1)), 6).as("avg_qty"),
+          round(dbl(sum(money(col("l_extendedprice")))) / count(lit(1)), 6).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+
+  private val tpchQ6 = QueryDef(
+    "q_tpch_q6",
+    "TPC-H Q6-shaped forecasting-revenue scan: three pushed-down " +
+      "predicates (range + between + upper bound) into one parquet " +
+      "scan, exact decimal revenue sum, zero-shuffle global aggregate.",
+    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           |       CAST(count(*) AS BIGINT) AS n_rows
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           |  AND l_shipdate <  TIMESTAMP '1999-01-01'
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |  AND l_quantity < 24""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        dbl(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  )
+
   val defs: Seq[QueryDef] = Seq(
     scanParquet, scanJsonl, scanCsv, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
     joinTheta, joinAsof,
     aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
     sortLimit, topkGroup, union, intersect, except,
-    tpchQ3, tpchQ5)
+    tpchQ3, tpchQ5, tpchQ1, tpchQ6)
 }

@@ -130,5 +130,30 @@ object WindowQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(windowPages, windowRank, windowFrame, windowLeadLag)
+  private val windowDist = QueryDef(
+    "q_window_dist",
+    "Distribution window functions over orders: ntile(4) quartile, " +
+      "percent_rank, cume_dist per priority class — ordered by a unique " +
+      "(totalprice, orderkey) key so ntile's row numbering is " +
+      "deterministic under ties.",
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |       CAST(ntile(4) OVER w AS INT) AS quartile,
+           |       round(percent_rank() OVER w, 6) AS pct_rank,
+           |       round(cume_dist() OVER w, 6) AS cdist
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+      orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_orderkey")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(windowPages, windowRank, windowFrame,
+    windowLeadLag, windowDist)
 }

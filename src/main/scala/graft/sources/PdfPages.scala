@@ -159,9 +159,17 @@ object PdfPages {
   private[sources] def extractText(cs: String): String = {
     val out = new StringBuilder
     var pending: List[String] = Nil // strings since last operator token
+    // layout newlines (Td/TD/T*/'/BT/ET) are LAZY: materialized only
+    // when further text is actually shown — so they separate text runs
+    // without ever trailing the page or shadowing a shown "\n"
+    var needNl = false
+    def show(): Unit = {
+      if (needNl && out.nonEmpty) out += '\n'
+      needNl = false
+      pending.reverse.foreach(out ++= _)
+      pending = Nil
+    }
     var i = 0
-    def nl(): Unit =
-      if (out.nonEmpty && !out.endsWith("\n")) out += '\n'
     while (i < cs.length) {
       cs.charAt(i) match {
         case '(' =>
@@ -182,16 +190,14 @@ object PdfPages {
           val start = i
           while (i < cs.length && !delim(cs.charAt(i))) i += 1
           cs.substring(start, i) match {
-            case "Tj" | "TJ" => pending.reverse.foreach(out ++= _); pending = Nil
-            case "'" => nl(); pending.reverse.foreach(out ++= _); pending = Nil
-            case "\"" => nl(); pending.reverse.foreach(out ++= _); pending = Nil
-            case "Td" | "TD" | "T*" => nl(); pending = Nil
-            case "BT" | "ET" => nl(); pending = Nil
+            case "Tj" | "TJ" => show()
+            case "'" | "\"" => needNl = true; show()
+            case "Td" | "TD" | "T*" | "BT" | "ET" => needNl = true; pending = Nil
             case _ => pending = Nil // any other operator consumes operands
           }
       }
     }
-    out.result().stripSuffix("\n")
+    out.result()
   }
 
   private def delim(c: Char): Boolean =

@@ -153,6 +153,22 @@ object GraftProperties extends Properties("graft") {
       SketchExprs.simhash(UnsafeArrayData.fromPrimitiveArray(sh)) == expected
     }
 
+  private val pdfTextGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 400)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      12 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+      1 -> Gen.const('('), 1 -> Gen.const(')'), 1 -> Gen.const('\\'),
+      1 -> Gen.const('\n'), 1 -> Gen.const('\t'),
+      1 -> Gen.choose(' ', '~')))
+  } yield cs.mkString
+
+  property("PdfPages: synthesize → extract round-trips arbitrary page texts") =
+    forAll(Gen.listOfN(3, pdfTextGen)) { texts =>
+      val pages = graft.sources.PdfPages.extract(
+        "gen.pdf", graft.sources.PdfPages.synthesize(texts))
+      pages.map(_.text) == texts && pages.map(_.page_index) == texts.indices
+    }
+
   property("kNN invariant: top-1 distance <= every other distance") =
     forAll(Gen.nonEmptyListOf(Gen.listOfN(4, Gen.chooseNum(-100, 100)))) { vss =>
       val probe = Array(1.0, -2.0, 3.0, 0.5)

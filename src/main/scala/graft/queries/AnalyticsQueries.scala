@@ -184,6 +184,33 @@ object AnalyticsQueries {
       .orderBy("event_type")
   )
 
+  private val corrStats = QueryDef(
+    "q_corr",
+    "Bivariate statistics per group: Pearson correlation, sample/" +
+      "population covariance, sample stddevs of (quantity, " +
+      "extendedprice) — single-pass co-moment aggregates (no " +
+      "two-pass mean subtraction), round 6 for cross-engine float " +
+      "agreement.",
+    Some("""SELECT l_returnflag,
+           |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           |       round(covar_samp(l_quantity, l_extendedprice), 6) AS covs_qp,
+           |       round(covar_pop(l_quantity, l_extendedprice), 6) AS covp_qp,
+           |       round(stddev_samp(l_quantity), 6) AS sd_q,
+           |       round(stddev_samp(l_extendedprice), 6) AS sd_p,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covs_qp"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 6).as("covp_qp"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+        round(stddev_samp(col("l_extendedprice")), 6).as("sd_p"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  )
+
   val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists,
-    groupingSets, trainTestSplit, aggFiltered)
+    groupingSets, trainTestSplit, aggFiltered, corrStats)
 }

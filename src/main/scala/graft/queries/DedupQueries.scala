@@ -399,6 +399,57 @@ object DedupQueries {
       .orderBy("doc_id")
   )
 
+  private val dedupEdit = QueryDef(
+    "q_dedup_edit",
+    "Edit-distance (fuzzy) near-dup: MinHash band buckets generate the " +
+      "candidate pairs (same zero-shuffle signature path as " +
+      "q_dedup_minhash), then levenshtein ≤ 10 verifies CANDIDATES " +
+      "ONLY — the O(len²) distance never runs on the full pair space. " +
+      "The planted twins (text + ' zz yy') sit at distance 6; unrelated " +
+      "docs that share a band are rejected.",
+    Some(s"""WITH tbase AS (SELECT doc_id, text FROM documents),
+            |t AS (SELECT doc_id, text FROM tbase
+            |      UNION ALL
+            |      SELECT doc_id + 100000 AS doc_id, text || ' zz yy' AS text FROM tbase),
+            |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM t),
+            |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM w),
+            |sig AS (SELECT doc_id, $sigsDuck AS sigs FROM sh),
+            |bands AS (SELECT doc_id, unnest($bandsDuck) AS band_key FROM sig),
+            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |         FROM bands a JOIN bands b
+            |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+            |SELECT c.doc_a, c.doc_b,
+            |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+            |FROM cand c
+            |JOIN t ta ON ta.doc_id = c.doc_a
+            |JOIN t tb ON tb.doc_id = c.doc_b
+            |WHERE levenshtein(ta.text, tb.text) <= 10
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val t = base.unionAll(base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy")).as("text"))).persist()
+      val sh = t.withColumn("ws", split(col("text"), " "))
+        .withColumn("sh", shingleHashes(col("ws"), 3))
+        .select("doc_id", "sh")
+      val bands = minhashSigs(sh)
+        .select(col("doc_id"), explode(expr(bandsSpark)).as("band_key"))
+        .persist()
+      val cand = bands.as("a")
+        .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .withColumn("edit_dist", lng(levenshtein(col("text_a"), col("text_b"))))
+        .filter(col("edit_dist") <= 10)
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(dedupMinhash, dedupNgram, dedupSimhash,
-    dedupCosine, fingerprint)
+    dedupCosine, fingerprint, dedupEdit)
 }

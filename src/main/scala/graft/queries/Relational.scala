@@ -344,6 +344,40 @@ object Relational {
     }
   )
 
+  private val joinBand = QueryDef(
+    "q_join_band",
+    "Banded range join (|ts_a − ts_b| ≤ 30 s) via epsilon-bucketing: " +
+      "each side keys on floor(us/ε); the smaller side explodes to its " +
+      "three candidate buckets, the join is a plain equi-join on the " +
+      "bucket, and the exact band predicate filters candidates. Every " +
+      "qualifying pair is found exactly once (bucket distance of a " +
+      "qualifying pair is ≤ 1). Candidates per row are bounded by band " +
+      "density — never the O(n·m) crossJoin+filter a naive theta join " +
+      "costs.",
+    Some("""WITH a AS (SELECT event_id AS a_id, epoch_us(CAST(ts AS TIMESTAMP)) AS a_us
+           |           FROM events WHERE event_type = 'purchase'),
+           |b AS (SELECT event_id AS b_id, epoch_us(CAST(ts AS TIMESTAMP)) AS b_us
+           |      FROM events WHERE event_type = 'signup')
+           |SELECT a_id, b_id, a_us - b_us AS gap_us
+           |FROM a JOIN b ON abs(a_us - b_us) <= 30000000
+           |ORDER BY a_id, b_id""".stripMargin),
+    (s, d) => {
+      val eps = 30000000L // 30 s in µs; all ts are epoch-positive
+      val a = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("a_id"), epochUs(col("ts")).as("a_us"))
+      val b = events(s, d).filter(col("event_type") === "signup")
+        .select(col("event_id").as("b_id"), epochUs(col("ts")).as("b_us"))
+        .withColumn("bucket", expr(s"b_us DIV $eps"))
+      val aExp = a.withColumn("bucket",
+        explode(array(expr(s"a_us DIV $eps - 1"), expr(s"a_us DIV $eps"),
+          expr(s"a_us DIV $eps + 1"))))
+      aExp.join(b, "bucket")
+        .filter(abs(col("a_us") - col("b_us")) <= eps)
+        .select(col("a_id"), col("b_id"), (col("a_us") - col("b_us")).as("gap_us"))
+        .orderBy("a_id", "b_id")
+    }
+  )
+
   // ---------------------------------------------------------- aggregations
 
   private val aggCount = QueryDef(
@@ -684,7 +718,7 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     scanParquet, scanJsonl, scanCsv, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
-    joinTheta, joinAsof,
+    joinTheta, joinAsof, joinBand,
     aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
     sortLimit, topkGroup, union, intersect, except,
     tpchQ3, tpchQ5, tpchQ1, tpchQ6)

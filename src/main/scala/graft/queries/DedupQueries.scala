@@ -403,10 +403,12 @@ object DedupQueries {
     "q_dedup_edit",
     "Edit-distance (fuzzy) near-dup: MinHash band buckets generate the " +
       "candidate pairs (same zero-shuffle signature path as " +
-      "q_dedup_minhash), then levenshtein ≤ 10 verifies CANDIDATES " +
-      "ONLY — the O(len²) distance never runs on the full pair space. " +
-      "The planted twins (text + ' zz yy') sit at distance 6; unrelated " +
-      "docs that share a band are rejected.",
+      "q_dedup_minhash); candidates are pre-pruned by the length-" +
+      "difference lower bound (|len_a−len_b| ≤ k ⇐ dist ≤ k), then " +
+      "verified with the THRESHOLDED levenshtein — banded O(len·k) DP, " +
+      "not O(len²) — on survivors only. The planted twins " +
+      "(text + ' zz yy') sit at distance 6; unrelated docs sharing a " +
+      "band are rejected, most by the length bound before any DP runs.",
     Some(s"""WITH tbase AS (SELECT doc_id, text FROM documents),
             |t AS (SELECT doc_id, text FROM tbase
             |      UNION ALL
@@ -423,7 +425,8 @@ object DedupQueries {
             |FROM cand c
             |JOIN t ta ON ta.doc_id = c.doc_a
             |JOIN t tb ON tb.doc_id = c.doc_b
-            |WHERE levenshtein(ta.text, tb.text) <= 10
+            |WHERE abs(length(ta.text) - length(tb.text)) <= 10
+            |  AND levenshtein(ta.text, tb.text) <= 10
             |ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => {
       val base = documents(s, d).select(col("doc_id"), col("text"))
@@ -440,13 +443,21 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      cand
+      val verified = cand
         .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        .withColumn("edit_dist", lng(levenshtein(col("text_a"), col("text_b"))))
-        .filter(col("edit_dist") <= 10)
+        // levenshtein lower bound: dist ≥ |len_a − len_b| — kills most
+        // candidates with integer arithmetic before any DP runs
+        .filter(abs(length(col("text_a")) - length(col("text_b"))) <= 10)
+        // thresholded levenshtein: banded O(len·k) DP, returns -1 above k
+        .withColumn("edit_dist", lng(levenshtein(col("text_a"), col("text_b"), 10)))
+        .filter(col("edit_dist") >= 0)
         .select(col("doc_a"), col("doc_b"), col("edit_dist"))
-        .orderBy("doc_a", "doc_b")
+        // persist: the oracle-determinism orderBy range-samples its
+        // input, which would otherwise re-execute the band join + text
+        // joins + DP once for sampling and once for the sort
+        .persist()
+      verified.orderBy("doc_a", "doc_b")
     }
   )
 

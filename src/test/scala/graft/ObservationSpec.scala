@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Observation, Row}
+import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -28,14 +28,14 @@ class ObservationSpec extends AnyFunSuite {
         sum(col("n_chars")).as("chars_seen"))
     // ONE action drives both the result and the counters
     val kept = df.filter(col("valid")).count()
-    val m: Row = obs.get
-    assert(m.getAs[Long]("n_valid") == kept)
-    assert(m.getAs[Long]("n_total") ==
-      m.getAs[Long]("n_valid") + m.getAs[Long]("n_invalid"))
+    val m: Map[String, Any] = obs.get
+    def l(k: String): Long = m(k).asInstanceOf[Long]
+    assert(l("n_valid") == kept)
+    assert(l("n_total") == l("n_valid") + l("n_invalid"))
     // and the counters saw EVERY input row, including ones the filter
     // dropped from the result
     val total = Tables.documents(spark, TestSpark.sf).count()
-    assert(m.getAs[Long]("n_total") == total)
-    assert(m.getAs[Long]("chars_seen") > 0L)
+    assert(l("n_total") == total)
+    assert(l("chars_seen") > 0L)
   }
 }

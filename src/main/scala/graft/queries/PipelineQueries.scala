@@ -95,11 +95,17 @@ object PipelineQueries {
         .withColumn("answer", get_json_object(col("cand"), "$.answer"))
         .filter(col("question").isNotNull && col("answer").isNotNull)
       // 6. lineage enrichment (app/main.py:107-109)
-      salvaged
+      val enriched = salvaged
         .select(col("doc_id"), col("window_index"), col("subchunk_index"),
           col("question"), col("answer"),
           concat(lit("doc_"), col("doc_id"), lit(".pdf")).as("source_file"))
-        .orderBy("doc_id", "window_index", "subchunk_index")
+        // persist: stages 3-6 after the window shuffle are all
+        // partition-local (explode → mapPartitions annotate → regex
+        // salvage) with no exchange before the oracle-determinism
+        // orderBy, so the range sort's sampling pass would otherwise
+        // re-run the whole chunk/annotate/salvage chain a second time
+        .persist()
+      enriched.orderBy("doc_id", "window_index", "subchunk_index")
     }
   )
 

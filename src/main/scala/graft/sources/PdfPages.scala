@@ -61,20 +61,22 @@ object PdfPages {
 
   private final case class Obj(dict: String, stream: Option[Array[Byte]])
 
-  private val ObjStart = """(?s)(\d+)\s+\d+\s+obj""".r
+  private val ObjStart = java.util.regex.Pattern.compile("""(\d+)\s+\d+\s+obj""")
 
   /** Scan `N G obj … endobj` bodies; split each into dict part + raw
-    * stream bytes (between `stream\r?\n` and `endstream`).
+    * stream bytes (between `stream\r?\n` and `endstream`). Single
+    * forward pass via Matcher.find(from) — no per-object substring of
+    * the remaining file (quadratic on many-object PDFs).
     */
   private def parseObjects(s: String): Map[Int, Obj] = {
     val out = Map.newBuilder[Int, Obj]
+    val m = ObjStart.matcher(s)
     var from = 0
     while (from < s.length) {
-      ObjStart.findFirstMatchIn(s.substring(from)) match {
-        case None => from = s.length
-        case Some(m) =>
+      if (!m.find(from)) from = s.length
+      else {
           val num = m.group(1).toInt
-          val bodyStart = from + m.end
+          val bodyStart = m.end
           val end = s.indexOf("endobj", bodyStart)
           val bodyEnd = if (end < 0) s.length else end
           val body = s.substring(bodyStart, bodyEnd)

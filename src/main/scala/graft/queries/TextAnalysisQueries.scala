@@ -172,5 +172,80 @@ object TextAnalysisQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount, multimodalMeta)
+  private val textClean = QueryDef(
+    "q_text_clean",
+    "Corpus normalization (the standard pre-training cleaning pass): " +
+      "lowercase, strip non-alphanumerics, collapse whitespace runs, " +
+      "trim — one codegen'd projection, no shuffle before the oracle " +
+      "orderBy. Reports before/after lengths so the reduction is " +
+      "auditable.",
+    Some("""SELECT doc_id,
+           |       CAST(length(text) AS BIGINT) AS raw_len,
+           |       CAST(length(cleaned) AS BIGINT) AS clean_len,
+           |       md5(cleaned) AS digest
+           |FROM (
+           |  SELECT doc_id, text,
+           |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS cleaned
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d)
+      .withColumn("cleaned",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .select(col("doc_id"),
+        lng(length(col("text"))).as("raw_len"),
+        lng(length(col("cleaned"))).as("clean_len"),
+        md5(col("cleaned")).as("digest"))
+      .orderBy("doc_id")
+  )
+
+  private val piiRedact = QueryDef(
+    "q_pii_redact",
+    "PII redaction (training corpora must not leak contact data): " +
+      "deterministic synthetic emails/phones/ids are injected per doc " +
+      "(the corpus itself is clean), then regex-redacted to typed " +
+      "placeholders; the query reports per-doc redaction counts and the " +
+      "redacted digest. Patterns are plain POSIX classes so both " +
+      "engines' regex dialects agree.",
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           |         '@mail.example.com or +1-555-010' || CAST(doc_id % 10 AS VARCHAR) ||
+           |         ' ssn 123-45-678' || CAST(doc_id % 10 AS VARCHAR) AS dirty
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, dirty,
+           |    regexp_replace(regexp_replace(regexp_replace(dirty,
+           |      '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
+           |      '[+][0-9]+-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean
+           |  FROM t)
+           |SELECT doc_id,
+           |       CAST(len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+')) AS BIGINT) AS n_email,
+           |       CAST(len(regexp_extract_all(dirty, '[+][0-9]+-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           |       CAST(length(clean) AS BIGINT) AS clean_len,
+           |       md5(clean) AS digest
+           |FROM r ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val dirtyCol = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1-555-010"), (col("doc_id") % 10).cast("string"),
+        lit(" ssn 123-45-678"), (col("doc_id") % 10).cast("string"))
+      documents(s, d)
+        .withColumn("dirty", dirtyCol)
+        .withColumn("clean",
+          regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+            "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+", "<EMAIL>"),
+            "[+][0-9]+-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+            "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"))
+        .select(col("doc_id"),
+          lng(size(expr("regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+', 0)"))).as("n_email"),
+          lng(size(expr("regexp_extract_all(dirty, '[+][0-9]+-[0-9]{3}-[0-9]{4}', 0)"))).as("n_phone"),
+          lng(length(col("clean"))).as("clean_len"),
+          md5(col("clean")).as("digest"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
+    multimodalMeta, textClean, piiRedact)
 }

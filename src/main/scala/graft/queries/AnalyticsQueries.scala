@@ -211,6 +211,28 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   )
 
+  private val histogram = QueryDef(
+    "q_histogram",
+    "Value histogram per event type: fixed-width binning via integer " +
+      "arithmetic (floor(value/width) capped to the last bucket — " +
+      "portable across engines, unlike width_bucket which DuckDB " +
+      "lacks), plus per-bin exact decimal sums. The one-pass shape of " +
+      "every monitoring/profiling dashboard.",
+    Some("""SELECT event_type,
+           |       CAST(least(CAST(floor(value / 25.0) AS BIGINT), 19) AS BIGINT) AS bin,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events
+           |GROUP BY event_type, least(CAST(floor(value / 25.0) AS BIGINT), 19)
+           |ORDER BY event_type, bin""".stripMargin),
+    (s, d) => events(s, d)
+      .withColumn("bin", least(floor(col("value") / 25.0).cast("long"), lit(19L)))
+      .groupBy("event_type", "bin")
+      .agg(lng(count(lit(1))).as("n"),
+        dbl(sum(money(col("value")))).as("sum_value"))
+      .orderBy("event_type", "bin")
+  )
+
   val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists,
-    groupingSets, trainTestSplit, aggFiltered, corrStats)
+    groupingSets, trainTestSplit, aggFiltered, corrStats, histogram)
 }

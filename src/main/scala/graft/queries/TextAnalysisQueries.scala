@@ -40,8 +40,13 @@ object TextAnalysisQueries {
            |       actual_lang = plang AS is_correct
            |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     (s, d) => {
+      // persist: the exploded word table feeds BOTH the profile build
+      // and the classification join; uncached, the scan + split +
+      // explode would run once per consumer (plus the final sort's
+      // sampling pass)
       val ex = documents(s, d)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .persist()
       val prof = ex.groupBy(col("lang").as("plang"), col("w"))
         .agg(lng(count(lit(1))).as("cnt"))
       val tot = prof.groupBy("plang").agg(lng(sum(col("cnt"))).as("tot"))

@@ -34,7 +34,11 @@ object Bench {
     // time-localized stall hits DIFFERENT queries in each interleaved
     // pass, so the per-query min strips it.
     val names = SparkEntry.queries.keys.toSeq
-    val samples = (1 to 3).flatMap { _ =>
+    val samples = (1 to 3).flatMap { pass =>
+      // clear between passes: queries persist() intermediates, and the
+      // cache manager matches identical re-constructed plans — without
+      // this, passes 2-3 time warm-cache reads instead of plan cost
+      spark.sharedState.cacheManager.clearCache()
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()

@@ -186,29 +186,52 @@ object AnalyticsQueries {
 
   private val corrStats = QueryDef(
     "q_corr",
-    "Bivariate statistics per group: Pearson correlation, sample/" +
-      "population covariance, sample stddevs of (quantity, " +
-      "extendedprice) — single-pass co-moment aggregates (no " +
-      "two-pass mean subtraction), round 6 for cross-engine float " +
-      "agreement.",
-    Some("""SELECT l_returnflag,
-           |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-           |       round(covar_samp(l_quantity, l_extendedprice), 6) AS covs_qp,
-           |       round(covar_pop(l_quantity, l_extendedprice), 6) AS covp_qp,
-           |       round(stddev_samp(l_quantity), 6) AS sd_q,
-           |       round(stddev_samp(l_extendedprice), 6) AS sd_p,
-           |       CAST(count(*) AS BIGINT) AS n
-           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
-    (s, d) => lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covs_qp"),
-        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 6).as("covp_qp"),
-        round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
-        round(stddev_samp(col("l_extendedprice")), 6).as("sd_p"),
-        count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
+    "Bivariate statistics per group from EXACT decimal co-moment sums " +
+      "(n, \u03a3x, \u03a3y, \u03a3xy, \u03a3x\u00b2, \u03a3y\u00b2) with the double-precision " +
+      "formulas applied once at the end \u2014 native corr/covar/stddev are " +
+      "banned here for the same reason q_moments bans them: their float " +
+      "summation order differs between engines, and a 1e-9 drift can " +
+      "flip the 6th rounded decimal. Exact sums make both engines " +
+      "compute identical doubles.",
+    Some("""WITH s AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag,
+           |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qp,
+           |  round((sxy - sx * sy / n) / (n - 1), 6) AS covs_qp,
+           |  round(sxy / n - (sx / n) * (sy / n), 6) AS covp_qp,
+           |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_q,
+           |  round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS sd_p,
+           |  CAST(n AS BIGINT) AS n
+           |FROM s ORDER BY l_returnflag""".stripMargin),
+    (s, d) => {
+      val x = "CAST(l_quantity AS DECIMAL(12,2))"
+      val y = "CAST(l_extendedprice AS DECIMAL(12,2))"
+      val g = lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        dbl(sum(expr(x))).as("sx"),
+        dbl(sum(expr(y))).as("sy"),
+        dbl(sum(expr(s"$x * $y"))).as("sxy"),
+        dbl(sum(expr(s"$x * $x"))).as("sxx"),
+        dbl(sum(expr(s"$y * $y"))).as("syy"))
+      // double-precision formulas written identically to the oracle SQL
+      // so both engines evaluate the same operations on the same doubles
+      g.select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6).as("covs_qp"),
+        round(col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")), 6).as("covp_qp"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6).as("sd_q"),
+        round(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)), 6).as("sd_p"),
+        lng(col("n")).as("n"))
+        .orderBy("l_returnflag")
+    }
   )
 
   private val histogram = QueryDef(

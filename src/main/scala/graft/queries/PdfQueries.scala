@@ -25,17 +25,21 @@ object PdfQueries {
            |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     (s, d) => {
       // bounded fixture build (40 rows, constant at any corpus size):
-      // page i of the synthesized PDF carries doc_id=i's text
-      val texts = documents(s, d).filter(col("doc_id") < 40)
+      // page i of the synthesized PDF carries the i-th doc's text
+      val rows = documents(s, d).filter(col("doc_id") < 40)
         .select(col("doc_id"), col("text")).orderBy("doc_id")
-        .collect().map(_.getString(1)).toSeq
+        .collect()
       val dir = new java.io.File(
         s"/root/repo/target/pdf_scan/${new java.io.File(d).getName}")
       dir.mkdirs()
       java.nio.file.Files.write(
-        dir.toPath.resolve("docs.pdf"), PdfPages.synthesize(texts))
+        dir.toPath.resolve("docs.pdf"),
+        PdfPages.synthesize(rows.map(_.getString(1)).toSeq))
+      // page_index → the REAL doc_id (no contiguous-from-zero
+      // assumption); the map is ≤ 40 entries, a literal
+      val idOf = typedLit(rows.zipWithIndex.map { case (r, i) => i -> r.getLong(0) }.toMap)
       PdfPages.pages(s, dir.toString)
-        .select(lng(col("page_index")).as("doc_id"),
+        .select(element_at(idOf, col("page_index")).as("doc_id"),
           lng(length(col("text"))).as("n_chars_extracted"),
           md5(col("text")).as("digest"))
         .orderBy("doc_id")

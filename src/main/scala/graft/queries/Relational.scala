@@ -46,13 +46,20 @@ object Relational {
     "On-disk JSONL scan (reference rag_chatbot/main.py:8-13): write the " +
       "documents table as JSON lines, read the files back through the " +
       "declared-schema JSON source (no inference), project. The oracle " +
-      "reads the SAME files via read_json_auto — scan must be lossless. " +
-      "Output dir is keyed by the sf name so correctness (sf0.01) and " +
-      "bench (sf0.1) runs never clobber each other.",
-    Some("""SELECT doc_id, lang, source, n_chars,
-           |       CAST(length(text) AS BIGINT) AS text_len
-           |FROM read_json_auto('/root/repo/target/jsonl_scan/sf0.01/*.json')
-           |ORDER BY doc_id""".stripMargin),
+      "reads the SAME files via read_json_auto AND inner-joins them " +
+      "field-by-field against the source documents table — a lossy or " +
+      "mangling write drops oracle rows and fails the compare, so the " +
+      "check is anchored to ground truth, not to whatever both engines " +
+      "agree the files say. Output dir is keyed by the sf name so " +
+      "correctness (sf0.01) and bench (sf0.1) runs never clobber each " +
+      "other.",
+    Some("""SELECT f.doc_id, f.lang, f.source, f.n_chars,
+           |       CAST(length(f.text) AS BIGINT) AS text_len
+           |FROM read_json_auto('/root/repo/target/jsonl_scan/sf0.01/*.json') f
+           |JOIN documents d
+           |  ON f.doc_id = d.doc_id AND f.text = d.text AND f.lang = d.lang
+           | AND f.source = d.source AND f.n_chars = d.n_chars
+           |ORDER BY f.doc_id""".stripMargin),
     (s, d) => {
       // eager side effect at construction time: materialize the JSONL dir
       // so both this query's read-back and the DuckDB oracle see the files
@@ -71,25 +78,34 @@ object Relational {
 
   private val scanCsv = QueryDef(
     "q_scan_csv",
-    "On-disk CSV scan: write the documents table as headered CSV, read " +
-      "the files back with a declared schema (no inference), project. " +
-      "The oracle reads the SAME files via read_csv — the delimited " +
-      "round-trip must be lossless. Dir keyed by sf name like " +
-      "q_scan_jsonl.",
-    Some("""SELECT doc_id, lang, source,
-           |       CAST(length(text) AS BIGINT) AS text_len
+    "On-disk CSV scan: write the documents table as headered CSV " +
+      "(RFC-4180 doubled-quote escaping so other engines parse it), " +
+      "read the files back with a declared schema (no inference, " +
+      "multiLine for quoted embedded newlines), project. The oracle " +
+      "reads the SAME files via read_csv and inner-joins them against " +
+      "the source documents table — a lossy write fails the compare. " +
+      "Dir keyed by sf name like q_scan_jsonl.",
+    Some("""SELECT f.doc_id, f.lang, f.source,
+           |       CAST(length(f.text) AS BIGINT) AS text_len
            |FROM read_csv('/root/repo/target/csv_scan/sf0.01/*.csv',
            |              header = true,
-           |              columns = {'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','source':'VARCHAR'})
-           |ORDER BY doc_id""".stripMargin),
+           |              columns = {'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR','source':'VARCHAR'}) f
+           |JOIN documents d
+           |  ON f.doc_id = d.doc_id AND f.text = d.text AND f.lang = d.lang
+           | AND f.source = d.source
+           |ORDER BY f.doc_id""".stripMargin),
     (s, d) => {
       val outDir = s"/root/repo/target/csv_scan/${new java.io.File(d).getName}"
       documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
-        .write.mode("overwrite").option("header", "true").csv(outDir)
+        .write.mode("overwrite").option("header", "true")
+        // RFC-4180 dialect: escape quotes by doubling (Spark's default
+        // backslash-escape is a dialect DuckDB's reader doesn't speak)
+        .option("escape", "\"").csv(outDir)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, text STRING, lang STRING, source STRING")
-      s.read.schema(schema).option("header", "true").csv(outDir)
+      s.read.schema(schema).option("header", "true")
+        .option("escape", "\"").option("multiLine", "true").csv(outDir)
         .select(col("doc_id"), col("lang"), col("source"),
           lng(length(col("text"))).as("text_len"))
         .orderBy("doc_id")

@@ -44,9 +44,10 @@ object PdfPages {
     val s = new String(bytes, "ISO-8859-1")
     val objs = parseObjects(s)
     val rootPagesRef = findCatalogPagesRef(objs).orElse(
-      // damaged/absent catalog: fall back to the lowest-numbered /Pages node
-      objs.collectFirst { case (n, o) if o.dict.contains("/Pages") &&
-        dictType(o.dict) == Some("Pages") => n })
+      // damaged/absent catalog: fall back to the lowest-numbered /Pages
+      // node — sort first; Map iteration order is not deterministic
+      objs.toSeq.sortBy(_._1).collectFirst { case (n, o)
+        if dictType(o.dict) == Some("Pages") => n })
     val pageOrder: Seq[Int] = rootPagesRef match {
       case Some(root) => collectKids(root, objs, Set.empty)
       case None => objs.toSeq.sortBy(_._1).collect {
@@ -68,6 +69,11 @@ object PdfPages {
     * forward pass via Matcher.find(from) — no per-object substring of
     * the remaining file (quadratic on many-object PDFs).
     */
+  // direct-integer /Length only (indirect "N 0 R" lengths fall back to
+  // the textual scan)
+  private val DirectLength =
+    java.util.regex.Pattern.compile("""/Length\s+(\d+)(?!\s+\d+\s+R)""")
+
   private def parseObjects(s: String): Map[Int, Obj] = {
     val out = Map.newBuilder[Int, Obj]
     val m = ObjStart.matcher(s)
@@ -75,23 +81,40 @@ object PdfPages {
     while (from < s.length) {
       if (!m.find(from)) from = s.length
       else {
-          val num = m.group(1).toInt
-          val bodyStart = m.end
-          val end = s.indexOf("endobj", bodyStart)
-          val bodyEnd = if (end < 0) s.length else end
-          val body = s.substring(bodyStart, bodyEnd)
-          val streamAt = body.indexOf("stream")
-          if (streamAt >= 0) {
-            val dict = body.substring(0, streamAt)
-            var dataStart = streamAt + "stream".length
-            if (dataStart < body.length && body.charAt(dataStart) == '\r') dataStart += 1
-            if (dataStart < body.length && body.charAt(dataStart) == '\n') dataStart += 1
-            val dataEnd = body.lastIndexOf("endstream")
-            val raw = body.substring(dataStart, math.max(dataStart, dataEnd))
-              .stripSuffix("\n").stripSuffix("\r")
-            out += num -> Obj(dict, Some(raw.getBytes("ISO-8859-1")))
-          } else out += num -> Obj(body, None)
-          from = if (end < 0) s.length else end + "endobj".length
+        val num = m.group(1).toInt
+        val bodyStart = m.end
+        val idxEndobj = s.indexOf("endobj", bodyStart)
+        val idxStream = s.indexOf("stream", bodyStart)
+        if (idxStream >= 0 && (idxEndobj < 0 || idxStream < idxEndobj)) {
+          val dict = s.substring(bodyStart, idxStream)
+          var dataStart = idxStream + "stream".length
+          if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+          val lm = DirectLength.matcher(dict)
+          val dataEnd =
+            if (lm.find()) {
+              // authoritative byte count: immune to 'endstream'/'endobj'
+              // sequences or EOL-looking bytes inside the compressed data
+              math.min(s.length, dataStart + lm.group(1).toInt)
+            } else {
+              // no direct /Length: textual fallback, minus one trailing EOL
+              val e = s.indexOf("endstream", dataStart)
+              val stop = if (e < 0) s.length else e
+              var d = stop
+              if (d > dataStart && s.charAt(d - 1) == '\n') d -= 1
+              if (d > dataStart && s.charAt(d - 1) == '\r') d -= 1
+              d
+            }
+          out += num -> Obj(dict,
+            Some(s.substring(dataStart, math.max(dataStart, dataEnd)).getBytes("ISO-8859-1")))
+          val afterStream = s.indexOf("endstream", dataEnd)
+          val tail = s.indexOf("endobj", if (afterStream < 0) dataEnd else afterStream)
+          from = if (tail < 0) s.length else tail + "endobj".length
+        } else {
+          val bodyEnd = if (idxEndobj < 0) s.length else idxEndobj
+          out += num -> Obj(s.substring(bodyStart, bodyEnd), None)
+          from = if (idxEndobj < 0) s.length else idxEndobj + "endobj".length
+        }
       }
     }
     out.result()

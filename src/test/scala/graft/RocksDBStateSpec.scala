@@ -25,11 +25,9 @@ class RocksDBStateSpec extends AnyFunSuite {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   test("watermarked agg on RocksDB: correct results + state evicted on watermark advance") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, Provider)
+    TestSpark.withConf("spark.sql.streaming.stateStore.providerClass" -> Provider) {
     implicit val sc = spark.sqlContext
-    try {
+    locally {
       val mem = MemoryStream[Ev]
       val agg = mem.toDF().withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
@@ -61,9 +59,7 @@ class RocksDBStateSpec extends AnyFunSuite {
         assert(out.count() == 3000L)
         assert(out.filter(col("n") =!= 1L).count() == 0L)
       } finally q.stop()
-    } finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    }
     }
   }
 }

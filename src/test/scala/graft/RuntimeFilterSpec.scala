@@ -15,19 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RuntimeFilterSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-      body
-    } finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("selective dim filter injects a bloom filter on the fact side of a shuffle join") {
-    withConf(
+    TestSpark.withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",

@@ -256,6 +256,75 @@ object AnalyticsQueries {
       .orderBy("event_type", "bin")
   )
 
+  private val gapFill = QueryDef(
+    "q_gap_fill",
+    "Time-series gap-fill: hourly event counts per type INCLUDING empty " +
+      "hours — generate the full hour×type grid (sequence + explode + " +
+      "broadcast cross of the tiny distinct-type side), left-join the " +
+      "observed counts, coalesce to zero. Hours are integer epoch-hour " +
+      "buckets so both engines bin identically. The dashboard/resample " +
+      "primitive every monitoring pipeline needs.",
+    Some("""WITH e AS (SELECT event_type,
+           |                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+           |b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM e),
+           |hours AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM b),
+           |types AS (SELECT DISTINCT event_type FROM e),
+           |grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+           |c AS (SELECT h, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)
+           |SELECT g.event_type, g.h, coalesce(c.n, 0) AS n
+           |FROM grid g LEFT JOIN c ON g.h = c.h AND g.event_type = c.event_type
+           |ORDER BY g.event_type, g.h""".stripMargin),
+    (s, d) => {
+      val e = events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+      val hours = e.agg(min("h").as("hmin"), max("h").as("hmax"))
+        .select(explode(sequence(col("hmin"), col("hmax"))).as("h"))
+      val types = e.select("event_type").distinct()
+      val grid = hours.crossJoin(broadcast(types))
+      val counts = e.groupBy("h", "event_type").agg(lng(count(lit(1))).as("n"))
+      grid.join(counts, Seq("h", "event_type"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "h")
+    }
+  )
+
+  private val funnel = QueryDef(
+    "q_funnel",
+    "Conversion funnel: per user, first click vs first purchase; " +
+      "converted = first purchase within 1 h after first click. One " +
+      "conditional-min aggregation by user + one tiny rollup — no " +
+      "self-join, no per-user subqueries, the linear-scaling funnel " +
+      "shape.",
+    Some("""WITH e AS (SELECT user_id, event_type,
+           |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+           |f AS (SELECT user_id,
+           |             min(CASE WHEN event_type = 'click' THEN us END) AS first_click,
+           |             min(CASE WHEN event_type = 'purchase' THEN us END) AS first_purchase
+           |      FROM e GROUP BY user_id)
+           |SELECT CAST(count(*) AS BIGINT) AS n_users,
+           |       CAST(count(CASE WHEN first_click IS NOT NULL THEN 1 END) AS BIGINT) AS n_clickers,
+           |       CAST(count(CASE WHEN first_purchase IS NOT NULL THEN 1 END) AS BIGINT) AS n_purchasers,
+           |       CAST(count(CASE WHEN first_purchase IS NOT NULL AND first_click IS NOT NULL
+           |                        AND first_purchase >= first_click
+           |                        AND first_purchase <= first_click + 3600000000
+           |                  THEN 1 END) AS BIGINT) AS n_converted_1h
+           |FROM f""".stripMargin),
+    (s, d) => events(s, d)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "click", col("us"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("us"))).as("first_purchase"))
+      .agg(
+        lng(count(lit(1))).as("n_users"),
+        lng(count(when(col("first_click").isNotNull, 1))).as("n_clickers"),
+        lng(count(when(col("first_purchase").isNotNull, 1))).as("n_purchasers"),
+        lng(count(when(col("first_purchase").isNotNull && col("first_click").isNotNull &&
+          col("first_purchase") >= col("first_click") &&
+          col("first_purchase") <= col("first_click") + 3600000000L, 1))).as("n_converted_1h"))
+  )
+
   val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists,
-    groupingSets, trainTestSplit, aggFiltered, corrStats, histogram)
+    groupingSets, trainTestSplit, aggFiltered, corrStats, histogram,
+    gapFill, funnel)
 }

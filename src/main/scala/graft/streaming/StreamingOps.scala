@@ -41,9 +41,23 @@ object StreamingOps {
     events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
 
-  /** Streaming dedup by event_id (exact, state bounded by watermark). */
+  /** Streaming dedup by event_id — exact, but state grows FOREVER:
+    * with only the id in the key set, the watermark never expires
+    * dedup state. Correct for bounded backfills; for unbounded streams
+    * use [[dedupBounded]].
+    */
   def dedup(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
+
+  /** Streaming dedup with state EVICTED by the watermark
+    * (`dropDuplicatesWithinWatermark`): duplicates arriving within the
+    * watermark delay of the first occurrence are dropped, and an id's
+    * state is freed once the watermark passes it — bounded state on an
+    * unbounded stream, the only dedup shape that survives 100 TB/day.
+    * Input must carry `withWatermark` on its event-time column.
+    */
+  def dedupBounded(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark("event_id")
 
   /** Project a windowed result to the deterministic epoch-µs shape the
     * oracle compares (window struct → start/end BIGINT).

@@ -72,6 +72,17 @@ class PdfPagesSpec extends AnyFunSuite {
     assert(rows(1) == (("a.pdf", 1, "Hello World\nline2 (escaped)")))
   }
 
+  test("/Length-delimited streams survive PDF keywords inside page text") {
+    // a page whose TEXT contains the parser's own structural keywords:
+    // with a direct /Length (which synthesize writes), stream bytes are
+    // sliced by count, so 'endstream'/'endobj' inside the data cannot
+    // truncate the object scan
+    val texts = Seq("see endstream endobj stream markers",
+      "trailing carriage return\r", "4 0 obj fake header")
+    val pages = PdfPages.extract("kw.pdf", PdfPages.synthesize(texts))
+    assert(pages.map(_.text) == texts)
+  }
+
   test("degrade, don't crash: unsupported filter and damaged file give empty/absent text") {
     // unsupported filter → page extracts as empty (pypdf's stance)
     val lzw = ("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +

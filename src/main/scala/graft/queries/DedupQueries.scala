@@ -461,6 +461,98 @@ object DedupQueries {
     }
   )
 
+  private val dedupCluster = QueryDef(
+    "q_dedup_cluster",
+    "Near-dup CLUSTERS, not just pairs: connected components over the " +
+      "MinHash-verified pair graph via Pregel-style min-label " +
+      "propagation — per iteration one join + min-aggregate, driver " +
+      "sees only a convergence count, iterations bounded by graph " +
+      "diameter. cluster_id = min doc_id of the component (unique " +
+      "fixpoint ⇒ deterministic under any partitioning). The oracle " +
+      "computes the same components with a recursive CTE. This is the " +
+      "keep-one-per-cluster primitive real dedup pipelines need after " +
+      "pair generation.",
+    Some(s"""WITH $plantedDuck,
+            |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM u),
+            |sig AS (SELECT doc_id, sh, $sigsDuck AS sigs FROM sh),
+            |bandt AS (SELECT doc_id, unnest($bandsDuck) AS band_key FROM sig),
+            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |         FROM bandt a JOIN bandt b
+            |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            |verified AS (
+            |  SELECT c.doc_a, c.doc_b
+            |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+            |              JOIN sh sb ON sb.doc_id = c.doc_b
+            |  WHERE 5 * len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+            |        >= 3 * (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))),
+            |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+            |          UNION ALL SELECT doc_b, doc_a FROM verified),
+            |nodes AS (SELECT doc_id FROM u),
+            |walk AS (
+            |  WITH RECURSIVE r(node, reach) AS (
+            |    SELECT doc_id, doc_id FROM nodes
+            |    UNION
+            |    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach)
+            |  SELECT node, min(reach) AS cluster_id FROM r GROUP BY node),
+            |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM walk GROUP BY 1)
+            |SELECT w.node AS doc_id, w.cluster_id, s.cluster_size
+            |FROM walk w JOIN sizes s USING (cluster_id)
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
+        .select("doc_id", "sh").persist()
+      val bands = minhashSigs(sh)
+        .select(col("doc_id"), explode(expr(bandsSpark)).as("band_key"))
+        .persist()
+      val cand = bands.as("a")
+        .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val pairs = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("n_int",
+          graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("n_tot", lng(expr("size(sh_a) + size(sh_b)")))
+        .filter(lit(5) * col("n_int") >= lit(3) * (col("n_tot") - col("n_int")))
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("ea", "eb").persist()
+      // Pregel-style min-label propagation: label(v) ← min(label(v),
+      // min over neighbors' labels) until fixpoint. Converges in ≤
+      // diameter iterations; each iteration is one shuffle join + one
+      // min-aggregate — the BSP shape that scales to any graph Spark
+      // can shuffle. Driver-side state: one Long per iteration.
+      var labels = sh.select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 50) {
+        val nbrMin = edges.join(labels, col("eb") === col("node"))
+          .groupBy(col("ea")).agg(min("label").as("nbr"))
+        val next = labels.join(nbrMin, col("node") === col("ea"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .persist()
+        changed = next.join(
+          labels.select(col("node").as("n2"), col("label").as("old")),
+          col("node") === col("n2"))
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        iter += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $iter iterations")
+      val sizes = labels.groupBy(col("label").as("cluster_id"))
+        .agg(lng(count(lit(1))).as("cluster_size"))
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(dedupMinhash, dedupNgram, dedupSimhash,
-    dedupCosine, fingerprint, dedupEdit)
+    dedupCosine, fingerprint, dedupEdit, dedupCluster)
 }

@@ -275,8 +275,14 @@ object AnalyticsQueries {
            |FROM grid g LEFT JOIN c ON g.h = c.h AND g.event_type = c.event_type
            |ORDER BY g.event_type, g.h""".stripMargin),
     (s, d) => {
+      // FLOOR division to match DuckDB's `//` on negative epochs too
+      // (Spark's DIV truncates toward zero: -1 DIV k = 0, -1 // k = -1);
+      // subtracting pmod first makes the dividend an exact multiple
+      val hExpr = "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000"
+      // persist: the projection feeds three subtrees (bounds, distinct
+      // types, grouped counts) — one scan instead of three
       val e = events(s, d)
-        .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .select(col("event_type"), expr(hExpr).as("h")).persist()
       val hours = e.agg(min("h").as("hmin"), max("h").as("hmax"))
         .select(explode(sequence(col("hmin"), col("hmax"))).as("h"))
       val types = e.select("event_type").distinct()

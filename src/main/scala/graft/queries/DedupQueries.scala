@@ -72,6 +72,47 @@ object DedupQueries {
   private val bandsDuck =
     "list_transform(generate_series(0, 3), b -> CAST(b AS VARCHAR) || ':' || array_to_string(list_slice(sigs, b * 4 + 1, b * 4 + 4), '-'))"
 
+  /** Shared oracle fragment: signatures → band keys → distinct candidate
+    * pairs, from a CTE `sh(doc_id, sh)`. Used by every MinHash-band
+    * query so a banding change cannot desynchronize them.
+    */
+  private val sigBandsCandDuck =
+    s"""sig AS (SELECT doc_id, sh, $sigsDuck AS sigs FROM sh),
+       |bands AS (SELECT doc_id, unnest($bandsDuck) AS band_key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Band-bucket candidate pairs (doc_a < doc_b) from a (doc_id, sh)
+    * frame — the zero-shuffle-before-band-join shape shared by the
+    * MinHash family (pairs, edit-distance, clustering).
+    */
+  private def bandCandidates(sh: DataFrame): DataFrame = {
+    val bands = minhashSigs(sh)
+      .select(col("doc_id"), explode(expr(bandsSpark)).as("band_key"))
+      .persist()
+    bands.as("a")
+      .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Candidates verified by the exact merge-intersect Jaccard bound
+    * (5·|∩| ≥ 3·|∪|), carrying n_int / n_tot for consumers that report
+    * them. `sh` must be persisted by the caller (it is read three
+    * times: candidates + both verification joins).
+    */
+  private def verifiedStats(sh: DataFrame): DataFrame =
+    bandCandidates(sh)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // native merge-intersect over the sorted-distinct shingle arrays
+      .withColumn("n_int",
+        graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("n_tot", lng(expr("size(sh_a) + size(sh_b)")))
+      .filter(lit(5) * col("n_int") >= lit(3) * (col("n_tot") - col("n_int")))
+
   private val dedupMinhash = QueryDef(
     "q_dedup_minhash",
     "MinHash + LSH near-dup detection: shingle → 16-perm signature → " +
@@ -79,11 +120,7 @@ object DedupQueries {
       "exact Jaccard verification of candidates only (≥ 3/5).",
     Some(s"""WITH $plantedDuck,
             |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM u),
-            |sig AS (SELECT doc_id, sh, $sigsDuck AS sigs FROM sh),
-            |bands AS (SELECT doc_id, unnest($bandsDuck) AS band_key FROM sig),
-            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |         FROM bands a JOIN bands b
-            |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            |$sigBandsCandDuck,
             |verified AS (
             |  SELECT c.doc_a, c.doc_b,
             |         CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS n_int,
@@ -100,23 +137,7 @@ object DedupQueries {
       // without it every self-join side recomputes the shingle hashing
       val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
         .select("doc_id", "sh").persist()
-      val bands = minhashSigs(sh)
-        .select(col("doc_id"), explode(expr(bandsSpark)).as("band_key"))
-        .persist()
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        // native merge-intersect over the sorted-distinct shingle arrays
-        // (same value as the interpreted filter/array_contains HOF)
-        .withColumn("n_int",
-          graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
-        .withColumn("n_tot", lng(expr("size(sh_a) + size(sh_b)")))
-        .filter(lit(5) * col("n_int") >= lit(3) * (col("n_tot") - col("n_int")))
+      verifiedStats(sh)
         .select(col("doc_a"), col("doc_b"), col("n_int"),
           (col("n_tot") - col("n_int")).as("n_union"),
           round(dbl(col("n_int")) / (col("n_tot") - col("n_int")), 6).as("jaccard"))
@@ -415,11 +436,7 @@ object DedupQueries {
             |      SELECT doc_id + 100000 AS doc_id, text || ' zz yy' AS text FROM tbase),
             |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM t),
             |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM w),
-            |sig AS (SELECT doc_id, $sigsDuck AS sigs FROM sh),
-            |bands AS (SELECT doc_id, unnest($bandsDuck) AS band_key FROM sig),
-            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |         FROM bands a JOIN bands b
-            |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+            |$sigBandsCandDuck
             |SELECT c.doc_a, c.doc_b,
             |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
             |FROM cand c
@@ -435,15 +452,7 @@ object DedupQueries {
       val sh = t.withColumn("ws", split(col("text"), " "))
         .withColumn("sh", shingleHashes(col("ws"), 3))
         .select("doc_id", "sh")
-      val bands = minhashSigs(sh)
-        .select(col("doc_id"), explode(expr(bandsSpark)).as("band_key"))
-        .persist()
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val verified = cand
+      val verified = bandCandidates(sh)
         .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
         // levenshtein lower bound: dist ≥ |len_a − len_b| — kills most
@@ -474,11 +483,7 @@ object DedupQueries {
       "pair generation.",
     Some(s"""WITH $plantedDuck,
             |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM u),
-            |sig AS (SELECT doc_id, sh, $sigsDuck AS sigs FROM sh),
-            |bandt AS (SELECT doc_id, unnest($bandsDuck) AS band_key FROM sig),
-            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |         FROM bandt a JOIN bandt b
-            |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            |$sigBandsCandDuck,
             |verified AS (
             |  SELECT c.doc_a, c.doc_b
             |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
@@ -501,46 +506,34 @@ object DedupQueries {
     (s, d) => {
       val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
         .select("doc_id", "sh").persist()
-      val bands = minhashSigs(sh)
-        .select(col("doc_id"), explode(expr(bandsSpark)).as("band_key"))
-        .persist()
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val pairs = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("n_int",
-          graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
-        .withColumn("n_tot", lng(expr("size(sh_a) + size(sh_b)")))
-        .filter(lit(5) * col("n_int") >= lit(3) * (col("n_tot") - col("n_int")))
-        .select(col("doc_a"), col("doc_b"))
+      // persist pairs BEFORE the two-orientation union — otherwise both
+      // union branches would re-run the band join + verification
+      val pairs = verifiedStats(sh).select(col("doc_a"), col("doc_b")).persist()
       val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("ea", "eb").persist()
+        .toDF("ea", "eb")
       // Pregel-style min-label propagation: label(v) ← min(label(v),
       // min over neighbors' labels) until fixpoint. Converges in ≤
       // diameter iterations; each iteration is one shuffle join + one
       // min-aggregate — the BSP shape that scales to any graph Spark
       // can shuffle. Driver-side state: one Long per iteration.
       var labels = sh.select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
+      var prevJoined: org.apache.spark.sql.DataFrame = null
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 50) {
         val nbrMin = edges.join(labels, col("eb") === col("node"))
           .groupBy(col("ea")).agg(min("label").as("nbr"))
-        val next = labels.join(nbrMin, col("node") === col("ea"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-          .persist()
-        changed = next.join(
-          labels.select(col("node").as("n2"), col("label").as("old")),
-          col("node") === col("n2"))
-          .filter(col("label") =!= col("old")).count()
+        // one cached join serves BOTH the convergence count (nbr <
+        // label rows) and the next label frame — no second join purely
+        // to diff old vs new labels
+        val joined = labels.join(nbrMin, col("node") === col("ea"), "left").persist()
+        changed = joined.filter(coalesce(col("nbr") < col("label"), lit(false))).count()
+        if (prevJoined != null) prevJoined.unpersist(blocking = false)
         labels.unpersist(blocking = false)
-        labels = next
+        labels = joined.select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        prevJoined = joined
         iter += 1
       }
       require(changed == 0, s"label propagation did not converge in $iter iterations")

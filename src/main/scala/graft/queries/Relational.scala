@@ -674,6 +674,71 @@ object Relational {
     }
   )
 
+  private val exceptAll = QueryDef(
+    "q_except_all",
+    "EXCEPT ALL (bag semantics): multiplicities subtract instead of " +
+      "the distinct collapse q_except does — the dedup-aware set " +
+      "difference (lineitem orderkeys minus one occurrence per " +
+      "returned-flag row).",
+    Some("""SELECT l_orderkey FROM lineitem WHERE l_quantity >= 30
+           |EXCEPT ALL
+           |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+           |ORDER BY l_orderkey""".stripMargin),
+    (s, d) => {
+      val l = lineitem(s, d)
+      l.filter(col("l_quantity") >= 30).select("l_orderkey")
+        .exceptAll(l.filter(col("l_returnflag") === "R").select("l_orderkey"))
+        .orderBy("l_orderkey")
+    }
+  )
+
+  private val intersectAll = QueryDef(
+    "q_intersect_all",
+    "INTERSECT ALL (bag semantics): min(multiplicity) per value is " +
+      "kept, vs the distinct collapse of q_intersect.",
+    Some("""SELECT l_orderkey FROM lineitem WHERE l_quantity >= 30
+           |INTERSECT ALL
+           |SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05
+           |ORDER BY l_orderkey""".stripMargin),
+    (s, d) => {
+      val l = lineitem(s, d)
+      l.filter(col("l_quantity") >= 30).select("l_orderkey")
+        .intersectAll(l.filter(col("l_discount") >= 0.05).select("l_orderkey"))
+        .orderBy("l_orderkey")
+    }
+  )
+
+  private val sqlLateral = QueryDef(
+    "q_sql_lateral",
+    "Correlated LATERAL subquery (top-2 orders per customer by price): " +
+      "Catalyst decorrelates the per-row subquery into a ranked window " +
+      "join (DecorrelateInnerQuery) — no per-customer re-execution at " +
+      "any scale, same answers as DuckDB's lateral.",
+    Some("""SELECT c.c_custkey, o.ok, o.price
+           |FROM customer c, LATERAL (
+           |  SELECT o_orderkey AS ok,
+           |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |  FROM orders
+           |  WHERE o_custkey = c.c_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+           |WHERE c.c_custkey < 500
+           |ORDER BY c.c_custkey, o.ok""".stripMargin),
+    (s, d) => {
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, o.ok, o.price
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey AS ok,
+          |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          |  FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_custkey < 500
+          |ORDER BY c.c_custkey, o.ok""".stripMargin)
+    }
+  )
+
   private val tpchQ1 = QueryDef(
     "q_tpch_q1",
     "TPC-H Q1-shaped pricing summary: one full lineitem pass, exact " +
@@ -736,6 +801,7 @@ object Relational {
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
     joinTheta, joinAsof, joinBand,
     aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
-    sortLimit, topkGroup, union, intersect, except,
+    sortLimit, topkGroup, union, intersect, except, exceptAll, intersectAll,
+    sqlLateral,
     tpchQ3, tpchQ5, tpchQ1, tpchQ6)
 }

@@ -41,6 +41,23 @@ class CompactSpec extends AnyFunSuite {
     assert(partFiles(in).size == 40)
   }
 
+  test("compactJson: declared-schema JSONL compaction, same rows") {
+    val base = Files.createTempDirectory("graft_compact_json").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    spark.range(0, 5000)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .repartition(20).write.json(in)
+    assert(partFiles(in).size == 20)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    val bytes = Compact.dirBytes(spark, in)
+    val n = Compact.compactJson(spark, in, out, schema, bytes / 2 + 1)
+    assert(n == 2 && partFiles(out).size == 2)
+    val a = spark.read.schema(schema).json(in)
+    val b = spark.read.schema(schema).json(out)
+    assert(b.count() == 5000 && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("targetFiles never returns 0 and ignores _metadata files") {
     val dir = Files.createTempDirectory("graft_compact_empty").toString
     Files.write(new File(dir, "_SUCCESS").toPath, Array.emptyByteArray)

@@ -714,10 +714,12 @@ object Relational {
       "Catalyst decorrelates the per-row subquery into a ranked window " +
       "join (DecorrelateInnerQuery) — no per-customer re-execution at " +
       "any scale, same answers as DuckDB's lateral.",
+    // price stays the source DOUBLE untouched: a double→decimal cast here
+    // rounds half-up in Spark but half-even in DuckDB, so the same value
+    // can hash differently (seen in CORRECTNESS_r03 as the lone mismatch)
     Some("""SELECT c.c_custkey, o.ok, o.price
            |FROM customer c, LATERAL (
-           |  SELECT o_orderkey AS ok,
-           |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |  SELECT o_orderkey AS ok, o_totalprice AS price
            |  FROM orders
            |  WHERE o_custkey = c.c_custkey
            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
@@ -729,8 +731,7 @@ object Relational {
       s.sql(
         """SELECT c.c_custkey, o.ok, o.price
           |FROM customer c, LATERAL (
-          |  SELECT o_orderkey AS ok,
-          |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          |  SELECT o_orderkey AS ok, o_totalprice AS price
           |  FROM orders
           |  WHERE o_custkey = c.c_custkey
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o

@@ -10,7 +10,8 @@ object Inventory {
     Relational.defs ++ VectorQueries.defs ++ WindowQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ AnnQueries.defs ++
       TextAnalysisQueries.defs ++ PipelineQueries.defs ++
-      StreamingQueries.defs ++ AnalyticsQueries.defs ++ PdfQueries.defs
+      StreamingQueries.defs ++ AnalyticsQueries.defs ++ PdfQueries.defs ++
+      SessionQueries.defs ++ RankingQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Corpus-statistics and ranking operators over `documents`: TF-IDF
+  * term weighting, BM25 retrieval scoring, n-gram frequency, vocabulary
+  * pruning, and deterministic stratified sampling — the lexical half of
+  * the training-data pipeline (the vector half lives in AnnQueries /
+  * DedupQueries).
+  *
+  * Float-parity rules (Det): idf uses the RATIONAL form (N+1)/(df+1)
+  * rather than its logarithm — ln/log are transcendental, their last-ulp
+  * behavior is libm-specific, and a 1-ulp drift can flip a rounded 6th
+  * decimal or a rank order; +, −, ×, ÷, sqrt are IEEE-exact-rounded and
+  * therefore engine-identical. Rankings order by the UNROUNDED score
+  * (identical doubles ⇒ identical order); only output values round.
+  *
+  * Scale shapes (PLANS.md): tokenization explodes inside the scan
+  * stage; tf reduces with map-side combine on (doc, term); df derives
+  * from the tf table (no second corpus pass); corpus scalars (N, Σdl)
+  * and per-query-term df rows broadcast. The only data-sized shuffles
+  * are the (doc,term) and term reductions — both key-partitioned and
+  * combine-friendly at any corpus size.
+  */
+object RankingQueries {
+
+  /** ASCII letter-run tokens from lowercased text — same extraction on
+    * both engines (q_token_count's regexp_extract_all discipline).
+    */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("toks"))
+
+  private val tokenSql =
+    "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+
+  /** (doc_id, term, tf) — the shared term-frequency reduction. */
+  private def tf(s: SparkSession, d: String): DataFrame =
+    toks(s, d).select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  private val tfidf = QueryDef(
+    "q_tfidf",
+    "TF-IDF top-5 terms per document with rational idf (N+1)/(df+1) — " +
+      "see the object scaladoc for why ln is banned. df is derived " +
+      "from the tf table (one corpus pass total); the scalar doc count " +
+      "broadcasts; the per-doc top-5 rank filter compiles to " +
+      "WindowGroupLimit (partial top-k before the exchange).",
+    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+           |         tf.tf * ((n.n_docs + 1.0) / (df.df + 1.0)) AS score_raw
+           |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |                ORDER BY score_raw DESC, term) AS rn FROM sc)
+           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           |       round(score_raw, 6) AS score
+           |FROM r WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin),
+    (s, d) => {
+      val tff = tf(s, d)
+      val dff = tff.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_raw").desc, col("term"))
+      tff.join(dff, "term").crossJoin(broadcast(n))
+        .withColumn("score_raw",
+          col("tf") * ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("term"), lng(col("tf")).as("tf"),
+          round(col("score_raw"), 6).as("score"))
+        .orderBy("doc_id", "term")
+    }
+  )
+
+  private val bm25Terms = Seq("spark", "vector", "stream")
+
+  private val bm25 = QueryDef(
+    "q_bm25",
+    "BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query, " +
+      "top-20 docs. Rational idf (N-df+0.5)/(df+0.5); per-term " +
+      "contributions pivot to columns and add in FIXED left-to-right " +
+      "order — a per-doc sum() over terms would be order-nondeterministic " +
+      "across engines. avgdl is one exact-integer-sum division. Query-" +
+      "term tf rows are a tiny filtered slice; df and corpus scalars " +
+      "broadcast; doc-length join is key-partitioned on doc_id.",
+    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term FROM documents),
+           |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS dl FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           |       WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+           |j AS (SELECT tf.doc_id, tf.term,
+           |        ((c.n_docs - df.df + 0.5) / (df.df + 0.5))
+           |          * ((tf.tf * 2.2)
+           |             / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs))))) AS contrib
+           |      FROM tf JOIN df ON tf.term = df.term
+           |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
+           |p AS (SELECT doc_id,
+           |        max(CASE WHEN term = 'spark'  THEN contrib END) AS c1,
+           |        max(CASE WHEN term = 'vector' THEN contrib END) AS c2,
+           |        max(CASE WHEN term = 'stream' THEN contrib END) AS c3
+           |      FROM j GROUP BY doc_id)
+           |SELECT doc_id,
+           |       round(coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0), 6) AS bm25
+           |FROM p ORDER BY coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0) DESC, doc_id
+           |LIMIT 20""".stripMargin),
+    (s, d) => {
+      val dl = toks(s, d).select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val tff = tf(s, d).filter(col("term").isin(bm25Terms: _*))
+      val dff = tff.groupBy("term").agg(count(lit(1)).as("df"))
+      val c = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val contrib =
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl") / (dbl(col("sum_dl")) / col("n_docs"))))))
+      val p = tff.join(broadcast(dff), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(c))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(max(when(col("term") === "spark", col("contrib"))).as("c1"),
+          max(when(col("term") === "vector", col("contrib"))).as("c2"),
+          max(when(col("term") === "stream", col("contrib"))).as("c3"))
+      val score = coalesce(col("c1"), lit(0.0)) + coalesce(col("c2"), lit(0.0)) +
+        coalesce(col("c3"), lit(0.0))
+      p.select(col("doc_id"), round(score, 6).as("bm25"), score.as("__ord"))
+        .orderBy(col("__ord").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("bm25"))
+    }
+  )
+
+  private val ngramFreq = QueryDef(
+    "q_ngram_freq",
+    "Corpus-wide top-50 token bigrams: adjacent-pair construction " +
+      "inside the scan stage (transform over an index sequence — no " +
+      "self-join on position), explode, one combine-friendly count " +
+      "reduction, TakeOrderedAndProject for the global top-50. " +
+      "Single-token docs are filtered before pairing (a descending " +
+      "sequence(1,0) would otherwise fabricate pairs).",
+    Some("""WITH t AS (SELECT regexp_extract_all(lower(text), '([a-z]+)', 1) AS toks FROM documents),
+           |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+           |                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+           |      FROM t WHERE len(toks) >= 2)
+           |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+           |FROM b GROUP BY bigram
+           |ORDER BY n DESC, bigram LIMIT 50""".stripMargin),
+    (s, d) => toks(s, d)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(lng(count(lit(1))).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  )
+
+  private val vocabPrune = QueryDef(
+    "q_vocab_prune",
+    "Vocabulary pruning: terms kept iff df ≥ 5 and df·2 ≤ N (rare- and " +
+      "stop-term cut, integer comparisons only — no ratio floats); per " +
+      "doc the kept/dropped token occurrence counts and distinct kept " +
+      "terms. The standard vocab-trim pass before tokenizer training. " +
+      "df joins against the tf table on term; all sums are exact ints.",
+    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT tf.doc_id,
+           |  CAST(sum(CASE WHEN df.df >= 5 AND df.df * 2 <= n.n_docs THEN tf.tf ELSE 0 END) AS BIGINT) AS kept_tokens,
+           |  CAST(sum(CASE WHEN df.df >= 5 AND df.df * 2 <= n.n_docs THEN 0 ELSE tf.tf END) AS BIGINT) AS dropped_tokens,
+           |  CAST(sum(CASE WHEN df.df >= 5 AND df.df * 2 <= n.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS kept_terms
+           |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+           |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+    (s, d) => {
+      val tff = tf(s, d)
+      val dff = tff.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val kept = col("df") >= 5 && col("df") * 2 <= col("n_docs")
+      tff.join(dff, "term").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(lng(sum(when(kept, col("tf")).otherwise(0))).as("kept_tokens"),
+          lng(sum(when(kept, 0).otherwise(col("tf")))).as("dropped_tokens"),
+          lng(sum(when(kept, 1).otherwise(0))).as("kept_terms"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val sampleStratified = QueryDef(
+    "q_sample_stratified",
+    "Deterministic stratified sampling: exactly min(n, 50) docs per " +
+      "language, chosen by multiplicative-hash order (Knuth 2654435761 " +
+      "mod 1e9+7) — a pure function of the key like q_split_train_test, " +
+      "so the sample survives retries, repartitioning, and engine " +
+      "changes, unlike rand()/TABLESAMPLE. The rank-≤-50 filter " +
+      "compiles to WindowGroupLimit: each task keeps ≤50 rows per " +
+      "stratum BEFORE the exchange, so the low-cardinality lang " +
+      "partition never funnels the full table through one task.",
+    Some("""WITH h AS (SELECT lang, doc_id,
+           |             (doc_id * 2654435761) % 1000000007 AS hk FROM documents),
+           |r AS (SELECT lang, doc_id, hk,
+           |        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+           |      FROM h)
+           |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+           |FROM r WHERE rn <= 50 ORDER BY lang, rn""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+      documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          ((col("doc_id") * 2654435761L) % 1000000007L).as("hk"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("lang"), col("doc_id"), lng(col("rn")).as("rn"))
+        .orderBy("lang", "rn")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(tfidf, bm25, ngramFreq, vocabPrune,
+    sampleStratified)
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Event-sequence and feature-preparation operators over the `events`
+  * table: the batch sessionization / cohort-retention / transition-
+  * matrix / feature-scaling primitives a training-data pipeline runs
+  * before any model sees a row.
+  *
+  * Scale shapes (PLANS.md): every window here partitions by `user_id`
+  * (high-cardinality — parallelism grows with the data), never by the
+  * 5-value `event_type`; the per-type statistics joins broadcast a
+  * ≤5-row aggregate. Timestamps flow as epoch-µs BIGINTs end-to-end
+  * (Det rule) so both engines bin and hash identically.
+  */
+object SessionQueries {
+
+  /** Shared projection: epoch-µs + tie-broken event ordering. */
+  private def eventsUs(s: org.apache.spark.sql.SparkSession, d: String) =
+    events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), unix_micros(col("ts")).as("us"))
+
+  private val sessionize = QueryDef(
+    "q_sessionize",
+    "Batch sessionization: per-user 30-minute-gap sessions via the " +
+      "classic lag→break-flag→running-sum assignment, then one row per " +
+      "session with its event count and µs bounds. Both windows " +
+      "partition by user_id (high cardinality, scales out); ties on " +
+      "identical timestamps are broken by event_id so session ids are " +
+      "deterministic across engines, retries and repartitioning. The " +
+      "batch twin of the streaming q_stream_session.",
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+           |g AS (SELECT user_id, event_id, us,
+           |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+           |             THEN 1 ELSE 0 END AS brk
+           |      FROM e),
+           |x AS (SELECT user_id, us,
+           |        sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_seq
+           |      FROM g)
+           |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       min(us) AS start_us, max(us) AS end_us
+           |FROM x GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsUs(s, d)
+        .withColumn("brk",
+          when(col("us") - lag("us", 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_seq", sum("brk").over(wRun) + 1)
+        .groupBy("user_id", "session_seq")
+        .agg(lng(count(lit(1))).as("n_events"),
+          min("us").as("start_us"), max("us").as("end_us"))
+        .select(col("user_id"), lng(col("session_seq")).as("session_seq"),
+          col("n_events"), col("start_us"), col("end_us"))
+        .orderBy("user_id", "session_seq")
+    }
+  )
+
+  private val retention = QueryDef(
+    "q_retention",
+    "Cohort retention: users cohorted by their first active epoch-day, " +
+      "distinct active users per (cohort_day, day_offset) cell — the " +
+      "standard retention-triangle input. Day buckets use the same " +
+      "floor-division trick as q_gap_fill so negative epochs bin " +
+      "identically in both engines. The user_id equi-join co-partitions " +
+      "with the first-day aggregate; counts only, no float risk.",
+    Some("""WITH e AS (SELECT user_id,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+           |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+           |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+           |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+           |FROM e JOIN f ON e.user_id = f.user_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      // floor division (matches DuckDB `//`), not Spark's truncating DIV
+      val dayExpr =
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000"
+      val e = events(s, d).select(col("user_id"), expr(dayExpr).as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(lng(countDistinct(col("user_id"))).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }
+  )
+
+  private val markov = QueryDef(
+    "q_markov",
+    "Event-transition matrix (order-1 Markov estimate): per-user " +
+      "next-event via lead(), transition counts, and row-normalized " +
+      "probabilities. The lead window partitions by user_id; the " +
+      "normalizing sum windows over the tiny (type × type) count table. " +
+      "prob = count/rowsum is a single exact-integer division — engine-" +
+      "identical doubles. The sequence-modeling dataset-prep primitive.",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+           |s AS (SELECT event_type,
+           |        lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+           |      FROM e),
+           |t AS (SELECT event_type, next_type, count(*) AS n FROM s
+           |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS prob
+           |FROM t ORDER BY event_type, next_type""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val t = eventsUs(s, d)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("event_type")
+      t.select(col("event_type"), col("next_type"), lng(col("n")).as("n"),
+          round(dbl(col("n")) / sum("n").over(wt), 6).as("prob"))
+        .orderBy("event_type", "next_type")
+    }
+  )
+
+  private val movingAvg = QueryDef(
+    "q_moving_avg",
+    "Time-range moving average: per-user 1-hour trailing mean of " +
+      "`value` via a RANGE window over epoch-µs (not ROWS — peers at " +
+      "the same instant enter together, and the frame is defined by " +
+      "time, not row count). Exact DECIMAL sum over the frame, one " +
+      "double division at the end (Det rule). Partitioned by user_id, " +
+      "so frame state stays small and parallelism scales with users.",
+    Some("""WITH e AS (SELECT event_id, user_id,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |             CAST(value AS DECIMAL(18,2)) AS v FROM events)
+           |SELECT event_id, user_id,
+           |       round(CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w, 6) AS avg_1h
+           |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+           |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      eventsUs(s, d).withColumn("v", money(col("value")))
+        .select(col("event_id"), col("user_id"),
+          round(dbl(sum("v").over(w)) / count(lit(1)).over(w), 6).as("avg_1h"))
+        .orderBy("event_id")
+    }
+  )
+
+  private val zscore = QueryDef(
+    "q_zscore",
+    "Z-score outlier detection: per-type mean/variance from exact " +
+      "DECIMAL moments (the q_moments discipline — native stddev is " +
+      "banned, its float summation order differs between engines), " +
+      "then |z| > 2.5 rows flagged. The ≤5-row moment table broadcasts; " +
+      "the threshold tests the UNROUNDED z so both engines keep the " +
+      "same rows, and only the output value is rounded.",
+    Some("""WITH m AS (SELECT event_type, count(*) AS n,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+           |  FROM events GROUP BY event_type),
+           |z AS (SELECT e.event_id, e.event_type,
+           |        (CAST(e.value AS DOUBLE) - m.sx / m.n)
+           |          / sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)) AS z
+           |      FROM events e JOIN m ON e.event_type = m.event_type)
+           |SELECT event_id, event_type, round(z, 6) AS z
+           |FROM z WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val m = events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        dbl(sum(money(col("value")))).as("sx"),
+        dbl(sum(money(col("value")) * money(col("value")))).as("sxx"))
+      val z = (dbl(col("value")) - col("sx") / col("n")) /
+        sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+      events(s, d).join(broadcast(m), "event_type")
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), round(col("z"), 6).as("z"))
+        .orderBy("event_id")
+    }
+  )
+
+  private val minmaxNorm = QueryDef(
+    "q_minmax_norm",
+    "Min-max feature scaling: (value - min)/(max - min) per event " +
+      "type. min/max are exact (no summation-order hazard) and the " +
+      "rescale is one subtraction + one division on identical doubles " +
+      "— engine-exact without any DECIMAL detour. Degenerate groups " +
+      "(max = min) pin to 0.5. Stats side broadcasts (≤5 rows).",
+    Some("""WITH m AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+           |           FROM events GROUP BY event_type)
+           |SELECT e.event_id, e.event_type,
+           |       round(CASE WHEN m.mx = m.mn THEN 0.5
+           |                  ELSE (e.value - m.mn) / (m.mx - m.mn) END, 6) AS norm
+           |FROM events e JOIN m ON e.event_type = m.event_type
+           |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val m = events(s, d).groupBy("event_type")
+        .agg(min("value").as("mn"), max("value").as("mx"))
+      events(s, d).join(broadcast(m), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(when(col("mx") === col("mn"), 0.5)
+            .otherwise((col("value") - col("mn")) / (col("mx") - col("mn"))), 6)
+            .as("norm"))
+        .orderBy("event_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(sessionize, retention, markov, movingAvg,
+    zscore, minmaxNorm)
+}

@@ -29,6 +29,34 @@ import graft.util.Det._
   */
 object Skew {
 
+  /** Salt-replicated equi-join: the structural skew fix for joins.
+    *
+    * A hot join key concentrates its entire matching volume in one
+    * shuffle-join task (AQE's skew split handles this reactively, but
+    * only for sort-merge partitions it can see; salting is the
+    * proactive form that also survives a skewed build side). The big
+    * side gets a deterministic salt in [0, buckets); the small side is
+    * replicated once per salt value; the join key becomes (key, salt),
+    * so one hot key spreads over `buckets` tasks. Row-for-row identical
+    * to the plain equi-join (each big-side row matches exactly the
+    * replica carrying its salt). `saltSource` must be deterministic —
+    * rand() re-salts differently on task retry and silently loses rows.
+    *
+    * The small side is hinted shuffle_hash: if it were broadcast the
+    * salt would be pointless (broadcast joins don't shuffle the big
+    * side); the use case is a small side past the broadcast threshold.
+    */
+  def saltedEquiJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, saltSource: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    val b = big.withColumn("_salt_b", pmod(saltSource, lit(buckets)))
+    val s = small.withColumn("_salt_s",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    b.join(s.hint("shuffle_hash"),
+        col(bigKey) === col(smallKey) && col("_salt_b") === col("_salt_s"))
+      .drop("_salt_b", "_salt_s")
+  }
+
   /** Two-stage salted count + exact decimal sum per key. `saltSource`
     * must be a high-cardinality deterministic column.
     */

@@ -11,7 +11,7 @@ object Inventory {
       TextQueries.defs ++ DedupQueries.defs ++ AnnQueries.defs ++
       TextAnalysisQueries.defs ++ PipelineQueries.defs ++
       StreamingQueries.defs ++ AnalyticsQueries.defs ++ PdfQueries.defs ++
-      SessionQueries.defs ++ RankingQueries.defs
+      SessionQueries.defs ++ RankingQueries.defs ++ WarehouseQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

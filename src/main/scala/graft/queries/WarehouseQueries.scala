@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.ops.Skew
+import graft.util.Det._
+
+/** Warehouse-maintenance and dataset-composition operators: SCD2
+  * (slowly-changing-dimension) merge, deterministic source-weighted
+  * data mixing, the salt-replicated skew join, and equi-depth quantile
+  * binning — the table-maintenance half of a production pipeline that
+  * the purely analytical inventory doesn't exercise.
+  *
+  * Scale shapes (PLANS.md r4): scd2 is two co-partitioned custkey
+  * joins + a union (one logical pass over the dim); data_mix is a
+  * scan-stage filter (pure function of the key — no sampling pass, no
+  * shuffle); join_salted bounds every join task at hot-key-volume /
+  * buckets; quantile_bucket broadcasts a ≤5-row cutpoint table.
+  */
+object WarehouseQueries {
+
+  private val scd2 = QueryDef(
+    "q_scd2_merge",
+    "SCD2 (type-2 slowly-changing-dimension) merge: an update batch — " +
+      "customers with an odd order count get acctbal +100 — lands on " +
+      "the dim as history rows: updated keys carry a closed version 1 " +
+      "and a current version 2, untouched keys stay at version 1. The " +
+      "CDC upsert-with-history primitive (MERGE INTO ... WHEN MATCHED) " +
+      "expressed as two co-partitioned joins + a union; +100.0 is one " +
+      "IEEE double addition, engine-exact.",
+    Some("""WITH upd AS (SELECT o_custkey AS k FROM orders
+           |             GROUP BY 1 HAVING count(*) % 2 = 1)
+           |SELECT c.c_custkey, 1 AS version, c.c_mktsegment,
+           |       c.c_acctbal AS acctbal,
+           |       (u.k IS NULL) AS is_current
+           |FROM customer c LEFT JOIN upd u ON c.c_custkey = u.k
+           |UNION ALL
+           |SELECT c.c_custkey, 2 AS version, c.c_mktsegment,
+           |       c.c_acctbal + 100.0 AS acctbal, true AS is_current
+           |FROM customer c JOIN upd u ON c.c_custkey = u.k
+           |ORDER BY c_custkey, version""".stripMargin),
+    (s, d) => {
+      val upd = orders(s, d).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n")).filter(col("n") % 2 === 1).select("k")
+      val c = customer(s, d)
+      val v1 = c.join(upd, col("c_custkey") === col("k"), "left")
+        .select(col("c_custkey"), lit(1).as("version"), col("c_mktsegment"),
+          col("c_acctbal").as("acctbal"), col("k").isNull.as("is_current"))
+      val v2 = c.join(upd, col("c_custkey") === col("k"))
+        .select(col("c_custkey"), lit(2).as("version"), col("c_mktsegment"),
+          (col("c_acctbal") + 100.0).as("acctbal"), lit(true).as("is_current"))
+      v1.unionAll(v2).orderBy("c_custkey", "version")
+    }
+  )
+
+  private val dataMix = QueryDef(
+    "q_data_mix",
+    "Deterministic source-weighted data mixing: each source srcN keeps " +
+      "a per-source fraction ((N mod 10)·10 + 5)% of its docs, selected " +
+      "by the same multiplicative-hash bucket as q_split_train_test — " +
+      "a pure function of (doc_id, source), so the mix is reproducible " +
+      "across runs, retries and engines, needs no sampling pass, and " +
+      "composes with any upstream filter. The corpus-composition step " +
+      "every multi-source training run starts with; the filter runs " +
+      "inside the scan stage, zero extra shuffles.",
+    Some("""SELECT source, doc_id
+           |FROM (SELECT source, doc_id,
+           |        (CAST(substr(source, 4) AS INT) % 10) * 10 + 5 AS keep_pct,
+           |        (doc_id * 2654435761) % 100 AS bucket
+           |      FROM documents)
+           |WHERE bucket < keep_pct
+           |ORDER BY source, doc_id""".stripMargin),
+    (s, d) => documents(s, d)
+      .select(col("source"), col("doc_id"),
+        ((substring(col("source"), 4, 10).cast("int") % 10) * 10 + 5).as("keep_pct"),
+        ((col("doc_id") * 2654435761L) % 100).as("bucket"))
+      .filter(col("bucket") < col("keep_pct"))
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+  )
+
+  private val joinSalted = QueryDef(
+    "q_join_salted",
+    "Salt-replicated skew join (graft.ops.Skew.saltedEquiJoin): " +
+      "lineitem joins supplier on (suppkey, salt∈[0,8)) with the " +
+      "supplier side replicated ×8 — one hot supplier key spreads over " +
+      "8 join tasks instead of funneling through one. Row-identical to " +
+      "the plain equi-join the oracle runs (proven by the hash " +
+      "compare); shuffle_hash-hinted because a broadcastable small " +
+      "side wouldn't need salting. Revenue per supplier nation.",
+    Some("""SELECT s.s_nationkey,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           |                * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           |       CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |GROUP BY s.s_nationkey ORDER BY s.s_nationkey""".stripMargin),
+    (s, d) => {
+      val joined = Skew.saltedEquiJoin(
+        lineitem(s, d), "l_suppkey", supplier(s, d), "s_suppkey",
+        saltSource = col("l_orderkey") * 31 + col("l_linenumber"), buckets = 8)
+      joined.groupBy("s_nationkey")
+        .agg(dbl(sum(expr(
+          "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")))
+          .as("revenue"),
+          lng(count(lit(1))).as("n_items"))
+        .orderBy("s_nationkey")
+    }
+  )
+
+  private val quantileBucket = QueryDef(
+    "q_quantile_bucket",
+    "Equi-depth (quantile) binning: per-type p25/p50/p75 cutpoints " +
+      "(exact interpolated percentiles, the q_quantiles parity " +
+      "discipline, ROUNDED before comparison so both engines bucket on " +
+      "identical doubles) broadcast back onto the events; per-(type, " +
+      "bucket) counts and exact decimal sums. The feature-binning " +
+      "primitive — unlike q_histogram's fixed width, bin edges adapt " +
+      "to the distribution. No global sort, no ntile: a ≤5-row " +
+      "cutpoint aggregate + a map-side CASE.",
+    Some("""WITH c AS (SELECT event_type,
+           |    round(quantile_cont(value, 0.25), 6) AS c1,
+           |    round(quantile_cont(value, 0.50), 6) AS c2,
+           |    round(quantile_cont(value, 0.75), 6) AS c3
+           |  FROM events GROUP BY event_type)
+           |SELECT e.event_type,
+           |  CASE WHEN e.value < c.c1 THEN 0 WHEN e.value < c.c2 THEN 1
+           |       WHEN e.value < c.c3 THEN 2 ELSE 3 END AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events e JOIN c ON e.event_type = c.event_type
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val cuts = events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.25)"), 6).as("c1"),
+        round(expr("percentile(value, 0.50)"), 6).as("c2"),
+        round(expr("percentile(value, 0.75)"), 6).as("c3"))
+      events(s, d).join(broadcast(cuts), "event_type")
+        .withColumn("bucket",
+          when(col("value") < col("c1"), 0)
+            .when(col("value") < col("c2"), 1)
+            .when(col("value") < col("c3"), 2).otherwise(3))
+        .groupBy("event_type", "bucket")
+        .agg(lng(count(lit(1))).as("n"),
+          dbl(sum(money(col("value")))).as("sum_value"))
+        .orderBy("event_type", "bucket")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket)
+}

@@ -797,6 +797,72 @@ object Relational {
         count(lit(1)).as("n_rows"))
   )
 
+  private val tpchQ10 = QueryDef(
+    "q_tpch_q10",
+    "TPC-H Q10-shaped returned-item report: top-20 customers by revenue " +
+      "lost to returns in one quarter. Fact side filtered at the scan " +
+      "(returnflag + order-date pushdown), nation broadcast, customer " +
+      "joined on the aggregation key, top-20 via TakeOrderedAndProject " +
+      "(never a full sort of the aggregate).",
+    Some("""SELECT c.c_custkey, c.c_name, n.n_name,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           |FROM customer c
+           |JOIN orders o ON o.o_custkey = c.c_custkey
+           |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           |JOIN nation n ON n.n_nationkey = c.c_nationkey
+           |WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+           |  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+           |  AND l.l_returnflag = 'R'
+           |GROUP BY c.c_custkey, c.c_name, n.n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dbl(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }
+  )
+
+  private val tpchQ18 = QueryDef(
+    "q_tpch_q18",
+    "TPC-H Q18-shaped large-order report: orders whose total quantity " +
+      "exceeds 150, with their customer. The HAVING subquery becomes a " +
+      "self-aggregation + semi-join shape: lineitem aggregates once on " +
+      "l_orderkey (map-side combine), the qualifying-key set joins back " +
+      "— no correlated re-execution, one pass over the fact table.",
+    Some("""WITH big AS (
+           |  SELECT l_orderkey,
+           |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+           |  FROM lineitem GROUP BY l_orderkey
+           |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+           |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           |       epoch_us(o.o_orderdate) AS o_date_us, b.total_qty
+           |FROM big b
+           |JOIN orders o ON o.o_orderkey = b.l_orderkey
+           |JOIN customer c ON c.c_custkey = o.o_custkey
+           |ORDER BY b.total_qty DESC, o.o_orderkey""".stripMargin),
+    (s, d) => {
+      val big = lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(money(col("l_quantity"))).as("q"))
+        .filter(col("q") > 150)
+        .select(col("l_orderkey"), dbl(col("q")).as("total_qty"))
+      big.join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          // NTZ → LTZ is identity under the session's pinned UTC zone
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(
     scanParquet, scanJsonl, scanCsv, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
@@ -804,5 +870,5 @@ object Relational {
     aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
     sortLimit, topkGroup, union, intersect, except, exceptAll, intersectAll,
     sqlLateral,
-    tpchQ3, tpchQ5, tpchQ1, tpchQ6)
+    tpchQ3, tpchQ5, tpchQ1, tpchQ6, tpchQ10, tpchQ18)
 }

@@ -147,5 +147,49 @@ object WarehouseQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket)
+  private val unpivot = QueryDef(
+    "q_unpivot",
+    "Unpivot / melt (wide → long): each lineitem row's (quantity, " +
+      "discount, tax) becomes three (metric, val) rows — Spark's " +
+      "stack() generator, a scan-stage row expansion with zero " +
+      "shuffles before the oracle sort; the oracle expresses the same " +
+      "reshape as a 3-way UNION ALL. Values pass through untouched " +
+      "(no arithmetic, no float hazard). The long-format step feature " +
+      "stores and plotting/ML libraries expect.",
+    Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+           |  SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val
+           |  FROM lineitem WHERE l_orderkey < 2000
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
+           |  FROM lineitem WHERE l_orderkey < 2000
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+           |  FROM lineitem WHERE l_orderkey < 2000)
+           |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin),
+    (s, d) => lineitem(s, d)
+      .filter(col("l_orderkey") < 2000)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'discount', l_discount, 'quantity', l_quantity, 'tax', l_tax) AS (metric, val)")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  )
+
+  private val kAnon = QueryDef(
+    "q_k_anon",
+    "k-anonymity audit (k=10) over the quasi-identifier pair " +
+      "(nationkey, mktsegment): group sizes plus an at_risk flag for " +
+      "groups smaller than k — the privacy pre-check a training corpus " +
+      "runs before release, and the aggregate q_pii_redact's row-level " +
+      "redaction complements. One combine-friendly count, integer-only.",
+    Some("""SELECT c_nationkey, c_mktsegment,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       (count(*) < 10) AS at_risk
+           |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(lng(count(lit(1))).as("n"), (count(lit(1)) < 10).as("at_risk"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  )
+
+  val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket,
+    unpivot, kAnon)
 }

@@ -546,6 +546,49 @@ object DedupQueries {
     }
   )
 
+  /** Train/eval decontamination — the n-gram-overlap audit every
+    * training corpus runs before release (eval-set leakage detection).
+    * Eval split = the q_split_train_test hash discipline (pure function
+    * of doc_id, retry/repartition-stable). Word-4-grams explode inside
+    * the scan stage; the join key is the raw gram string so the oracle
+    * is engine-exact (at 100 TB both sides would first hash grams to
+    * 64-bit keys — same plan, narrower shuffle). No broadcast hint:
+    * real eval suites are MB-scale and AQE broadcasts them; the
+    * declared plan is the general hash-partitioned shape, and hot
+    * grams (common phrases) skew-split under AQE.
+    */
+  private val contamination = QueryDef(
+    "q_contamination",
+    "Train/eval decontamination: for each training doc, the number of " +
+      "distinct word-4-grams it shares with the held-out eval split " +
+      "(doc_id % 10 == 0). Grams explode in the scan stage; distinct " +
+      "eval grams reduce before the join; the hit count is a " +
+      "combine-friendly distinct per doc.",
+    Some("""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+           |            FROM documents),
+           |g AS (SELECT doc_id, unnest([array_to_string(t[i:i+3], ' ') for i in range(1, len(t)-2)]) AS gram
+           |      FROM tok WHERE len(t) >= 4),
+           |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+           |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+           |FROM g JOIN ev USING (gram)
+           |WHERE g.doc_id % 10 <> 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("t"))
+        .filter(size(col("t")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 3), i -> concat_ws(' ', slice(t, i, 4)))")).as("gram"))
+      val ev = grams.filter(col("doc_id") % 10 === 0).select("gram").distinct()
+      grams.filter(col("doc_id") % 10 =!= 0)
+        .join(ev, "gram")
+        .groupBy("doc_id")
+        .agg(lng(countDistinct(col("gram"))).as("n_hits"))
+        .orderBy("doc_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(dedupMinhash, dedupNgram, dedupSimhash,
-    dedupCosine, fingerprint, dedupEdit, dedupCluster)
+    dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination)
 }

@@ -863,6 +863,103 @@ object Relational {
     }
   )
 
+  private val tpchQ14 = QueryDef(
+    "q_tpch_q14",
+    "TPC-H Q14-shaped promo-revenue share: one shipdate month pushed " +
+      "to the lineitem scan, partkey equi-join against part (a " +
+      "dimension that shuffle-joins at 100 TB; AQE broadcasts it at " +
+      "small SF), conditional exact-decimal sums, and a single IEEE " +
+      "division + round(6) at the end (the q_corr float discipline).",
+    Some("""SELECT
+           |  CAST(coalesce(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+           |        THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END), 0) AS DOUBLE) AS promo_revenue,
+           |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+           |  round(100.0 * CAST(coalesce(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+           |        THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END), 0) AS DOUBLE)
+           |      / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS promo_pct
+           |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           |WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+           |  AND l.l_shipdate <  TIMESTAMP '1997-07-01'""".stripMargin),
+    (s, d) => {
+      val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+      val l = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      val promo = dbl(coalesce(sum(when(col("p_type").like("PROMO%"), expr(rev))), lit(0)))
+      val total = dbl(sum(expr(rev)))
+      l.join(part(s, d), col("p_partkey") === col("l_partkey"))
+        .agg(promo.as("promo_revenue"), total.as("total_revenue"),
+          round(lit(100.0) * promo / total, 6).as("promo_pct"))
+    }
+  )
+
+  private val tpchQ19 = QueryDef(
+    "q_tpch_q19",
+    "TPC-H Q19-shaped disjunctive join predicate (OR of brand×quantity " +
+      "conjunctions). The cross-table OR cannot push down as-is, so " +
+      "each side is pre-filtered with the union of its per-side implied " +
+      "predicates — p_brand IN (…) reaches the part scan, l_quantity " +
+      "BETWEEN 1 AND 30 reaches the lineitem scan (exactness-preserving: " +
+      "every disjunct implies them) — then the exact OR applies after " +
+      "the equi-join. The classic Q19 pushdown derivation.",
+    Some("""SELECT p.p_brand,
+           |       CAST(count(*) AS BIGINT) AS n_lines,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           |WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1  AND 11)
+           |   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20)
+           |   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30)
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+      val p = part(s, d).filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      val l = lineitem(s, d).filter(col("l_quantity").between(1, 30))
+      l.join(p, col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"), dbl(sum(expr(rev))).as("revenue"))
+        .orderBy("p_brand")
+    }
+  )
+
+  private val tpchQ22 = QueryDef(
+    "q_tpch_q22",
+    "TPC-H Q22-shaped dormant-customer report: customers above the " +
+      "global average balance with fewer than 8 orders, per nation. " +
+      "The scalar subquery becomes a broadcast single-row cross join; " +
+      "order counts pre-aggregate per custkey (map-side combine) " +
+      "before the left join — never a correlated per-row subquery. " +
+      "The threshold compares UNROUNDED doubles (exact decimal sum / " +
+      "count is IEEE-identical in both engines, so no borderline flip).",
+    Some("""WITH ab AS (
+           |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+           |  FROM customer),
+           |oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+           |SELECT c.c_nationkey,
+           |       CAST(count(*) AS BIGINT) AS n_cust,
+           |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+           |FROM customer c CROSS JOIN ab
+           |LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+           |WHERE c.c_acctbal > ab.avg_bal AND coalesce(oc.n_orders, 0) < 8
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val ab = customer(s, d)
+        .agg((dbl(sum(money(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+      val oc = orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      customer(s, d).crossJoin(broadcast(ab))
+        .join(oc, col("o_custkey") === col("c_custkey"), "left")
+        .filter(col("c_acctbal") > col("avg_bal") &&
+          coalesce(col("n_orders"), lit(0L)) < 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          dbl(sum(money(col("c_acctbal")))).as("total_bal"))
+        .orderBy("c_nationkey")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(
     scanParquet, scanJsonl, scanCsv, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
@@ -870,5 +967,6 @@ object Relational {
     aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
     sortLimit, topkGroup, union, intersect, except, exceptAll, intersectAll,
     sqlLateral,
-    tpchQ3, tpchQ5, tpchQ1, tpchQ6, tpchQ10, tpchQ18)
+    tpchQ3, tpchQ5, tpchQ1, tpchQ6, tpchQ10, tpchQ18, tpchQ14, tpchQ19,
+    tpchQ22)
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic + plan gates for the round-4 TPC-H shapes (Q14/Q19/Q22)
+  * and the decontamination audit: each result is recomputed
+  * independently in plain Scala from the raw tables, and the
+  * scale-critical plan properties (scan pushdown, top-k operator) are
+  * asserted on the executed plan text.
+  */
+class TpchShapesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def run(key: String) = SparkEntry.queries(key)(spark, sf)
+
+  private def lineitems = graft.core.Tables.lineitem(spark, sf)
+    .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    .collect()
+    .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      r.getTimestamp(4)))
+
+  test("q_tpch_q14: promo/total revenue match an exact-decimal recomputation") {
+    val partType = graft.core.Tables.part(spark, sf)
+      .select("p_partkey", "p_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lo = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-07-01 00:00:00")
+    var promo = BigDecimal(0)
+    var total = BigDecimal(0)
+    lineitems.foreach { case (pk, _, price, disc, ship) =>
+      if (!ship.before(lo) && ship.before(hi)) {
+        val rev = BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) - BigDecimal(disc).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        total += rev
+        if (partType(pk).startsWith("PROMO")) promo += rev
+      }
+    }
+    val row = run("q_tpch_q14").collect().head
+    assert(row.getDouble(0) == promo.toDouble, "promo_revenue")
+    assert(row.getDouble(1) == total.toDouble, "total_revenue")
+    assert(math.abs(row.getDouble(2) - 100.0 * promo.toDouble / total.toDouble) < 1e-6,
+      "promo_pct")
+  }
+
+  test("q_tpch_q19: per-brand counts match the brute-force disjunction") {
+    val brand = graft.core.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = lineitems
+      .map { case (pk, qty, _, _, _) => (brand(pk), qty) }
+      .filter { case (b, q) =>
+        (b == "Brand#12" && q >= 1 && q <= 11) ||
+        (b == "Brand#23" && q >= 10 && q <= 20) ||
+        (b == "Brand#34" && q >= 20 && q <= 30)
+      }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = run("q_tpch_q19").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("q_tpch_q19: union-of-disjuncts predicates reach both parquet scans") {
+    val plan = run("q_tpch_q19").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    // lineitem scan: quantity range; part scan: brand IN-list
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
+      plan.contains("GreaterThanOrEqual(l_quantity"), "quantity lower bound not pushed")
+    assert(plan.contains("In(p_brand"), "brand IN-list not pushed")
+  }
+
+  test("q_tpch_q22: per-nation dormant customers match recomputation") {
+    val custs = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val orderCnt = graft.core.Tables.orders(spark, sf)
+      .select("o_custkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val avgBal = custs.map(c => BigDecimal(c._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / custs.length
+    val kept = custs.filter { case (k, _, bal) =>
+      bal > avgBal && orderCnt.getOrElse(k, 0) < 8
+    }
+    val expected = kept.groupBy(_._2).view.mapValues { vs =>
+      (vs.length.toLong,
+        vs.map(v => BigDecimal(v._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }.toMap
+    val got = run("q_tpch_q22").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected)
+  }
+
+  test("q_tpch_q10: top-20 compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = run("q_tpch_q10").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("q_contamination: hit counts match a plain-Scala 4-gram recomputation") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(text: String): Set[String] =
+      "[a-z]+".r.findAllIn(text.toLowerCase).toVector
+        .sliding(4).filter(_.size == 4).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 % 10 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 10 != 0)
+      .map { case (id, t) => id -> grams(t).count(evalGrams.contains).toLong }
+      .filter(_._2 > 0).toMap
+    val got = run("q_contamination").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}

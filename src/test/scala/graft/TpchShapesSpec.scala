@@ -14,22 +14,24 @@ class TpchShapesSpec extends AnyFunSuite {
 
   private def run(key: String) = SparkEntry.queries(key)(spark, sf)
 
+  // l_shipdate is TIMESTAMP_NTZ in the testdata parquet, which collect()
+  // materializes as java.time.LocalDateTime (Row.getTimestamp would throw).
   private def lineitems = graft.core.Tables.lineitem(spark, sf)
     .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
     .collect()
     .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
-      r.getTimestamp(4)))
+      r.getAs[java.time.LocalDateTime](4)))
 
   test("q_tpch_q14: promo/total revenue match an exact-decimal recomputation") {
     val partType = graft.core.Tables.part(spark, sf)
       .select("p_partkey", "p_type").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val lo = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
-    val hi = java.sql.Timestamp.valueOf("1997-07-01 00:00:00")
+    val lo = java.time.LocalDateTime.parse("1997-06-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("1997-07-01T00:00:00")
     var promo = BigDecimal(0)
     var total = BigDecimal(0)
     lineitems.foreach { case (pk, _, price, disc, ship) =>
-      if (!ship.before(lo) && ship.before(hi)) {
+      if (!ship.isBefore(lo) && ship.isBefore(hi)) {
         val rev = BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
           (BigDecimal(1) - BigDecimal(disc).setScale(2, BigDecimal.RoundingMode.HALF_UP))
         total += rev

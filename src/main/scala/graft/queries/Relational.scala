@@ -960,6 +960,94 @@ object Relational {
     }
   )
 
+  private val tpchQ21 = QueryDef(
+    "q_tpch_q21",
+    "TPC-H Q21-shaped waiting-supplier report (adapted: the testdata " +
+      "lineitem has no commit/receipt dates, so 'late' = shipped more " +
+      "than 60 days after the order date). The nested EXISTS / NOT " +
+      "EXISTS self-subqueries decorrelate to one LEFT SEMI and one LEFT " +
+      "ANTI self-join of the fact on l_orderkey — never per-row " +
+      "re-execution. The lineitem⋈orders shuffle on orderkey is built " +
+      "once and its exchange is reused by the anti side; supplier is a " +
+      "broadcast dimension.",
+    Some("""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+           |FROM supplier s
+           |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+           |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+           |WHERE o.o_orderstatus = 'F'
+           |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           |  AND EXISTS (SELECT 1 FROM lineitem l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey
+           |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+           |GROUP BY s.s_name
+           |ORDER BY numwait DESC, s.s_name""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val late = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val anyOther = lineitem(s, d)
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val lateOther = late
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      late
+        .join(anyOther,
+          col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+          "left_semi")
+        .join(lateOther,
+          col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+          "left_anti")
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }
+  )
+
+  private val tpchQ17 = QueryDef(
+    "q_tpch_q17",
+    "TPC-H Q17-shaped small-quantity-order revenue (adapted: brand-only " +
+      "part filter — the testdata part has no p_container). The " +
+      "correlated scalar avg subquery decorrelates to a per-partkey " +
+      "pre-aggregation joined back to the fact: lineitem is restricted " +
+      "by the broadcast part filter first, aggregated once per partkey, " +
+      "and the same partkey exchange feeds both the aggregate and the " +
+      "join-back — never a per-row subquery re-execution. The threshold " +
+      "compares unrounded exact-decimal-sum/count doubles " +
+      "(IEEE-identical in both engines).",
+    Some("""WITH pa AS (
+           |  SELECT l_partkey AS pa_partkey,
+           |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+           |  FROM lineitem GROUP BY 1)
+           |SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           |       CAST(count(*) AS BIGINT) AS n_lines
+           |FROM lineitem l
+           |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+           |JOIN pa ON pa.pa_partkey = l.l_partkey
+           |WHERE l.l_quantity < 0.2 * pa.avg_qty""".stripMargin),
+    (s, d) => {
+      val p = part(s, d).filter(col("p_brand") === "Brand#23").select("p_partkey")
+      // Restricting lineitem to the brand's partkeys BEFORE the per-part
+      // avg is exactness-preserving (the avg is per partkey) and turns a
+      // 100 TB full-fact aggregation into a broadcast-pruned one.
+      val lp = lineitem(s, d).select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val pa = lp.groupBy("l_partkey")
+        .agg((dbl(sum(money(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
+        .withColumnRenamed("l_partkey", "pa_partkey")
+      lp.join(pa, col("l_partkey") === col("pa_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dbl(sum(money(col("l_extendedprice")))) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(
     scanParquet, scanJsonl, scanCsv, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
@@ -968,5 +1056,5 @@ object Relational {
     sortLimit, topkGroup, union, intersect, except, exceptAll, intersectAll,
     sqlLateral,
     tpchQ3, tpchQ5, tpchQ1, tpchQ6, tpchQ10, tpchQ18, tpchQ14, tpchQ19,
-    tpchQ22)
+    tpchQ22, tpchQ21, tpchQ17)
 }

@@ -2,11 +2,12 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Semantic + plan gates for the round-4 TPC-H shapes (Q14/Q19/Q22)
+/** Semantic + plan gates for the TPC-H shapes (Q14/Q19/Q22/Q21/Q17)
   * and the decontamination audit: each result is recomputed
   * independently in plain Scala from the raw tables, and the
-  * scale-critical plan properties (scan pushdown, top-k operator) are
-  * asserted on the executed plan text.
+  * scale-critical plan properties (scan pushdown, top-k operator,
+  * exchange reuse, broadcast dimensions) are asserted on the executed
+  * plan text.
   */
 class TpchShapesSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -95,6 +96,81 @@ class TpchShapesSpec extends AnyFunSuite {
   test("q_tpch_q10: top-20 compiles to TakeOrderedAndProject, not a global sort") {
     val plan = run("q_tpch_q10").queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("q_tpch_q21: waiting-supplier counts match a plain-Scala recomputation") {
+    val fOrders = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate", "o_orderstatus").collect()
+      .filter(_.getString(2) == "F")
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+    val supName = graft.core.Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val late = li.filter { case (ok, _, ship) =>
+      fOrders.get(ok).exists(od => ship.isAfter(od.plusDays(60)))
+    }
+    val suppsByOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lateByOrder = late.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = late
+      .filter { case (ok, sk, _) =>
+        (suppsByOrder(ok) - sk).nonEmpty && (lateByOrder(ok) - sk).isEmpty
+      }
+      .map(w => supName(w._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("q_tpch_q21").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty, "degenerate fixture: no waiting suppliers")
+  }
+
+  test("q_tpch_q21: semi/anti self-joins reuse the fact exchange; supplier broadcasts") {
+    // At 100 TB the fact must never broadcast; force the shuffle shape the
+    // docstring claims and check the orderkey exchange is built once.
+    TestSpark.withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val qe = run("q_tpch_q21").queryExecution
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        "late-lineitem exchange not reused by the anti side:\n" + plan.take(2000))
+      assert(plan.contains("BroadcastHashJoin"),
+        "supplier dimension not broadcast:\n" + plan.take(2000))
+    }
+  }
+
+  test("q_tpch_q17: small-quantity revenue matches a plain-Scala recomputation") {
+    val brandParts = graft.core.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand").collect()
+      .filter(_.getString(1) == "Brand#23").map(_.getLong(0)).toSet
+    val lp = lineitems.filter { case (pk, _, _, _, _) => brandParts(pk) }
+    val avgQty = lp.groupBy(_._1).view.mapValues { vs =>
+      vs.map(v => BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vs.length
+    }.toMap
+    val kept = lp.filter { case (pk, qty, _, _, _) => qty < 0.2 * avgQty(pk) }
+    val expYearly = kept
+      .map(v => BigDecimal(v._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / 7.0
+    val row = run("q_tpch_q17").collect().head
+    assert(row.getLong(1) == kept.length.toLong, "n_lines")
+    assert(row.getDouble(0) == expYearly, "avg_yearly")
+    assert(kept.nonEmpty, "degenerate fixture: no small-quantity lines")
+  }
+
+  test("q_tpch_q17: part filter broadcasts; one partkey exchange feeds agg and join-back") {
+    TestSpark.withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = run("q_tpch_q17").queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "brand-filtered part not broadcast:\n" + plan.take(2000))
+      assert(plan.contains("ReusedExchange"),
+        "partkey exchange not shared between the per-part aggregate and the join-back:\n" +
+          plan.take(2000))
+    }
   }
 
   test("q_contamination: hit counts match a plain-Scala 4-gram recomputation") {

@@ -512,31 +512,12 @@ object DedupQueries {
       val edges = pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("ea", "eb")
-      // Pregel-style min-label propagation: label(v) ← min(label(v),
-      // min over neighbors' labels) until fixpoint. Converges in ≤
-      // diameter iterations; each iteration is one shuffle join + one
-      // min-aggregate — the BSP shape that scales to any graph Spark
-      // can shuffle. Driver-side state: one Long per iteration.
-      var labels = sh.select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
-      var prevJoined: org.apache.spark.sql.DataFrame = null
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 50) {
-        val nbrMin = edges.join(labels, col("eb") === col("node"))
-          .groupBy(col("ea")).agg(min("label").as("nbr"))
-        // one cached join serves BOTH the convergence count (nbr <
-        // label rows) and the next label frame — no second join purely
-        // to diff old vs new labels
-        val joined = labels.join(nbrMin, col("node") === col("ea"), "left").persist()
-        changed = joined.filter(coalesce(col("nbr") < col("label"), lit(false))).count()
-        if (prevJoined != null) prevJoined.unpersist(blocking = false)
-        labels.unpersist(blocking = false)
-        labels = joined.select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        prevJoined = joined
-        iter += 1
-      }
-      require(changed == 0, s"label propagation did not converge in $iter iterations")
+      // Pregel-style min-label propagation with pointer doubling and
+      // periodic lineage checkpoints — see ops/ConnectedComponents for
+      // the convergence and scale argument (O(log diameter) rounds,
+      // driver state one Long per round).
+      val (labels, _) = graft.ops.ConnectedComponents.run(
+        sh.select(col("doc_id").as("node")), edges)
       val sizes = labels.groupBy(col("label").as("cluster_id"))
         .agg(lng(count(lit(1))).as("cluster_size"))
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

@@ -78,5 +78,31 @@ object StreamingQueries {
       .orderBy("user_id", "ws_us")
   )
 
-  val defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSession)
+  private val streamDedup = QueryDef(
+    "q_stream_dedup",
+    "Exactly-once restore over an at-least-once source: every 7th " +
+      "event is redelivered (union twin of a replaying source) and " +
+      "the stream dedup builder drops the duplicates by event_id. " +
+      "Same builder as the streaming path (StreamingSpec); the " +
+      "bounded-state variant dropDuplicatesWithinWatermark is proven " +
+      "in DedupBoundedSpec — state eviction has no batch twin.",
+    Some("""WITH src AS (
+           |  SELECT * FROM events
+           |  UNION ALL SELECT * FROM events WHERE event_id % 7 = 0)
+           |SELECT DISTINCT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us,
+           |       user_id, event_type, value
+           |FROM src ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val e = events(s, d)
+      // duplicates are full-row identical, so dropDuplicates' arbitrary
+      // pick-one-per-key is still deterministic in content
+      StreamingOps.dedup(e.unionAll(e.filter(col("event_id") % 7 === 0)))
+        .select(col("event_id"), unix_micros(col("ts")).as("e_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSession,
+    streamDedup)
 }

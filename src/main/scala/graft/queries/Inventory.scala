@@ -11,7 +11,8 @@ object Inventory {
       TextQueries.defs ++ DedupQueries.defs ++ AnnQueries.defs ++
       TextAnalysisQueries.defs ++ PipelineQueries.defs ++
       StreamingQueries.defs ++ AnalyticsQueries.defs ++ PdfQueries.defs ++
-      SessionQueries.defs ++ RankingQueries.defs ++ WarehouseQueries.defs
+      SessionQueries.defs ++ RankingQueries.defs ++ WarehouseQueries.defs ++
+      TpchExtraQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Sketch-based approximate aggregates (SURVEY.md §2.14).
+  *
+  * The determinism rules (§7.5) ban approximate VALUES from crossing
+  * the oracle boundary — DuckDB's sketches are different algorithms and
+  * would never hash-match. These queries thread the needle: the sketch
+  * result is compared against the exact answer INSIDE the query and
+  * only (a) the exact values and (b) the boolean "the sketch kept its
+  * error guarantee" leave the plan. The oracle recomputes the exact
+  * values and pins the boolean to TRUE — so a Spark-side sketch
+  * regression (or a tolerance drift) fails the hash compare, while the
+  * approximate value itself stays engine-internal.
+  *
+  * That boolean is robust to partitioning: HLL++ registers are
+  * hash-max based (order-insensitive, bit-deterministic), and any
+  * legal KLL/GK-style percentile summary satisfies its rank bound by
+  * construction, whatever the merge order.
+  */
+object SketchQueries {
+
+  private val approxDistinct = QueryDef(
+    "q_approx_distinct",
+    "HyperLogLog++ distinct-user counts per event type, gated against " +
+      "the exact count: the 100 TB path (approx_count_distinct merges " +
+      "fixed-size registers, no distinct shuffle) must stay within 3× " +
+      "the configured 5% rsd of the exact answer. Output = exact " +
+      "counts + the guarantee flag; the sketch value never crosses " +
+      "the engine boundary.",
+    Some("""SELECT event_type,
+           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           |       TRUE AS sketch_ok
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(lng(countDistinct(col("user_id"))).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          lit(0.15) * col("n_exact")).as("sketch_ok"))
+      .orderBy("event_type")
+  )
+
+  private val approxQuantile = QueryDef(
+    "q_approx_quantile",
+    "Approximate median of value per event type, gated by the rank " +
+      "guarantee: approx_percentile(accuracy=1000) bounds rank error " +
+      "by 0.1%, so the sketch median must lie between the exact p49 " +
+      "and p51 quantiles (10× slack). Output = exact p49/p50/p51 " +
+      "(interpolated, engine-identical under round) + the flag; the " +
+      "sketch value stays engine-internal.",
+    Some("""SELECT event_type,
+           |       round(quantile_cont(value, 0.49), 6) AS p49,
+           |       round(quantile_cont(value, 0.50), 6) AS p50,
+           |       round(quantile_cont(value, 0.51), 6) AS p51,
+           |       TRUE AS sketch_ok
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.49)"), 6).as("p49"),
+        round(expr("percentile(value, 0.50)"), 6).as("p50"),
+        round(expr("percentile(value, 0.51)"), 6).as("p51"),
+        expr("approx_percentile(value, 0.5, 1000)").as("m_approx"),
+        expr("percentile(value, 0.49)").as("x49"),
+        expr("percentile(value, 0.51)").as("x51"))
+      .select(col("event_type"), col("p49"), col("p50"), col("p51"),
+        (col("m_approx") >= col("x49") && col("m_approx") <= col("x51"))
+          .as("sketch_ok"))
+      .orderBy("event_type")
+  )
+
+  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantile)
+}

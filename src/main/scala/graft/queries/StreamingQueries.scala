@@ -103,6 +103,35 @@ object StreamingQueries {
     }
   )
 
+  private val streamJoin = QueryDef(
+    "q_stream_join",
+    "Stream-stream interval join batch twin: purchases joined to the " +
+      "same user's clicks within the preceding 30 minutes — the " +
+      "watermark-bounded-state shape (both sides watermarked, time " +
+      "range in the join condition) proven incrementally in " +
+      "StreamingSpec. Batch plan: one user_id-partitioned join with a " +
+      "residual time-range predicate.",
+    Some("""WITH c AS (SELECT user_id, event_id,
+           |                  epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+           |           FROM events WHERE event_type = 'click'),
+           |p AS (SELECT user_id, event_id,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+           |      FROM events WHERE event_type = 'purchase')
+           |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           |       p.e_us AS p_us, c.e_us AS c_us
+           |FROM p JOIN c ON c.user_id = p.user_id
+           |               AND c.e_us >= p.e_us - 1800000000
+           |               AND c.e_us <= p.e_us
+           |ORDER BY purchase_id, click_id""".stripMargin),
+    (s, d) => {
+      val e = events(s, d)
+      StreamingOps.clickToPurchase(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+        .orderBy("purchase_id", "click_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSession,
-    streamDedup)
+    streamDedup, streamJoin)
 }

@@ -251,6 +251,64 @@ object TextAnalysisQueries {
     }
   )
 
+  private val repetition = QueryDef(
+    "q_repetition",
+    "Gopher-style repetition filter signals: per document, the " +
+      "fraction of tokens claimed by the most frequent word and by the " +
+      "most frequent bigram, plus the repetitive flag (top bigram > " +
+      "18% of bigrams). Both explodes run inside the scan stage and " +
+      "reduce to per-(doc, term) counts with map-side combine before " +
+      "the per-doc max — never a per-doc sort. Fractions are one IEEE " +
+      "division of exact BIGINTs.",
+    Some("""WITH tok AS (SELECT doc_id,
+           |               regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+           |             FROM documents),
+           |w AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n,
+           |             CAST(sum(c) AS BIGINT) AS n_tokens
+           |      FROM (SELECT doc_id, count(*) AS c
+           |            FROM (SELECT doc_id, unnest(t) AS word FROM tok)
+           |            GROUP BY doc_id, word)
+           |      GROUP BY doc_id),
+           |b AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+           |             CAST(sum(c) AS BIGINT) AS n_bigrams
+           |      FROM (SELECT doc_id, count(*) AS c
+           |            FROM (SELECT doc_id,
+           |                    unnest([array_to_string(t[i:i+1], ' ')
+           |                            for i in range(1, len(t))]) AS bg
+           |                  FROM tok WHERE len(t) >= 2)
+           |            GROUP BY doc_id, bg)
+           |      GROUP BY doc_id)
+           |SELECT w.doc_id, w.n_tokens,
+           |       round(CAST(w.top_word_n AS DOUBLE) / w.n_tokens, 6) AS top_word_frac,
+           |       round(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_frac,
+           |       (CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams > 0.18) AS repetitive
+           |FROM w JOIN b ON b.doc_id = w.doc_id
+           |ORDER BY w.doc_id""".stripMargin),
+    (s, d) => {
+      val tok = documents(s, d).select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("t"))
+      val w = tok.select(col("doc_id"), explode(col("t")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(lng(max(col("c"))).as("top_word_n"),
+          lng(sum(col("c"))).as("n_tokens"))
+      val b = tok.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(lng(max(col("c"))).as("top_bigram_n"),
+          lng(sum(col("c"))).as("n_bigrams"))
+      val bgFrac = dbl(col("top_bigram_n")) / col("n_bigrams")
+      w.join(b, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(dbl(col("top_word_n")) / col("n_tokens"), 6).as("top_word_frac"),
+          round(bgFrac, 6).as("top_bigram_frac"),
+          (bgFrac > 0.18).as("repetitive"))
+        .orderBy("doc_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
-    multimodalMeta, textClean, piiRedact)
+    multimodalMeta, textClean, piiRedact, repetition)
 }

@@ -190,6 +190,26 @@ object WarehouseQueries {
       .orderBy("c_nationkey", "c_mktsegment")
   )
 
+  private val sampleWeighted = QueryDef(
+    "q_sample_weighted",
+    "Deterministic WEIGHTED Bernoulli sample: inclusion probability " +
+      "min(1, n_chars/1000) — longer documents proportionally more " +
+      "likely — decided by the q_data_mix multiplicative-hash bucket, " +
+      "a pure function of doc_id. Integer arithmetic only (no float " +
+      "RNG, no transcendental A-ES keys), so the sample is identical " +
+      "across runs, retries, partitionings and engines, and the filter " +
+      "runs inside the scan stage with zero shuffles.",
+    Some("""SELECT doc_id, source, n_chars
+           |FROM documents
+           |WHERE (doc_id * 2654435761) % 1000 < least(n_chars, 1000)
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d)
+      .filter((col("doc_id") * 2654435761L) % 1000 <
+        least(col("n_chars"), lit(1000)))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  )
+
   val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket,
-    unpivot, kAnon)
+    unpivot, kAnon, sampleWeighted)
 }

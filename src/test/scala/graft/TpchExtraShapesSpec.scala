@@ -97,6 +97,21 @@ class TpchExtraShapesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "fact-side cartesian product")
   }
 
+  test("q_tpch_q8: part, customer-region and supplier-nation dims all broadcast") {
+    val p = plan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "expected three broadcast dimension joins:\n" + p.take(2000))
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), "part type filter not pushed")
+  }
+
+  test("q_tpch_q9: name filter pushed to the part scan; dims broadcast") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("StringContains(p_name,red)"),
+      "p_name LIKE '%red%' not pushed to the part scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "part/supplier-nation dims not broadcast:\n" + p.take(2000))
+  }
+
   test("q_tpch_q16: NOT IN compiles to an anti join over a broadcast excluded set") {
     val p = plan("q_tpch_q16")
     assert(p.contains("LeftAnti"), "excluded suppliers not an anti join:\n" + p.take(2000))

@@ -1,0 +1,617 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.util.concurrent.atomic.LongAdder
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `docstore` — a DataSource V2 columnar file source (SURVEY.md §2.1).
+  *
+  * The reference's corpus lives in ad-hoc files re-read wholesale on
+  * every process start (rag_chatbot/main.py:8-28). At 100 TB a corpus
+  * store must let the engine read *less*: prune columns it doesn't
+  * need, skip whole blocks whose stats exclude the predicate, and plan
+  * one task per file so a 1000-executor cluster scans in parallel.
+  * This source demonstrates all three through Spark's native connector
+  * API, so Catalyst drives the pruning — `.explain` shows the pushed
+  * filters and the pruned read schema on the scan node.
+  *
+  * On-disk layout (one `.gds` file per write task):
+  * {{{
+  * "GDS1" | int schemaLen | schema DDL (utf8)
+  * repeat per block (<=512 rows):
+  *   int rowCount | per column: byte statsTag (0 none / 1 long / 2 double),
+  *   [8-byte raw min, 8-byte raw max], int colByteLen
+  *   then column chunks in schema order:
+  *     null bitmap (ceil(rows/8) bytes, row-major, bit set = null)
+  *     values for non-null rows (long/double 8B BE, boolean 1B,
+  *     string: int len + utf8)
+  * }}}
+  *
+  * Read path: `ScanBuilder` implements `SupportsPushDownRequiredColumns`
+  * (unrequested column chunks are `skipBytes`'d, never decoded) and
+  * `SupportsPushDownFilters` (comparison/null/`In` filters on
+  * long/double/string/boolean columns are fully evaluated in the
+  * reader — block-level via min/max stats, then row-level — and
+  * reported as pushed, so Spark plans no residual Filter node).
+  * `SupportsReportStatistics` reports byte size so a cluster planner
+  * can make broadcast decisions against this source.
+  *
+  * Write path: a real executor-side `BatchWrite` — each task streams
+  * its partition to a uniquely named `.tmp` file and renames on task
+  * commit (rename-visible commit protocol; a failed task's temp file is
+  * deleted on abort and never becomes visible).
+  *
+  * Supported column types: BIGINT, DOUBLE, STRING, BOOLEAN.
+  */
+object DocStore {
+  val Magic: Int = 0x47445331 // "GDS1"
+  val BlockRows: Int = 512
+
+  /** Local-mode test instrumentation only (executors share the JVM in
+    * tests): block-skip effectiveness counters for DocStoreSpec. On a
+    * real cluster these would be per-executor and surface through the
+    * DSv2 custom-metric API instead.
+    */
+  val blocksRead = new LongAdder
+  val blocksSkipped = new LongAdder
+
+  private[sources] def supportedType(dt: DataType): Boolean = dt match {
+    case LongType | DoubleType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  /** Filters this source evaluates exactly (block stats + row eval). */
+  private[sources] def canHandle(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => v != null
+    case GreaterThan(_, v) => v != null
+    case GreaterThanOrEqual(_, v) => v != null
+    case LessThan(_, v) => v != null
+    case LessThanOrEqual(_, v) => v != null
+    case In(_, vs) => vs != null && vs.forall(_ != null)
+    case IsNotNull(_) | IsNull(_) => true
+    case _ => false
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case _ => throw new IllegalArgumentException(
+      s"docstore: incomparable filter value ${a.getClass}/${b.getClass}")
+  }
+
+  /** Row-level filter evaluation on the decoded (JVM-typed) value. */
+  private[sources] def rowMatches(f: Filter, v: Any): Boolean = f match {
+    case IsNull(_) => v == null
+    case IsNotNull(_) => v != null
+    case _ if v == null => false
+    case EqualTo(_, x) => cmp(v, x) == 0
+    case GreaterThan(_, x) => cmp(v, x) > 0
+    case GreaterThanOrEqual(_, x) => cmp(v, x) >= 0
+    case LessThan(_, x) => cmp(v, x) < 0
+    case LessThanOrEqual(_, x) => cmp(v, x) <= 0
+    case In(_, xs) => xs.exists(x => cmp(v, x) == 0)
+    case _ => true
+  }
+
+  /** Block-level pruning: can ANY row in [min, max] satisfy `f`?
+    * Stats cover non-null values only, so null-sensitive filters
+    * (IsNull) never prune on stats.
+    */
+  private[sources] def blockMayMatch(f: Filter, min: Any, max: Any): Boolean =
+    f match {
+      case EqualTo(_, x) => cmp(x, min) >= 0 && cmp(x, max) <= 0
+      case GreaterThan(_, x) => cmp(max, x) > 0
+      case GreaterThanOrEqual(_, x) => cmp(max, x) >= 0
+      case LessThan(_, x) => cmp(min, x) < 0
+      case LessThanOrEqual(_, x) => cmp(min, x) <= 0
+      case In(_, xs) => xs.exists(x => cmp(x, min) >= 0 && cmp(x, max) <= 0)
+      case _ => true
+    }
+
+  private[sources] def filterColumn(f: Filter): Option[String] = f match {
+    case EqualTo(c, _) => Some(c)
+    case GreaterThan(c, _) => Some(c)
+    case GreaterThanOrEqual(c, _) => Some(c)
+    case LessThan(c, _) => Some(c)
+    case LessThanOrEqual(c, _) => Some(c)
+    case In(c, _) => Some(c)
+    case IsNotNull(c) => Some(c)
+    case IsNull(c) => Some(c)
+    case _ => None
+  }
+
+  private[graft] def listDataFiles(dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".gds"))
+      .sortBy(_.getPath.getName)
+      .map(s => (s.getPath.toString, s.getLen))
+  }
+
+  private[sources] def readFileSchema(file: String): StructType = {
+    val p = new Path(file)
+    val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+    try {
+      require(in.readInt() == Magic, s"not a GDS file: $file")
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      StructType.fromDDL(new String(bytes, "UTF-8"))
+    } finally in.close()
+  }
+}
+
+/** `spark.read.format("docstore")` / `df.write.format("docstore")`.
+  * Registered in META-INF/services; `supportsExternalMetadata` lets
+  * Spark hand the incoming DataFrame schema to a fresh-directory write.
+  */
+class DocStoreDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "docstore"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "docstore: 'path' option is required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = DocStore.listDataFiles(path(options))
+    require(files.nonEmpty,
+      s"docstore: no .gds files under ${path(options)} and no schema given")
+    DocStore.readFileSchema(files.head._1)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    schema.fields.foreach { f =>
+      require(DocStore.supportedType(f.dataType),
+        s"docstore: unsupported column type ${f.dataType} for ${f.name}")
+    }
+    new DocStoreTable(properties.get("path"), schema)
+  }
+}
+
+class DocStoreTable(dir: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"docstore($dir)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocStoreScanBuilder(dir, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DocStoreWriteBuilder(dir, info.schema())
+}
+
+class DocStoreScanBuilder(dir: String, fullSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition { f =>
+      DocStore.canHandle(f) && DocStore.filterColumn(f).exists { c =>
+        fullSchema.fieldNames.contains(c)
+      }
+    }
+    pushed = ours
+    residual // Spark keeps a Filter node for only these
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new DocStoreScan(dir, fullSchema, required, pushed)
+}
+
+/** One InputPartition per data file — the unit of parallelism a
+  * cluster scheduler distributes; locality would come from file block
+  * hosts in a distributed FS deployment.
+  */
+case class DocStoreInputPartition(file: String, length: Long)
+    extends InputPartition
+
+class DocStoreScan(
+    dir: String,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"docstore $dir, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private lazy val files = DocStore.listDataFiles(dir)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (f, len) => DocStoreInputPartition(f, len) }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // JSON (not DDL): a count(*) prunes required down to an EMPTY
+    // struct, which DDL cannot represent
+    new DocStoreReaderFactory(fullSchema.json, required.json, pushed)
+
+  /** Raw byte size (pre-pruning); row count left unknown. Lets the
+    * planner compare this source against broadcast thresholds.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_._2).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+}
+
+class DocStoreReaderFactory(
+    fullJson: String,
+    requiredJson: String,
+    pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DocStorePartitionReader(
+      p.asInstanceOf[DocStoreInputPartition].file,
+      DataType.fromJson(fullJson).asInstanceOf[StructType],
+      DataType.fromJson(requiredJson).asInstanceOf[StructType], pushed)
+}
+
+/** Streams one file: per block, stats-prunes against pushed filters,
+  * `skipBytes` past unneeded column chunks, decodes the needed ones
+  * (required ∪ filter columns), row-filters, emits required columns.
+  */
+class DocStorePartitionReader(
+    file: String,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val in: DataInputStream = {
+    val p = new Path(file)
+    new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+  }
+  // header: magic + embedded schema (trusted to match table schema —
+  // written by this source; a mixed-schema dir fails decode loudly)
+  locally {
+    require(in.readInt() == DocStore.Magic, s"not a GDS file: $file")
+    in.skipBytes(in.readInt())
+  }
+
+  private val nCols = fullSchema.length
+  private val fieldIdx: Map[String, Int] =
+    fullSchema.fieldNames.zipWithIndex.toMap
+  // columns that must be decoded: projected ∪ filtered
+  private val neededIdx: Set[Int] =
+    (required.fieldNames.map(fieldIdx) ++
+      pushed.flatMap(DocStore.filterColumn).map(fieldIdx)).toSet
+  private val requiredIdx: Array[Int] = required.fieldNames.map(fieldIdx)
+  private val filtersByCol: Map[Int, Array[Filter]] =
+    pushed.groupBy(f => fieldIdx(DocStore.filterColumn(f).get))
+
+  private var block: Array[Array[Any]] = _ // decoded needed columns
+  private var blockRows = 0
+  private var rowInBlock = 0
+  private var current: InternalRow = _
+
+  private def loadBlock(): Boolean = {
+    while (true) {
+      val rows =
+        try in.readInt()
+        catch { case _: EOFException => return false }
+      val statsTag = new Array[Byte](nCols)
+      val statMin = new Array[Any](nCols)
+      val statMax = new Array[Any](nCols)
+      val colLen = new Array[Int](nCols)
+      var i = 0
+      while (i < nCols) {
+        statsTag(i) = in.readByte()
+        statsTag(i) match {
+          case 1 => statMin(i) = in.readLong(); statMax(i) = in.readLong()
+          case 2 => statMin(i) = in.readDouble(); statMax(i) = in.readDouble()
+          case _ =>
+        }
+        colLen(i) = in.readInt()
+        i += 1
+      }
+      val prune = filtersByCol.exists { case (ci, fs) =>
+        statsTag(ci) != 0 && fs.exists(f =>
+          !DocStore.blockMayMatch(f, statMin(ci), statMax(ci)))
+      }
+      if (prune) {
+        DocStore.blocksSkipped.increment()
+        var skip = 0L
+        i = 0
+        while (i < nCols) { skip += colLen(i); i += 1 }
+        var left = skip
+        while (left > 0) left -= in.skip(left)
+      } else {
+        DocStore.blocksRead.increment()
+        val cols = new Array[Array[Any]](nCols)
+        i = 0
+        while (i < nCols) {
+          if (neededIdx.contains(i)) cols(i) = readColumn(i, rows)
+          else in.skipBytes(colLen(i))
+          i += 1
+        }
+        block = cols
+        blockRows = rows
+        rowInBlock = 0
+        return true
+      }
+    }
+    false
+  }
+
+  private def readColumn(ci: Int, rows: Int): Array[Any] = {
+    val bitmap = new Array[Byte]((rows + 7) / 8)
+    in.readFully(bitmap)
+    def isNull(r: Int): Boolean = (bitmap(r >> 3) & (1 << (r & 7))) != 0
+    val out = new Array[Any](rows)
+    val dt = fullSchema.fields(ci).dataType
+    var r = 0
+    while (r < rows) {
+      if (!isNull(r)) {
+        out(r) = dt match {
+          case LongType => in.readLong()
+          case DoubleType => in.readDouble()
+          case BooleanType => in.readBoolean()
+          case StringType =>
+            val b = new Array[Byte](in.readInt()); in.readFully(b)
+            new String(b, "UTF-8")
+          case other => throw new IllegalStateException(s"docstore: $other")
+        }
+      }
+      r += 1
+    }
+    out
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (block == null || rowInBlock >= blockRows) {
+        if (!loadBlock()) return false
+      }
+      while (rowInBlock < blockRows) {
+        val r = rowInBlock
+        rowInBlock += 1
+        val ok = filtersByCol.forall { case (ci, fs) =>
+          fs.forall(f => DocStore.rowMatches(f, block(ci)(r)))
+        }
+        if (ok) {
+          val vals = new Array[Any](requiredIdx.length)
+          var i = 0
+          while (i < vals.length) {
+            val v = block(requiredIdx(i))(r)
+            vals(i) = v match {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            }
+            i += 1
+          }
+          current = new GenericInternalRow(vals)
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------- write
+
+class DocStoreWriteBuilder(dir: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new DocStoreBatchWrite(dir, schema, doTruncate)
+  }
+}
+
+case class DocStoreCommitMessage(tmpPath: String, finalPath: String)
+    extends WriterCommitMessage
+
+/** Rename-on-job-commit protocol: tasks stream to `.tmp` files; only
+  * the driver's job commit renames them to visible `.gds` names, so a
+  * failed/speculative task never publishes partial data.
+  */
+class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    if (truncate && fs.exists(p)) {
+      fs.listStatus(p).foreach { s =>
+        if (s.isFile && (s.getPath.getName.endsWith(".gds") ||
+            s.getPath.getName.endsWith(".tmp")))
+          fs.delete(s.getPath, false)
+      }
+    }
+    fs.mkdirs(p)
+    new DocStoreWriterFactory(dir, schema.toDDL)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    messages.foreach {
+      case DocStoreCommitMessage(tmp, fin) =>
+        val t = new Path(tmp)
+        if (fs.exists(t) && !fs.rename(t, new Path(fin)))
+          throw new java.io.IOException(s"docstore: commit rename failed: $tmp")
+      case other =>
+        throw new IllegalStateException(s"docstore: foreign message $other")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    messages.foreach {
+      case DocStoreCommitMessage(tmp, _) =>
+        val t = new Path(tmp)
+        if (fs.exists(t)) fs.delete(t, false)
+      case _ =>
+    }
+  }
+}
+
+class DocStoreWriterFactory(dir: String, schemaDdl: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DocStoreDataWriter(dir, StructType.fromDDL(schemaDdl), partitionId, taskId)
+}
+
+class DocStoreDataWriter(
+    dir: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val tmpPath = s"$dir/part-$partitionId-$taskId.tmp"
+  private val finalPath = s"$dir/part-$partitionId-$taskId.gds"
+  private val out: DataOutputStream = {
+    val p = new Path(tmpPath)
+    new DataOutputStream(p.getFileSystem(new Configuration()).create(p, true))
+  }
+  locally {
+    out.writeInt(DocStore.Magic)
+    val ddl = schema.toDDL.getBytes("UTF-8")
+    out.writeInt(ddl.length)
+    out.write(ddl)
+  }
+
+  private val buffer = new ArrayBuffer[Array[Any]]()
+
+  override def write(row: InternalRow): Unit = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      vals(i) =
+        if (row.isNullAt(i)) null
+        else schema.fields(i).dataType match {
+          case LongType => row.getLong(i)
+          case DoubleType => row.getDouble(i)
+          case BooleanType => row.getBoolean(i)
+          case StringType => row.getUTF8String(i).toString
+          case other => throw new IllegalStateException(s"docstore: $other")
+        }
+      i += 1
+    }
+    buffer += vals
+    if (buffer.length >= DocStore.BlockRows) flushBlock()
+  }
+
+  private def flushBlock(): Unit = {
+    if (buffer.isEmpty) return
+    val rows = buffer.length
+    out.writeInt(rows)
+    // encode each column chunk to bytes first (lengths go in the header)
+    val chunks = new Array[Array[Byte]](schema.length)
+    var ci = 0
+    while (ci < schema.length) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val cout = new DataOutputStream(bos)
+      val bitmap = new Array[Byte]((rows + 7) / 8)
+      var r = 0
+      while (r < rows) {
+        if (buffer(r)(ci) == null) bitmap(r >> 3) =
+          (bitmap(r >> 3) | (1 << (r & 7))).toByte
+        r += 1
+      }
+      cout.write(bitmap)
+      r = 0
+      while (r < rows) {
+        val v = buffer(r)(ci)
+        if (v != null) v match {
+          case l: Long => cout.writeLong(l)
+          case d: Double => cout.writeDouble(d)
+          case b: Boolean => cout.writeBoolean(b)
+          case s: String =>
+            val b = s.getBytes("UTF-8"); cout.writeInt(b.length); cout.write(b)
+          case other => throw new IllegalStateException(s"docstore: $other")
+        }
+        r += 1
+      }
+      cout.flush()
+      chunks(ci) = bos.toByteArray
+      ci += 1
+    }
+    // header: per-column stats + chunk length
+    ci = 0
+    while (ci < schema.length) {
+      val nonNull = buffer.iterator.map(_(ci)).filter(_ != null).toSeq
+      schema.fields(ci).dataType match {
+        case LongType if nonNull.nonEmpty =>
+          val ls = nonNull.map(_.asInstanceOf[Long])
+          out.writeByte(1); out.writeLong(ls.min); out.writeLong(ls.max)
+        case DoubleType if nonNull.nonEmpty =>
+          val ds = nonNull.map(_.asInstanceOf[Double])
+          out.writeByte(2); out.writeDouble(ds.min); out.writeDouble(ds.max)
+        case _ => out.writeByte(0)
+      }
+      out.writeInt(chunks(ci).length)
+      ci += 1
+    }
+    ci = 0
+    while (ci < schema.length) { out.write(chunks(ci)); ci += 1 }
+    buffer.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushBlock()
+    out.close()
+    DocStoreCommitMessage(tmpPath, finalPath)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => }
+    val p = new Path(tmpPath)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.sources.{DocStore, DocStoreScan}
+
+/** DataSource V2 `docstore` source (SURVEY.md §2.1): round-trip
+  * fidelity, column pruning reaching the reader, full filter pushdown
+  * (no residual FilterExec), stats-based block skipping, null
+  * round-trip, and truncate-on-overwrite semantics.
+  */
+class DocStoreSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): DocStoreScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.length === 1, "expected exactly one docstore scan")
+    scans.head.asInstanceOf[DocStoreScan]
+  }
+
+  test("round-trip: documents table values survive write + read") {
+    val dir = tmpDir("gds_rt")
+    val src = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    src.write.format("docstore").mode("overwrite").save(dir)
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.schema.fieldNames === src.schema.fieldNames)
+    assert(back.schema.map(_.dataType) === src.schema.map(_.dataType))
+    val a = src.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = back.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(b === a)
+  }
+
+  test("column pruning: unrequested columns never reach the scan schema") {
+    val dir = tmpDir("gds_prune")
+    Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text", "lang", "n_chars")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val df = spark.read.format("docstore").load(dir).select("doc_id", "lang")
+    val scan = scanOf(df)
+    assert(scan.readSchema().fieldNames.toSet === Set("doc_id", "lang"),
+      "text/n_chars must be pruned out of the read schema")
+    assert(df.count() ===
+      Tables.documents(spark, TestSpark.sf).count())
+  }
+
+  test("filter pushdown: comparison filters fully absorbed, no FilterExec") {
+    val dir = tmpDir("gds_push")
+    Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang", "n_chars")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val df = spark.read.format("docstore").load(dir)
+      .filter(col("n_chars") >= 500L && col("lang") === "en")
+      .select("doc_id", "n_chars")
+    val desc = scanOf(df).description()
+    assert(desc.contains("GreaterThanOrEqual(n_chars,500)"), desc)
+    assert(desc.contains("EqualTo(lang,en)"), desc)
+    val hasFilterExec = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.FilterExec => true
+      case _ => false
+    }
+    assert(!hasFilterExec, "all filters pushed — no residual FilterExec")
+    // cross-check against parquet ground truth
+    val expect = Tables.documents(spark, TestSpark.sf)
+      .filter(col("n_chars") >= 500L && col("lang") === "en").count()
+    assert(df.count() === expect)
+  }
+
+  test("block skipping: sorted writes + selective range prune blocks") {
+    val dir = tmpDir("gds_skip")
+    // 4000 rows, sorted by k → 8 blocks of 512 with tight min/max ranges
+    spark.range(4000).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    DocStore.blocksRead.reset()
+    DocStore.blocksSkipped.reset()
+    val hit = spark.read.format("docstore").load(dir)
+      .filter(col("k") >= 3900L).collect()
+    assert(hit.length === 100)
+    assert(hit.map(_.getLong(0)).min === 3900L)
+    assert(DocStore.blocksSkipped.sum() >= 6,
+      s"expected most blocks stats-pruned, skipped=${DocStore.blocksSkipped.sum()}")
+    assert(DocStore.blocksRead.sum() <= 2,
+      s"expected <=2 blocks decoded, read=${DocStore.blocksRead.sum()}")
+  }
+
+  test("nulls round-trip; IsNull / In evaluated in the reader") {
+    val dir = tmpDir("gds_null")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("d", DoubleType), StructField("b", BooleanType)))
+    val rows = Seq(
+      Row(1L, "a", 1.5, true), Row(2L, null, null, null),
+      Row(3L, "c", -0.5, false), Row(null, "d", 2.0, true))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      .write.format("docstore").mode("overwrite").save(dir)
+    val back = spark.read.format("docstore").load(dir)
+    assert(back.count() === 4)
+    assert(back.filter(col("s").isNull).select("id").as[Long].collect()
+      === Array(2L))
+    assert(back.filter(col("id").isin(1L, 3L)).count() === 2)
+    assert(back.filter(col("b") === true).count() === 2)
+    val r2 = back.filter(col("id") === 2L).collect()(0)
+    assert(r2.isNullAt(1) && r2.isNullAt(2) && r2.isNullAt(3))
+  }
+
+  test("overwrite truncates prior files; append adds") {
+    val dir = tmpDir("gds_ow")
+    val df = spark.range(10).select(col("id").as("k"))
+    df.write.format("docstore").mode("overwrite").save(dir)
+    df.write.format("docstore").mode("overwrite").save(dir)
+    assert(spark.read.format("docstore").load(dir).count() === 10)
+    df.write.format("docstore").mode("append").save(dir)
+    assert(spark.read.format("docstore").load(dir).count() === 20)
+  }
+
+  test("parallel write: one file per partition, one input partition per file") {
+    val dir = tmpDir("gds_par")
+    spark.range(1000).select(col("id").as("k")).repartition(4)
+      .write.format("docstore").mode("overwrite").save(dir)
+    assert(DocStore.listDataFiles(dir).length === 4)
+    val df = spark.read.format("docstore").load(dir)
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 1000)
+  }
+}

@@ -223,6 +223,66 @@ object RankingQueries {
     }
   )
 
+  private val collocLift = QueryDef(
+    "q_colloc_lift",
+    "Collocation mining via rational lift — the PMI ranking without " +
+      "the logarithm (ln is banned by float-parity rules; lift = " +
+      "P(xy)/(P(x)P(y)) is a monotone transform of PMI, so the " +
+      "ranking is identical). Bigrams explode inside the scan stage " +
+      "(zip_with over adjacent slices, no per-doc sort); unigram and " +
+      "bigram counts reduce with map-side combine; the two count " +
+      "joins are vocab-sized, key-partitioned; corpus totals " +
+      "broadcast as one scalar row. Top-100 by unrounded lift with " +
+      "total-order tiebreak compiles to TakeOrderedAndProject — no " +
+      "global sort materializes at any corpus size.",
+    Some("""WITH tok AS (SELECT doc_id,
+           |               regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+           |             FROM documents),
+           |uni AS (SELECT unnest(t) AS w FROM tok),
+           |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+           |bi AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+           |       FROM tok WHERE len(t) >= 2),
+           |bc AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS c_xy
+           |       FROM bi GROUP BY 1, 2),
+           |n AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+           |             (SELECT count(*) FROM bi) AS n_bi),
+           |sc AS (SELECT bc.w1, bc.w2, bc.c_xy,
+           |         (CAST(bc.c_xy AS DOUBLE) * CAST(n.n_uni AS DOUBLE) * CAST(n.n_uni AS DOUBLE)) /
+           |         (CAST(n.n_bi AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift_raw
+           |       FROM bc JOIN uc u1 ON bc.w1 = u1.w
+           |               JOIN uc u2 ON bc.w2 = u2.w
+           |               CROSS JOIN n
+           |       WHERE bc.c_xy >= 5)
+           |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           |       round(lift_raw, 6) AS lift
+           |FROM sc ORDER BY lift_raw DESC, w1, w2 LIMIT 100""".stripMargin),
+    (s, d) => {
+      val tok = documents(s, d).select(col("doc_id"),
+        expr(tokenSql).as("t"))
+      val uni = tok.select(explode(col("t")).as("w"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = tok.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+            |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+      val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val n = uni.agg(count(lit(1)).as("n_uni"))
+        .crossJoin(bi.agg(count(lit(1)).as("n_bi")))
+      bc.filter(col("c_xy") >= 5)
+        .join(uc.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uc.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("lift_raw",
+          (dbl(col("c_xy")) * dbl(col("n_uni")) * dbl(col("n_uni"))) /
+            (dbl(col("n_bi")) * dbl(col("c1")) * dbl(col("c2"))))
+        .orderBy(col("lift_raw").desc, col("w1"), col("w2"))
+        .limit(100)
+        .select(col("w1"), col("w2"), lng(col("c_xy")).as("c_xy"),
+          round(col("lift_raw"), 6).as("lift"))
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(tfidf, bm25, ngramFreq, vocabPrune,
-    sampleStratified)
+    sampleStratified, collocLift)
 }

@@ -309,6 +309,47 @@ object TextAnalysisQueries {
     }
   )
 
+  private val charDiversity = QueryDef(
+    "q_char_diversity",
+    "Character-diversity quality signals, all rational (no entropy " +
+      "logarithm — ln is banned by float-parity rules; Simpson's " +
+      "index 1 - Σc²/n² ranks low-diversity junk the same way): per " +
+      "document, letter count, distinct letters, Simpson diversity " +
+      "and the top-letter fraction. Letter explode runs inside the " +
+      "scan stage; per-(doc, letter) counts reduce with map-side " +
+      "combine; the fractions leave the plan as exact integer " +
+      "parts-per-million (BIGINT floor division — a ratio like " +
+      "149882/160000 lands exactly on a 1e-6 rounding midpoint, where " +
+      "double round() ties break differently across engines; integer " +
+      "arithmetic has no ties).",
+    Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z])', 1)) AS c
+           |            FROM documents),
+           |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2)
+           |SELECT doc_id,
+           |       CAST(sum(n) AS BIGINT) AS n_letters,
+           |       CAST(count(*) AS BIGINT) AS n_distinct,
+           |       CAST((sum(n) * sum(n) - sum(n * n)) * 1000000
+           |            // (sum(n) * sum(n)) AS BIGINT) AS simpson_ppm,
+           |       CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top_frac_ppm
+           |FROM cc GROUP BY doc_id HAVING sum(n) > 0
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '([a-z])', 1)")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(lng(sum(col("n"))).as("n_letters"),
+        lng(count(lit(1))).as("n_distinct"),
+        sum(col("n") * col("n")).as("s2"),
+        lng(max(col("n"))).as("mx"))
+      .filter(col("n_letters") > 0)
+      .select(col("doc_id"), col("n_letters"), col("n_distinct"),
+        lng(expr("(n_letters * n_letters - s2) * 1000000L div (n_letters * n_letters)"))
+          .as("simpson_ppm"),
+        lng(expr("mx * 1000000L div n_letters")).as("top_frac_ppm"))
+      .orderBy("doc_id")
+  )
+
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
-    multimodalMeta, textClean, piiRedact, repetition)
+    multimodalMeta, textClean, piiRedact, repetition, charDiversity)
 }

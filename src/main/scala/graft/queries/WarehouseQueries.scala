@@ -210,6 +210,76 @@ object WarehouseQueries {
       .orderBy("doc_id")
   )
 
+  private val incrAgg = QueryDef(
+    "q_incr_agg",
+    "Incremental aggregate maintenance: the base slice (shipped " +
+      "before 2001) and the delta slice (2001 onward) are partially " +
+      "aggregated SEPARATELY, then the partials merge — count by " +
+      "summing counts, sums by summing exact DECIMAL partials (exact " +
+      "addition is associative, so partial+merge equals the direct " +
+      "aggregate bit-for-bit; IEEE doubles would not be). The oracle " +
+      "computes the direct one-pass aggregate, proving the " +
+      "incremental path lossless. At 100 TB this is the pattern that " +
+      "avoids reprocessing the full fact table per refresh: yesterday " +
+      "is a stored partial, only the delta is scanned.",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM lineitem
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val cutoff = lit("2001-01-01").cast("timestamp")
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(money(col("l_quantity"))).as("p_qty"),
+          sum(money(col("l_extendedprice"))).as("p_price"))
+      val li = lineitem(s, d)
+      val base = partial(li.filter(col("l_shipdate") < cutoff))
+      val delta = partial(li.filter(col("l_shipdate") >= cutoff))
+      base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(lng(sum(col("cnt"))).as("n_rows"),
+          dbl(sum(col("p_qty"))).as("sum_qty"),
+          dbl(sum(col("p_price"))).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+
+  private val cdcApply = QueryDef(
+    "q_cdc_apply",
+    "CDC changelog compaction: treat events as a change stream keyed " +
+      "by user_id ('error' = delete, anything else = upsert carrying " +
+      "the new state). The latest change wins — row_number over " +
+      "(ts DESC, event_id DESC) with the event_id tiebreak making " +
+      "same-microsecond changes deterministic — and a surviving " +
+      "delete removes the key. The rn=1 filter compiles to a top-1 " +
+      "per-key WindowGroupLimit (partial limit BEFORE the exchange), " +
+      "so compacting a 100 TB changelog shuffles only per-key " +
+      "candidates, and the single shuffle is on the natural merge key.",
+    Some("""WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+           |             row_number() OVER (PARTITION BY user_id
+           |               ORDER BY ts DESC, event_id DESC) AS rn
+           |           FROM events)
+           |SELECT user_id, epoch_us(ts) AS last_ts, event_type AS last_op,
+           |       round(value, 6) AS state
+           |FROM r WHERE rn = 1 AND event_type <> 'error'
+           |ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), epochUs(col("ts")).as("last_ts"),
+          col("event_type").as("last_op"),
+          round(col("value"), 6).as("state"))
+        .orderBy("user_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket,
-    unpivot, kAnon, sampleWeighted)
+    unpivot, kAnon, sampleWeighted, incrAgg, cdcApply)
 }

@@ -102,6 +102,29 @@ class PlanSpec extends AnyFunSuite {
       "no map-side partial top-k:\n" + aggLines.mkString("\n"))
   }
 
+  test("q_colloc_lift: global top-100 compiles to TakeOrderedAndProject") {
+    // orderBy(lift).limit(100) must not materialize a global sort —
+    // per-partition top-k + merge is the only shape that survives a
+    // full-corpus bigram table
+    assert(planString("q_colloc_lift").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_cdc_apply: rn=1 filter compiles to a per-key WindowGroupLimit") {
+    // the changelog compaction must take top-1 per key BEFORE the
+    // exchange; a plain Window + Filter would sort every key's full
+    // change history
+    assert(planString("q_cdc_apply").contains("WindowGroupLimit"))
+  }
+
+  test("q_scan_docstore: filter absorbed by the DSv2 reader, schema pruned") {
+    val s = formatted("q_scan_docstore")
+    assert(s.contains("GreaterThanOrEqual(n_chars,300)"), s.takeRight(2000))
+    // the text column must not appear in the docstore read schema
+    val scanLine = s.linesIterator.find(_.contains("docstore"))
+    assert(scanLine.isDefined && !scanLine.get.contains("text"),
+      s"text not pruned from docstore scan: ${scanLine.getOrElse("")}")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the dedup shingle scan must appear under a WholeStageCodegen span,
     // not as a fallback project; AQE finalizes the plan only on

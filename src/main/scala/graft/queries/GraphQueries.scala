@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Graph analytics over the order graph (beyond the connected-
+  * components operator in `graft.ops.ConnectedComponents`): fixed-
+  * iteration PageRank on the customer–supplier trade graph.
+  *
+  * Determinism (SURVEY.md §7.5): ranks are exact BIGINT fixed-point
+  * ("microrank", scale 1e12) and every per-iteration step is integer
+  * arithmetic — `rank div outdeg` floor division for contributions,
+  * integer teleport term — so iteration order, partitioning and engine
+  * cannot move a single bit. This is PageRank with floor rounding: each
+  * division drops < 1 microrank unit, a ~1e-12 relative perturbation
+  * per iteration, far below any ranking-relevant difference, in
+  * exchange for hash-exact reproducibility (IEEE or decimal division
+  * would tie-break differently across engines).
+  */
+object GraphQueries {
+
+  private val Scale = 1000000000000L // 1e12 microrank units = rank 1.0
+
+  /** Undirected bipartite trade edges: customer c ↔ supplier 100000+s
+    * for every (custkey, suppkey) pair that traded. Both directions are
+    * materialized, so every node in the edge set has outdegree ≥ 1 —
+    * no dangling-mass correction needed.
+    */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + 100000L).as("sup"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sup").as("dst"))
+      .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
+  }
+
+  private val pagerank = QueryDef(
+    "q_pagerank",
+    "Fixed-point PageRank (3 iterations, damping 0.85) over the " +
+      "undirected customer–supplier trade graph, in exact BIGINT " +
+      "microrank arithmetic (see object scaladoc — floor division " +
+      "makes every iteration engine- and partitioning-exact). Each " +
+      "iteration is one key-partitioned join of ranks against the " +
+      "edge list plus one map-side-combining sum per destination — " +
+      "the BSP shape that scales to billion-edge graphs; the oracle " +
+      "unrolls the same three iterations as chained CTEs.",
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, 100000 + l_suppkey AS sup
+           |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS (SELECT c AS src, sup AS dst FROM pairs
+           |      UNION ALL SELECT sup, c FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |r0 AS (SELECT id, 1000000000000 // n AS rank FROM nodes CROSS JOIN nn),
+           |c1 AS (SELECT e.dst AS id, sum(r0.rank // deg.outdeg) AS c
+           |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1),
+           |r1 AS (SELECT nodes.id,
+           |         (15000000000000 // (100 * nn.n)) + (85 * coalesce(c1.c, 0)) // 100 AS rank
+           |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id),
+           |c2 AS (SELECT e.dst AS id, sum(r1.rank // deg.outdeg) AS c
+           |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1),
+           |r2 AS (SELECT nodes.id,
+           |         (15000000000000 // (100 * nn.n)) + (85 * coalesce(c2.c, 0)) // 100 AS rank
+           |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id),
+           |c3 AS (SELECT e.dst AS id, sum(r2.rank // deg.outdeg) AS c
+           |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
+           |r3 AS (SELECT nodes.id,
+           |         (15000000000000 // (100 * nn.n)) + (85 * coalesce(c3.c, 0)) // 100 AS rank
+           |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
+           |SELECT id, CAST(rank AS BIGINT) AS microrank
+           |FROM r3 ORDER BY id""".stripMargin),
+    (s, d) => {
+      val e = edges(s, d).persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val nodes = e.select(col("src").as("id")).distinct().persist()
+      val n = nodes.agg(count(lit(1)).as("n"))
+      val eDeg = e.join(deg, "src") // (src, dst, outdeg), reused each iter
+        .persist()
+      var ranks = nodes.crossJoin(broadcast(n))
+        .select(col("id"), expr(s"${Scale}L div n").as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = eDeg
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), expr("rank div outdeg").as("part"))
+          .groupBy("id").agg(sum(col("part")).as("c"))
+        ranks = nodes.crossJoin(broadcast(n))
+          .join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (expr(s"${15 * Scale}L div (100 * n)") +
+              expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
+      }
+      val out = ranks
+        .select(col("id"), lng(col("rank")).as("microrank"))
+        .orderBy("id")
+        // persist before the orderBy sampling pass re-executes the
+        // 3-join lineage (graft-round3 orderBy-resampling rule)
+        .persist()
+      out.count()
+      e.unpersist()
+      out
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pagerank)
+}

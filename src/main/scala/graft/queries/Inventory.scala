@@ -12,7 +12,8 @@ object Inventory {
       TextAnalysisQueries.defs ++ PipelineQueries.defs ++
       StreamingQueries.defs ++ AnalyticsQueries.defs ++ PdfQueries.defs ++
       SessionQueries.defs ++ RankingQueries.defs ++ WarehouseQueries.defs ++
-      TpchExtraQueries.defs ++ SketchQueries.defs ++ DocStoreQueries.defs
+      TpchExtraQueries.defs ++ SketchQueries.defs ++ DocStoreQueries.defs ++
+      GraphQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Corpus-mining operators over `documents`: per-document keyword
+  * extraction, sentence segmentation statistics, and hashing-trick
+  * feature vectors — the text-side feature-engineering passes a
+  * training-data pipeline runs after cleaning and before tokenizer /
+  * model work.
+  *
+  * Tokenization is the shared inventory convention
+  * (`regexp_extract_all(lower(text), '([a-z]+)', 1)` — identical
+  * extraction in Spark and DuckDB, see RankingQueries).
+  *
+  * Scale shapes (PLANS.md): token/sentence explodes run inside the
+  * scan stage; per-(doc, term) counts reduce with map-side combine;
+  * document-frequency joins are vocabulary-sized; the keyword window
+  * partitions by doc_id (high cardinality). Nothing materializes an
+  * unaggregated cross of documents × vocabulary.
+  */
+object CorpusQueries {
+
+  private val toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+
+  // ----------------------------------------------------------------- keywords
+
+  private val keywords = QueryDef(
+    "q_keywords",
+    "Top-3 keywords per document, scored tf·N/df — the rational form " +
+      "of tf-idf (ln is banned by the float-parity rules; for a fixed " +
+      "document, tf·N/df ranks terms identically to any monotone idf " +
+      "because N is constant and the score is monotone in tf and 1/df)." +
+      " Terms shorter than 3 letters are dropped. Score is one IEEE " +
+      "division of exact BIGINTs; ranking tie-breaks on the term so " +
+      "equal scores order identically in both engines. Shape: scan-" +
+      "stage token explode, map-side-combined (doc,term) counts, a " +
+      "vocabulary-sized df join, and a top-3-per-doc window by doc_id " +
+      "that compiles to a per-key group limit, not a global sort.",
+    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term
+           |           FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           |       WHERE len(term) >= 3 GROUP BY 1, 2),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+           |       WHERE len(term) >= 3 GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |r AS (SELECT tf.doc_id, tf.term,
+           |        round(CAST(tf.tf * n.n AS DOUBLE) / df.df, 6) AS score,
+           |        row_number() OVER (PARTITION BY tf.doc_id
+           |          ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term) AS rnk
+           |      FROM tf JOIN df USING (term) CROSS JOIN n)
+           |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score
+           |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    (s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), explode(expr(toks)).as("term"))
+        .filter(length(col("term")) >= 3)
+      val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = t.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
+      val score = dbl(col("tf") * col("n")) / col("df")
+      val w = Window.partitionBy("doc_id").orderBy(score.desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), lng(col("rnk")).as("rnk"), col("term"),
+          round(score, 6).as("score"))
+        .orderBy("doc_id", "rnk")
+    }
+  )
+
+  // ---------------------------------------------------------------- sentences
+
+  private val sentences = QueryDef(
+    "q_sentences",
+    "Sentence segmentation statistics: documents split on [.!?]+ runs, " +
+      "whitespace-trimmed, empties dropped; per document the sentence " +
+      "count, mean sentence length in exact integer ppm-of-a-char " +
+      "(1e6·total_chars floor-div n — no float mean, no rounding " +
+      "ties), and the longest sentence's length. The whole computation " +
+      "is per-row higher-order array functions inside the scan stage — " +
+      "zero shuffles, zero explodes — exactly how a 100 TB corpus " +
+      "wants its per-document statistics computed. Sentence-length " +
+      "screens feed chunking policy and quality filters.",
+    Some("""WITH l AS (SELECT doc_id,
+           |             list_filter(list_transform(
+           |               regexp_split_to_array(text, '[.!?]+'),
+           |               x -> len(trim(x))), v -> v > 0) AS lens
+           |           FROM documents)
+           |SELECT doc_id, CAST(len(lens) AS BIGINT) AS n_sentences,
+           |       CAST(CASE WHEN len(lens) = 0 THEN NULL
+           |            ELSE 1000000 * list_sum(lens) // len(lens) END AS BIGINT) AS mean_len_ppm,
+           |       CAST(list_max(lens) AS BIGINT) AS max_len
+           |FROM l ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), expr(
+        "filter(transform(split(text, '[.!?]+'), x -> length(trim(x))), v -> v > 0)")
+        .as("lens"))
+      .select(col("doc_id"),
+        lng(size(col("lens"))).as("n_sentences"),
+        lng(when(size(col("lens")) === 0, lit(null)).otherwise(
+          expr("1000000 * aggregate(lens, 0L, (a, v) -> a + v) DIV size(lens)")))
+          .as("mean_len_ppm"),
+        lng(array_max(col("lens"))).as("max_len"))
+      .orderBy("doc_id")
+  )
+
+  // ------------------------------------------------------------- feature hash
+
+  private val featureHash = QueryDef(
+    "q_feature_hash",
+    "Hashing-trick feature vectors: each token maps to one of 64 " +
+      "buckets via the first 8 hex digits of md5 (a hash both engines " +
+      "share bit-for-bit — Spark conv(hex,16,10) ≡ DuckDB '0x'-cast), " +
+      "emitting the sparse (doc_id, bucket, count) matrix that a " +
+      "fixed-width model input needs with NO vocabulary pass and NO " +
+      "vocabulary broadcast — the property that makes feature hashing " +
+      "the 100 TB choice over dictionary encodings. Shape: scan-stage " +
+      "explode, single map-side-combined aggregation; output is " +
+      "bounded by docs × 64.",
+    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term
+           |           FROM documents)
+           |SELECT doc_id,
+           |       ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), explode(expr(toks)).as("term"))
+      .select(col("doc_id"),
+        (expr("CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)") % 64)
+          .as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(lng(count(lit(1))).as("n"))
+      .orderBy("doc_id", "bucket")
+  )
+
+  val defs: Seq[QueryDef] = Seq(keywords, sentences, featureHash)
+}

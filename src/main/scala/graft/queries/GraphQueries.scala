@@ -107,5 +107,73 @@ object GraphQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pagerank)
+  private val triangles = QueryDef(
+    "q_triangles",
+    "Triangle count of the co-purchase graph (parts are adjacent iff " +
+      "some order contains both) via DEGREE-ORDERED ORIENTATION — the " +
+      "shape that makes triangle counting feasible at scale: every " +
+      "edge is directed from its lower-(degree, id) endpoint to its " +
+      "higher one, so each triangle is counted exactly once at its " +
+      "minimum-rank vertex and per-node out-degree is O(√m), bounding " +
+      "the work even on power-law hubs. Closure is a codegen'd sorted-" +
+      "merge intersection of out-neighbor arrays per edge — the wedge " +
+      "set is never materialized and nothing shuffles per wedge. Edge " +
+      "building is order-local (lineitem self-join on l_orderkey — " +
+      "per-order line counts are bounded). All counts exact BIGINT. " +
+      "The oracle brute-forces the canonical p1<p2<p3 triple join, " +
+      "proving the orientation + intersection lossless.",
+    Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           |           FROM lineitem a JOIN lineitem b
+           |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           |       (SELECT CAST(count(*) AS BIGINT)
+           |        FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+           |                  JOIN e e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2) AS n_triangles""".stripMargin),
+    (s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .distinct()
+        .persist()
+      // total (degree, id) order; orient each edge low-rank → high-rank
+      val deg = e.select(col("p1").as("id"))
+        .unionByName(e.select(col("p2").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.withColumnRenamed("id", "p1").withColumnRenamed("deg", "d1"), "p1")
+        .join(deg.withColumnRenamed("id", "p2").withColumnRenamed("deg", "d2"), "p2")
+      val lowFirst = col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("p1") < col("p2"))
+      val oriented = withDeg.select(
+          when(lowFirst, struct(col("p1").as("src"), col("p2").as("dst")))
+            .otherwise(struct(col("p2").as("src"), col("p1").as("dst"))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .persist()
+      // triangle {a≺b≺c} is counted exactly once: at edge (a,b), as
+      // c ∈ N⁺(a) ∩ N⁺(b). Adjacency arrays are sorted-distinct, so the
+      // codegen'd merge scan counts the intersection without ever
+      // materializing the wedge set (Σ|N⁺| per edge, not one row per
+      // wedge — the shuffle carries ~2·Σdeg² longs instead of a
+      // wedge-count row explosion plus a 3rd semi-join shuffle)
+      val adj = oriented.groupBy("src")
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val tri = oriented
+        .join(adj, "src")
+        .withColumnRenamed("nbrs", "src_nbrs")
+        .join(adj.withColumnRenamed("src", "dst").withColumnRenamed("nbrs", "dst_nbrs"),
+          "dst") // inner: a dst with no out-edges contributes 0 triangles
+        .agg(lng(sum(graft.functions.VectorFunctions.sortedIntersectCount(
+          col("src_nbrs"), col("dst_nbrs")))).as("n_triangles"))
+      val out = e.agg(lng(count(lit(1))).as("n_edges")).crossJoin(tri)
+      val res = out.persist()
+      res.count()
+      e.unpersist()
+      oriented.unpersist()
+      res
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pagerank, triangles)
 }

@@ -13,7 +13,8 @@ object Inventory {
       StreamingQueries.defs ++ AnalyticsQueries.defs ++ PdfQueries.defs ++
       SessionQueries.defs ++ RankingQueries.defs ++ WarehouseQueries.defs ++
       TpchExtraQueries.defs ++ SketchQueries.defs ++ DocStoreQueries.defs ++
-      GraphQueries.defs
+      GraphQueries.defs ++ StatsQueries.defs ++ EventFlowQueries.defs ++
+      CorpusQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

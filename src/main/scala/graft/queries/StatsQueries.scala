@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Statistical / data-quality operators: one-pass table profiling,
+  * chi-square contingency analysis, lag-1 autocorrelation, winsorized
+  * (percentile-clipped) aggregation, and a 2-D Pareto frontier
+  * (skyline).
+  *
+  * Determinism (SURVEY.md §7.5): every statistic is assembled from
+  * exact integer / DECIMAL sums with at most a fixed, shared chain of
+  * IEEE double operations applied once at the end (division, sqrt —
+  * both correctly rounded, so identical across engines given identical
+  * exact inputs). Nothing here sums raw doubles.
+  *
+  * Scale shapes (PLANS.md): profiling is a single pass (Expand for the
+  * multi-distinct); the contingency / autocorrelation joins touch only
+  * tiny aggregate tables (≤ types × cohorts rows); winsorize joins a
+  * broadcastable ≤5-row bounds table back to the fact; the skyline is
+  * range-bucketed so no window ever sees a single global partition.
+  */
+object StatsQueries {
+
+  // ---------------------------------------------------------------- profile
+
+  /** Engine-identical string rendering per column type (doubles via
+    * DECIMAL(18,2), timestamps via yyyy-MM-dd) — both engines render
+    * the same decimal / date the same way, while raw double→string
+    * formatting would differ.
+    */
+  private val profile = QueryDef(
+    "q_profile",
+    "One-pass data profiling of the orders table: per column, null " +
+      "count, exact distinct count, and min/max rendered engine-" +
+      "identically (numerics as-is, money via DECIMAL(18,2), dates as " +
+      "yyyy-MM-dd). Spark computes all six columns' statistics in a " +
+      "single aggregation (Catalyst Expand handles the multi-distinct " +
+      "in one scan) and unpivots the result with one explode — the " +
+      "profile-before-you-train pass every pipeline runs; at 100 TB " +
+      "the same shape runs with approx_count_distinct when a sketch " +
+      "is acceptable. The oracle recomputes each column's row with a " +
+      "separate aggregate and unions them.",
+    Some("""SELECT 'o_custkey' AS col_name,
+           |       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           |       CAST(min(o_custkey) AS VARCHAR) AS min_repr,
+           |       CAST(max(o_custkey) AS VARCHAR) AS max_repr FROM orders
+           |UNION ALL
+           |SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+           |       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           |       strftime(min(o_orderdate), '%Y-%m-%d'),
+           |       strftime(max(o_orderdate), '%Y-%m-%d') FROM orders
+           |UNION ALL
+           |SELECT 'o_orderkey', CAST(count(*) - count(o_orderkey) AS BIGINT),
+           |       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           |       CAST(min(o_orderkey) AS VARCHAR),
+           |       CAST(max(o_orderkey) AS VARCHAR) FROM orders
+           |UNION ALL
+           |SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           |       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           |       min(o_orderpriority), max(o_orderpriority) FROM orders
+           |UNION ALL
+           |SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           |       min(o_orderstatus), max(o_orderstatus) FROM orders
+           |UNION ALL
+           |SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+           |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+           |FROM orders
+           |ORDER BY col_name""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+      def longRepr(c: String)  = (min(col(c)).cast("string"), max(col(c)).cast("string"))
+      def strRepr(c: String)   = (min(col(c)), max(col(c)))
+      def moneyRepr(c: String) = (min(money(col(c))).cast("string"), max(money(col(c))).cast("string"))
+      def dateRepr(c: String)  = (dateStr(min(col(c))), dateStr(max(col(c))))
+      val cols: Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column))] = Seq(
+        "o_custkey" -> longRepr("o_custkey"),
+        "o_orderdate" -> dateRepr("o_orderdate"),
+        "o_orderkey" -> longRepr("o_orderkey"),
+        "o_orderpriority" -> strRepr("o_orderpriority"),
+        "o_orderstatus" -> strRepr("o_orderstatus"),
+        "o_totalprice" -> moneyRepr("o_totalprice"))
+      // one aggregation row carrying every statistic, then explode
+      val aggExprs = cols.flatMap { case (c, (mn, mx)) => Seq(
+        lng(count(lit(1)) - count(col(c))).as(s"${c}__nn"),
+        lng(countDistinct(col(c))).as(s"${c}__nd"),
+        mn.as(s"${c}__mn"), mx.as(s"${c}__mx"))
+      }
+      val one = o.agg(aggExprs.head, aggExprs.tail: _*)
+      val rows = array(cols.map { case (c, _) => struct(
+        lit(c).as("col_name"), col(s"${c}__nn").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"), col(s"${c}__mn").as("min_repr"),
+        col(s"${c}__mx").as("max_repr"))
+      }: _*)
+      one.select(explode(rows).as("r"))
+        .select(col("r.col_name"), col("r.n_nulls"), col("r.n_distinct"),
+          col("r.min_repr"), col("r.max_repr"))
+        .orderBy("col_name")
+    }
+  )
+
+  // ------------------------------------------------------------------ chisq
+
+  private val chisq = QueryDef(
+    "q_chisq",
+    "Chi-square contingency analysis of event_type × user cohort " +
+      "(user_id mod 3): per cell, the observed count, the expected " +
+      "count in exact integer millis (1000·R·C floor-div N — floor " +
+      "division has no cross-engine rounding ties), and the chi-square " +
+      "contribution (O−E)²/E computed as the single IEEE division " +
+      "(O·N−R·C)² / (N·R·C) of two exact BIGINTs. The statistic is the " +
+      "sum of the 15 contributions — left to the consumer because a " +
+      "float sum's order is engine-dependent; the per-cell table is " +
+      "the useful artifact anyway (it names the deviating cells). " +
+      "Row/column totals are ≤5-row broadcast joins onto the cell " +
+      "table; nothing beyond the first aggregation touches the fact.",
+    Some("""WITH cells AS (SELECT event_type, user_id % 3 AS cohort, count(*) AS o
+           |               FROM events GROUP BY 1, 2),
+           |r AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+           |c AS (SELECT cohort, sum(o) AS c FROM cells GROUP BY 1),
+           |n AS (SELECT sum(o) AS n FROM cells)
+           |SELECT cells.event_type, CAST(cells.cohort AS BIGINT) AS cohort,
+           |       CAST(cells.o AS BIGINT) AS n_obs,
+           |       CAST(1000 * r.r * c.c // n.n AS BIGINT) AS e_milli,
+           |       round(CAST((cells.o * n.n - r.r * c.c) * (cells.o * n.n - r.r * c.c) AS DOUBLE)
+           |             / CAST(n.n * r.r * c.c AS DOUBLE), 6) AS contrib
+           |FROM cells JOIN r USING (event_type) JOIN c USING (cohort) CROSS JOIN n
+           |ORDER BY event_type, cohort""".stripMargin),
+    (s, d) => {
+      val cells = events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 3).as("cohort"))
+        .agg(count(lit(1)).as("o"))
+      val r = cells.groupBy("event_type").agg(sum("o").as("r"))
+      val c = cells.groupBy("cohort").agg(sum("o").as("c"))
+      val n = cells.agg(sum("o").as("n"))
+      val diff = col("o") * col("n") - col("r") * col("c")
+      cells.join(broadcast(r), "event_type").join(broadcast(c), "cohort")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), lng(col("cohort")).as("cohort"),
+          lng(col("o")).as("n_obs"),
+          lng(expr("1000 * r * c DIV n")).as("e_milli"),
+          round(dbl(diff * diff) / dbl(col("n") * col("r") * col("c")), 6)
+            .as("contrib"))
+        .orderBy("event_type", "cohort")
+    }
+  )
+
+  // --------------------------------------------------------------- autocorr
+
+  private val autocorr = QueryDef(
+    "q_autocorr",
+    "Lag-1 autocorrelation of hourly event counts per type — the " +
+      "seasonality screen run before windowing a time series into " +
+      "training examples. Hourly counts are exact integers; adjacent-" +
+      "hour pairs come from a lag window restricted to truly " +
+      "consecutive hours (a gap breaks the pair, it does not smear); " +
+      "Pearson r is assembled from six exact BIGINT co-moment sums " +
+      "with one shared double chain — (nΣxy−ΣxΣy)/sqrt((nΣx²−(Σx)²)·" +
+      "(nΣy²−(Σy)²)) — so both engines emit the identical double " +
+      "(same q_corr discipline). The lag window partitions by " +
+      "event_type over the tiny hour×type aggregate, never the fact.",
+    Some("""WITH h AS (SELECT event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+           |             count(*) AS cnt
+           |           FROM events GROUP BY 1, 2),
+           |p AS (SELECT event_type, cnt AS x,
+           |        lag(cnt) OVER (PARTITION BY event_type ORDER BY hr) AS y,
+           |        hr - lag(hr) OVER (PARTITION BY event_type ORDER BY hr) AS gap
+           |      FROM h),
+           |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+           |      FROM p WHERE y IS NOT NULL AND gap = 1 GROUP BY 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           |       CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+           |            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+           |                       / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+           |                              * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+           |       END AS r
+           |FROM m ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val hourExpr =
+        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000"
+      val h = events(s, d)
+        .groupBy(col("event_type"), expr(hourExpr).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val p = h.select(col("event_type"), col("cnt").as("x"),
+          lag("cnt", 1).over(w).as("y"),
+          (col("hr") - lag("hr", 1).over(w)).as("gap"))
+        .filter(col("y").isNotNull && col("gap") === 1)
+      val m = p.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+      val d2 = col("n") * col("syy") - col("sy") * col("sy")
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      m.select(col("event_type"), lng(col("n")).as("n_pairs"),
+          when(d1 * d2 === 0, lit(null))
+            .otherwise(round(dbl(num) / sqrt(dbl(d1) * dbl(d2)), 6)).as("r"))
+        .orderBy("event_type")
+    }
+  )
+
+  // -------------------------------------------------------------- winsorize
+
+  private val winsorize = QueryDef(
+    "q_winsorize",
+    "Winsorized aggregation: per order priority, o_totalprice clipped " +
+      "to its group's exact interpolated [p05, p95] (percentile ⇔ " +
+      "quantile_cont — shared definition, q_quantiles precedent), then " +
+      "count, clip counts, and the winsorized mean. Clipped values are " +
+      "interpolated doubles, so they are cast to DECIMAL(18,6) BEFORE " +
+      "summing (both engines round the same double to the same " +
+      "decimal; exact addition kills float order-dependence) and the " +
+      "mean is one division at the end. Shape: one aggregation for the " +
+      "≤5-row bounds table, broadcast back onto the fact, one final " +
+      "aggregation — the outlier-robust statistics pass.",
+    Some("""WITH b AS (SELECT o_orderpriority,
+           |             quantile_cont(o_totalprice, 0.05) AS lo,
+           |             quantile_cont(o_totalprice, 0.95) AS hi
+           |           FROM orders GROUP BY 1)
+           |SELECT o.o_orderpriority,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(count(*) FILTER (WHERE o.o_totalprice < b.lo) AS BIGINT) AS n_clip_lo,
+           |       CAST(count(*) FILTER (WHERE o.o_totalprice > b.hi) AS BIGINT) AS n_clip_hi,
+           |       round(CAST(sum(CAST(least(greatest(o.o_totalprice, b.lo), b.hi) AS DECIMAL(18,6))) AS DOUBLE)
+           |             / count(*), 6) AS winsor_mean
+           |FROM orders o JOIN b USING (o_orderpriority)
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+      val b = o.groupBy("o_orderpriority").agg(
+        expr("percentile(o_totalprice, 0.05)").as("lo"),
+        expr("percentile(o_totalprice, 0.95)").as("hi"))
+      val clipped = least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      o.join(broadcast(b), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(lng(count(lit(1))).as("n"),
+          lng(count(when(col("o_totalprice") < col("lo"), 1))).as("n_clip_lo"),
+          lng(count(when(col("o_totalprice") > col("hi"), 1))).as("n_clip_hi"),
+          round(dbl(sum(clipped)) / count(lit(1)), 6).as("winsor_mean"))
+        .orderBy("o_orderpriority")
+    }
+  )
+
+  // ---------------------------------------------------------------- skyline
+
+  private val skyline = QueryDef(
+    "q_skyline",
+    "2-D Pareto frontier (skyline) of orders: keep an order iff no " +
+      "other order has BOTH a strictly later date AND a strictly " +
+      "higher price — the multi-objective shortlist query. Scale " +
+      "shape: the prefix-max over later dates is computed on the " +
+      "per-day aggregate, range-BUCKETED (day DIV 256) so every " +
+      "window is partitioned (no single-partition global sort, " +
+      "PlanSpec-gated for the whole inventory): within-bucket prefix " +
+      "max by window, cross-bucket max from a tiny bucket-level self-" +
+      "join, thresholds joined back to the fact by day. Dominance " +
+      "compares 2-decimal doubles — exact. The oracle computes the " +
+      "same frontier with one descending RANGE window over days.",
+    Some("""WITH o AS (SELECT o_orderkey,
+           |             epoch_us(o_orderdate) // 86400000000 AS day,
+           |             o_totalprice AS price
+           |           FROM orders),
+           |thr AS (SELECT day,
+           |          max(max(price)) OVER (ORDER BY day DESC
+           |            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS later_max
+           |        FROM o GROUP BY day)
+           |SELECT o.o_orderkey,
+           |       strftime(make_timestamp(o.day * 86400000000), '%Y-%m-%d') AS o_date,
+           |       o.price AS o_totalprice
+           |FROM o JOIN thr USING (day)
+           |WHERE thr.later_max IS NULL OR o.price >= thr.later_max
+           |ORDER BY o.o_orderkey""".stripMargin),
+    (s, d) => {
+      // o_orderdate is TIMESTAMP_NTZ in the parquet; session TZ is UTC so
+      // the cast to TIMESTAMP is the identity both engines apply
+      val dayExpr = "(unix_micros(CAST(o_orderdate AS TIMESTAMP)) - " +
+        "pmod(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 86400000000)) DIV 86400000000"
+      val o = orders(s, d)
+        .select(col("o_orderkey"), expr(dayExpr).as("day"),
+          col("o_totalprice").as("price"))
+      val byDay = o.groupBy("day").agg(max("price").as("dmax"))
+        .withColumn("bucket", expr("day DIV 256"))
+      // within-bucket: max over strictly-later days (days are distinct
+      // rows here, so ROWS ... 1 PRECEDING under day DESC is exact)
+      val wIn = Window.partitionBy("bucket").orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inBucket = byDay.withColumn("in_max", max("dmax").over(wIn))
+      // cross-bucket: max over all strictly-later buckets (tiny table)
+      val bmax = byDay.groupBy("bucket").agg(max("dmax").as("bmax"))
+      val later = bmax.as("a")
+        .join(bmax.as("b"), col("b.bucket") > col("a.bucket"))
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(max(col("b.bmax")).as("later_bucket_max"))
+      val thr = inBucket.join(broadcast(later), Seq("bucket"), "left")
+        .select(col("day"),
+          greatest(coalesce(col("in_max"), lit(Double.MinValue)),
+            coalesce(col("later_bucket_max"), lit(Double.MinValue)))
+            .as("later_max"),
+          (col("in_max").isNull && col("later_bucket_max").isNull).as("first"))
+      o.join(thr, "day")
+        .filter(col("first") || col("price") >= col("later_max"))
+        .select(col("o_orderkey"),
+          dateStr(timestamp_micros(col("day") * 86400000000L)).as("o_date"),
+          col("price").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }
+  )
+
+  val defs: Seq[QueryDef] =
+    Seq(profile, chisq, autocorr, winsorize, skyline)
+}

@@ -330,7 +330,55 @@ object AnalyticsQueries {
           col("first_purchase") <= col("first_click") + 3600000000L, 1))).as("n_converted_1h"))
   )
 
+  // -------------------------------------------------------------- itemsets
+
+  private val itemsets = QueryDef(
+    "q_itemsets",
+    "Frequent-itemset mining, pair tier (the Apriori/market-basket " +
+      "workhorse): the top-100 co-purchased part pairs by support " +
+      "(number of orders containing both), with rational lift — " +
+      "support·N / (n1·n2), one IEEE division of exact BIGINTs — " +
+      "telling real affinity from popularity. Pair generation is " +
+      "ORDER-LOCAL (lineitem self-join on l_orderkey; per-order line " +
+      "counts are bounded, so candidates per order are bounded — " +
+      "never an all-parts cross), per-part order counts join the " +
+      "pair table twice key-partitioned, scalars broadcast, and the " +
+      "top-100 with total-order tiebreak compiles to " +
+      "TakeOrderedAndProject — no global sort at any corpus size.",
+    Some("""WITH pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           |              count(DISTINCT a.l_orderkey) AS support
+           |            FROM lineitem a JOIN lineitem b
+           |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |            GROUP BY 1, 2),
+           |po AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n FROM lineitem GROUP BY 1),
+           |no AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders)
+           |SELECT pr.p1, pr.p2, CAST(pr.support AS BIGINT) AS support,
+           |       round(CAST(pr.support * no.n AS DOUBLE) / (po1.n * po2.n), 6) AS lift
+           |FROM pr JOIN po po1 ON pr.p1 = po1.l_partkey
+           |        JOIN po po2 ON pr.p2 = po2.l_partkey
+           |        CROSS JOIN no
+           |ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin),
+    (s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pr = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(countDistinct(col("a.l_orderkey")).as("support"))
+      val po = li.groupBy("l_partkey").agg(countDistinct(col("l_orderkey")).as("n"))
+      val no = orders(s, d).agg(countDistinct(col("o_orderkey")).as("no"))
+      pr.join(po.select(col("l_partkey").as("p1"), col("n").as("n1")), "p1")
+        .join(po.select(col("l_partkey").as("p2"), col("n").as("n2")), "p2")
+        .crossJoin(broadcast(no))
+        .select(col("p1"), col("p2"), lng(col("support")).as("support"),
+          round(dbl(col("support") * col("no")) / (col("n1") * col("n2")), 6)
+            .as("lift"))
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+        .limit(100)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists,
     groupingSets, trainTestSplit, aggFiltered, corrStats, histogram,
-    gapFill, funnel)
+    gapFill, funnel, itemsets)
 }

@@ -318,6 +318,49 @@ object StatsQueries {
     }
   )
 
+  // ------------------------------------------------------------ mad outliers
+
+  private val madOutliers = QueryDef(
+    "q_mad_outliers",
+    "Robust outlier detection via MAD (median absolute deviation): " +
+      "per event type, the exact interpolated median of value, the " +
+      "median of |value − median|, and how many events sit beyond " +
+      "3·MAD — the screen that survives the heavy tails that wreck " +
+      "mean/stddev z-scores (one planted outlier drags a mean; it " +
+      "cannot drag a median). Two grouped exact-percentile passes " +
+      "(percentile ⇔ quantile_cont, q_quantiles precedent) with the " +
+      "≤5-row medians broadcast back between them; |x−med| and the " +
+      "3·MAD comparison are deterministic double arithmetic on " +
+      "exact-percentile outputs.",
+    Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           |             FROM events GROUP BY 1),
+           |mad AS (SELECT e.event_type,
+           |          quantile_cont(abs(e.value - med.med), 0.5) AS mad
+           |        FROM events e JOIN med USING (event_type) GROUP BY 1)
+           |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           |       round(med.med, 6) AS med, round(mad.mad, 6) AS mad,
+           |       CAST(count(*) FILTER (WHERE abs(e.value - med.med) > 3 * mad.mad) AS BIGINT) AS n_outliers
+           |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+           |GROUP BY e.event_type, med.med, mad.mad
+           |ORDER BY e.event_type""".stripMargin),
+    (s, d) => {
+      val e = events(s, d).select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = e.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(lng(count(lit(1))).as("n"),
+          lng(count(when(abs(col("value") - col("med")) > col("mad") * 3, 1)))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    }
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(profile, chisq, autocorr, winsorize, skyline)
+    Seq(profile, chisq, autocorr, winsorize, skyline, madOutliers)
 }

@@ -280,6 +280,145 @@ object WarehouseQueries {
     }
   )
 
+  // ---------------------------------------------------------- join interval
+
+  private val joinInterval = QueryDef(
+    "q_join_interval",
+    "Point-in-time (validity-interval) join — the SCD2 consumption " +
+      "side: signup events become versioned per-user dimension rows " +
+      "with [us, next_us) validity built by one lead() window; each " +
+      "purchase joins the version valid at its timestamp. The join is " +
+      "an EQUI join on user_id with the interval containment as a " +
+      "residual predicate — per-user version counts are bounded, so " +
+      "candidates per probe are bounded and nothing degenerates into " +
+      "a range cross product (contrast q_join_asof, which solves the " +
+      "no-dimension case with a union+last window). Intervals " +
+      "partition time, so exactly one version matches per purchase — " +
+      "deterministic without tiebreaks. Purchases before the first " +
+      "signup drop (inner).",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+           |v AS (SELECT user_id, us AS from_us, value AS state_value,
+           |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_us
+           |      FROM e WHERE event_type = 'signup'),
+           |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id, p.us AS purchase_us,
+           |       v.from_us AS version_us, v.state_value
+           |FROM p JOIN v ON p.user_id = v.user_id
+           |  AND v.from_us <= p.us AND (v.to_us IS NULL OR p.us < v.to_us)
+           |ORDER BY p.event_id""".stripMargin),
+    (s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      val v = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("us").as("from_us"),
+          col("value").as("state_value"), lead("us", 1).over(w).as("to_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      p.join(v, p("user_id") === v("user_id") &&
+          v("from_us") <= p("us") &&
+          (v("to_us").isNull || p("us") < v("to_us")))
+        .select(p("event_id"), p("user_id"), p("us").as("purchase_us"),
+          v("from_us").as("version_us"), v("state_value"))
+        .orderBy("event_id")
+    }
+  )
+
+  // ----------------------------------------------------------- pop revenue
+
+  private val popRevenue = QueryDef(
+    "q_pop_revenue",
+    "Period-over-period reporting: exact monthly revenue with the " +
+      "previous month's value and the month-over-month percent change " +
+      "— the BI staple. Months key as year·12+month−1 so the previous " +
+      "period is mkey−1 and the lookup is a plain EQUI self-join of " +
+      "the tiny month-level aggregate — NO window at all, hence no " +
+      "global sort and nothing single-partition at any scale. Revenue " +
+      "sums as exact DECIMAL; the delta subtracts exactly in decimal " +
+      "and the percent change is the single IEEE division at the end.",
+    Some("""WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mkey,
+           |             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           |           FROM orders GROUP BY 1)
+           |SELECT CAST(a.mkey // 12 AS BIGINT) AS yr,
+           |       CAST(a.mkey % 12 + 1 AS BIGINT) AS mon,
+           |       CAST(a.rev AS DOUBLE) AS revenue,
+           |       CAST(b.rev AS DOUBLE) AS prev_revenue,
+           |       round(CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE) * 100, 6) AS mom_pct
+           |FROM m a LEFT JOIN m b ON b.mkey = a.mkey - 1
+           |ORDER BY a.mkey""".stripMargin),
+    (s, d) => {
+      val m = orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("mkey"))
+        .agg(sum(money(col("o_totalprice"))).as("rev"))
+      val a = m.as("a"); val b = m.as("b")
+      a.join(b, col("b.mkey") === col("a.mkey") - 1, "left")
+        .select(lng(expr("a.mkey DIV 12")).as("yr"),
+          lng(col("a.mkey") % 12 + 1).as("mon"),
+          dbl(col("a.rev")).as("revenue"),
+          dbl(col("b.rev")).as("prev_revenue"),
+          round(dbl(col("a.rev") - col("b.rev")) / dbl(col("b.rev")) * 100, 6)
+            .as("mom_pct"))
+        .orderBy("yr", "mon")
+    }
+  )
+
+  // ---------------------------------------------------------- pareto share
+
+  private val paretoShare = QueryDef(
+    "q_pareto_share",
+    "Pareto-coverage shortlist (the 80/20 query): per nation, the " +
+      "smallest revenue-ranked prefix of suppliers covering ≥ 80% of " +
+      "the nation's revenue — keep suppliers while the cumulative " +
+      "share BEFORE them is under 80%. Runs on the (nation, supplier) " +
+      "aggregate, never the fact: one exact-decimal aggregation, a " +
+      "broadcast nation-total join, and one window partitioned by " +
+      "nation whose frame is exact-decimal cumulative sums (ties " +
+      "broken by suppkey, threshold compared as 100·cum < 80·total in " +
+      "exact decimal — no float share crosses an engine boundary " +
+      "un-rounded).",
+    Some("""WITH r AS (SELECT s.s_nationkey, l.l_suppkey,
+           |             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+           |           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |           GROUP BY 1, 2),
+           |t AS (SELECT s_nationkey, sum(rev) AS total FROM r GROUP BY 1),
+           |c AS (SELECT r.s_nationkey, r.l_suppkey, r.rev, t.total,
+           |        sum(r.rev) OVER (PARTITION BY r.s_nationkey
+           |          ORDER BY r.rev DESC, r.l_suppkey
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before,
+           |        row_number() OVER (PARTITION BY r.s_nationkey
+           |          ORDER BY r.rev DESC, r.l_suppkey) AS rnk
+           |      FROM r JOIN t USING (s_nationkey))
+           |SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+           |       l_suppkey AS suppkey, CAST(rnk AS BIGINT) AS rnk,
+           |       CAST(rev AS DOUBLE) AS revenue
+           |FROM c WHERE coalesce(100 * cum_before, 0) < 80 * total
+           |ORDER BY nationkey, rnk""".stripMargin),
+    (s, d) => {
+      val r = lineitem(s, d).select(col("l_suppkey"), col("l_extendedprice"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(sum(money(col("l_extendedprice"))).as("rev"))
+      val t = r.groupBy("s_nationkey").agg(sum("rev").as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("s_nationkey").orderBy(col("rev").desc, col("l_suppkey"))
+      val cum = sum("rev").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+      r.join(broadcast(t), "s_nationkey")
+        .withColumn("cum_before", cum)
+        .withColumn("rnk", row_number().over(w))
+        .filter(coalesce(col("cum_before") * 100, lit(0)) < col("total") * 80)
+        .select(lng(col("s_nationkey")).as("nationkey"),
+          col("l_suppkey").as("suppkey"), lng(col("rnk")).as("rnk"),
+          dbl(col("rev")).as("revenue"))
+        .orderBy("nationkey", "rnk")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket,
-    unpivot, kAnon, sampleWeighted, incrAgg, cdcApply)
+    unpivot, kAnon, sampleWeighted, incrAgg, cdcApply, joinInterval,
+    popRevenue, paretoShare)
 }

@@ -110,6 +110,48 @@ class StatsShapesSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("q_join_interval: exactly one version matches each covered purchase") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val signupsByUser = ev.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._4).sorted }
+    val expected = ev.filter(_._3 == "purchase").flatMap { case (u, eid, _, us) =>
+      signupsByUser.get(u).flatMap { ss =>
+        val before = ss.filter(_ <= us)
+        if (before.isEmpty) None else Some((eid, before.max))
+      }
+    }.toMap
+    val got = q("q_join_interval").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected)
+  }
+
+  test("q_pareto_share: minimal prefix covering 80% per nation") {
+    val rows = q("q_pareto_share").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val rev = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("t"))
+      .collect().map(r => r.getInt(0).toLong -> r.getDecimal(1).doubleValue()).toMap
+    rows.groupBy(_._1).foreach { case (nat, rs) =>
+      val total = rev(nat)
+      val selected = rs.map(_._4).sum
+      val withoutLast = selected - rs.maxBy(_._3)._4
+      assert(selected >= 0.8 * total - 1e-6, s"nation $nat undercovers")
+      assert(withoutLast < 0.8 * total + 1e-6, s"nation $nat not minimal")
+    }
+  }
+
+  test("q_itemsets: top-100 compiles to TakeOrderedAndProject") {
+    val plan = q("q_itemsets").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("q_profile: all six columns in one aggregation pass") {
     // the multi-distinct profile must stay a single scan (Expand),
     // not one scan per column

@@ -55,7 +55,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "queries" FIRST, "metric"/"value" LAST: the driver keeps only the
+    // tail of stdout, and with 140+ queries the line exceeds that buffer —
+    // the headline total must sit at the end of the line to survive.
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -378,7 +378,140 @@ object AnalyticsQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists,
+  // ------------------------------------------------------------------ gini
+
+  private val gini = QueryDef(
+    "q_gini",
+    "Gini coefficient of revenue concentration across suppliers, per " +
+      "nation — the inequality audit a data-mix curator runs before " +
+      "rebalancing sources. Per-supplier revenue is an exact DECIMAL " +
+      "sum; within each nation suppliers are ranked by (revenue, " +
+      "suppkey) — row_number on a PARTITIONED window over the " +
+      "supplier-level aggregate, never the fact table — and Gini = " +
+      "(2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) is assembled from exact " +
+      "rank-weighted DECIMAL sums with ONE final IEEE division. Tie " +
+      "order cannot move the statistic (equal xᵢ contribute the same " +
+      "Σi·xᵢ under any permutation), so row_number is safe.",
+    Some("""WITH rev AS (SELECT s.s_nationkey AS nationkey, s.s_suppkey,
+           |               sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+           |                   (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev
+           |             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |             GROUP BY 1, 2),
+           |rk AS (SELECT nationkey, rev,
+           |         row_number() OVER (PARTITION BY nationkey ORDER BY rev, s_suppkey) AS i
+           |       FROM rev)
+           |SELECT nationkey,
+           |       CAST(count(*) AS BIGINT) AS n_suppliers,
+           |       CAST(sum(rev) AS DOUBLE) AS total_rev,
+           |       round(CAST(2 * sum(i * rev) - (count(*) + 1) * sum(rev) AS DOUBLE) /
+           |             CAST(count(*) * sum(rev) AS DOUBLE), 6) AS gini
+           |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val revExpr = "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+      val rev = lineitem(s, d).select(col("l_suppkey"), expr(revExpr).as("r"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nationkey"), col("s_suppkey"))
+        .agg(sum(col("r")).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("nationkey").orderBy("rev", "s_suppkey")
+      rev.withColumn("i", row_number().over(w))
+        .groupBy("nationkey")
+        .agg(lng(count(lit(1))).as("n_suppliers"),
+          dbl(sum(col("rev"))).as("total_rev"),
+          sum(col("i") * col("rev")).as("siw"),
+          sum(col("rev")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("nationkey"), col("n_suppliers"), col("total_rev"),
+          round(dbl(lit(2) * col("siw") - (col("n") + 1) * col("sx")) /
+            dbl(col("n") * col("sx")), 6).as("gini"))
+        .orderBy("nationkey")
+    }
+  )
+
+  // ------------------------------------------------------------------- rfm
+
+  private val rfm = QueryDef(
+    "q_rfm",
+    "RFM customer segmentation (recency / frequency / monetary): per " +
+      "customer, days since last order relative to the corpus max " +
+      "date (integer epoch-day subtraction), order count, and exact " +
+      "DECIMAL spend; each dimension scored 1-4 against its exact " +
+      "interpolated quartiles (percentile ⇔ quantile_cont, " +
+      "q_quantiles precedent). The quartile thresholds come from ONE " +
+      "global aggregation over the already-aggregated per-customer " +
+      "table and are BROADCAST back — scoring is a threshold CASE " +
+      "per row, NOT a global ntile window, so no single-partition " +
+      "sort exists at any customer count.",
+    Some("""WITH cust AS (SELECT o_custkey,
+           |                (SELECT max(epoch_us(o_orderdate) // 86400000000) FROM orders)
+           |                  - max(epoch_us(o_orderdate) // 86400000000) AS recency_days,
+           |                count(*) AS frequency,
+           |                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           |              FROM orders GROUP BY 1),
+           |th AS (SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r25,
+           |              quantile_cont(CAST(recency_days AS DOUBLE), 0.50) AS r50,
+           |              quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r75,
+           |              quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f25,
+           |              quantile_cont(CAST(frequency AS DOUBLE), 0.50) AS f50,
+           |              quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f75,
+           |              quantile_cont(monetary, 0.25) AS m25,
+           |              quantile_cont(monetary, 0.50) AS m50,
+           |              quantile_cont(monetary, 0.75) AS m75
+           |       FROM cust)
+           |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           |       CAST(frequency AS BIGINT) AS frequency, monetary,
+           |       CAST(CASE WHEN CAST(recency_days AS DOUBLE) <= r25 THEN 4
+           |            WHEN CAST(recency_days AS DOUBLE) <= r50 THEN 3
+           |            WHEN CAST(recency_days AS DOUBLE) <= r75 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+           |       CAST(CASE WHEN CAST(frequency AS DOUBLE) <= f25 THEN 1
+           |            WHEN CAST(frequency AS DOUBLE) <= f50 THEN 2
+           |            WHEN CAST(frequency AS DOUBLE) <= f75 THEN 3 ELSE 4 END AS BIGINT) AS f_score,
+           |       CAST(CASE WHEN monetary <= m25 THEN 1
+           |            WHEN monetary <= m50 THEN 2
+           |            WHEN monetary <= m75 THEN 3 ELSE 4 END AS BIGINT) AS m_score
+           |FROM cust CROSS JOIN th
+           |ORDER BY o_custkey""".stripMargin),
+    (s, d) => {
+      // NTZ orderdate → µs via TIMESTAMP cast (UTC session; StatsQueries
+      // precedent); modern dates are positive so DIV == floor == DuckDB //
+      val day = "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+      val o = orders(s, d)
+      val maxDay = o.agg(max(expr(day)).as("max_day"))
+      val cust = o.crossJoin(broadcast(maxDay))
+        .groupBy("o_custkey")
+        .agg((first(col("max_day")) - max(expr(day))).as("recency_days"),
+          count(lit(1)).as("frequency"),
+          dbl(sum(money(col("o_totalprice")))).as("monetary"))
+        .persist()
+      val th = cust.agg(
+        expr("percentile(CAST(recency_days AS DOUBLE), 0.25)").as("r25"),
+        expr("percentile(CAST(recency_days AS DOUBLE), 0.50)").as("r50"),
+        expr("percentile(CAST(recency_days AS DOUBLE), 0.75)").as("r75"),
+        expr("percentile(CAST(frequency AS DOUBLE), 0.25)").as("f25"),
+        expr("percentile(CAST(frequency AS DOUBLE), 0.50)").as("f50"),
+        expr("percentile(CAST(frequency AS DOUBLE), 0.75)").as("f75"),
+        expr("percentile(monetary, 0.25)").as("m25"),
+        expr("percentile(monetary, 0.50)").as("m50"),
+        expr("percentile(monetary, 0.75)").as("m75"))
+      def band(v: org.apache.spark.sql.Column, lo: String, mid: String,
+          hi: String, asc: Boolean) = {
+        val (a, b2, c3, d4) = if (asc) (1, 2, 3, 4) else (4, 3, 2, 1)
+        lng(when(v <= col(lo), a).when(v <= col(mid), b2)
+          .when(v <= col(hi), c3).otherwise(d4))
+      }
+      cust.crossJoin(broadcast(th))
+        .select(col("o_custkey"), lng(col("recency_days")).as("recency_days"),
+          lng(col("frequency")).as("frequency"), col("monetary"),
+          band(dbl(col("recency_days")), "r25", "r50", "r75", asc = false).as("r_score"),
+          band(dbl(col("frequency")), "f25", "f50", "f75", asc = true).as("f_score"),
+          band(col("monetary"), "m25", "m50", "m75", asc = true).as("m_score"))
+        .orderBy("o_custkey")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pivot, quantiles, moments, sqlExists, gini, rfm,
     groupingSets, trainTestSplit, aggFiltered, corrStats, histogram,
     gapFill, funnel, itemsets)
 }

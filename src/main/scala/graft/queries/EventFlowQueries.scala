@@ -132,5 +132,108 @@ object EventFlowQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(seqPattern, attribution)
+  // ------------------------------------------------------------------ ohlc
+
+  private val ohlc = QueryDef(
+    "q_ohlc",
+    "Hourly OHLC bars (open/high/low/close + volume) per event type — " +
+      "the time-series resample every metrics store runs. ONE " +
+      "partitioned window per (event_type, hour) ordered by (µs, " +
+      "event_id) carries open (first value over the full frame), " +
+      "close (last over the full frame), high/low/volume as frame " +
+      "aggregates; the rn=1 filter keeps one row per bar, so the " +
+      "whole resample is a single sort+exchange keyed by a " +
+      "cardinality that GROWS with the data. Values exact via " +
+      "DECIMAL(18,2); the (µs, event_id) tiebreak makes open/close " +
+      "engine-deterministic even for same-microsecond events.",
+    Some("""WITH e AS (SELECT event_type, event_id,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+           |w AS (SELECT event_type, hour,
+           |        row_number() OVER (PARTITION BY event_type, hour ORDER BY us, event_id) AS rn,
+           |        first_value(v) OVER (PARTITION BY event_type, hour ORDER BY us, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+           |        last_value(v) OVER (PARTITION BY event_type, hour ORDER BY us, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close,
+           |        max(v) OVER (PARTITION BY event_type, hour) AS high,
+           |        min(v) OVER (PARTITION BY event_type, hour) AS low,
+           |        count(*) OVER (PARTITION BY event_type, hour) AS volume
+           |      FROM (SELECT event_type, us // 3600000000 AS hour, event_id, us, v FROM e) t)
+           |SELECT event_type, CAST(hour AS BIGINT) AS hour,
+           |       CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
+           |       CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close,
+           |       CAST(volume AS BIGINT) AS volume
+           |FROM w WHERE rn = 1 ORDER BY event_type, hour""".stripMargin),
+    (s, d) => {
+      // positive epochs: DIV == floor division == DuckDB `//`
+      val e = events(s, d).select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), money(col("value")).as("v"))
+        .withColumn("hour", expr("us DIV 3600000000"))
+      val part = Window.partitionBy("event_type", "hour")
+      val ord = part.orderBy("us", "event_id")
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.withColumn("rn", row_number().over(ord))
+        .withColumn("open", first(col("v")).over(full))
+        .withColumn("close", last(col("v")).over(full))
+        .withColumn("high", max(col("v")).over(part))
+        .withColumn("low", min(col("v")).over(part))
+        .withColumn("volume", count(lit(1)).over(part))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), lng(col("hour")).as("hour"),
+          dbl(col("open")).as("open"), dbl(col("high")).as("high"),
+          dbl(col("low")).as("low"), dbl(col("close")).as("close"),
+          lng(col("volume")).as("volume"))
+        .orderBy("event_type", "hour")
+    }
+  )
+
+  // ------------------------------------------------------------------ ewma
+
+  private val ewma = QueryDef(
+    "q_ewma",
+    "Exponentially-weighted moving average of hourly event counts per " +
+      "type, α=1/2, in EXACT integer arithmetic: state is millicounts " +
+      "(scale 1000) and each step is ewma ← (ewma + 1000·count) DIV 2 " +
+      "— floor division, so no engine can round differently. Spark " +
+      "folds each type's (hour, count) series IN ORDER with the " +
+      "aggregate() HOF over a sort_array'd collect_list — the series " +
+      "per key is bounded (hours), the keys scale out; the oracle " +
+      "replays the identical recurrence as a recursive CTE. The " +
+      "per-key-bounded-series fold is the shape sessionized feature " +
+      "backfills use at 100 TB.",
+    Some("""WITH RECURSIVE h AS (SELECT event_type,
+           |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+           |         count(*) AS cnt
+           |       FROM events GROUP BY 1, 2),
+           |idx AS (SELECT event_type, hour, cnt,
+           |          row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i,
+           |          count(*) OVER (PARTITION BY event_type) AS n
+           |        FROM h),
+           |r(event_type, i, n, ewma_milli) AS (
+           |  SELECT event_type, i, n, 1000 * cnt FROM idx WHERE i = 1
+           |  UNION ALL
+           |  SELECT idx.event_type, idx.i, idx.n,
+           |         (r.ewma_milli + 1000 * idx.cnt) // 2
+           |  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           |       CAST(ewma_milli AS BIGINT) AS ewma_milli
+           |FROM r WHERE i = n ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val h = events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      h.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hour"), col("cnt")))).as("series"))
+        .select(col("event_type"),
+          lng(size(col("series"))).as("n_hours"),
+          lng(expr(
+            """aggregate(slice(series, 2, size(series) - 1),
+              |  1000L * series[0].cnt,
+              |  (acc, x) -> (acc + 1000L * x.cnt) DIV 2)""".stripMargin))
+            .as("ewma_milli"))
+        .orderBy("event_type")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(seqPattern, attribution, ohlc, ewma)
 }

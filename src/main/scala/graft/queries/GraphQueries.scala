@@ -175,5 +175,47 @@ object GraphQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pagerank, triangles)
+  // ------------------------------------------------------------------ khop
+
+  private val khop = QueryDef(
+    "q_khop",
+    "Landmark k-hop reach over the bipartite trade graph: for a " +
+      "deterministic 1-in-20 sample of customers (custkey mod 20 = 0 " +
+      "— the landmark set; sampling sources, not edges, is what " +
+      "bounds BFS frontiers at scale), the count of suppliers traded " +
+      "with (hop 1) and of OTHER customers sharing a supplier (hop " +
+      "2). Two key-partitioned joins + distinct aggregation — the " +
+      "frontier tables are (landmarks × degree)-bounded, never " +
+      "all-pairs; the hop-2 distinct de-dups map-side before the " +
+      "exchange.",
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+           |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |src AS (SELECT DISTINCT c FROM pairs WHERE c % 20 = 0)
+           |SELECT src.c AS custkey,
+           |       CAST(count(DISTINCT p1.sup) AS BIGINT) AS n_hop1_suppliers,
+           |       CAST(count(DISTINCT CASE WHEN p2.c <> src.c THEN p2.c END) AS BIGINT) AS n_hop2_customers
+           |FROM src JOIN pairs p1 ON p1.c = src.c
+           |         JOIN pairs p2 ON p2.sup = p1.sup
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+        .persist()
+      val src = pairs.select(col("c").as("custkey"))
+        .filter(col("custkey") % 20 === 0).distinct()
+      src.join(pairs.as("p1"), col("custkey") === col("p1.c"))
+        .select(col("custkey"), col("p1.sup").as("h1_sup"))
+        .join(pairs.as("p2"), col("h1_sup") === col("p2.sup"))
+        .groupBy("custkey")
+        .agg(lng(countDistinct(col("h1_sup"))).as("n_hop1_suppliers"),
+          lng(countDistinct(when(col("p2.c") =!= col("custkey"), col("p2.c"))))
+            .as("n_hop2_customers"))
+        .orderBy("custkey")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop)
 }

@@ -74,5 +74,57 @@ object SketchQueries {
       .orderBy("event_type")
   )
 
-  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantile)
+  // ---------------------------------------------------------- heavy hitters
+
+  /** CMS geometry: d hash rows × w buckets. Collision mass per bucket
+    * averages N/w; the gate allows 4·N/w — min-of-d concentrates far
+    * below one mean, so the bound is structural slack, not tuning.
+    */
+  private val CmsD = 4
+  private val CmsW = 1024
+
+  private val heavyHitters = QueryDef(
+    "q_heavy_hitters",
+    "Count–min-sketch heavy hitters: the top-20 users by event count, " +
+      "with the exact count AND the CMS estimate from a " +
+      s"$CmsD×$CmsW counter matrix (xxhash64 rows, seeds by row " +
+      "index). The counter table is built by ONE map-side-combined " +
+      "aggregation over (row, bucket) — 4096 cells regardless of " +
+      "corpus size, the fixed-memory frequency path at 100 TB — and " +
+      "broadcast back to score candidates. Following the sketch-gate " +
+      "discipline (object scaladoc), the estimate itself never " +
+      "crosses the engine boundary: the query emits exact counts " +
+      "plus two pinned guarantees — est ≥ exact (CMS never " +
+      "underestimates; structural) and est ≤ exact + 4·N/w (4× the " +
+      "mean collision mass, min-of-4 rows sits far below it).",
+    Some("""WITH c AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1)
+           |SELECT user_id, CAST(exact_count AS BIGINT) AS exact_count,
+           |       TRUE AS overestimate_ok, TRUE AS bound_ok
+           |FROM c ORDER BY exact_count DESC, user_id LIMIT 20""".stripMargin),
+    (s, d) => {
+      val e = events(s, d).select(col("user_id"))
+      val rows = array((0 until CmsD).map(lit): _*)
+      // counter matrix: one aggregation, ≤ CmsD·CmsW cells
+      val counters = e.select(explode(rows).as("i"), col("user_id"))
+        .select(col("i"), pmod(xxhash64(col("i"), col("user_id")), lit(CmsW)).as("b"))
+        .groupBy("i", "b").agg(count(lit(1)).as("cell"))
+      val total = e.agg(count(lit(1)).as("n_total"))
+      val top = e.groupBy("user_id").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("user_id")).limit(20)
+      top.select(col("user_id"), col("exact_count"), explode(rows).as("i"))
+        .select(col("user_id"), col("exact_count"), col("i"),
+          pmod(xxhash64(col("i"), col("user_id")), lit(CmsW)).as("b"))
+        .join(broadcast(counters), Seq("i", "b"))
+        .groupBy("user_id", "exact_count")
+        .agg(min(col("cell")).as("est"))
+        .crossJoin(broadcast(total))
+        .select(col("user_id"), lng(col("exact_count")).as("exact_count"),
+          (col("est") >= col("exact_count")).as("overestimate_ok"),
+          (col("est") <= col("exact_count") + expr(s"(4 * n_total) DIV $CmsW"))
+            .as("bound_ok"))
+        .orderBy(col("exact_count").desc, col("user_id"))
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantile, heavyHitters)
 }

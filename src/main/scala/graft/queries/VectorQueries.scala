@@ -147,5 +147,53 @@ object VectorQueries {
       .orderBy("vec_id")
   )
 
-  val defs: Seq[QueryDef] = Seq(topkKnn, knnJoin, vecCentroid, arrayFns)
+  // -------------------------------------------------------------- vec quant
+
+  private val vecQuant = QueryDef(
+    "q_vec_quant",
+    "Int8 scalar quantization of the embedding corpus — the 4× " +
+      "compression an ANN serving tier applies before indexing 100 TB " +
+      "of vectors. Pass 1: per-dimension [min, max] over the corpus " +
+      "via posexplode + aggregate (64·N rows, map-side combined to 64 " +
+      "partials); the 64-row codebook is BROADCAST back. Pass 2: each " +
+      "element maps to floor((v−min)·254/(max−min)) clamped to " +
+      "[0,254] — one shared float chain, identical in both engines. " +
+      "Output per vector: code checksum + min/max code, proving the " +
+      "full codebook round-trip without 64 output columns. Constant " +
+      "dimension guard: max=min ⇒ code 0 (both engines).",
+    Some("""WITH el AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+           |                   CAST(unnest(embedding) AS DOUBLE) AS v
+           |            FROM embeddings),
+           |cb AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM el GROUP BY 1),
+           |codes AS (SELECT el.vec_id,
+           |            CASE WHEN cb.mx = cb.mn THEN 0
+           |                 ELSE CAST(least(254, greatest(0,
+           |                   floor((el.v - cb.mn) * 254 / (cb.mx - cb.mn)))) AS BIGINT)
+           |            END AS code
+           |          FROM el JOIN cb ON el.dim = cb.dim)
+           |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+           |       CAST(min(code) AS BIGINT) AS code_min,
+           |       CAST(max(code) AS BIGINT) AS code_max
+           |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val el = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .select(col("vec_id"), col("dim"), dbl(col("vf")).as("v"))
+      val cb = el.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      el.join(broadcast(cb), "dim")
+        .select(col("vec_id"),
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(lng(least(lit(254), greatest(lit(0),
+              floor((col("v") - col("mn")) * 254 / (col("mx") - col("mn")))))))
+            .as("code"))
+        .groupBy("vec_id")
+        .agg(lng(sum(col("code"))).as("code_sum"),
+          lng(min(col("code"))).as("code_min"),
+          lng(max(col("code"))).as("code_max"))
+        .orderBy("vec_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(topkKnn, knnJoin, vecCentroid, arrayFns,
+    vecQuant)
 }

@@ -418,7 +418,75 @@ object WarehouseQueries {
     }
   )
 
+  // --------------------------------------------------------- bucketed join
+
+  /** Buckets for the co-located join. 8 divides local[32] evenly; on a
+    * cluster this is hundreds — the shape, not the constant, is pinned.
+    */
+  private val NBuckets = 8
+
+  private val joinBucketed = QueryDef(
+    "q_join_bucketed",
+    "Bucketed co-located fact-fact join: lineitem and orders are " +
+      "written ONCE as bucketed+sorted tables (bucketBy orderkey, " +
+      s"$NBuckets buckets) and the revenue-by-priority join then " +
+      "runs with NO shuffle and NO sort on either side — both scans " +
+      "read bucket-aligned, pre-sorted files (BucketingSpec pins " +
+      "zero exchanges under the merge join). This is THE " +
+      "physical design decision for a 100 TB fact co-location: " +
+      "shuffle each fact once at load, never again per query. " +
+      "Tables are session-catalog entries keyed by sf name (bench " +
+      "re-uses them across passes via tableExists; a fresh JVM " +
+      "rewrites). The oracle runs the identical join on the raw " +
+      "parquet — bucketing must not change a single row.",
+    Some("""SELECT o.o_orderpriority,
+           |       CAST(count(*) AS BIGINT) AS n_lines,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+           |                (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val sfTag = new java.io.File(d).getName.replace('.', '_')
+      val liTbl = s"graft_li_bkt_$sfTag"
+      val oTbl = s"graft_o_bkt_$sfTag"
+      // a fresh JVM's in-memory catalog forgets the table but its
+      // warehouse dir survives — saveAsTable would then refuse with
+      // LOCATION_ALREADY_EXISTS, so drop the stale dir first
+      def clearStale(tbl: String): Unit = {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      if (!s.catalog.tableExists(liTbl)) {
+        clearStale(liTbl)
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write.mode("overwrite")
+          .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liTbl)
+      }
+      if (!s.catalog.tableExists(oTbl)) {
+        clearStale(oTbl)
+        orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite")
+          .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(oTbl)
+      }
+      // merge hint: the broadcast planner would otherwise eat the small
+      // side at test SFs; at 100 TB neither fact side broadcasts
+      s.table(liTbl).hint("merge")
+        .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(lng(count(lit(1))).as("n_lines"),
+          dbl(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+            "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket,
     unpivot, kAnon, sampleWeighted, incrAgg, cdcApply, joinInterval,
-    popRevenue, paretoShare)
+    popRevenue, paretoShare, joinBucketed)
 }

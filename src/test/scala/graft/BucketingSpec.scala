@@ -63,4 +63,14 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  test("q_join_bucketed: declared query joins with zero shuffle exchanges") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, TestSpark.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // merge hint + bucket-aligned sorted scans: the only hash exchange
+    // is the final per-priority aggregation; the join sides read local
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(exchanges(plan) === 1, plan.take(2000))
+  }
 }

@@ -161,6 +161,39 @@ object TpchExtraQueries {
     }
   )
 
+  private val tpchQ4 = QueryDef(
+    "q_tpch_q4",
+    "TPC-H Q4-shaped order-priority checking (adapted: no commit/" +
+      "receipt dates — 'late' = a lineitem shipped more than 60 days " +
+      "after ordering): orders placed in 1996 counted per priority " +
+      "when at least one late line EXISTS. The EXISTS compiles to a " +
+      "LEFT SEMI join on o_orderkey (each order emitted once however " +
+      "many lines are late); the correlated date predicate rides the " +
+      "join as a residual; the 1996 filter is pushed into the orders " +
+      "scan before the fact-fact shuffle.",
+    Some("""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+           |FROM orders o
+           |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem l
+           |              WHERE l.l_orderkey = o.o_orderkey
+           |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(lng(count(lit(1))).as("order_count"))
+        .orderBy("o_orderpriority")
+    }
+  )
+
   private val tpchQ12 = QueryDef(
     "q_tpch_q12",
     "TPC-H Q12-shaped priority split (adapted: no l_shipmode/commit/" +
@@ -332,6 +365,6 @@ object TpchExtraQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(tpchQ7, tpchQ8, tpchQ9, tpchQ12, tpchQ13,
-    tpchQ15, tpchQ16, tpchQ20)
+  val defs: Seq[QueryDef] = Seq(tpchQ4, tpchQ7, tpchQ8, tpchQ9, tpchQ12,
+    tpchQ13, tpchQ15, tpchQ16, tpchQ20)
 }

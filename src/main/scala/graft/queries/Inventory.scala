@@ -14,7 +14,7 @@ object Inventory {
       SessionQueries.defs ++ RankingQueries.defs ++ WarehouseQueries.defs ++
       TpchExtraQueries.defs ++ SketchQueries.defs ++ DocStoreQueries.defs ++
       GraphQueries.defs ++ StatsQueries.defs ++ EventFlowQueries.defs ++
-      CorpusQueries.defs ++ MiningQueries.defs
+      CorpusQueries.defs ++ MiningQueries.defs ++ MlEvalQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

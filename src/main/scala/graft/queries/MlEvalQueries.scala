@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** ML-evaluation operators over the labeled embedding corpus plus two
+  * corpus-statistics screens (SURVEY.md §2.19): class weighting, k-NN
+  * classification, nearest-centroid confusion matrix, simplified
+  * silhouette, a power-law (Zipf) fit of sales counts, and pointwise
+  * mutual information.
+  *
+  * Determinism (SURVEY.md §7.5): label centroids are per-dimension
+  * exact DECIMAL(20,10) sums (float→decimal casts round identically in
+  * both engines) divided once; every cross-dimension distance sum is a
+  * per-term round-to-12-decimals DECIMAL sum, so nothing depends on
+  * float accumulation order; log/sqrt chains are applied once to exact
+  * aggregates and rounded.
+  *
+  * Scale shapes (PLANS.md): centroids and class stats are ≤ labels
+  * rows and ride broadcasts; the k-NN probe set is a fixed fraction of
+  * the corpus broadcast against a partition-parallel scan (the
+  * q_ann_cosine design); argmin/vote windows partition by probe or
+  * vector id, never globally.
+  */
+object MlEvalQueries {
+
+  // ------------------------------------------------------------ class weights
+
+  private val classWeights = QueryDef(
+    "q_class_weights",
+    "Inverse-frequency class weights over the labeled embedding " +
+      "corpus — the imbalance correction computed before training " +
+      "(weight = N / (K·n_label), sklearn's 'balanced' convention). " +
+      "One aggregation to K rows; N and K ride a broadcast; weight " +
+      "and share are single double divisions of exact BIGINTs.",
+    Some("""WITH l AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+           |t AS (SELECT sum(n) AS total, count(*) AS k FROM l)
+           |SELECT CAST(l.label AS BIGINT) AS label, CAST(l.n AS BIGINT) AS n,
+           |       round(CAST(l.n AS DOUBLE) / t.total, 6) AS share,
+           |       round(CAST(t.total AS DOUBLE) / (t.k * l.n), 6) AS weight
+           |FROM l, t ORDER BY label""".stripMargin),
+    (s, d) => {
+      val l = embeddings(s, d).groupBy("label").agg(count(lit(1)).as("n"))
+      val t = l.agg(sum("n").as("total"), count(lit(1)).as("k"))
+      l.crossJoin(broadcast(t))
+        .select(lng(col("label")).as("label"), lng(col("n")).as("n"),
+          round(dbl(col("n")) / col("total"), 6).as("share"),
+          round(dbl(col("total")) / (col("k") * col("n")), 6).as("weight"))
+        .orderBy("label")
+    }
+  )
+
+  // ------------------------------------------------------------ knn classify
+
+  private val knnClassify = QueryDef(
+    "q_knn_classify",
+    "Leave-one-out 5-NN majority-vote classification of a " +
+      "deterministic probe subset (vec_id mod 25 = 0): each probe's 5 " +
+      "nearest neighbours by squared L2 (exact sequential fold, ties " +
+      "to lowest cand_id) vote; the majority label wins, ties to the " +
+      "lowest label. The probe set is a fixed fraction broadcast " +
+      "against the partition-parallel corpus scan (q_ann_cosine " +
+      "design); both the top-5 cut and the vote are probe-partitioned " +
+      "windows over ≤ corpus and ≤ 5 rows respectively.",
+    Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe, label AS true_label
+           |           FROM embeddings WHERE vec_id % 25 = 0),
+           |d AS (SELECT p.probe_id, p.true_label, e.vec_id AS cand_id, e.label AS cand_label,
+           |        list_sum(list_transform(list_zip(p.pe, e.embedding),
+           |          q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))) AS d2
+           |      FROM p JOIN embeddings e ON e.vec_id <> p.probe_id),
+           |nn AS (SELECT probe_id, true_label, cand_label,
+           |         row_number() OVER (PARTITION BY probe_id ORDER BY d2, cand_id) AS rn
+           |       FROM d),
+           |v AS (SELECT probe_id, true_label, cand_label, count(*) AS votes
+           |      FROM nn WHERE rn <= 5 GROUP BY 1, 2, 3),
+           |w AS (SELECT probe_id, true_label, cand_label AS pred_label, votes,
+           |        row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, cand_label) AS wr
+           |      FROM v)
+           |SELECT probe_id, CAST(true_label AS BIGINT) AS true_label,
+           |       CAST(pred_label AS BIGINT) AS pred_label,
+           |       CAST(votes AS BIGINT) AS votes
+           |FROM w WHERE wr = 1 ORDER BY probe_id""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val p = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("label").as("true_label"))
+      val cand = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("label").as("cand_label"))
+      val dd = cand.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("true_label"), col("cand_id"),
+          col("cand_label"), l2sq("pe", "ce").as("d2"))
+      val wNn = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
+      val votes = dd.withColumn("rn", row_number().over(wNn))
+        .filter(col("rn") <= 5)
+        .groupBy("probe_id", "true_label", "cand_label")
+        .agg(count(lit(1)).as("votes"))
+      val wVote = Window.partitionBy("probe_id")
+        .orderBy(col("votes").desc, col("cand_label"))
+      votes.withColumn("wr", row_number().over(wVote))
+        .filter(col("wr") === 1)
+        .select(col("probe_id"), lng(col("true_label")).as("true_label"),
+          lng(col("cand_label")).as("pred_label"), lng(col("votes")).as("votes"))
+        .orderBy("probe_id")
+    }
+  )
+
+  // ---------------------------------------------------- centroid confusion
+
+  /** Shared SQL for the per-label, per-dimension exact-decimal centroid
+    * table (1-indexed dims to match DuckDB's generate_series form).
+    */
+  private val CentroidSql =
+    """SELECT label AS clabel, ord AS dim,
+      |       round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*), 9) AS c
+      |FROM (SELECT label, unnest(generate_series(1, len(embedding))) AS ord,
+      |             unnest(embedding) AS val
+      |      FROM embeddings)
+      |GROUP BY 1, 2""".stripMargin
+
+  private val centroidConfusion = QueryDef(
+    "q_centroid_confusion",
+    "Nearest-centroid classifier confusion matrix: per-label mean " +
+      "vectors (per-dimension exact DECIMAL(20,10) sums, one division, " +
+      "round-9) classify every vector by smallest squared distance " +
+      "(per-dimension terms rounded to 12 decimals and summed as exact " +
+      "DECIMAL — cross-dimension order cannot matter; ties to lowest " +
+      "label), and the (true, predicted) matrix is counted. Shape: the " +
+      "K×dims centroid table is one map-side-combined aggregation of " +
+      "the exploded corpus, broadcast back; the argmin is a vec_id-" +
+      "partitioned window over K candidates; the matrix is ≤ K² rows.",
+    Some(s"""WITH cent AS ($CentroidSql),
+            |el AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS dim,
+            |              unnest(embedding) AS v
+            |       FROM embeddings),
+            |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
+            |           sum(CAST(round((CAST(el.v AS DOUBLE) - cent.c) * (CAST(el.v AS DOUBLE) - cent.c), 12) AS DECIMAL(28,12))) AS d2
+            |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
+            |pred AS (SELECT vec_id, true_label, clabel,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+            |         FROM dist)
+            |SELECT CAST(true_label AS BIGINT) AS true_label,
+            |       CAST(clabel AS BIGINT) AS pred_label,
+            |       CAST(count(*) AS BIGINT) AS n
+            |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val el = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+          col("v"))
+      val cent = el.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(round(dbl(sum(dbl(col("v")).cast(DecimalType(20, 10)))) /
+          count(lit(1)), 9).as("c"))
+      val term = round((dbl(col("v")) - col("c")) * (dbl(col("v")) - col("c")), 12)
+        .cast(DecimalType(28, 12))
+      val dist = el.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("label").as("true_label"), col("clabel"))
+        .agg(sum(term).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+      dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("true_label", "clabel")
+        .agg(lng(count(lit(1))).as("n"))
+        .select(lng(col("true_label")).as("true_label"),
+          lng(col("clabel")).as("pred_label"), col("n"))
+        .orderBy("true_label", "pred_label")
+    }
+  )
+
+  // -------------------------------------------------------------- silhouette
+
+  private val silhouette = QueryDef(
+    "q_silhouette",
+    "Simplified (centroid-based) silhouette per label: for each " +
+      "vector, a = distance to its own label centroid, b = distance " +
+      "to the nearest other centroid, s = (b−a)/max(a,b); reported as " +
+      "the per-label mean — the cluster-quality readout over the " +
+      "labeled corpus. Distances reuse the q_centroid_confusion " +
+      "discipline (round-12 DECIMAL term sums, sqrt once, round-9); " +
+      "per-vector s values are rounded to 9 decimals and summed as " +
+      "exact DECIMAL for the mean. Same broadcast-centroid shape; the " +
+      "a/b split is a conditional aggregation over the K distances " +
+      "per vector — no second window.",
+    Some(s"""WITH cent AS ($CentroidSql),
+            |el AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS dim,
+            |              unnest(embedding) AS v
+            |       FROM embeddings),
+            |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
+            |           sqrt(CAST(sum(CAST(round((CAST(el.v AS DOUBLE) - cent.c) * (CAST(el.v AS DOUBLE) - cent.c), 12) AS DECIMAL(28,12))) AS DOUBLE)) AS dd
+            |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
+            |ab AS (SELECT vec_id, true_label,
+            |         min(CASE WHEN clabel = true_label THEN dd END) AS a,
+            |         min(CASE WHEN clabel <> true_label THEN dd END) AS b
+            |       FROM dist GROUP BY 1, 2),
+            |sv AS (SELECT vec_id, true_label,
+            |         CAST(round((b - a) / greatest(a, b), 9) AS DECIMAL(18,9)) AS sil
+            |       FROM ab)
+            |SELECT CAST(true_label AS BIGINT) AS label,
+            |       CAST(count(*) AS BIGINT) AS n,
+            |       round(CAST(sum(sil) AS DOUBLE) / count(*), 6) AS mean_silhouette
+            |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val el = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+          col("v"))
+      val cent = el.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(round(dbl(sum(dbl(col("v")).cast(DecimalType(20, 10)))) /
+          count(lit(1)), 9).as("c"))
+      val term = round((dbl(col("v")) - col("c")) * (dbl(col("v")) - col("c")), 12)
+        .cast(DecimalType(28, 12))
+      val dist = el.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("label").as("true_label"), col("clabel"))
+        .agg(sqrt(dbl(sum(term))).as("dd"))
+      val ab = dist.groupBy("vec_id", "true_label")
+        .agg(min(when(col("clabel") === col("true_label"), col("dd"))).as("a"),
+          min(when(col("clabel") =!= col("true_label"), col("dd"))).as("b"))
+      val sil = round((col("b") - col("a")) / greatest(col("a"), col("b")), 9)
+        .cast(DecimalType(18, 9))
+      ab.select(col("true_label"), sil.as("sil"))
+        .groupBy("true_label")
+        .agg(lng(count(lit(1))).as("n"),
+          round(dbl(sum(col("sil"))) / count(lit(1)), 6).as("mean_silhouette"))
+        .select(lng(col("true_label")).as("label"), col("n"),
+          col("mean_silhouette"))
+        .orderBy("label")
+    }
+  )
+
+  // ---------------------------------------------------------------- powerlaw
+
+  private val powerlaw = QueryDef(
+    "q_powerlaw",
+    "Power-law (Zipf) fit of part sales-count distribution: per-part " +
+      "order counts bucketed by binary order of magnitude (bucket = " +
+      "bit-length − 1 via base-2 string — exact integer arithmetic, no " +
+      "log ties), plus the continuous-MLE exponent alpha = 1 + n / " +
+      "Σ ln(x/0.5) computed from round-9 DECIMAL ln sums — the " +
+      "heavy-tail screen run before deciding skew strategies. One " +
+      "fact aggregation to per-part counts, one to ≤ 20 buckets; " +
+      "alpha's scalar aggregate rides a broadcast.",
+    Some("""WITH x AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+           |a AS (SELECT count(*) AS n,
+           |        sum(CAST(round(ln(CAST(cnt AS DOUBLE) / 0.5), 9) AS DECIMAL(18,9))) AS slog
+           |      FROM x),
+           |b AS (SELECT length(bin(cnt)) - 1 AS bucket, count(*) AS n_parts,
+           |        min(cnt) AS min_cnt, max(cnt) AS max_cnt
+           |      FROM x GROUP BY 1)
+           |SELECT CAST(b.bucket AS BIGINT) AS bucket,
+           |       CAST(b.n_parts AS BIGINT) AS n_parts,
+           |       CAST(b.min_cnt AS BIGINT) AS min_cnt,
+           |       CAST(b.max_cnt AS BIGINT) AS max_cnt,
+           |       round(CAST(b.n_parts AS DOUBLE) / a.n, 6) AS share,
+           |       round(1 + a.n / CAST(a.slog AS DOUBLE), 6) AS alpha
+           |FROM b, a ORDER BY bucket""".stripMargin),
+    (s, d) => {
+      val x = lineitem(s, d).groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val a = x.agg(count(lit(1)).as("n"),
+        sum(round(log(dbl(col("cnt")) / 0.5), 9).cast(DecimalType(18, 9)))
+          .as("slog"))
+      val b = x.groupBy((length(conv(col("cnt"), 10, 2)) - 1).as("bucket"))
+        .agg(count(lit(1)).as("n_parts"), min("cnt").as("min_cnt"),
+          max("cnt").as("max_cnt"))
+      b.crossJoin(broadcast(a))
+        .select(lng(col("bucket")).as("bucket"), lng(col("n_parts")).as("n_parts"),
+          lng(col("min_cnt")).as("min_cnt"), lng(col("max_cnt")).as("max_cnt"),
+          round(dbl(col("n_parts")) / col("n"), 6).as("share"),
+          round(lit(1) + col("n") / dbl(col("slog")), 6).as("alpha"))
+        .orderBy("bucket")
+    }
+  )
+
+  // ------------------------------------------------------------- mutual info
+
+  private val mutualInfo = QueryDef(
+    "q_mutual_info",
+    "Pointwise mutual information between event type and user cohort " +
+      "(user_id mod 4): per cell, observed count, PMI = log2(c·N / " +
+      "(R·C)) over exact BIGINTs, and the MI contribution p·PMI — the " +
+      "dependence screen complementing q_chisq (which tests, this " +
+      "quantifies). The total MI is the sum of contributions, left to " +
+      "the consumer (q_chisq precedent: a float total's order is " +
+      "engine-dependent; the per-cell table names the informative " +
+      "cells). One fact aggregation to ≤ 20 cells; margins are tiny " +
+      "broadcast joins.",
+    Some("""WITH cells AS (SELECT event_type, user_id % 4 AS cohort, count(*) AS c
+           |               FROM events GROUP BY 1, 2),
+           |r AS (SELECT event_type, sum(c) AS r FROM cells GROUP BY 1),
+           |k AS (SELECT cohort, sum(c) AS k FROM cells GROUP BY 1),
+           |n AS (SELECT sum(c) AS n FROM cells)
+           |SELECT cells.event_type, CAST(cells.cohort AS BIGINT) AS cohort,
+           |       CAST(cells.c AS BIGINT) AS n_obs,
+           |       round(log2(CAST(cells.c * n.n AS DOUBLE) / CAST(r.r * k.k AS DOUBLE)), 6) AS pmi,
+           |       round((CAST(cells.c AS DOUBLE) / n.n)
+           |             * log2(CAST(cells.c * n.n AS DOUBLE) / CAST(r.r * k.k AS DOUBLE)), 6) AS contrib
+           |FROM cells JOIN r USING (event_type) JOIN k USING (cohort) CROSS JOIN n
+           |ORDER BY event_type, cohort""".stripMargin),
+    (s, d) => {
+      val cells = events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 4).as("cohort"))
+        .agg(count(lit(1)).as("c"))
+      val r = cells.groupBy("event_type").agg(sum("c").as("r"))
+      val k = cells.groupBy("cohort").agg(sum("c").as("k"))
+      val n = cells.agg(sum("c").as("n"))
+      val pmi = log2(dbl(col("c") * col("n")) / dbl(col("r") * col("k")))
+      cells.join(broadcast(r), "event_type").join(broadcast(k), "cohort")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), lng(col("cohort")).as("cohort"),
+          lng(col("c")).as("n_obs"), round(pmi, 6).as("pmi"),
+          round((dbl(col("c")) / col("n")) * pmi, 6).as("contrib"))
+        .orderBy("event_type", "cohort")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
+    silhouette, powerlaw, mutualInfo)
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.{sf, spark}
+
+/** Semantic recomputation + plan gates for the ML-evaluation batch
+  * (q_class_weights / q_knn_classify / q_centroid_confusion /
+  * q_silhouette / q_powerlaw / q_mutual_info): brute-force Scala
+  * recomputation from collected base rows at sf0.001, and pins on the
+  * broadcast-centroid / broadcast-probe scale shapes.
+  */
+class MlEvalShapesSpec extends AnyFunSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private lazy val vecs: Array[(Long, Int, Array[Float])] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+
+  private def d2(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+    }
+    s
+  }
+
+  test("q_knn_classify equals brute-force leave-one-out 5-NN vote") {
+    val probes = vecs.filter(_._1 % 25 == 0)
+    val want = probes.map { case (pid, tl, pv) =>
+      val nn = vecs.filter(_._1 != pid)
+        .map { case (cid, cl, cv) => (d2(pv, cv), cid, cl) }
+        .sortBy(t => (t._1, t._2)).take(5)
+      val (predLabel, nVotes) = nn.groupBy(_._3).view
+        .mapValues(_.length).toSeq
+        .minBy { case (l, v) => (-v, l) }
+      pid -> (tl.toLong, predLabel.toLong, nVotes.toLong)
+    }.toMap
+    val got = q("q_knn_classify").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("q_centroid_confusion equals brute-force nearest-centroid counts") {
+    val byLabel = vecs.groupBy(_._2)
+    val dims = vecs.head._3.length
+    val cents = byLabel.map { case (l, vs) =>
+      val c = new Array[Double](dims)
+      vs.foreach(v => (0 until dims).foreach(i => c(i) += v._3(i).toDouble))
+      l -> c.map(_ / vs.length)
+    }
+    def dist(v: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+      s
+    }
+    val want = vecs.map { case (_, tl, v) =>
+      val pred = cents.map { case (l, c) => (dist(v, c), l) }.min._2
+      (tl.toLong, pred.toLong)
+    }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val got = q("q_centroid_confusion").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("q_silhouette matches a direct centroid-silhouette computation") {
+    val byLabel = vecs.groupBy(_._2)
+    val dims = vecs.head._3.length
+    val cents = byLabel.map { case (l, vs) =>
+      val c = new Array[Double](dims)
+      vs.foreach(v => (0 until dims).foreach(i => c(i) += v._3(i).toDouble))
+      l -> c.map(_ / vs.length)
+    }
+    def dist(v: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val want = vecs.groupBy(_._2).map { case (l, vs) =>
+      val sils = vs.map { case (_, _, v) =>
+        val a = dist(v, cents(l))
+        val b = cents.collect { case (ol, c) if ol != l => dist(v, c) }.min
+        (b - a) / math.max(a, b)
+      }
+      l.toLong -> sils.sum / sils.length
+    }
+    val got = q("q_silhouette").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    for ((l, s) <- want)
+      assert(math.abs(got(l) - s) < 1e-5, s"label $l silhouette")
+  }
+
+  test("q_class_weights: weights satisfy sklearn's balanced identity") {
+    val rows = q("q_class_weights").collect()
+    val n = vecs.length.toDouble
+    val k = rows.length.toDouble
+    rows.foreach { r =>
+      val cnt = vecs.count(_._2 == r.getLong(0))
+      assert(r.getLong(1) == cnt.toLong)
+      assert(math.abs(r.getDouble(3) - n / (k * cnt)) < 1e-5)
+    }
+  }
+
+  test("q_powerlaw: buckets partition parts; alpha matches MLE") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey").collect().map(_.getLong(0))
+    val counts = li.groupBy(identity).map(_._2.length).toSeq
+    val rows = q("q_powerlaw").collect()
+    assert(rows.map(_.getLong(1)).sum == counts.length.toLong)
+    val alpha = 1 + counts.length / counts.map(c => math.log(c / 0.5)).sum
+    assert(math.abs(rows.head.getDouble(5) - alpha) < 1e-5)
+    rows.foreach { r =>
+      val bucket = r.getLong(0)
+      assert(63 - java.lang.Long.numberOfLeadingZeros(r.getLong(2)) == bucket)
+      assert(63 - java.lang.Long.numberOfLeadingZeros(r.getLong(3)) == bucket)
+    }
+  }
+
+  test("q_mutual_info contributions sum to the true MI") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getString(1), r.getLong(0) % 4))
+    val n = ev.length.toDouble
+    val cells = ev.groupBy(identity).map { case (k, v) => k -> v.length }
+    val rm = ev.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val km = ev.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val mi = cells.map { case ((t, c), cnt) =>
+      val p = cnt / n
+      p * (math.log(cnt * n / (rm(t).toDouble * km(c))) / math.log(2))
+    }.sum
+    val got = q("q_mutual_info").collect().map(_.getDouble(4)).sum
+    assert(math.abs(got - mi) < 1e-4, s"MI got $got want $mi")
+  }
+
+  test("q_centroid_confusion / q_knn_classify plans broadcast the small side") {
+    val s1 = q("q_centroid_confusion").queryExecution.executedPlan.toString
+    assert(s1.contains("BroadcastHashJoin"), s1.take(3000))
+    val s2 = q("q_knn_classify").queryExecution.executedPlan.toString
+    assert(s2.contains("BroadcastNestedLoopJoin") ||
+      s2.contains("BroadcastHashJoin"), s2.take(3000))
+  }
+}

@@ -184,10 +184,13 @@ object GraphQueries {
       "— the landmark set; sampling sources, not edges, is what " +
       "bounds BFS frontiers at scale), the count of suppliers traded " +
       "with (hop 1) and of OTHER customers sharing a supplier (hop " +
-      "2). Two key-partitioned joins + distinct aggregation — the " +
+      "2). Hop 1 is a plain count over the (already-distinct) " +
+      "landmark pair rows — no join, no distinct aggregation; hop 2 " +
+      "is ONE key-partitioned join whose (custkey, c2) output de-dups " +
+      "map-side via distinct BEFORE the counting exchange (a " +
+      "countDistinct here would Expand the frontier 2× instead). The " +
       "frontier tables are (landmarks × degree)-bounded, never " +
-      "all-pairs; the hop-2 distinct de-dups map-side before the " +
-      "exchange.",
+      "all-pairs.",
     Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
            |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
            |src AS (SELECT DISTINCT c FROM pairs WHERE c % 20 = 0)
@@ -204,15 +207,21 @@ object GraphQueries {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
         .distinct()
         .persist()
-      val src = pairs.select(col("c").as("custkey"))
-        .filter(col("custkey") % 20 === 0).distinct()
-      src.join(pairs.as("p1"), col("custkey") === col("p1.c"))
-        .select(col("custkey"), col("p1.sup").as("h1_sup"))
+      // pairs is distinct, so the landmark rows are distinct (c, sup):
+      // hop-1 degree is a plain count, no join and no countDistinct
+      val h1 = pairs.filter(col("c") % 20 === 0)
+      val n1 = h1.groupBy(col("c").as("custkey"))
+        .agg(lng(count(lit(1))).as("n_hop1_suppliers"))
+      val n2 = h1.select(col("c").as("custkey"), col("sup").as("h1_sup"))
         .join(pairs.as("p2"), col("h1_sup") === col("p2.sup"))
+        .filter(col("p2.c") =!= col("custkey"))
+        .select(col("custkey"), col("p2.c").as("c2"))
+        .distinct()
         .groupBy("custkey")
-        .agg(lng(countDistinct(col("h1_sup"))).as("n_hop1_suppliers"),
-          lng(countDistinct(when(col("p2.c") =!= col("custkey"), col("p2.c"))))
-            .as("n_hop2_customers"))
+        .agg(lng(count(lit(1))).as("n_hop2_customers"))
+      n1.join(n2, Seq("custkey"), "left")
+        .select(col("custkey"), col("n_hop1_suppliers"),
+          coalesce(col("n_hop2_customers"), lit(0L)).as("n_hop2_customers"))
         .orderBy("custkey")
     }
   )

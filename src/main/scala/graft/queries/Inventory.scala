@@ -14,7 +14,8 @@ object Inventory {
       SessionQueries.defs ++ RankingQueries.defs ++ WarehouseQueries.defs ++
       TpchExtraQueries.defs ++ SketchQueries.defs ++ DocStoreQueries.defs ++
       GraphQueries.defs ++ StatsQueries.defs ++ EventFlowQueries.defs ++
-      CorpusQueries.defs ++ MiningQueries.defs ++ MlEvalQueries.defs
+      CorpusQueries.defs ++ MiningQueries.defs ++ MlEvalQueries.defs ++
+      OpsQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Pipeline-operations operators (SURVEY.md §2.20): join-key skew
+  * profiling, referential-integrity auditing, Holt linear smoothing,
+  * CUSUM change-point detection, Flesch readability scoring, and
+  * snapshot reconciliation (diff).
+  *
+  * Determinism (SURVEY.md §7.5): the two time-series recurrences run
+  * in EXACT integer millicount arithmetic (Spark DIV and DuckDB //
+  * both truncate toward zero, so even negative-trend steps agree);
+  * money deltas are exact DECIMAL; the
+  * remaining float columns are single shared IEEE chains over exact
+  * integers rounded once.
+  *
+  * Scale shapes (PLANS.md): skew/integrity/diff aggregate the fact
+  * first (map-side combined) and join only aggregate tables —
+  * integrity's dimension probes broadcast, the fact-fact orphan check
+  * is a key-partitioned anti join; the recurrences fold bounded
+  * per-key series (hours per type) so keys scale out, never the
+  * series.
+  */
+object OpsQueries {
+
+  // ------------------------------------------------------------- skew report
+
+  private val skewReport = QueryDef(
+    "q_skew_report",
+    "Join-key skew profile of the lineitem fact for its three join " +
+      "keys (orderkey / partkey / suppkey): distinct keys, rows, max " +
+      "and exact-interpolated p99 per-key cardinality, mean, and the " +
+      "max/mean skew ratio — the report read before choosing " +
+      "broadcast/salt/AQE strategies at 100 TB. Three map-side-" +
+      "combined per-key aggregations; the statistics run over the " +
+      "per-key count tables, never the fact again; all floats are " +
+      "single divisions (percentile ⇔ quantile_cont, q_quantiles " +
+      "precedent).",
+    Some("""WITH k1 AS (SELECT 'l_orderkey' AS key_col, count(*) AS cnt FROM lineitem GROUP BY l_orderkey),
+           |k2 AS (SELECT 'l_partkey' AS key_col, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+           |k3 AS (SELECT 'l_suppkey' AS key_col, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+           |u AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
+           |SELECT key_col, CAST(count(*) AS BIGINT) AS n_keys,
+           |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |       CAST(max(cnt) AS BIGINT) AS max_cnt,
+           |       round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+           |       round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS mean_cnt,
+           |       round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 6) AS skew_ratio
+           |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val li = lineitem(s, d)
+      def keyStats(c: String): DataFrame =
+        li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .select(lit(c).as("key_col"), col("cnt"))
+      keyStats("l_orderkey")
+        .unionAll(keyStats("l_partkey"))
+        .unionAll(keyStats("l_suppkey"))
+        .groupBy("key_col")
+        .agg(lng(count(lit(1))).as("n_keys"), lng(sum("cnt")).as("n_rows"),
+          lng(max("cnt")).as("max_cnt"),
+          round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"),
+          round(dbl(sum("cnt")) / count(lit(1)), 6).as("mean_cnt"),
+          round(dbl(max("cnt")) * count(lit(1)) / sum("cnt"), 6)
+            .as("skew_ratio"))
+        .orderBy("key_col")
+    }
+  )
+
+  // -------------------------------------------------------------- integrity
+
+  private val integrity = QueryDef(
+    "q_integrity",
+    "Referential-integrity audit across the star schema: for each " +
+      "foreign-key relation, child row count and orphan count (child " +
+      "keys with no parent) — the pre-flight data-quality gate. Each " +
+      "orphan check is a LEFT ANTI join: dimension parents broadcast " +
+      "(nation/part/supplier/customer), the lineitem→orders fact-fact " +
+      "check hash-partitions on the shared key; counts are exact and " +
+      "the five 1-row results union into one ≤5-row table.",
+    Some("""SELECT 'customer->nation' AS rel,
+           |       (SELECT count(*) FROM customer) AS n_rows,
+           |       (SELECT count(*) FROM customer c LEFT JOIN nation n
+           |          ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS n_orphans
+           |UNION ALL
+           |SELECT 'lineitem->orders',
+           |       (SELECT count(*) FROM lineitem),
+           |       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+           |          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+           |UNION ALL
+           |SELECT 'lineitem->part',
+           |       (SELECT count(*) FROM lineitem),
+           |       (SELECT count(*) FROM lineitem l LEFT JOIN part p
+           |          ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+           |UNION ALL
+           |SELECT 'lineitem->supplier',
+           |       (SELECT count(*) FROM lineitem),
+           |       (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+           |          ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+           |UNION ALL
+           |SELECT 'orders->customer',
+           |       (SELECT count(*) FROM orders),
+           |       (SELECT count(*) FROM orders o LEFT JOIN customer c
+           |          ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+           |ORDER BY rel""".stripMargin),
+    (s, d) => {
+      def audit(rel: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String, bcast: Boolean): DataFrame = {
+        val p = parent.select(parentKey)
+        val orphans = child
+          .join(if (bcast) broadcast(p) else p,
+            col(childKey) === col(parentKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        child.agg(lng(count(lit(1))).as("n_rows"))
+          .crossJoin(orphans)
+          .select(lit(rel).as("rel"), col("n_rows"),
+            lng(col("n_orphans")).as("n_orphans"))
+      }
+      audit("customer->nation", customer(s, d), "c_nationkey",
+          nation(s, d), "n_nationkey", bcast = true)
+        .unionAll(audit("lineitem->orders", lineitem(s, d), "l_orderkey",
+          orders(s, d), "o_orderkey", bcast = false))
+        .unionAll(audit("lineitem->part", lineitem(s, d), "l_partkey",
+          part(s, d), "p_partkey", bcast = true))
+        .unionAll(audit("lineitem->supplier", lineitem(s, d), "l_suppkey",
+          supplier(s, d), "s_suppkey", bcast = true))
+        .unionAll(audit("orders->customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey", bcast = true))
+        .orderBy("rel")
+    }
+  )
+
+  // ------------------------------------------------------------------- holt
+
+  private val holt = QueryDef(
+    "q_holt",
+    "Holt linear (level + trend) smoothing of hourly event counts per " +
+      "type, α=β=1/2, in EXACT integer millicounts: level ← " +
+      "(l+b+1000·x) div 2, trend ← (b+Δlevel) div 2. Both engines' " +
+      "integer division (Spark DIV, DuckDB //) truncates toward zero, " +
+      "so the recurrence is engine-exact even for negative trends. " +
+      "Spark folds each " +
+      "type's sorted bounded series with the aggregate() HOF (q_ewma " +
+      "shape: keys scale out, series bounded by the time range); the " +
+      "oracle replays the recurrence as a recursive CTE. Emits the " +
+      "final level, trend, and one-step forecast.",
+    Some("""WITH RECURSIVE h AS (SELECT event_type,
+           |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+           |         count(*) AS cnt
+           |       FROM events GROUP BY 1, 2),
+           |idx AS (SELECT event_type, hour, cnt,
+           |          row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i,
+           |          count(*) OVER (PARTITION BY event_type) AS n
+           |        FROM h),
+           |r(event_type, i, n, l, b) AS (
+           |  SELECT event_type, i, n, 1000 * cnt, CAST(0 AS BIGINT) FROM idx WHERE i = 1
+           |  UNION ALL
+           |  SELECT idx.event_type, idx.i, idx.n,
+           |         (r.l + r.b + 1000 * idx.cnt) // 2,
+           |         (r.b + ((r.l + r.b + 1000 * idx.cnt) // 2 - r.l)) // 2
+           |  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           |       CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
+           |       CAST(l + b AS BIGINT) AS forecast_milli
+           |FROM r WHERE i = n ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val h = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      h.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hour"), col("cnt"))))
+          .as("series"))
+        .select(col("event_type"), lng(size(col("series"))).as("n_hours"),
+          expr(
+            """aggregate(slice(series, 2, size(series) - 1),
+              |  named_struct('l', 1000L * series[0].cnt, 'b', 0L),
+              |  (acc, x) -> named_struct(
+              |    'l', (acc.l + acc.b + 1000L * x.cnt) DIV 2L,
+              |    'b', (acc.b + ((acc.l + acc.b + 1000L * x.cnt) DIV 2L - acc.l)) DIV 2L))"""
+              .stripMargin).as("st"))
+        .select(col("event_type"), col("n_hours"),
+          lng(col("st.l")).as("level_milli"), lng(col("st.b")).as("trend_milli"),
+          lng(col("st.l") + col("st.b")).as("forecast_milli"))
+        .orderBy("event_type")
+    }
+  )
+
+  // ------------------------------------------------------------- changepoint
+
+  private val changepoint = QueryDef(
+    "q_changepoint",
+    "One-sided CUSUM change-point screen on hourly event counts per " +
+      "type: S ← max(0, S + 1000·x − mean_milli) with the per-type " +
+      "mean in exact millicounts; reports the peak CUSUM and the hour " +
+      "where the peak was FIRST reached — the drift detector run on " +
+      "ingest volumes. Pure integer adds and max (no division in the " +
+      "recurrence — nothing to round anywhere); same bounded-series " +
+      "fold as q_ewma/q_holt, with the per-type mean computed in the " +
+      "same aggregation that collects the series; oracle = recursive " +
+      "CTE.",
+    Some("""WITH RECURSIVE h AS (SELECT event_type,
+           |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+           |         count(*) AS cnt
+           |       FROM events GROUP BY 1, 2),
+           |m AS (SELECT event_type, (1000 * sum(cnt)) // count(*) AS mean_milli FROM h GROUP BY 1),
+           |idx AS (SELECT h.event_type, h.hour, h.cnt, m.mean_milli,
+           |          row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour) AS i,
+           |          count(*) OVER (PARTITION BY h.event_type) AS n
+           |        FROM h JOIN m USING (event_type)),
+           |r(event_type, i, n, mean_milli, s, smax, hmax) AS (
+           |  SELECT event_type, i, n, mean_milli,
+           |         greatest(CAST(0 AS BIGINT), 1000 * cnt - mean_milli),
+           |         greatest(CAST(0 AS BIGINT), 1000 * cnt - mean_milli), hour
+           |  FROM idx WHERE i = 1
+           |  UNION ALL
+           |  SELECT idx.event_type, idx.i, idx.n, idx.mean_milli,
+           |         greatest(CAST(0 AS BIGINT), r.s + 1000 * idx.cnt - idx.mean_milli),
+           |         CASE WHEN greatest(CAST(0 AS BIGINT), r.s + 1000 * idx.cnt - idx.mean_milli) > r.smax
+           |              THEN greatest(CAST(0 AS BIGINT), r.s + 1000 * idx.cnt - idx.mean_milli)
+           |              ELSE r.smax END,
+           |         CASE WHEN greatest(CAST(0 AS BIGINT), r.s + 1000 * idx.cnt - idx.mean_milli) > r.smax
+           |              THEN idx.hour ELSE r.hmax END
+           |  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           |       CAST(mean_milli AS BIGINT) AS mean_milli,
+           |       CAST(smax AS BIGINT) AS peak_cusum_milli,
+           |       CAST(hmax AS BIGINT) AS peak_hour
+           |FROM r WHERE i = n ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val h = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      h.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hour"), col("cnt"))))
+            .as("series"),
+          expr("(1000 * sum(cnt)) DIV count(*)").as("mean_milli"))
+        .select(col("event_type"), lng(size(col("series"))).as("n_hours"),
+          lng(col("mean_milli")).as("mean_milli"),
+          expr(
+            """aggregate(slice(series, 2, size(series) - 1),
+              |  named_struct(
+              |    's', greatest(0L, 1000L * series[0].cnt - mean_milli),
+              |    'smax', greatest(0L, 1000L * series[0].cnt - mean_milli),
+              |    'hmax', series[0].hour),
+              |  (acc, x) -> named_struct(
+              |    's', greatest(0L, acc.s + 1000L * x.cnt - mean_milli),
+              |    'smax', CASE WHEN greatest(0L, acc.s + 1000L * x.cnt - mean_milli) > acc.smax
+              |                 THEN greatest(0L, acc.s + 1000L * x.cnt - mean_milli)
+              |                 ELSE acc.smax END,
+              |    'hmax', CASE WHEN greatest(0L, acc.s + 1000L * x.cnt - mean_milli) > acc.smax
+              |                 THEN x.hour ELSE acc.hmax END))""".stripMargin)
+            .as("st"))
+        .select(col("event_type"), col("n_hours"), col("mean_milli"),
+          lng(col("st.smax")).as("peak_cusum_milli"),
+          lng(col("st.hmax")).as("peak_hour"))
+        .orderBy("event_type")
+    }
+  )
+
+  // ------------------------------------------------------------- readability
+
+  private val readability = QueryDef(
+    "q_readability",
+    "Flesch reading-ease score per document: words by whitespace " +
+      "split, sentences as terminal-punctuation count (min 1), " +
+      "syllables approximated as lowercase vowel groups via one " +
+      "regexp_extract_all — the readability screen in corpus quality " +
+      "filtering. All three inputs are exact integer counts with " +
+      "identical regex semantics in both engines; the Flesch formula " +
+      "is one shared double chain rounded once. Pure per-row scan " +
+      "work — zero shuffles before the final sort.",
+    Some("""SELECT doc_id,
+           |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           |       CAST(greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))) AS BIGINT) AS n_sentences,
+           |       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+           |       round(206.835
+           |             - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+           |                        / greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))))
+           |             - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+           |                       / len(string_split(text, ' '))), 6) AS flesch
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) =>
+      documents(s, d).selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+        "CAST(greatest(1, length(regexp_replace(text, '[^.!?]', ''))) AS BIGINT) AS n_sentences",
+        "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS n_syllables",
+        """round(206.835
+          | - 1.015 * (CAST(size(split(text, ' ')) AS DOUBLE)
+          |            / greatest(1, length(regexp_replace(text, '[^.!?]', ''))))
+          | - 84.6 * (CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS DOUBLE)
+          |           / size(split(text, ' '))), 6) AS flesch""".stripMargin)
+        .orderBy("doc_id")
+  )
+
+  // ---------------------------------------------------------- snapshot diff
+
+  private val snapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    "Snapshot reconciliation: per-customer order totals in two " +
+      "overlapping windows (1995–1998 vs 1997–2000) FULL OUTER joined " +
+      "on custkey and classified added / removed / changed / " +
+      "unchanged, with the exact-DECIMAL absolute delta per class — " +
+      "the diff report run when validating a pipeline migration. Two " +
+      "filtered aggregations of the same fact (both hash-partition on " +
+      "o_custkey), one key-partitioned full outer join of the " +
+      "per-customer aggregates, one ≤4-row final rollup; deltas stay " +
+      "DECIMAL until the single boundary cast.",
+    Some("""WITH a AS (SELECT o_custkey, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+           |           FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           |             AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+           |b AS (SELECT o_custkey, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+           |      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           |        AND o_orderdate < TIMESTAMP '2001-01-01' GROUP BY 1),
+           |j AS (SELECT CASE WHEN a.o_custkey IS NULL THEN 'added'
+           |                  WHEN b.o_custkey IS NULL THEN 'removed'
+           |                  WHEN a.t = b.t AND a.n = b.n THEN 'unchanged'
+           |                  ELSE 'changed' END AS change_type,
+           |             abs(coalesce(b.t, 0) - coalesce(a.t, 0)) AS adelta
+           |      FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+           |SELECT change_type, CAST(count(*) AS BIGINT) AS n_customers,
+           |       CAST(sum(adelta) AS DOUBLE) AS total_abs_delta
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val o = orders(s, d)
+      def snap(lo: String, hi: String): DataFrame =
+        o.filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+            col("o_orderdate") < lit(hi).cast("timestamp"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum(money(col("o_totalprice"))).as("t"))
+      val a = snap("1995-01-01", "1999-01-01")
+        .select(col("o_custkey").as("ak"), col("n").as("an"), col("t").as("at"))
+      val b = snap("1997-01-01", "2001-01-01")
+        .select(col("o_custkey").as("bk"), col("n").as("bn"), col("t").as("bt"))
+      a.join(b, col("ak") === col("bk"), "full_outer")
+        .select(
+          when(col("ak").isNull, "added")
+            .when(col("bk").isNull, "removed")
+            .when(col("at") === col("bt") && col("an") === col("bn"),
+              "unchanged")
+            .otherwise("changed").as("change_type"),
+          abs(coalesce(col("bt"), lit(0)) - coalesce(col("at"), lit(0)))
+            .as("adelta"))
+        .groupBy("change_type")
+        .agg(lng(count(lit(1))).as("n_customers"),
+          dbl(sum(col("adelta"))).as("total_abs_delta"))
+        .orderBy("change_type")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(skewReport, integrity, holt, changepoint,
+    readability, snapshotDiff)
+}

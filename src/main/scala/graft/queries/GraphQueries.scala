@@ -46,9 +46,11 @@ object GraphQueries {
       "undirected customer–supplier trade graph, in exact BIGINT " +
       "microrank arithmetic (see object scaladoc — floor division " +
       "makes every iteration engine- and partitioning-exact). Each " +
-      "iteration is one key-partitioned join of ranks against the " +
-      "edge list plus one map-side-combining sum per destination — " +
-      "the BSP shape that scales to billion-edge graphs; the oracle " +
+      "iteration BROADCASTS the node-sized rank table against the " +
+      "persisted edge list (edges never re-shuffle) and runs one " +
+      "map-side-combining sum per destination; at node counts past " +
+      "broadcast range the same loop switches to a co-partitioned " +
+      "join with the edge list pre-partitioned by src. The oracle " +
       "unrolls the same three iterations as chained CTEs.",
     Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, 100000 + l_suppkey AS sup
            |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
@@ -86,7 +88,7 @@ object GraphQueries {
         .select(col("id"), expr(s"${Scale}L div n").as("rank"))
       for (_ <- 1 to 3) {
         val contrib = eDeg
-          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .join(broadcast(ranks.withColumnRenamed("id", "src")), "src")
           .select(col("dst").as("id"), expr("rank div outdeg").as("part"))
           .groupBy("id").agg(sum(col("part")).as("c"))
         ranks = nodes.crossJoin(broadcast(n))

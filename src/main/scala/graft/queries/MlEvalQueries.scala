@@ -131,8 +131,12 @@ object MlEvalQueries {
       "DECIMAL — cross-dimension order cannot matter; ties to lowest " +
       "label), and the (true, predicted) matrix is counted. Shape: the " +
       "K×dims centroid table is one map-side-combined aggregation of " +
-      "the exploded corpus, broadcast back; the argmin is a vec_id-" +
-      "partitioned window over K candidates; the matrix is ≤ K² rows.",
+      "the exploded corpus, reassembled into K arrays and broadcast; " +
+      "each vector then scores K distances with ONE sequential " +
+      "zip_with fold per centroid (exact DECIMAL accumulation — " +
+      "addition order still cannot matter) instead of re-exploding " +
+      "the corpus ×K; the argmin is a vec_id-partitioned window over " +
+      "K candidates; the matrix is ≤ K² rows.",
     Some(s"""WITH cent AS ($CentroidSql),
             |el AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS dim,
             |              unnest(embedding) AS v
@@ -148,19 +152,7 @@ object MlEvalQueries {
             |       CAST(count(*) AS BIGINT) AS n
             |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     (s, d) => {
-      val el = embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("dim0", "v")))
-        .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
-          col("v"))
-      val cent = el.groupBy(col("label").as("clabel"), col("dim"))
-        .agg(round(dbl(sum(dbl(col("v")).cast(DecimalType(20, 10)))) /
-          count(lit(1)), 9).as("c"))
-      val term = round((dbl(col("v")) - col("c")) * (dbl(col("v")) - col("c")), 12)
-        .cast(DecimalType(28, 12))
-      val dist = el.join(broadcast(cent), "dim")
-        .groupBy(col("vec_id"), col("label").as("true_label"), col("clabel"))
-        .agg(sum(term).as("d2"))
+      val dist = centroidDistances(s, d)
       val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
       dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .groupBy("true_label", "clabel")
@@ -170,6 +162,43 @@ object MlEvalQueries {
         .orderBy("true_label", "pred_label")
     }
   )
+
+  /** Shared Spark shape for the exact-decimal vector↔centroid distance
+    * table: per-dimension DECIMAL(20,10) centroid sums (exploded once),
+    * reassembled into K dim-ordered arrays, broadcast, then one
+    * sequential zip_with fold per (vector, centroid) accumulating
+    * round-12 DECIMAL terms — value-identical to the oracle's
+    * unnest-join-group sum (decimal addition is exact, so order is
+    * irrelevant), at 1/dims the row count.
+    */
+  private def centroidDistances(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val el = embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("label"), (col("dim0") + 1).as("dim"), col("v"))
+    val cent = el.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(round(dbl(sum(dbl(col("v")).cast(DecimalType(20, 10)))) /
+        count(lit(1)), 9).as("c"))
+    val centArr = cent
+      .groupBy("clabel")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), t -> t.c)")
+        .as("carr"))
+    // the fold stage is CPU-bound (dims × K decimal ops per vector) on a
+    // skinny scan that may arrive in very few partitions — spread it
+    // before the broadcast join; the shuffled payload is just the vectors
+    embeddings(s, d)
+      .select(col("vec_id"), col("label").as("true_label"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("true_label"), col("clabel"),
+        expr(
+          """aggregate(
+            |  zip_with(embedding, carr,
+            |    (x, y) -> CAST(round((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y), 12) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(38,12)),
+            |  (acc, e) -> CAST(acc + e AS DECIMAL(38,12)))""".stripMargin)
+          .as("d2"))
+  }
 
   // -------------------------------------------------------------- silhouette
 
@@ -204,19 +233,9 @@ object MlEvalQueries {
             |       round(CAST(sum(sil) AS DOUBLE) / count(*), 6) AS mean_silhouette
             |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, d) => {
-      val el = embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("dim0", "v")))
-        .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
-          col("v"))
-      val cent = el.groupBy(col("label").as("clabel"), col("dim"))
-        .agg(round(dbl(sum(dbl(col("v")).cast(DecimalType(20, 10)))) /
-          count(lit(1)), 9).as("c"))
-      val term = round((dbl(col("v")) - col("c")) * (dbl(col("v")) - col("c")), 12)
-        .cast(DecimalType(28, 12))
-      val dist = el.join(broadcast(cent), "dim")
-        .groupBy(col("vec_id"), col("label").as("true_label"), col("clabel"))
-        .agg(sqrt(dbl(sum(term))).as("dd"))
+      val dist = centroidDistances(s, d)
+        .select(col("vec_id"), col("true_label"), col("clabel"),
+          sqrt(dbl(col("d2"))).as("dd"))
       val ab = dist.groupBy("vec_id", "true_label")
         .agg(min(when(col("clabel") === col("true_label"), col("dd"))).as("a"),
           min(when(col("clabel") =!= col("true_label"), col("dd"))).as("b"))

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Recommendation / sequence-compression / graph-mixing operators
+  * (SURVEY.md §2.21): item-item collaborative-filtering
+  * recommendations, SAX symbolic approximation of the event series,
+  * degree assortativity of the trade graph, and per-source
+  * distinctive terms (c-TF-IDF).
+  *
+  * Determinism (SURVEY.md §7.5): all scores are single shared IEEE
+  * chains (÷, sqrt, ln) over exact BIGINT counts rounded once; SAX
+  * segments are exact integer milli-means and the symbols come from
+  * comparisons against interpolated quartiles (percentile ⇔
+  * quantile_cont, the q_quantiles precedent); every top-k window has a
+  * total-order tiebreak.
+  *
+  * Scale shapes (PLANS.md): pair generation is order-local (the
+  * q_itemsets bound); per-item top-5 windows partition by item and
+  * compile to WindowGroupLimit (partial top-k before the exchange);
+  * SAX folds bounded per-key series; assortativity is one aggregation
+  * over the degree-annotated edge list.
+  */
+object RecsysQueries {
+
+  // --------------------------------------------------------------- item recs
+
+  private val itemRecs = QueryDef(
+    "q_item_recs",
+    "Item-item collaborative-filtering recommendations: for every " +
+      "part, the top-5 co-purchased parts by cosine-normalized " +
+      "co-occurrence (cooc / sqrt(n1·n2) — popularity-corrected, the " +
+      "classic neighborhood CF scorer). Pair generation is ORDER-" +
+      "LOCAL (bounded lines per order, never an all-parts cross); the " +
+      "symmetrized pair table joins per-part counts key-partitioned; " +
+      "the per-part top-5 is a partitioned window with total-order " +
+      "tiebreak, so it compiles to WindowGroupLimit (partial top-5 " +
+      "before the exchange) — no global sort at any catalog size.",
+    Some("""WITH pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           |              count(DISTINCT a.l_orderkey) AS cooc
+           |            FROM lineitem a JOIN lineitem b
+           |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |            GROUP BY 1, 2),
+           |sym AS (SELECT p1 AS p, p2 AS q, cooc FROM pr
+           |        UNION ALL SELECT p2, p1, cooc FROM pr),
+           |po AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n FROM lineitem GROUP BY 1),
+           |sc AS (SELECT sym.p, sym.q, sym.cooc,
+           |         round(CAST(sym.cooc AS DOUBLE) / sqrt(CAST(a.n * b.n AS DOUBLE)), 6) AS score
+           |       FROM sym JOIN po a ON sym.p = a.l_partkey
+           |                JOIN po b ON sym.q = b.l_partkey),
+           |rk AS (SELECT p, q, cooc, score,
+           |         row_number() OVER (PARTITION BY p ORDER BY score DESC, q) AS rank
+           |       FROM sc)
+           |SELECT p, CAST(rank AS BIGINT) AS rank, q, CAST(cooc AS BIGINT) AS cooc, score
+           |FROM rk WHERE rank <= 5 ORDER BY p, rank""".stripMargin),
+    (s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pr = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(countDistinct(col("a.l_orderkey")).as("cooc"))
+      val sym = pr.select(col("p1").as("p"), col("p2").as("q"), col("cooc"))
+        .unionByName(pr.select(col("p2").as("p"), col("p1").as("q"),
+          col("cooc")))
+      val po = li.groupBy("l_partkey")
+        .agg(countDistinct(col("l_orderkey")).as("n"))
+      val sc = sym
+        .join(po.select(col("l_partkey").as("p"), col("n").as("n1")), "p")
+        .join(po.select(col("l_partkey").as("q"), col("n").as("n2")), "q")
+        .select(col("p"), col("q"), col("cooc"),
+          round(dbl(col("cooc")) / sqrt(dbl(col("n1") * col("n2"))), 6)
+            .as("score"))
+      val w = Window.partitionBy("p").orderBy(col("score").desc, col("q"))
+      sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("p"), lng(col("rank")).as("rank"), col("q"),
+          lng(col("cooc")).as("cooc"), col("score"))
+        .orderBy("p", "rank")
+    }
+  )
+
+  // --------------------------------------------------------------------- sax
+
+  private val sax = QueryDef(
+    "q_sax",
+    "SAX (symbolic aggregate approximation) of each event type's " +
+      "hourly series: 24-hour PAA segments as exact integer milli-" +
+      "means ((1000·Σcnt) div hours — engine-exact), quantized " +
+      "against the type's own PAA quartiles into a 4-letter alphabet " +
+      "and concatenated in segment order — the series→string " +
+      "compression that makes motif search a string problem. The " +
+      "quartiles come from the TINY per-type PAA table (exact " +
+      "interpolated percentile, q_quantiles precedent) broadcast " +
+      "back; the string assembles via an ordered fold of the bounded " +
+      "per-type segment list.",
+    Some("""WITH h AS (SELECT event_type,
+           |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+           |         count(*) AS cnt
+           |       FROM events GROUP BY 1, 2),
+           |paa AS (SELECT event_type, hr // 24 AS seg,
+           |          (1000 * sum(cnt)) // count(*) AS v
+           |        FROM h GROUP BY 1, 2),
+           |qs AS (SELECT event_type,
+           |         quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.50) AS q2,
+           |         quantile_cont(v, 0.75) AS q3
+           |       FROM paa GROUP BY 1),
+           |sym AS (SELECT paa.event_type, paa.seg,
+           |          CASE WHEN paa.v < qs.q1 THEN 'a' WHEN paa.v < qs.q2 THEN 'b'
+           |               WHEN paa.v < qs.q3 THEN 'c' ELSE 'd' END AS s
+           |        FROM paa JOIN qs USING (event_type))
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+           |       string_agg(s, '' ORDER BY seg) AS sax
+           |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val h = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val paa = h.groupBy(col("event_type"), expr("hr DIV 24").as("seg"))
+        .agg(expr("(1000 * sum(cnt)) DIV count(*)").as("v"))
+      val qs = paa.groupBy("event_type").agg(
+        expr("percentile(v, 0.25)").as("q1"),
+        expr("percentile(v, 0.50)").as("q2"),
+        expr("percentile(v, 0.75)").as("q3"))
+      val sym = paa.join(broadcast(qs), "event_type")
+        .select(col("event_type"), col("seg"),
+          when(col("v") < col("q1"), "a")
+            .when(col("v") < col("q2"), "b")
+            .when(col("v") < col("q3"), "c")
+            .otherwise("d").as("s"))
+      sym.groupBy("event_type")
+        .agg(lng(count(lit(1))).as("n_segments"),
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(seg, s))), t -> t.s)"),
+            "").as("sax"))
+        .orderBy("event_type")
+    }
+  )
+
+  // ----------------------------------------------------------- assortativity
+
+  private val assortativity = QueryDef(
+    "q_assortativity",
+    "Degree assortativity of the bipartite trade graph: the Pearson " +
+      "correlation between endpoint degrees over every (directed) " +
+      "edge — negative values mean hubs attach to leaves, the " +
+      "structural fact that decides whether degree-based partitioning " +
+      "skews. Degrees are exact integer counts joined onto the edge " +
+      "list key-partitioned (twice, once per endpoint); r assembles " +
+      "from six exact BIGINT co-moment sums with the shared " +
+      "(nΣxy−ΣxΣy)/sqrt(...) chain of q_corr/q_autocorr. One edge-" +
+      "list aggregation — no windows, no per-node state.",
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, 100000 + l_suppkey AS sup
+           |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS (SELECT c AS src, sup AS dst FROM pairs
+           |      UNION ALL SELECT sup, c FROM pairs),
+           |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+           |xy AS (SELECT ds.deg AS x, dd.deg AS y
+           |       FROM e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id),
+           |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)
+           |SELECT CAST(n AS BIGINT) AS n_edges,
+           |       CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+           |            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+           |                       / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+           |                              * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+           |       END AS assortativity
+           |FROM m""".stripMargin),
+    (s, d) => {
+      val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 100000L).as("sup"))
+        .distinct()
+      val e = pairs.select(col("c").as("src"), col("sup").as("dst"))
+        .unionByName(pairs.select(col("sup").as("src"), col("c").as("dst")))
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val xy = e
+        .join(deg.select(col("id").as("src"), col("deg").as("x")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").as("y")), "dst")
+      val m = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+      val d2 = col("n") * col("syy") - col("sy") * col("sy")
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      // zero-variance guard on the factors separately: d1·d2 as BIGINT
+      // would overflow (the oracle's DuckDB promotes to INT128)
+      m.select(lng(col("n")).as("n_edges"),
+        when(d1 === 0 || d2 === 0, lit(null))
+          .otherwise(round(dbl(num) / sqrt(dbl(d1) * dbl(d2)), 6))
+          .as("assortativity"))
+    }
+  )
+
+  // ------------------------------------------------------------ source terms
+
+  private val sourceTerms = QueryDef(
+    "q_source_terms",
+    "Per-source distinctive terms (c-TF-IDF, the BERTopic class-" +
+      "based scorer): tokens aggregated per source, scored tf·idf " +
+      "where tf = count/source_tokens and idf = ln(n_sources/df), " +
+      "top-5 per source — 'what does this corpus slice talk about'. " +
+      "One token aggregation (map-side combined) feeds both the " +
+      "per-source totals and the cross-source document frequencies; " +
+      "the per-source top-5 is a partitioned WindowGroupLimit window " +
+      "with (score desc, token) total order; all scores are one " +
+      "shared double chain over exact counts.",
+    Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+           |tc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+           |st AS (SELECT source, sum(c) AS tot FROM tc GROUP BY 1),
+           |df AS (SELECT w, count(*) AS df FROM tc GROUP BY 1),
+           |ns AS (SELECT count(*) AS n FROM st),
+           |sc AS (SELECT tc.source, tc.w, tc.c,
+           |         round((CAST(tc.c AS DOUBLE) / st.tot)
+           |               * ln(CAST(ns.n AS DOUBLE) / df.df), 9) AS score
+           |       FROM tc JOIN st USING (source) JOIN df USING (w) CROSS JOIN ns),
+           |rk AS (SELECT source, w, c, score,
+           |         row_number() OVER (PARTITION BY source ORDER BY score DESC, w) AS rank
+           |       FROM sc)
+           |SELECT source, CAST(rank AS BIGINT) AS rank, w AS token,
+           |       CAST(c AS BIGINT) AS n, score
+           |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
+    (s, d) => {
+      val tc = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val st = tc.groupBy("source").agg(sum("c").as("tot"))
+      val df = tc.groupBy("w").agg(count(lit(1)).as("df"))
+      val ns = st.agg(count(lit(1)).as("n"))
+      val sc = tc.join(broadcast(st), "source").join(df, "w")
+        .crossJoin(broadcast(ns))
+        .select(col("source"), col("w"), col("c"),
+          round((dbl(col("c")) / col("tot")) * log(dbl(col("n")) / col("df")),
+            9).as("score"))
+      val w = Window.partitionBy("source").orderBy(col("score").desc, col("w"))
+      sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("source"), lng(col("rank")).as("rank"),
+          col("w").as("token"), lng(col("c")).as("n"), col("score"))
+        .orderBy("source", "rank")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(itemRecs, sax, assortativity, sourceTerms)
+}

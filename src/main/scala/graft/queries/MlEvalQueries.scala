@@ -114,7 +114,7 @@ object MlEvalQueries {
   /** Shared SQL for the per-label, per-dimension exact-decimal centroid
     * table (1-indexed dims to match DuckDB's generate_series form).
     */
-  private val CentroidSql =
+  private[queries] val CentroidSql =
     """SELECT label AS clabel, ord AS dim,
       |       round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*), 9) AS c
       |FROM (SELECT label, unnest(generate_series(1, len(embedding))) AS ord,
@@ -171,7 +171,7 @@ object MlEvalQueries {
     * unnest-join-group sum (decimal addition is exact, so order is
     * irrelevant), at 1/dims the row count.
     */
-  private def centroidDistances(s: org.apache.spark.sql.SparkSession,
+  private[queries] def centroidDistances(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val el = embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Statistics-at-scale operators (SURVEY.md §2.22): DP-style noisy
+  * release, Bayesian bootstrap confidence intervals, a two-sample
+  * Kolmogorov–Smirnov test with a partitioned (never-global) ECDF,
+  * and classifier calibration bins.
+  *
+  * Determinism (SURVEY.md §7.5): all "randomness" is md5-keyed — both
+  * engines hash identical bytes to identical hex, so uniforms, Laplace
+  * and exponential draws are pure functions of the data (q_feature_hash
+  * precedent: conv(hex,16,10) ≡ DuckDB '0x'-cast). Weighted sums
+  * accumulate round-6 DECIMAL terms (order-free); everything else is
+  * single shared IEEE chains over exact aggregates.
+  *
+  * Scale shapes (PLANS.md): the KS ECDF uses the q_skyline bucketed
+  * two-pass cumulative (within-bucket partitioned window + tiny
+  * cross-bucket offset join) so no window ever sees one global
+  * partition; the bootstrap explodes a fixed small replicate count and
+  * aggregates map-side; calibration reuses the broadcast-centroid fold
+  * of q_centroid_confusion.
+  */
+object StatsScaleQueries {
+
+  /** md5-keyed uniform in (0,1): top 48 bits of the hex digest, offset
+    * half a unit to stay strictly inside the interval. Identical text
+    * on the DuckDB side modulo conv ⇔ '0x'-cast.
+    */
+  private def u01(keySql: String): String =
+    s"(conv(substring(md5($keySql), 1, 12), 16, 10) + 0.5) / 281474976710656.0"
+
+  private def u01Duck(keySql: String): String =
+    s"(CAST(concat('0x', substr(md5($keySql), 1, 12)) AS BIGINT) + 0.5) / 281474976710656.0"
+
+  // ---------------------------------------------------------------- dp count
+
+  private val dpCount = QueryDef(
+    "q_dp_count",
+    "Differential-privacy-style noisy count release per event type " +
+      "(Laplace mechanism, ε=1, sensitivity 1): exact counts plus " +
+      "inverse-CDF Laplace noise b·sign(u−½)·ln(1−2|u−½|) driven by " +
+      "an md5-keyed uniform — deterministic pseudo-noise, so the " +
+      "released table is reproducible across runs and engines while " +
+      "still shaped exactly like the mechanism (for real privacy the " +
+      "key would be a secret salt; the plumbing is identical). One " +
+      "map-side-combined aggregation to ≤5 rows; the noise chain is " +
+      "shared expression text over the exact counts.",
+    Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            |       round(count(*)
+            |             - CASE WHEN ${u01Duck("event_type")} < 0.5 THEN -1.0 ELSE 1.0 END
+            |               * ln(1 - 2 * abs(${u01Duck("event_type")} - 0.5)), 6) AS n_noisy
+            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .selectExpr("event_type", "CAST(cnt AS BIGINT) AS n",
+          s"""round(cnt
+             | - CASE WHEN ${u01("event_type")} < 0.5 THEN -1.0D ELSE 1.0D END
+             |   * ln(1 - 2 * abs(${u01("event_type")} - 0.5)), 6) AS n_noisy"""
+            .stripMargin)
+        .orderBy("event_type")
+  )
+
+  // ------------------------------------------------------------ bootstrap ci
+
+  private val bootstrapCi = QueryDef(
+    "q_bootstrap_ci",
+    "Bayesian-bootstrap confidence interval for the mean event value " +
+      "per type, 20 replicates: each (event, replicate) draws an " +
+      "exponential weight −ln(u) from an md5-keyed uniform; replicate " +
+      "means Σwx/Σw accumulate round-6 DECIMAL terms (float order " +
+      "cannot matter), and the 5th/50th/95th percentiles of the 20 " +
+      "replicate means form the interval — uncertainty quantification " +
+      "without ever resampling rows. Shape: a fixed ×20 explode on " +
+      "the scan (no shuffle grows), one map-side-combined aggregation " +
+      "to types×20 cells, exact percentile over each tiny 20-row " +
+      "group.",
+    Some(s"""WITH reps AS (SELECT e.event_type, e.value, r.rep,
+            |         -ln(${u01Duck("concat(CAST(e.event_id AS VARCHAR), '_', CAST(r.rep AS VARCHAR))")}) AS w
+            |       FROM events e CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS rep) r),
+            |m AS (SELECT event_type, rep,
+            |        CAST(sum(CAST(round(w * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |        / CAST(sum(CAST(round(w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS mean_r
+            |      FROM reps GROUP BY 1, 2)
+            |SELECT event_type,
+            |       round(quantile_cont(mean_r, 0.05), 6) AS ci_lo,
+            |       round(quantile_cont(mean_r, 0.50), 6) AS ci_med,
+            |       round(quantile_cont(mean_r, 0.95), 6) AS ci_hi
+            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val w = s"-ln(${u01("concat(CAST(event_id AS STRING), '_', CAST(rep AS STRING))")})"
+      val reps = events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"),
+          explode(expr("sequence(1, 20)")).as("rep"))
+        .selectExpr("event_type", "value", "rep", s"$w AS w")
+      val m = reps.groupBy("event_type", "rep")
+        .agg((dbl(sum(round(col("w") * col("value"), 6)
+            .cast(DecimalType(28, 6)))) /
+          dbl(sum(round(col("w"), 6).cast(DecimalType(28, 6))))).as("mean_r"))
+      m.groupBy("event_type")
+        .agg(round(expr("percentile(mean_r, 0.05)"), 6).as("ci_lo"),
+          round(expr("percentile(mean_r, 0.50)"), 6).as("ci_med"),
+          round(expr("percentile(mean_r, 0.95)"), 6).as("ci_hi"))
+        .orderBy("event_type")
+    }
+  )
+
+  // ----------------------------------------------------------------- ks test
+
+  private val ksTest = QueryDef(
+    "q_ks_test",
+    "Two-sample Kolmogorov–Smirnov statistic between the click and " +
+      "view value distributions: D = max |F1 − F2| over the union of " +
+      "observed values quantized to 0.1 (floor(value·10), a shared " +
+      "exact chain). The ECDFs are cumulative counts over the " +
+      "quantized-value histogram computed with the q_skyline bucketed " +
+      "two-pass: within-bucket running sums on a PARTITIONED window " +
+      "(qv div 512) plus a tiny cross-bucket offset self-join — no " +
+      "single-partition sort at any cardinality; the oracle uses a " +
+      "plain global cumulative window (DuckDB has no such " +
+      "constraint).",
+    Some("""WITH q AS (SELECT CAST(floor(value * 10) AS BIGINT) AS qv,
+           |             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+           |           FROM events WHERE event_type IN ('click', 'view')),
+           |vc AS (SELECT qv, sum(is1) AS c1, sum(1 - is1) AS c2 FROM q GROUP BY 1),
+           |cum AS (SELECT qv,
+           |          sum(c1) OVER (ORDER BY qv) AS r1,
+           |          sum(c2) OVER (ORDER BY qv) AS r2
+           |        FROM vc),
+           |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM vc)
+           |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+           |       round(max(abs(CAST(cum.r1 AS DOUBLE) / t.n1
+           |                     - CAST(cum.r2 AS DOUBLE) / t.n2)), 6) AS d_stat
+           |FROM cum, t GROUP BY t.n1, t.n2""".stripMargin),
+    (s, d) => {
+      val q = events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("CAST(floor(value * 10) AS BIGINT)").as("qv"),
+          when(col("event_type") === "click", 1).otherwise(0).as("is1"))
+      val vc = q.groupBy("qv")
+        .agg(sum("is1").as("c1"), sum(lit(1) - col("is1")).as("c2"))
+        .withColumn("bucket", expr("qv DIV 512"))
+      val wIn = Window.partitionBy("bucket").orderBy("qv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inB = vc.withColumn("i1", sum("c1").over(wIn))
+        .withColumn("i2", sum("c2").over(wIn))
+      val bTot = vc.groupBy("bucket")
+        .agg(sum("c1").as("b1"), sum("c2").as("b2"))
+      val off = bTot.as("a")
+        .join(bTot.as("b"), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.b1")), lit(0L)).as("o1"),
+          coalesce(sum(col("b.b2")), lit(0L)).as("o2"))
+      val cum = inB.join(broadcast(off), "bucket")
+        .select(col("qv"), (col("o1") + col("i1")).as("r1"),
+          (col("o2") + col("i2")).as("r2"))
+      val t = vc.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      cum.crossJoin(broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(round(max(abs(dbl(col("r1")) / col("n1") -
+          dbl(col("r2")) / col("n2"))), 6).as("d_stat"))
+        .select(lng(col("n1")).as("n1"), lng(col("n2")).as("n2"),
+          col("d_stat"))
+    }
+  )
+
+  // -------------------------------------------------------------- calibration
+
+  private val calibration = QueryDef(
+    "q_calibration",
+    "Calibration (reliability) bins for the nearest-centroid " +
+      "classifier: per vector, confidence = b/(a+b) where a = " +
+      "distance to the predicted (nearest) centroid and b = distance " +
+      "to the runner-up; binned into confidence QUINTILES (high-" +
+      "dimensional distances concentrate, so equal-width bins " +
+      "collapse into one — equal-count bins via broadcast percentile " +
+      "thresholds, the q_rfm pattern) with per-bin count, mean " +
+      "confidence (round-6 DECIMAL sum) and observed accuracy. A " +
+      "well-calibrated space shows accuracy rising with confidence — " +
+      "the screen run before trusting auto-labels. Reuses the " +
+      "broadcast-centroid exact-DECIMAL distance fold; the per-" +
+      "vector top-2 is a vec_id-partitioned window; the final table " +
+      "is 5 rows.",
+    Some(s"""WITH cent AS (${MlEvalQueries.CentroidSql}),
+            |el AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS dim,
+            |              unnest(embedding) AS v
+            |       FROM embeddings),
+            |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
+            |           sqrt(CAST(sum(CAST(round((CAST(el.v AS DOUBLE) - cent.c) * (CAST(el.v AS DOUBLE) - cent.c), 12) AS DECIMAL(28,12))) AS DOUBLE)) AS dd
+            |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
+            |rk AS (SELECT vec_id, true_label, clabel, dd,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY dd, clabel) AS rn
+            |       FROM dist),
+            |pv AS (SELECT a.vec_id, a.true_label, a.clabel AS pred, a.dd AS da, b.dd AS db
+            |       FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+            |sc AS (SELECT vec_id, (pred = true_label) AS hit,
+            |         db / (da + db) AS conf
+            |       FROM pv),
+            |th AS (SELECT quantile_cont(conf, 0.2) AS t1, quantile_cont(conf, 0.4) AS t2,
+            |              quantile_cont(conf, 0.6) AS t3, quantile_cont(conf, 0.8) AS t4
+            |       FROM sc),
+            |b AS (SELECT sc.hit, sc.conf,
+            |        CASE WHEN sc.conf < th.t1 THEN 0 WHEN sc.conf < th.t2 THEN 1
+            |             WHEN sc.conf < th.t3 THEN 2 WHEN sc.conf < th.t4 THEN 3
+            |             ELSE 4 END AS bin
+            |      FROM sc, th)
+            |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+            |       round(CAST(sum(CAST(round(conf, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_conf,
+            |       round(CAST(count(*) FILTER (WHERE hit) AS DOUBLE) / count(*), 6) AS accuracy
+            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val dist = MlEvalQueries.centroidDistances(s, d)
+        .select(col("vec_id"), col("true_label"), col("clabel"),
+          sqrt(dbl(col("d2"))).as("dd"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dd"), col("clabel"))
+      val rk = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val pv = rk.filter(col("rn") === 1)
+        .select(col("vec_id"), col("true_label"), col("clabel").as("pred"),
+          col("dd").as("da"))
+        .join(rk.filter(col("rn") === 2)
+          .select(col("vec_id"), col("dd").as("db")), "vec_id")
+      val conf = col("db") / (col("da") + col("db"))
+      val sc = pv.select((col("pred") === col("true_label")).as("hit"),
+        conf.as("conf"))
+      val th = sc.agg(expr("percentile(conf, 0.2)").as("t1"),
+        expr("percentile(conf, 0.4)").as("t2"),
+        expr("percentile(conf, 0.6)").as("t3"),
+        expr("percentile(conf, 0.8)").as("t4"))
+      sc.crossJoin(broadcast(th))
+        .select(col("hit"), col("conf"),
+          when(col("conf") < col("t1"), 0L)
+            .when(col("conf") < col("t2"), 1L)
+            .when(col("conf") < col("t3"), 2L)
+            .when(col("conf") < col("t4"), 3L)
+            .otherwise(4L).as("bin"))
+        .groupBy("bin")
+        .agg(lng(count(lit(1))).as("n"),
+          round(dbl(sum(round(col("conf"), 6).cast(DecimalType(18, 6)))) /
+            count(lit(1)), 6).as("mean_conf"),
+          round(dbl(count(when(col("hit"), 1))) / count(lit(1)), 6)
+            .as("accuracy"))
+        .orderBy("bin")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(dpCount, bootstrapCi, ksTest, calibration)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.{sf, spark}
+
+/** Semantic recomputation + plan gates for the statistics-at-scale
+  * batch (q_dp_count / q_bootstrap_ci / q_ks_test / q_calibration):
+  * direct recomputation of the KS statistic and the Laplace noise
+  * identity, structural checks on the bootstrap interval and the
+  * calibration quintiles, and the no-global-window pin for the
+  * bucketed ECDF.
+  */
+class StatsScaleShapesSpec extends AnyFunSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_ks_test equals a brute-force ECDF max-gap") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 10).toLong))
+    val a = ev.filter(_._1 == "click").map(_._2).sorted
+    val b = ev.filter(_._1 == "view").map(_._2).sorted
+    val grid = (a ++ b).distinct.sorted
+    val d = grid.map { g =>
+      math.abs(a.count(_ <= g).toDouble / a.length -
+        b.count(_ <= g).toDouble / b.length)
+    }.max
+    val row = q("q_ks_test").collect().head
+    assert(row.getLong(0) == a.length.toLong)
+    assert(row.getLong(1) == b.length.toLong)
+    assert(math.abs(row.getDouble(2) - d) < 1e-6)
+  }
+
+  test("q_dp_count noise is bounded Laplace and counts stay exact") {
+    val exact = graft.core.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = q("q_dp_count").collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), "exact count column")
+      val noise = r.getDouble(2) - r.getLong(1)
+      // b=1 Laplace from a 48-bit uniform: |noise| <= ln(2^48)
+      assert(math.abs(noise) <= 34.0, s"implausible noise $noise")
+      assert(noise != 0.0, "noise must actually perturb")
+    }
+  }
+
+  test("q_bootstrap_ci intervals are ordered and bracket the plain mean") {
+    val means = graft.core.Tables.events(spark, sf)
+      .groupBy("event_type").agg(avg("value").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = q("q_bootstrap_ci").collect()
+    assert(rows.map(_.getString(0)).toSet == means.keySet)
+    rows.foreach { r =>
+      val (lo, med, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(lo <= med && med <= hi, s"unordered CI: $lo $med $hi")
+      assert(hi > lo, "degenerate interval")
+      val m = means(r.getString(0))
+      assert(m > lo - (hi - lo) && m < hi + (hi - lo),
+        s"plain mean $m far outside CI [$lo, $hi]")
+    }
+  }
+
+  test("q_calibration: quintile bins are balanced and exhaustive") {
+    val rows = q("q_calibration").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val n = rows.map(_.getLong(1)).sum
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(n == nVec, "every vector lands in exactly one bin")
+    // quintiles: no bin may hold more than ~40% of mass even with ties
+    rows.foreach(r => assert(r.getLong(1) <= n * 2 / 5 + 1,
+      s"bin ${r.getLong(0)} overloaded"))
+    // mean confidence must be nondecreasing across bins
+    val confs = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(confs.zip(confs.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("q_ks_test plan has no unpartitioned window (bucketed ECDF)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = q("q_ks_test").queryExecution.optimizedPlan
+    val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, "global-sort window in KS ECDF")
+  }
+}

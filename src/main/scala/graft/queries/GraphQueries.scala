@@ -79,8 +79,10 @@ object GraphQueries {
            |FROM r3 ORDER BY id""".stripMargin),
     (s, d) => {
       val e = edges(s, d).persist()
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val nodes = e.select(col("src").as("id")).distinct().persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      // every node appears as a src (edges are symmetric), so the degree
+      // table IS the node list — no second distinct pass over the edges
+      val nodes = deg.select(col("src").as("id"))
       val n = nodes.agg(count(lit(1)).as("n"))
       val eDeg = e.join(deg, "src") // (src, dst, outdeg), reused each iter
         .persist()

@@ -15,7 +15,8 @@ object Inventory {
       TpchExtraQueries.defs ++ SketchQueries.defs ++ DocStoreQueries.defs ++
       GraphQueries.defs ++ StatsQueries.defs ++ EventFlowQueries.defs ++
       CorpusQueries.defs ++ MiningQueries.defs ++ MlEvalQueries.defs ++
-      OpsQueries.defs ++ RecsysQueries.defs ++ StatsScaleQueries.defs
+      OpsQueries.defs ++ RecsysQueries.defs ++ StatsScaleQueries.defs ++
+      PatternQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

@@ -359,13 +359,16 @@ object AnalyticsQueries {
            |        CROSS JOIN no
            |ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin),
     (s, d) => {
+      // dedup (order, part) ONCE so the pair join emits each pair at most
+      // once per order — plain counts then replace per-pair countDistincts
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .distinct().persist()
       val pr = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(countDistinct(col("a.l_orderkey")).as("support"))
-      val po = li.groupBy("l_partkey").agg(countDistinct(col("l_orderkey")).as("n"))
+        .agg(count(lit(1)).as("support"))
+      val po = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
       val no = orders(s, d).agg(countDistinct(col("o_orderkey")).as("no"))
       pr.join(po.select(col("l_partkey").as("p1"), col("n").as("n1")), "p1")
         .join(po.select(col("l_partkey").as("p2"), col("n").as("n2")), "p2")

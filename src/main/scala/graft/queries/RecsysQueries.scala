@@ -58,17 +58,20 @@ object RecsysQueries {
            |SELECT p, CAST(rank AS BIGINT) AS rank, q, CAST(cooc AS BIGINT) AS cooc, score
            |FROM rk WHERE rank <= 5 ORDER BY p, rank""".stripMargin),
     (s, d) => {
+      // dedup (order, part) ONCE: the self-join then emits each pair at
+      // most once per order, so plain counts replace per-pair
+      // countDistincts (which would re-deduplicate inside every group)
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .distinct().persist()
       val pr = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(countDistinct(col("a.l_orderkey")).as("cooc"))
+        .agg(count(lit(1)).as("cooc"))
       val sym = pr.select(col("p1").as("p"), col("p2").as("q"), col("cooc"))
         .unionByName(pr.select(col("p2").as("p"), col("p1").as("q"),
           col("cooc")))
-      val po = li.groupBy("l_partkey")
-        .agg(countDistinct(col("l_orderkey")).as("n"))
+      val po = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
       val sc = sym
         .join(po.select(col("l_partkey").as("p"), col("n").as("n1")), "p")
         .join(po.select(col("l_partkey").as("q"), col("n").as("n2")), "q")

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Join/generator edge-semantics and time-series correlation operators
+  * (SURVEY.md §2.24): null-safe equi join, outer explode, and rolling
+  * correlation via a bounded range join.
+  *
+  * Determinism (SURVEY.md §7.5): exact integer aggregates everywhere;
+  * the rolling Pearson r uses the shared q_corr co-moment chain; NULL
+  * keys and NULL generator rows are part of the asserted semantics,
+  * not an accident.
+  *
+  * Scale shapes (PLANS.md): the null-safe join touches only tiny
+  * bucket aggregates; explode_outer is scan-stage work; the rolling
+  * window is a ≤24× range self-join of the HOURLY aggregate — bounded
+  * by the time range, not the data volume, so no unpartitioned window
+  * is ever needed for a trailing frame.
+  */
+object SemanticsQueries {
+
+  // ------------------------------------------------------------ nullsafe join
+
+  private val joinNullsafe = QueryDef(
+    "q_join_nullsafe",
+    "Null-safe equi join (<=> ⇔ IS NOT DISTINCT FROM): click and " +
+      "view events bucketed by a NULLABLE key (values below 5 " +
+      "collapse to NULL — the 'unknown' bucket) and joined so that " +
+      "NULL matches NULL — the semantics plain = silently drops. " +
+      "Both sides are tiny per-bucket aggregates of one fact scan; " +
+      "the join is a hash join on the null-safe key.",
+    Some("""WITH a AS (SELECT CASE WHEN value < 5 THEN NULL
+           |                       ELSE CAST(floor(value / 50) AS BIGINT) END AS nb,
+           |                  count(*) AS n_click
+           |           FROM events WHERE event_type = 'click' GROUP BY 1),
+           |b AS (SELECT CASE WHEN value < 5 THEN NULL
+           |                  ELSE CAST(floor(value / 50) AS BIGINT) END AS nb,
+           |             count(*) AS n_view
+           |      FROM events WHERE event_type = 'view' GROUP BY 1)
+           |SELECT a.nb, CAST(a.n_click AS BIGINT) AS n_click,
+           |       CAST(b.n_view AS BIGINT) AS n_view
+           |FROM a JOIN b ON a.nb IS NOT DISTINCT FROM b.nb
+           |ORDER BY a.nb""".stripMargin),
+    (s, d) => {
+      def side(t: String, out: String) = events(s, d)
+        .filter(col("event_type") === t)
+        .groupBy(when(col("value") < 5, lit(null))
+          .otherwise(floor(col("value") / 50).cast("long")).as("nb"))
+        .agg(count(lit(1)).as(out))
+      val a = side("click", "n_click")
+      val b = side("view", "n_view").withColumnRenamed("nb", "nb2")
+      a.join(b, col("nb") <=> col("nb2"))
+        .select(col("nb"), lng(col("n_click")).as("n_click"),
+          lng(col("n_view")).as("n_view"))
+        .orderBy("nb")
+    }
+  )
+
+  // ------------------------------------------------------------ explode outer
+
+  private val explodeOuter = QueryDef(
+    "q_explode_outer",
+    "Outer explode: each document's long tokens (length ≥ 7) as one " +
+      "row each, KEEPING token-less documents as a NULL row — the " +
+      "generator semantics that preserve row provenance (a plain " +
+      "explode silently drops ~20% of the corpus here, which is how " +
+      "joins against the output lose documents). Scan-stage filter + " +
+      "explode_outer, zero shuffles before the output sort; the " +
+      "oracle emulates with a CASE to [NULL] before unnest.",
+    Some("""WITH ws AS (SELECT doc_id,
+           |              list_filter(string_split(text, ' '), w -> length(w) >= 7) AS ws
+           |            FROM documents)
+           |SELECT doc_id,
+           |       unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS token
+           |FROM ws ORDER BY doc_id, token""".stripMargin),
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          explode_outer(expr("filter(split(text, ' '), w -> length(w) >= 7)"))
+            .as("token"))
+        .orderBy("doc_id", "token")
+  )
+
+  // ---------------------------------------------------------------- roll corr
+
+  private val rollCorr = QueryDef(
+    "q_roll_corr",
+    "Rolling 24-hour correlation between click and view hourly " +
+      "volumes: for every hour with a full trailing day, Pearson r " +
+      "over the 24 aligned (click, view) count pairs — the co-" +
+      "movement monitor behind anomaly alerts. The trailing frame is " +
+      "NOT a global-order window (banned shape): it is a range self-" +
+      "join of the tiny hourly aggregate (≤24 matches per row, table " +
+      "size bounded by the time range, not data volume), aggregated " +
+      "per target hour with the exact-BIGINT co-moment chain of " +
+      "q_corr.",
+    Some("""WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+           |             count(*) FILTER (WHERE event_type = 'click') AS c,
+           |             count(*) FILTER (WHERE event_type = 'view') AS v
+           |           FROM events WHERE event_type IN ('click', 'view')
+           |           GROUP BY 1),
+           |p AS (SELECT t.hr, count(*) AS n, sum(s.c) AS sx, sum(s.v) AS sy,
+           |        sum(s.c * s.v) AS sxy, sum(s.c * s.c) AS sxx, sum(s.v * s.v) AS syy
+           |      FROM h t JOIN h s ON s.hr BETWEEN t.hr - 23 AND t.hr
+           |      GROUP BY 1)
+           |SELECT hr AS hour, CAST(n AS BIGINT) AS n_hours,
+           |       CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+           |            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+           |                       / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+           |                              * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+           |       END AS roll_r
+           |FROM p WHERE n = 24 ORDER BY hour""".stripMargin),
+    (s, d) => {
+      val h = events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(when(col("event_type") === "click", 1)).as("c"),
+          count(when(col("event_type") === "view", 1)).as("v"))
+      val p = h.as("t")
+        .join(h.as("s"),
+          col("s.hr") >= col("t.hr") - 23 && col("s.hr") <= col("t.hr"))
+        .groupBy(col("t.hr").as("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("s.c")).as("sx"),
+          sum(col("s.v")).as("sy"), sum(col("s.c") * col("s.v")).as("sxy"),
+          sum(col("s.c") * col("s.c")).as("sxx"),
+          sum(col("s.v") * col("s.v")).as("syy"))
+      val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+      val d2 = col("n") * col("syy") - col("sy") * col("sy")
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      p.filter(col("n") === 24)
+        .select(col("hour"), lng(col("n")).as("n_hours"),
+          when(d1 === 0 || d2 === 0, lit(null))
+            .otherwise(round(dbl(num) / sqrt(dbl(d1) * dbl(d2)), 6))
+            .as("roll_r"))
+        .orderBy("hour")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(joinNullsafe, explodeOuter, rollCorr)
+}

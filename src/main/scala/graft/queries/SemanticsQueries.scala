@@ -139,5 +139,59 @@ object SemanticsQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(joinNullsafe, explodeOuter, rollCorr)
+  // ------------------------------------------------------------ fill forward
+
+  private val fillForward = QueryDef(
+    "q_fill_forward",
+    "Forward-fill imputation (LOCF): the hourly max purchase value " +
+      "per event type on the FULL hour grid (q_gap_fill's grid " +
+      "shape), with missing hours carrying the last observed value " +
+      "forward via last_value(... IGNORE NULLS) over a type-" +
+      "partitioned window — the imputation every feature backfill " +
+      "runs; leading nulls before the first observation stay null. " +
+      "Max of doubles is exact (no accumulation), the grid is " +
+      "time-range-bounded, and the window partitions by type — " +
+      "never global.",
+    Some("""WITH e AS (SELECT event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+           |             value
+           |           FROM events),
+           |b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM e),
+           |hours AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM b),
+           |types AS (SELECT DISTINCT event_type FROM e),
+           |obs AS (SELECT event_type, h, max(value) AS v FROM e
+           |        WHERE value >= 200 GROUP BY 1, 2),
+           |grid AS (SELECT t.event_type, hs.h, obs.v
+           |         FROM hours hs CROSS JOIN types t
+           |         LEFT JOIN obs ON obs.h = hs.h AND obs.event_type = t.event_type)
+           |SELECT event_type, h AS hour, round(v, 6) AS observed,
+           |       round(last_value(v IGNORE NULLS) OVER (
+           |         PARTITION BY event_type ORDER BY h
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+           |FROM grid ORDER BY event_type, hour""".stripMargin),
+    (s, d) => {
+      val hExpr = "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000"
+      val e = events(s, d)
+        .select(col("event_type"), expr(hExpr).as("h"), col("value"))
+        .persist()
+      val b = e.agg(min("h").as("hmin"), max("h").as("hmax"))
+      val hours = b.select(explode(expr("sequence(hmin, hmax)")).as("h"))
+      val types = e.select("event_type").distinct()
+      val obs = e.filter(col("value") >= 200)
+        .groupBy("event_type", "h").agg(max("value").as("v"))
+      val grid = hours.crossJoin(broadcast(types))
+        .join(obs, Seq("event_type", "h"), "left")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid.select(col("event_type"), col("h").as("hour"),
+          round(col("v"), 6).as("observed"),
+          round(last(col("v"), ignoreNulls = true).over(w), 6).as("filled"))
+        .orderBy("event_type", "hour")
+    }
+  )
+
+  val defs: Seq[QueryDef] =
+    Seq(joinNullsafe, explodeOuter, rollCorr, fillForward)
 }

@@ -53,6 +53,22 @@ class SemanticsShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_fill_forward carries the last observation and only that") {
+    val rows = q("q_fill_forward").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.exists(r => r._3.isEmpty && r._4.isDefined),
+      "some gap must actually be filled")
+    rows.groupBy(_._1).values.foreach { g =>
+      var lastSeen: Option[Double] = None
+      g.sortBy(_._2).foreach { case (t, h, obs, filled) =>
+        if (obs.isDefined) lastSeen = obs
+        assert(filled == lastSeen, s"$t@$h: filled=$filled lastSeen=$lastSeen")
+      }
+    }
+  }
+
   test("q_roll_corr equals a sliding-window Pearson recomputation") {
     val h = graft.core.Tables.events(spark, sf)
       .filter(col("event_type").isin("click", "view"))

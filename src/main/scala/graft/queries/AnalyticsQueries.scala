@@ -339,12 +339,13 @@ object AnalyticsQueries {
       "(number of orders containing both), with rational lift — " +
       "support·N / (n1·n2), one IEEE division of exact BIGINTs — " +
       "telling real affinity from popularity. Pair generation is " +
-      "ORDER-LOCAL (lineitem self-join on l_orderkey; per-order line " +
-      "counts are bounded, so candidates per order are bounded — " +
-      "never an all-parts cross), per-part order counts join the " +
-      "pair table twice key-partitioned, scalars broadcast, and the " +
-      "top-100 with total-order tiebreak compiles to " +
-      "TakeOrderedAndProject — no global sort at any corpus size.",
+      "ORDER-LOCAL: each order's distinct part set collects in ONE " +
+      "map-side-combined shuffle and the C(k,2) pairs generate " +
+      "in-task from the bounded array (no fact self-join, no second " +
+      "exchange), per-part order counts join the pair table twice " +
+      "key-partitioned, scalars broadcast, and the top-100 with " +
+      "total-order tiebreak compiles to TakeOrderedAndProject — no " +
+      "global sort at any corpus size.",
     Some("""WITH pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
            |              count(DISTINCT a.l_orderkey) AS support
            |            FROM lineitem a JOIN lineitem b
@@ -359,16 +360,21 @@ object AnalyticsQueries {
            |        CROSS JOIN no
            |ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin),
     (s, d) => {
-      // dedup (order, part) ONCE so the pair join emits each pair at most
-      // once per order — plain counts then replace per-pair countDistincts
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .distinct().persist()
-      val pr = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      // collect each order's distinct sorted part set ONCE, generate the
+      // C(k,2) pairs IN-TASK — no fact self-join (q_item_recs shape)
+      val baskets = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .persist()
+      val pairExpr = expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |            y -> struct(x AS p1, y AS p2))))""".stripMargin)
+      val pr = baskets.select(explode(pairExpr).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("support"))
-      val po = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val po = baskets.select(explode(col("ps")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
       val no = orders(s, d).agg(countDistinct(col("o_orderkey")).as("no"))
       pr.join(po.select(col("l_partkey").as("p1"), col("n").as("n1")), "p1")
         .join(po.select(col("l_partkey").as("p2"), col("n").as("n2")), "p2")

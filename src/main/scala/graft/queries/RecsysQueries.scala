@@ -35,7 +35,9 @@ object RecsysQueries {
       "part, the top-5 co-purchased parts by cosine-normalized " +
       "co-occurrence (cooc / sqrt(n1·n2) — popularity-corrected, the " +
       "classic neighborhood CF scorer). Pair generation is ORDER-" +
-      "LOCAL (bounded lines per order, never an all-parts cross); the " +
+      "LOCAL: per-order distinct part sets collect in one map-side-" +
+      "combined shuffle and C(k,2) pairs generate in-task from the " +
+      "bounded arrays (no fact self-join); the " +
       "symmetrized pair table joins per-part counts key-partitioned; " +
       "the per-part top-5 is a partitioned window with total-order " +
       "tiebreak, so it compiles to WindowGroupLimit (partial top-5 " +
@@ -58,20 +60,25 @@ object RecsysQueries {
            |SELECT p, CAST(rank AS BIGINT) AS rank, q, CAST(cooc AS BIGINT) AS cooc, score
            |FROM rk WHERE rank <= 5 ORDER BY p, rank""".stripMargin),
     (s, d) => {
-      // dedup (order, part) ONCE: the self-join then emits each pair at
-      // most once per order, so plain counts replace per-pair
-      // countDistincts (which would re-deduplicate inside every group)
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .distinct().persist()
-      val pr = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      // collect each order's distinct sorted part set ONCE (one shuffle,
+      // map-side combined; per-order sets are bounded), then generate the
+      // C(k,2) pairs IN-TASK — no fact self-join, no second exchange
+      val baskets = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .persist()
+      val pairExpr = expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |            y -> struct(x AS p1, y AS p2))))""".stripMargin)
+      val pr = baskets.select(explode(pairExpr).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("cooc"))
       val sym = pr.select(col("p1").as("p"), col("p2").as("q"), col("cooc"))
         .unionByName(pr.select(col("p2").as("p"), col("p1").as("q"),
           col("cooc")))
-      val po = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val po = baskets.select(explode(col("ps")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
       val sc = sym
         .join(po.select(col("l_partkey").as("p"), col("n").as("n1")), "p")
         .join(po.select(col("l_partkey").as("q"), col("n").as("n2")), "q")

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.util.Det._
+
+/** Distributed linear algebra (SURVEY.md §2.25): the top principal
+  * direction of the embedding corpus by power iteration — the
+  * building block behind PCA whitening, spectral hashing and
+  * low-rank compression of embedding tables.
+  *
+  * Determinism (SURVEY.md §7.5): every accumulated term is scaled to
+  * integer picounts (round(·1e12) → BIGINT — round-half-away is
+  * identical in both engines), so all sums are exact integer adds in
+  * any order; the only doubles are the shared per-step chains
+  * (long→double, ·, sqrt, ÷ — identical text both sides). Overflow
+  * headroom: |x·y| ≤ 0.34 ⇒ per-cell sums stay < 2^63 up to ~27M
+  * vectors; past that the same shape runs with DECIMAL partials.
+  *
+  * Scale shape (PLANS.md): ONE pass over the corpus builds the dims²
+  * Gram aggregate — per-vector outer products generate IN-TASK from
+  * the array (no exploded self-join), only the upper triangle is
+  * generated (symmetry), and the aggregate map-side combines. The
+  * three unrolled iterations touch 64×64 + 64-row tables with the
+  * vector broadcast into each product; corpus size never appears
+  * again after the first aggregation.
+  */
+object LinalgQueries {
+
+  private val pcaPower = QueryDef(
+    "q_pca_power",
+    "Top principal direction of the (uncentered) embedding corpus " +
+      "via 3 unrolled power iterations on the Gram matrix G = XᵀX: " +
+      "G builds in ONE corpus pass — upper-triangle outer-product " +
+      "terms generated in-task from each vector (symmetry gives the " +
+      "lower half for free), accumulated as exact integer picount " +
+      "sums, map-side combined; each iteration multiplies the 64-row " +
+      "broadcast vector into the 4096-cell G and renormalizes with a " +
+      "shared sqrt chain. Emits the unit direction with its " +
+      "eigenvalue estimate (the norm of the last unnormalized " +
+      "iterate) — the spectral summary run before whitening or " +
+      "compressing an embedding table. The oracle replays the " +
+      "identical arithmetic with the full (i,j) unnest join, equal " +
+      "because multiplication commutes cell-for-cell.",
+    Some("""WITH el AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+           |              CAST(unnest(embedding) AS DOUBLE) AS x
+           |            FROM embeddings),
+           |g AS (SELECT a.i AS i, b.i AS j,
+           |        sum(CAST(round(a.x * b.x * 1000000000000, 0) AS BIGINT)) AS m
+           |      FROM el a JOIN el b ON a.vec_id = b.vec_id
+           |      GROUP BY 1, 2),
+           |v0 AS (SELECT i AS j, 0.125 AS v FROM (SELECT DISTINCT i FROM g)),
+           |w1 AS (SELECT g.i, sum(CAST(round(CAST(g.m AS DOUBLE) / 1000000000000 * v0.v * 1000000000000, 0) AS BIGINT)) AS w
+           |       FROM g JOIN v0 ON g.j = v0.j GROUP BY 1),
+           |nn1 AS (SELECT sqrt(CAST(sum(CAST(round((CAST(w AS DOUBLE) / 1000000000000) * (CAST(w AS DOUBLE) / 1000000000000) * 1000000000000, 0) AS BIGINT)) AS DOUBLE) / 1000000000000) AS n FROM w1),
+           |v1 AS (SELECT w1.i AS j, round(CAST(w1.w AS DOUBLE) / 1000000000000 / nn1.n, 9) AS v FROM w1, nn1),
+           |w2 AS (SELECT g.i, sum(CAST(round(CAST(g.m AS DOUBLE) / 1000000000000 * v1.v * 1000000000000, 0) AS BIGINT)) AS w
+           |       FROM g JOIN v1 ON g.j = v1.j GROUP BY 1),
+           |nn2 AS (SELECT sqrt(CAST(sum(CAST(round((CAST(w AS DOUBLE) / 1000000000000) * (CAST(w AS DOUBLE) / 1000000000000) * 1000000000000, 0) AS BIGINT)) AS DOUBLE) / 1000000000000) AS n FROM w2),
+           |v2 AS (SELECT w2.i AS j, round(CAST(w2.w AS DOUBLE) / 1000000000000 / nn2.n, 9) AS v FROM w2, nn2),
+           |w3 AS (SELECT g.i, sum(CAST(round(CAST(g.m AS DOUBLE) / 1000000000000 * v2.v * 1000000000000, 0) AS BIGINT)) AS w
+           |       FROM g JOIN v2 ON g.j = v2.j GROUP BY 1),
+           |nn3 AS (SELECT sqrt(CAST(sum(CAST(round((CAST(w AS DOUBLE) / 1000000000000) * (CAST(w AS DOUBLE) / 1000000000000) * 1000000000000, 0) AS BIGINT)) AS DOUBLE) / 1000000000000) AS n FROM w3)
+           |SELECT CAST(w3.i AS BIGINT) AS dim,
+           |       round(CAST(w3.w AS DOUBLE) / 1000000000000 / nn3.n, 6) AS loading,
+           |       round(nn3.n, 3) AS eigenvalue_est
+           |FROM w3, nn3 ORDER BY dim""".stripMargin),
+    (s, d) => {
+      // upper-triangle outer products in-task; integer picount terms
+      val outer = expr(
+        """flatten(transform(embedding, (x, i) ->
+          |  transform(slice(embedding, i + 1, size(embedding) - i), (y, j0) -> struct(
+          |    i + 1 AS i, i + j0 + 1 AS j,
+          |    CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000000, 0) AS BIGINT) AS p))))"""
+          .stripMargin)
+      // CPU-bound outer-product stage on a skinny scan that may arrive
+      // in very few partitions — spread it first (centroidDistances
+      // precedent); the shuffled payload is just the vectors
+      val gHalf = embeddings(s, d)
+        .select(col("embedding"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(outer).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum(col("t.p")).as("m"))
+      val g = gHalf.unionByName(
+          gHalf.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("m")))
+        .persist()
+      // integer-picount matrix-vector step with round-half-away (matches
+      // the oracle's round(...) exactly; a plain cast would truncate)
+      def stepR(v: DataFrame): DataFrame =
+        g.join(broadcast(v), "j")
+          .groupBy("i")
+          .agg(sum(expr(
+            "CAST(round(CAST(m AS DOUBLE) / 1000000000000 * v * 1000000000000, 0) AS BIGINT)"))
+            .as("w"))
+      def norm(w: DataFrame): DataFrame =
+        w.agg(sqrt(dbl(sum(expr(
+          "CAST(round((CAST(w AS DOUBLE) / 1000000000000) * (CAST(w AS DOUBLE) / 1000000000000) * 1000000000000, 0) AS BIGINT)"))) /
+          1000000000000L).as("n"))
+      val v0 = g.select(col("i").as("j")).distinct()
+        .withColumn("v", lit(0.125))
+      def nextV(w: DataFrame): DataFrame =
+        w.crossJoin(broadcast(norm(w)))
+          .select(col("i").as("j"),
+            round(dbl(col("w")) / 1000000000000L / col("n"), 9).as("v"))
+      val w1 = stepR(v0)
+      val w2 = stepR(nextV(w1))
+      val w3 = stepR(nextV(w2))
+      w3.crossJoin(broadcast(norm(w3)))
+        .select(lng(col("i")).as("dim"),
+          round(dbl(col("w")) / 1000000000000L / col("n"), 6).as("loading"),
+          round(col("n"), 3).as("eigenvalue_est"))
+        .orderBy("dim")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pcaPower)
+}

@@ -73,32 +73,46 @@ object StatsScaleQueries {
     "q_bootstrap_ci",
     "Bayesian-bootstrap confidence interval for the mean event value " +
       "per type, 20 replicates: each (event, replicate) draws an " +
-      "exponential weight −ln(u) from an md5-keyed uniform; replicate " +
-      "means Σwx/Σw accumulate round-6 DECIMAL terms (float order " +
-      "cannot matter), and the 5th/50th/95th percentiles of the 20 " +
-      "replicate means form the interval — uncertainty quantification " +
-      "without ever resampling rows. Shape: a fixed ×20 explode on " +
-      "the scan (no shuffle grows), one map-side-combined aggregation " +
-      "to types×20 cells, exact percentile over each tiny 20-row " +
-      "group.",
-    Some(s"""WITH reps AS (SELECT e.event_type, e.value, r.rep,
-            |         -ln(${u01Duck("concat(CAST(e.event_id AS VARCHAR), '_', CAST(r.rep AS VARCHAR))")}) AS w
-            |       FROM events e CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS rep) r),
-            |m AS (SELECT event_type, rep,
-            |        CAST(sum(CAST(round(w * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
-            |        / CAST(sum(CAST(round(w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS mean_r
-            |      FROM reps GROUP BY 1, 2)
-            |SELECT event_type,
-            |       round(quantile_cont(mean_r, 0.05), 6) AS ci_lo,
-            |       round(quantile_cont(mean_r, 0.50), 6) AS ci_med,
-            |       round(quantile_cont(mean_r, 0.95), 6) AS ci_hi
-            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+      "exponential weight −ln(u) from an md5-keyed uniform — all 20 " +
+      "uniforms per event slice out of FOUR digests (24 bits each, " +
+      "5 per digest), so the hash cost is 4 md5/event, not 20; " +
+      "replicate means Σwx/Σw accumulate round-6 DECIMAL terms " +
+      "(float order cannot matter), and the 5th/50th/95th " +
+      "percentiles of the 20 replicate means form the interval — " +
+      "uncertainty quantification without ever resampling rows. " +
+      "Shape: a fixed ×20 explode on the scan (no shuffle grows), " +
+      "one map-side-combined aggregation to types×20 cells, exact " +
+      "percentile over each tiny 20-row group.",
+    Some("""WITH dig AS (SELECT event_type, value,
+           |         concat(md5(concat(CAST(event_id AS VARCHAR), '_0')),
+           |                md5(concat(CAST(event_id AS VARCHAR), '_1')),
+           |                md5(concat(CAST(event_id AS VARCHAR), '_2')),
+           |                md5(concat(CAST(event_id AS VARCHAR), '_3'))) AS dg
+           |       FROM events),
+           |reps AS (SELECT event_type, value, r.rep,
+           |         -ln((CAST(concat('0x', substr(dg, (r.rep - 1) * 6 + 1, 6)) AS BIGINT) + 0.5) / 16777216.0) AS w
+           |       FROM dig CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS rep) r),
+           |m AS (SELECT event_type, rep,
+           |        CAST(sum(CAST(round(w * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           |        / CAST(sum(CAST(round(w, 6) AS DECIMAL(28,6))) AS DOUBLE) AS mean_r
+           |      FROM reps GROUP BY 1, 2)
+           |SELECT event_type,
+           |       round(quantile_cont(mean_r, 0.05), 6) AS ci_lo,
+           |       round(quantile_cont(mean_r, 0.50), 6) AS ci_med,
+           |       round(quantile_cont(mean_r, 0.95), 6) AS ci_hi
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, d) => {
-      val w = s"-ln(${u01("concat(CAST(event_id AS STRING), '_', CAST(rep AS STRING))")})"
       val reps = events(s, d)
-        .select(col("event_type"), col("event_id"), col("value"),
+        .selectExpr("event_type", "value",
+          """concat(md5(concat(CAST(event_id AS STRING), '_0')),
+            |       md5(concat(CAST(event_id AS STRING), '_1')),
+            |       md5(concat(CAST(event_id AS STRING), '_2')),
+            |       md5(concat(CAST(event_id AS STRING), '_3'))) AS dg"""
+            .stripMargin)
+        .select(col("event_type"), col("value"), col("dg"),
           explode(expr("sequence(1, 20)")).as("rep"))
-        .selectExpr("event_type", "value", "rep", s"$w AS w")
+        .selectExpr("event_type", "value", "rep",
+          "-ln((conv(substring(dg, (rep - 1) * 6 + 1, 6), 16, 10) + 0.5) / 16777216.0) AS w")
       val m = reps.groupBy("event_type", "rep")
         .agg((dbl(sum(round(col("w") * col("value"), 6)
             .cast(DecimalType(28, 6)))) /

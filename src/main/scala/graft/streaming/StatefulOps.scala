@@ -49,7 +49,7 @@ object StatefulOps {
 
       if (batch.isEmpty && state.hasTimedOut) {
         // watermark passed last+gap: emit the open session and drop state
-        val out = state.getOption.map(close).toIterator
+        val out = state.getOption.map(close).iterator
         state.remove()
         return out
       }

@@ -1048,11 +1048,37 @@ object Relational {
     }
   )
 
+  private val aggBoolBit = QueryDef(
+    "q_agg_bool_bit",
+    "Aggregate-function completion — boolean and bitwise reducers: " +
+      "per order priority, bool_and/bool_or of a price predicate and " +
+      "bit_and/bit_or/bit_xor of the order keys. All five are exact, " +
+      "commutative, associative reducers (order-free by definition), " +
+      "map-side combined in one fact aggregation to ≤5 rows — the " +
+      "flag-rollup / bitmap-merge primitives warehouse marts use.",
+    Some("""SELECT o_orderpriority,
+           |       bool_and(o_totalprice > 1000) AS all_above_1k,
+           |       bool_or(o_totalprice > 400000) AS any_above_400k,
+           |       CAST(bit_and(o_orderkey) AS BIGINT) AS key_bit_and,
+           |       CAST(bit_or(o_orderkey) AS BIGINT) AS key_bit_or,
+           |       CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bit_xor
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(expr("bool_and(o_totalprice > 1000)").as("all_above_1k"),
+        expr("bool_or(o_totalprice > 400000)").as("any_above_400k"),
+        lng(expr("bit_and(o_orderkey)")).as("key_bit_and"),
+        lng(expr("bit_or(o_orderkey)")).as("key_bit_or"),
+        lng(expr("bit_xor(o_orderkey)")).as("key_bit_xor"))
+      .orderBy("o_orderpriority")
+  )
+
   val defs: Seq[QueryDef] = Seq(
     scanParquet, scanJsonl, scanCsv, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
     joinTheta, joinAsof, joinBand,
     aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
+    aggBoolBit,
     sortLimit, topkGroup, union, intersect, except, exceptAll, intersectAll,
     sqlLateral,
     tpchQ3, tpchQ5, tpchQ1, tpchQ6, tpchQ10, tpchQ18, tpchQ14, tpchQ19,

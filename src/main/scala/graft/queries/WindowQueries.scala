@@ -154,6 +154,40 @@ object WindowQueries {
     }
   )
 
+  private val windowNth = QueryDef(
+    "q_window_nth",
+    "Window-function completion: dense_rank over a COARSE tie-heavy " +
+      "key (thousand-dollar balance buckets — dense ranking depends " +
+      "only on the key value, so ties cannot make it " +
+      "order-sensitive) plus nth_value(3) over the full partition " +
+      "frame under a TOTAL order (balance desc, custkey — nth_value " +
+      "is frame-order-sensitive, so the order must be total to be " +
+      "deterministic): every customer annotated with its nation's " +
+      "third-highest account balance. Both windows partition by " +
+      "nation; no global sort.",
+    Some("""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+           |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           |       CAST(dense_rank() OVER (PARTITION BY c_nationkey
+           |         ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC) AS BIGINT) AS bucket_rank,
+           |       round(nth_value(c_acctbal, 3) OVER (PARTITION BY c_nationkey
+           |         ORDER BY c_acctbal DESC, c_custkey
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS third_bal
+           |FROM customer ORDER BY c_custkey""".stripMargin),
+    (s, d) => {
+      val bucket = floor(col("c_acctbal") / 1000).cast("long")
+      val wDense = Window.partitionBy("c_nationkey").orderBy(bucket.desc)
+      val wNth = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      customer(s, d).select(
+          col("c_custkey"), lng(col("c_nationkey")).as("nation"),
+          bucket.as("bal_bucket"),
+          lng(dense_rank().over(wDense)).as("bucket_rank"),
+          round(nth_value(col("c_acctbal"), 3).over(wNth), 2).as("third_bal"))
+        .orderBy("c_custkey")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(windowPages, windowRank, windowFrame,
-    windowLeadLag, windowDist)
+    windowLeadLag, windowDist, windowNth)
 }

@@ -264,5 +264,134 @@ object StatsScaleQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(dpCount, bootstrapCi, ksTest, calibration)
+  // -------------------------------------------------------------- regression
+
+  private val regression = QueryDef(
+    "q_regression",
+    "OLS linear regression of event value on hour-of-day per event " +
+      "type (slope + intercept) — the trend fit behind seasonality " +
+      "detrending. All five sufficient statistics are EXACT: integer " +
+      "x sums, DECIMAL(18,2) y sums, int×DECIMAL cross sums; slope " +
+      "and intercept are one shared double chain over the exact " +
+      "co-moments (q_corr discipline — closed-form OLS needs no " +
+      "iteration and no float accumulation). One map-side-combined " +
+      "fact aggregation to ≤5 rows.",
+    Some("""WITH p AS (SELECT event_type,
+           |             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS x,
+           |             CAST(value AS DECIMAL(18,2)) AS y
+           |           FROM events),
+           |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+           |        sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
+           |      FROM p GROUP BY 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+           |             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           |       round((CAST(sy AS DOUBLE)
+           |              - CAST(n * sxy - sx * sy AS DOUBLE)
+           |                / CAST(n * sxx - sx * sx AS DOUBLE)
+           |                * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+           |FROM m ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val p = events(s, d).select(col("event_type"),
+        ((unix_micros(col("ts")) / 3600000000L).cast("long") % 24).as("x"),
+        money(col("value")).as("y"))
+      val m = p.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"))
+      val num = dbl(col("n") * col("sxy") - col("sx") * col("sy"))
+      val den = dbl(col("n") * col("sxx") - col("sx") * col("sx"))
+      m.select(col("event_type"), lng(col("n")).as("n"),
+          round(num / den, 6).as("slope"),
+          round((dbl(col("sy")) - num / den * dbl(col("sx"))) / col("n"), 6)
+            .as("intercept"))
+        .orderBy("event_type")
+    }
+  )
+
+  // --------------------------------------------------------------------- auc
+
+  private val auc = QueryDef(
+    "q_auc",
+    "ROC AUC of the nearest-centroid classifier's confidence score " +
+      "predicting a correct classification, via the exact rank-sum " +
+      "(Mann–Whitney) identity with tie correction: AUC = Σ_s " +
+      "np(s)·(2·nn_below(s) + nn(s)) / (2·NP·NN) over distinct " +
+      "integer-scaled scores — no sampled thresholds, no trapezoids. " +
+      "Scores come from the shared broadcast-centroid fold " +
+      "(q_calibration's confidence); the cumulative negative count " +
+      "uses the q_skyline bucketed two-pass (partitioned window + " +
+      "tiny offset join), so the ECDF never needs a global sort; the " +
+      "final statistic is exact BIGINT arithmetic with one division.",
+    Some(s"""WITH cent AS (${MlEvalQueries.CentroidSql}),
+            |el AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS dim,
+            |              unnest(embedding) AS v
+            |       FROM embeddings),
+            |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
+            |           sqrt(CAST(sum(CAST(round((CAST(el.v AS DOUBLE) - cent.c) * (CAST(el.v AS DOUBLE) - cent.c), 12) AS DECIMAL(28,12))) AS DOUBLE)) AS dd
+            |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
+            |rk AS (SELECT vec_id, true_label, clabel, dd,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY dd, clabel) AS rn
+            |       FROM dist),
+            |pv AS (SELECT a.vec_id, (a.clabel = a.true_label) AS hit,
+            |         CAST(round(b.dd / (a.dd + b.dd) * 1000000000, 0) AS BIGINT) AS si
+            |       FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+            |cnt AS (SELECT si, count(*) FILTER (WHERE hit) AS np,
+            |          count(*) FILTER (WHERE NOT hit) AS nn
+            |        FROM pv GROUP BY 1),
+            |cum AS (SELECT si, np, nn,
+            |          coalesce(sum(nn) OVER (ORDER BY si
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+            |        FROM cnt),
+            |t AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM cnt)
+            |SELECT CAST(t.tp AS BIGINT) AS n_pos, CAST(t.tn AS BIGINT) AS n_neg,
+            |       round(CAST(sum(cum.np * (2 * cum.nn_below + cum.nn)) AS DOUBLE)
+            |             / CAST(2 * t.tp * t.tn AS DOUBLE), 6) AS auc
+            |FROM cum, t GROUP BY t.tp, t.tn""".stripMargin),
+    (s, d) => {
+      val dist = MlEvalQueries.centroidDistances(s, d)
+        .select(col("vec_id"), col("true_label"), col("clabel"),
+          sqrt(dbl(col("d2"))).as("dd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dd"), col("clabel"))
+      val rk = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val pv = rk.filter(col("rn") === 1)
+        .select(col("vec_id"),
+          (col("clabel") === col("true_label")).as("hit"),
+          col("dd").as("da"))
+        .join(rk.filter(col("rn") === 2)
+          .select(col("vec_id"), col("dd").as("db")), "vec_id")
+        .select(col("hit"),
+          expr("CAST(round(db / (da + db) * 1000000000, 0) AS BIGINT)")
+            .as("si"))
+      val cnt = pv.groupBy("si")
+        .agg(count(when(col("hit"), 1)).as("np"),
+          count(when(!col("hit"), 1)).as("nn"))
+        .withColumn("bucket", expr("si DIV 4194304"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("si")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)
+      val inB = cnt.withColumn("inb",
+        coalesce(sum("nn").over(wIn), lit(0L)))
+      val bTot = cnt.groupBy("bucket").agg(sum("nn").as("bn"))
+      val off = bTot.as("a")
+        .join(bTot.as("b"), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bn")), lit(0L)).as("off"))
+      val cum = inB.join(broadcast(off), "bucket")
+        .select(col("si"), col("np"), col("nn"),
+          (col("off") + col("inb")).as("nn_below"))
+      val t = cnt.agg(sum("np").as("tp"), sum("nn").as("tn"))
+      cum.crossJoin(broadcast(t))
+        .groupBy("tp", "tn")
+        .agg(round(dbl(sum(col("np") * (lit(2) * col("nn_below") + col("nn")))) /
+          dbl(lit(2) * col("tp") * col("tn")), 6).as("auc"))
+        .select(lng(col("tp")).as("n_pos"), lng(col("tn")).as("n_neg"),
+          col("auc"))
+    }
+  )
+
+  val defs: Seq[QueryDef] =
+    Seq(dpCount, bootstrapCi, ksTest, calibration, regression, auc)
 }

@@ -79,6 +79,60 @@ class StatsScaleShapesSpec extends AnyFunSuite {
     assert(confs.zip(confs.tail).forall { case (x, y) => x <= y })
   }
 
+  test("q_regression equals a direct OLS fit") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        ((unix_micros(col("ts")) / 3600000000L).cast("long") % 24).as("x"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble, r.getDouble(2)))
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      t -> (slope, (sy - slope * sx) / n)
+    }
+    val got = q("q_regression").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == want.keySet)
+    for ((t, (sl, ic)) <- want) {
+      assert(math.abs(got(t)._1 - sl) < 1e-5, s"$t slope")
+      assert(math.abs(got(t)._2 - ic) < 1e-4, s"$t intercept")
+    }
+  }
+
+  test("q_auc equals the brute-force pairwise probability") {
+    // independent recomputation with plain-double centroids: the
+    // query's exact-decimal pipeline agrees to ~1e-9 per score, far
+    // inside the 1e-3 tolerance on the aggregate statistic
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val dims = vecs.head._2.length
+    val cents = vecs.groupBy(_._1).map { case (l, vs) =>
+      val c = new Array[Double](dims)
+      vs.foreach(v => (0 until dims).foreach(i => c(i) += v._2(i)))
+      l -> c.map(_ / vs.length)
+    }
+    def dist(v: Array[Double], c: Array[Double]): Double =
+      math.sqrt(v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val scored = vecs.map { case (tl, v) =>
+      val ds = cents.toSeq.map { case (l, c) => (dist(v, c), l) }.sorted
+      val hit = ds.head._2 == tl
+      (hit, ds(1)._1 / (ds.head._1 + ds(1)._1))
+    }
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val want = wins.toDouble / (2.0 * pos.length * neg.length)
+    val row = q("q_auc").collect().head
+    assert(row.getLong(0) == pos.length.toLong)
+    assert(row.getLong(1) == neg.length.toLong)
+    assert(math.abs(row.getDouble(2) - want) < 1e-3, s"auc vs $want")
+  }
+
   test("q_ks_test plan has no unpartitioned window (bucketed ECDF)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val lp = q("q_ks_test").queryExecution.optimizedPlan

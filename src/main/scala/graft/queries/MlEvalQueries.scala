@@ -13,12 +13,12 @@ import graft.util.Det._
   * silhouette, a power-law (Zipf) fit of sales counts, and pointwise
   * mutual information.
   *
-  * Determinism (SURVEY.md §7.5): label centroids are per-dimension
-  * exact DECIMAL(20,10) sums (float→decimal casts round identically in
-  * both engines) divided once; every cross-dimension distance sum is a
-  * per-term round-to-12-decimals DECIMAL sum, so nothing depends on
-  * float accumulation order; log/sqrt chains are applied once to exact
-  * aggregates and rounded.
+  * Determinism (SURVEY.md §7.5): label centroids and all centroid
+  * distances are INTEGER-exact — 1e10-scaled BIGINT component sums and
+  * 1e12-scaled BIGINT distance-term sums (floor(x+0.5) scaling; see
+  * [[CentroidSql]] for why wide decimals are banned here) — so nothing
+  * depends on float accumulation order or decimal→double conversion;
+  * log/sqrt chains are applied once to exact aggregates and rounded.
   *
   * Scale shapes (PLANS.md): centroids and class stats are ≤ labels
   * rows and ride broadcasts; the k-NN probe set is a fixed fraction of
@@ -111,24 +111,39 @@ object MlEvalQueries {
 
   // ---------------------------------------------------- centroid confusion
 
-  /** Shared SQL for the per-label, per-dimension exact-decimal centroid
-    * table (1-indexed dims to match DuckDB's generate_series form).
+  /** Shared SQL for the per-label, per-dimension centroid table
+    * (1-indexed dims to match DuckDB's generate_series form).
+    *
+    * Fully integer-exact: components accumulate as 1e10-scaled BIGINTs
+    * and the mean rounds to 1e9 units via floor(x + 0.5) on a < 2^53
+    * double — NO decimal→double casts anywhere (engines convert wide
+    * decimals to double with different intermediate roundings, and a
+    * round-9 landing on a tie then shifts a centroid by 1e-9; q_pr_curve
+    * exposed exactly that). c_e9/1e9 is an exact small-integer double.
     */
   private[queries] val CentroidSql =
     """SELECT label AS clabel, ord AS dim,
-      |       round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*), 9) AS c
+      |       CAST(floor(CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 10000000000 + 0.5) AS BIGINT)) AS DOUBLE) / (10.0 * count(*)) + 0.5) AS BIGINT) AS c_e9
       |FROM (SELECT label, unnest(generate_series(1, len(embedding))) AS ord,
       |             unnest(embedding) AS val
       |      FROM embeddings)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Shared SQL term for one squared-distance picocount contribution
+    * (BIGINT; sum then divide by 1e12 once — int64→double conversion is
+    * correctly rounded in both engines, unlike wide decimals).
+    */
+  private[queries] val DistTermSql =
+    "CAST(floor((CAST(el.v AS DOUBLE) - CAST(cent.c_e9 AS DOUBLE) / 1000000000.0) * (CAST(el.v AS DOUBLE) - CAST(cent.c_e9 AS DOUBLE) / 1000000000.0) * 1000000000000 + 0.5) AS BIGINT)"
+
   private val centroidConfusion = QueryDef(
     "q_centroid_confusion",
     "Nearest-centroid classifier confusion matrix: per-label mean " +
-      "vectors (per-dimension exact DECIMAL(20,10) sums, one division, " +
-      "round-9) classify every vector by smallest squared distance " +
-      "(per-dimension terms rounded to 12 decimals and summed as exact " +
-      "DECIMAL — cross-dimension order cannot matter; ties to lowest " +
+      "vectors (integer-exact: 1e10-scaled BIGINT component sums, one " +
+      "rounded division to 1e9 units) classify every vector by " +
+      "smallest squared distance (per-dimension picocount terms " +
+      "summed as exact BIGINT — cross-dimension order cannot matter; " +
+      "ties to lowest " +
       "label), and the (true, predicted) matrix is counted. Shape: the " +
       "K×dims centroid table is one map-side-combined aggregation of " +
       "the exploded corpus, reassembled into K arrays and broadcast; " +
@@ -142,7 +157,7 @@ object MlEvalQueries {
             |              unnest(embedding) AS v
             |       FROM embeddings),
             |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
-            |           sum(CAST(round((CAST(el.v AS DOUBLE) - cent.c) * (CAST(el.v AS DOUBLE) - cent.c), 12) AS DECIMAL(28,12))) AS d2
+            |           sum($DistTermSql) AS d2
             |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
             |pred AS (SELECT vec_id, true_label, clabel,
             |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
@@ -176,16 +191,20 @@ object MlEvalQueries {
     val el = embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
       .select(col("label"), (col("dim0") + 1).as("dim"), col("v"))
+    // integer-exact centroid: 1e10-scaled BIGINT component sums, mean
+    // rounded to 1e9 units via floor(x + 0.5) on a < 2^53 double — no
+    // decimal→double cast anywhere (see CentroidSql scaladoc)
     val cent = el.groupBy(col("label").as("clabel"), col("dim"))
-      .agg(round(dbl(sum(dbl(col("v")).cast(DecimalType(20, 10)))) /
-        count(lit(1)), 9).as("c"))
+      .agg(floor(dbl(sum(floor(dbl(col("v")) * 10000000000L + 0.5)
+          .cast("long"))) / (count(lit(1)) * 10.0) + 0.5)
+        .cast("long").as("c_e9"))
     val centArr = cent
       .groupBy("clabel")
-      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), t -> t.c)")
-        .as("carr"))
-    // the fold stage is CPU-bound (dims × K decimal ops per vector) on a
-    // skinny scan that may arrive in very few partitions — spread it
-    // before the broadcast join; the shuffled payload is just the vectors
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c_e9)))," +
+        " t -> CAST(t.c_e9 AS DOUBLE) / 1000000000.0)").as("carr"))
+    // the fold stage is CPU-bound (dims × K ops per vector) on a skinny
+    // scan that may arrive in very few partitions — spread it before the
+    // broadcast join; the shuffled payload is just the vectors
     embeddings(s, d)
       .select(col("vec_id"), col("label").as("true_label"), col("embedding"))
       .repartition(s.sparkContext.defaultParallelism)
@@ -194,9 +213,8 @@ object MlEvalQueries {
         expr(
           """aggregate(
             |  zip_with(embedding, carr,
-            |    (x, y) -> CAST(round((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y), 12) AS DECIMAL(28,12))),
-            |  CAST(0 AS DECIMAL(38,12)),
-            |  (acc, e) -> CAST(acc + e AS DECIMAL(38,12)))""".stripMargin)
+            |    (x, y) -> CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1000000000000 + 0.5) AS BIGINT)),
+            |  0L, (acc, e) -> acc + e)""".stripMargin)
           .as("d2"))
   }
 
@@ -219,7 +237,7 @@ object MlEvalQueries {
             |              unnest(embedding) AS v
             |       FROM embeddings),
             |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
-            |           sqrt(CAST(sum(CAST(round((CAST(el.v AS DOUBLE) - cent.c) * (CAST(el.v AS DOUBLE) - cent.c), 12) AS DECIMAL(28,12))) AS DOUBLE)) AS dd
+            |           sqrt(CAST(sum($DistTermSql) AS DOUBLE) / 1000000000000.0) AS dd
             |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
             |ab AS (SELECT vec_id, true_label,
             |         min(CASE WHEN clabel = true_label THEN dd END) AS a,
@@ -235,7 +253,7 @@ object MlEvalQueries {
     (s, d) => {
       val dist = centroidDistances(s, d)
         .select(col("vec_id"), col("true_label"), col("clabel"),
-          sqrt(dbl(col("d2"))).as("dd"))
+          sqrt(dbl(col("d2")) / 1000000000000L).as("dd"))
       val ab = dist.groupBy("vec_id", "true_label")
         .agg(min(when(col("clabel") === col("true_label"), col("dd"))).as("a"),
           min(when(col("clabel") =!= col("true_label"), col("dd"))).as("b"))

@@ -206,7 +206,7 @@ object StatsScaleQueries {
             |              unnest(embedding) AS v
             |       FROM embeddings),
             |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
-            |           sqrt(CAST(sum(CAST(round((CAST(el.v AS DOUBLE) - cent.c) * (CAST(el.v AS DOUBLE) - cent.c), 12) AS DECIMAL(28,12))) AS DOUBLE)) AS dd
+            |           sqrt(CAST(sum(${MlEvalQueries.DistTermSql}) AS DOUBLE) / 1000000000000.0) AS dd
             |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
             |rk AS (SELECT vec_id, true_label, clabel, dd,
             |         row_number() OVER (PARTITION BY vec_id ORDER BY dd, clabel) AS rn
@@ -231,7 +231,7 @@ object StatsScaleQueries {
     (s, d) => {
       val dist = MlEvalQueries.centroidDistances(s, d)
         .select(col("vec_id"), col("true_label"), col("clabel"),
-          sqrt(dbl(col("d2"))).as("dd"))
+          sqrt(dbl(col("d2")) / 1000000000000L).as("dd"))
       val w = Window.partitionBy("vec_id").orderBy(col("dd"), col("clabel"))
       val rk = dist.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
@@ -327,13 +327,13 @@ object StatsScaleQueries {
             |              unnest(embedding) AS v
             |       FROM embeddings),
             |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
-            |           sqrt(CAST(sum(CAST(round((CAST(el.v AS DOUBLE) - cent.c) * (CAST(el.v AS DOUBLE) - cent.c), 12) AS DECIMAL(28,12))) AS DOUBLE)) AS dd
+            |           sqrt(CAST(sum(${MlEvalQueries.DistTermSql}) AS DOUBLE) / 1000000000000.0) AS dd
             |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
             |rk AS (SELECT vec_id, true_label, clabel, dd,
             |         row_number() OVER (PARTITION BY vec_id ORDER BY dd, clabel) AS rn
             |       FROM dist),
             |pv AS (SELECT a.vec_id, (a.clabel = a.true_label) AS hit,
-            |         CAST(round(b.dd / (a.dd + b.dd) * 1000000000, 0) AS BIGINT) AS si
+            |         CAST(floor(b.dd / (a.dd + b.dd) * 1000000000 + 0.5) AS BIGINT) AS si
             |       FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
             |cnt AS (SELECT si, count(*) FILTER (WHERE hit) AS np,
             |          count(*) FILTER (WHERE NOT hit) AS nn
@@ -350,7 +350,7 @@ object StatsScaleQueries {
     (s, d) => {
       val dist = MlEvalQueries.centroidDistances(s, d)
         .select(col("vec_id"), col("true_label"), col("clabel"),
-          sqrt(dbl(col("d2"))).as("dd"))
+          sqrt(dbl(col("d2")) / 1000000000000L).as("dd"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("dd"), col("clabel"))
       val rk = dist.withColumn("rn", row_number().over(w))
@@ -362,7 +362,7 @@ object StatsScaleQueries {
         .join(rk.filter(col("rn") === 2)
           .select(col("vec_id"), col("dd").as("db")), "vec_id")
         .select(col("hit"),
-          expr("CAST(round(db / (da + db) * 1000000000, 0) AS BIGINT)")
+          expr("CAST(floor(db / (da + db) * 1000000000 + 0.5) AS BIGINT)")
             .as("si"))
       val cnt = pv.groupBy("si")
         .agg(count(when(col("hit"), 1)).as("np"),
@@ -392,6 +392,92 @@ object StatsScaleQueries {
     }
   )
 
+  // ---------------------------------------------------------------- pr curve
+
+  private val prCurve = QueryDef(
+    "q_pr_curve",
+    "Precision–recall curve of the centroid classifier at every " +
+      "distinct confidence threshold (q_auc's companion): predicting " +
+      "'correct' when confidence ≥ s gives tp/fp as cumulative-from-" +
+      "ABOVE counts over the per-score histogram — the q_skyline " +
+      "bucketed two-pass run descending (partitioned windows + tiny " +
+      "offset join, no global sort); precision and recall are single " +
+      "divisions of exact BIGINTs per threshold row.",
+    Some(s"""WITH cent AS (${MlEvalQueries.CentroidSql}),
+            |el AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS dim,
+            |              unnest(embedding) AS v
+            |       FROM embeddings),
+            |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
+            |           sqrt(CAST(sum(${MlEvalQueries.DistTermSql}) AS DOUBLE) / 1000000000000.0) AS dd
+            |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
+            |rk AS (SELECT vec_id, true_label, clabel, dd,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY dd, clabel) AS rn
+            |       FROM dist),
+            |pv AS (SELECT a.vec_id, (a.clabel = a.true_label) AS hit,
+            |         CAST(floor(b.dd / (a.dd + b.dd) * 1000000000 + 0.5) AS BIGINT) AS si
+            |       FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+            |cnt AS (SELECT si, count(*) FILTER (WHERE hit) AS np,
+            |          count(*) FILTER (WHERE NOT hit) AS nn
+            |        FROM pv GROUP BY 1),
+            |cum AS (SELECT si,
+            |          sum(np) OVER (ORDER BY si DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+            |          sum(nn) OVER (ORDER BY si DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+            |        FROM cnt),
+            |t AS (SELECT sum(np) AS tpos FROM cnt)
+            |SELECT cum.si AS threshold, CAST(cum.tp AS BIGINT) AS tp,
+            |       CAST(cum.fp AS BIGINT) AS fp,
+            |       round(CAST(cum.tp AS DOUBLE) / (cum.tp + cum.fp), 6) AS precision,
+            |       round(CAST(cum.tp AS DOUBLE) / t.tpos, 6) AS recall
+            |FROM cum, t ORDER BY threshold DESC""".stripMargin),
+    (s, d) => {
+      val dist = MlEvalQueries.centroidDistances(s, d)
+        .select(col("vec_id"), col("true_label"), col("clabel"),
+          sqrt(dbl(col("d2")) / 1000000000000L).as("dd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dd"), col("clabel"))
+      val rk = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val pv = rk.filter(col("rn") === 1)
+        .select(col("vec_id"),
+          (col("clabel") === col("true_label")).as("hit"),
+          col("dd").as("da"))
+        .join(rk.filter(col("rn") === 2)
+          .select(col("vec_id"), col("dd").as("db")), "vec_id")
+        .select(col("hit"),
+          expr("CAST(floor(db / (da + db) * 1000000000 + 0.5) AS BIGINT)")
+            .as("si"))
+      val cnt = pv.groupBy("si")
+        .agg(count(when(col("hit"), 1)).as("np"),
+          count(when(!col("hit"), 1)).as("nn"))
+        .withColumn("bucket", expr("si DIV 4194304"))
+      // cumulative FROM ABOVE: descending within-bucket windows plus
+      // offsets from strictly-higher buckets
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy(col("si").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val inB = cnt.withColumn("ip", sum("np").over(wIn))
+        .withColumn("in_", sum("nn").over(wIn))
+      val bTot = cnt.groupBy("bucket")
+        .agg(sum("np").as("bp"), sum("nn").as("bn"))
+      val off = bTot.as("a")
+        .join(bTot.as("b"), col("b.bucket") > col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bp")), lit(0L)).as("op"),
+          coalesce(sum(col("b.bn")), lit(0L)).as("on"))
+      val cum = inB.join(broadcast(off), "bucket")
+        .select(col("si"), (col("op") + col("ip")).as("tp"),
+          (col("on") + col("in_")).as("fp"))
+      val t = cnt.agg(sum("np").as("tpos"))
+      cum.crossJoin(broadcast(t))
+        .select(col("si").as("threshold"), lng(col("tp")).as("tp"),
+          lng(col("fp")).as("fp"),
+          round(dbl(col("tp")) / (col("tp") + col("fp")), 6).as("precision"),
+          round(dbl(col("tp")) / col("tpos"), 6).as("recall"))
+        .orderBy(col("threshold").desc)
+    }
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(dpCount, bootstrapCi, ksTest, calibration, regression, auc)
+    Seq(dpCount, bootstrapCi, ksTest, calibration, regression, auc, prCurve)
 }

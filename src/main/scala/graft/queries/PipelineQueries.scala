@@ -109,5 +109,74 @@ object PipelineQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pipelineQa)
+  // ----------------------------------------------------------- seq packing
+
+  /** Context-window token budget for q_pack_sequences. Small relative to
+    * the synthetic docs (~40 tokens each) so packs hold ~10 docs and the
+    * pack table is big enough to exercise the grouping.
+    */
+  private val PackBudget = 512L
+
+  private val packSequences = QueryDef(
+    "q_pack_sequences",
+    "Sequence packing for LM pretraining (concat-and-chunk): documents " +
+      "are concatenated in doc_id order and cut into fixed 512-token " +
+      "context windows; each document belongs to the pack where its " +
+      "first token lands (pack_id = tokens-before DIV 512), giving " +
+      "per-pack document counts, token loads and id ranges — the " +
+      "batch-shaping step between corpus curation and the trainer. " +
+      "Integer-only arithmetic (token counts, cumulative offsets, " +
+      "integer division) — nothing to drift between engines. Scale " +
+      "shape: the global running token count NEVER uses an " +
+      "unpartitioned window — docs are range-bucketed into 256 buckets " +
+      "by a pure function of doc_id and the broadcast max id, the " +
+      "within-bucket exclusive prefix sum runs on a PARTITIONED " +
+      "window, and cross-bucket offsets come from a 256-row " +
+      "aggregate self-joined and broadcast back (q_skyline/q_auc's " +
+      "two-pass, with the bucket COUNT held constant as the corpus " +
+      "grows — each bucket is N/256 docs, so the window partitions " +
+      "scale with the data instead of the bucket table exploding).",
+    Some(s"""WITH nt AS (SELECT doc_id,
+            |              len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS nt
+            |            FROM documents),
+            |c AS (SELECT doc_id, nt,
+            |        coalesce(sum(nt) OVER (ORDER BY doc_id
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            |      FROM nt)
+            |SELECT CAST(cum_before // $PackBudget AS BIGINT) AS pack_id,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+            |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+            |       CAST(max(doc_id) AS BIGINT) AS last_doc
+            |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val nt = documents(s, d).select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
+          .cast("long").as("nt"))
+      // range-bucket by doc_id against the broadcast max id: always 256
+      // buckets of ~N/256 docs regardless of corpus size
+      val mx = nt.agg(max("doc_id").as("mx"))
+      val b = nt.crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("CAST(doc_id * 256 DIV (mx + 1) AS INT)"))
+        .drop("mx")
+      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inB = b.withColumn("inb", coalesce(sum("nt").over(wIn), lit(0L)))
+      val bTot = b.groupBy("bucket").agg(sum("nt").as("bn"))
+      val off = bTot.as("a")
+        .join(bTot.as("b"), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bn")), lit(0L)).as("off"))
+      inB.join(broadcast(off), "bucket")
+        .withColumn("pack_id", expr(s"(off + inb) DIV $PackBudget"))
+        .groupBy("pack_id")
+        .agg(lng(count(lit(1))).as("n_docs"),
+          lng(sum("nt")).as("n_tokens"),
+          lng(min("doc_id")).as("first_doc"),
+          lng(max("doc_id")).as("last_doc"))
+        .orderBy("pack_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences)
 }

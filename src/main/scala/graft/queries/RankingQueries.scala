@@ -112,28 +112,130 @@ object RankingQueries {
            |FROM p ORDER BY coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0) DESC, doc_id
            |LIMIT 20""".stripMargin),
     (s, d) => {
-      val dl = toks(s, d).select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-      val tff = tf(s, d).filter(col("term").isin(bm25Terms: _*))
-      val dff = tff.groupBy("term").agg(count(lit(1)).as("df"))
-      val c = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      val contrib =
-        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          ((col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) +
-              lit(0.75) * (col("dl") / (dbl(col("sum_dl")) / col("n_docs"))))))
-      val p = tff.join(broadcast(dff), "term").join(dl, "doc_id")
-        .crossJoin(broadcast(c))
-        .withColumn("contrib", contrib)
-        .groupBy("doc_id")
-        .agg(max(when(col("term") === "spark", col("contrib"))).as("c1"),
-          max(when(col("term") === "vector", col("contrib"))).as("c2"),
-          max(when(col("term") === "stream", col("contrib"))).as("c3"))
-      val score = coalesce(col("c1"), lit(0.0)) + coalesce(col("c2"), lit(0.0)) +
-        coalesce(col("c3"), lit(0.0))
-      p.select(col("doc_id"), round(score, 6).as("bm25"), score.as("__ord"))
+      val p = bm25Raw(s, d)
+      p.select(col("doc_id"), round(col("score_raw"), 6).as("bm25"),
+          col("score_raw").as("__ord"))
         .orderBy(col("__ord").desc, col("doc_id"))
         .limit(20)
         .select(col("doc_id"), col("bm25"))
+    }
+  )
+
+  /** (doc_id, score_raw): the q_bm25 scoring chain for the fixed 3-term
+    * query — shared by q_bm25 and q_rank_fusion so the two rankings
+    * cannot drift apart. Only docs containing ≥1 query term appear.
+    */
+  private def bm25Raw(s: SparkSession, d: String): DataFrame = {
+    val dl = toks(s, d).select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tff = tf(s, d).filter(col("term").isin(bm25Terms: _*))
+    val dff = tff.groupBy("term").agg(count(lit(1)).as("df"))
+    val c = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val contrib =
+      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("dl") / (dbl(col("sum_dl")) / col("n_docs"))))))
+    tff.join(broadcast(dff), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(c))
+      .withColumn("contrib", contrib)
+      .groupBy("doc_id")
+      .agg(max(when(col("term") === "spark", col("contrib"))).as("c1"),
+        max(when(col("term") === "vector", col("contrib"))).as("c2"),
+        max(when(col("term") === "stream", col("contrib"))).as("c3"))
+      .withColumn("score_raw",
+        coalesce(col("c1"), lit(0.0)) + coalesce(col("c2"), lit(0.0)) +
+          coalesce(col("c3"), lit(0.0)))
+      .select("doc_id", "score_raw")
+  }
+
+  /** 1-based rank of each row of a bounded top-k slice under
+    * (s DESC, doc_id ASC), WITHOUT a window: rank = 1 + rows strictly
+    * ahead, via a broadcast nested-loop self-join. The unpartitioned-
+    * window ban (PlanSpec) applies to every declared query; on a ≤k-row
+    * slice the O(k²) pair count is a constant, not a scale risk.
+    */
+  private def rankTiny(top: DataFrame, rankName: String): DataFrame =
+    top.as("a").join(broadcast(top.as("b")),
+        col("b.s") > col("a.s") ||
+          (col("b.s") === col("a.s") && col("b.doc_id") < col("a.doc_id")),
+        "left")
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg((count(col("b.doc_id")) + 1).as(rankName))
+
+  private val rankFusion = QueryDef(
+    "q_rank_fusion",
+    "Hybrid retrieval via reciprocal-rank fusion (k=60): the q_bm25 " +
+      "lexical ranking (scoring chain shared, so the arms cannot " +
+      "drift) and an embedding-cosine ranking against the vec-0 probe " +
+      "each keep their top-20; a doc scores Σ 1/(60+rank) over the " +
+      "lists it appears in — the standard way to merge keyword and " +
+      "semantic search without score calibration (ranks are scale-" +
+      "free; raw BM25 and cosine live on incomparable scales). Both " +
+      "arms rank on the ROUNDED 6-decimal score with doc_id " +
+      "tie-break (identical doubles ⇒ identical order in both " +
+      "engines); 1/(60+r) is one IEEE division on integers — exact. " +
+      "Scale shape: each arm is TakeOrderedAndProject top-k (partial " +
+      "per-partition top-20 + merge, never a global sort); ranks " +
+      "within the bounded slices come from O(k²) broadcast self-joins " +
+      "(no window at all); the fusion join is 20×20-row tiny.",
+    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term FROM documents),
+           |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS dl FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           |       WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+           |j AS (SELECT tf.doc_id, tf.term,
+           |        ((c.n_docs - df.df + 0.5) / (df.df + 0.5))
+           |          * ((tf.tf * 2.2)
+           |             / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs))))) AS contrib
+           |      FROM tf JOIN df ON tf.term = df.term
+           |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
+           |p AS (SELECT doc_id,
+           |        max(CASE WHEN term = 'spark'  THEN contrib END) AS c1,
+           |        max(CASE WHEN term = 'vector' THEN contrib END) AS c2,
+           |        max(CASE WHEN term = 'stream' THEN contrib END) AS c3
+           |      FROM j GROUP BY doc_id),
+           |lex AS (SELECT doc_id, round(coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0), 6) AS s FROM p),
+           |lexr AS (SELECT doc_id, r_lex FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex FROM lex) x
+           |  WHERE r_lex <= 20),
+           |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+           |sem AS (SELECT vec_id AS doc_id,
+           |          round(list_sum(list_transform(list_zip(embedding, pe), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) /
+           |                (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |                 sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS s
+           |        FROM embeddings CROSS JOIN probe),
+           |semr AS (SELECT doc_id, r_sem FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_sem FROM sem) x
+           |  WHERE r_sem <= 20),
+           |f AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id, l.r_lex, r.r_sem,
+           |        coalesce(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0.0)
+           |          + coalesce(CAST(1 AS DOUBLE) / (60 + r.r_sem), 0.0) AS raw
+           |      FROM lexr l FULL JOIN semr r ON l.doc_id = r.doc_id)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(r_lex AS BIGINT) AS r_lex,
+           |       CAST(r_sem AS BIGINT) AS r_sem, round(raw, 6) AS rrf
+           |FROM f ORDER BY raw DESC, doc_id""".stripMargin),
+    (s, d) => {
+      val lexTop = bm25Raw(s, d)
+        .select(col("doc_id"), round(col("score_raw"), 6).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(20)
+      val probe = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe"))
+      val semTop = embeddings(s, d).crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine("embedding", "pe"), 6).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(20)
+      val raw =
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0))
+      rankTiny(lexTop, "r_lex")
+        .join(rankTiny(semTop, "r_sem"), Seq("doc_id"), "full_outer")
+        .withColumn("__raw", raw)
+        .select(col("doc_id"), lng(col("r_lex")).as("r_lex"),
+          lng(col("r_sem")).as("r_sem"), round(col("__raw"), 6).as("rrf"),
+          col("__raw"))
+        .orderBy(col("__raw").desc, col("doc_id"))
+        .select("doc_id", "r_lex", "r_sem", "rrf")
     }
   )
 
@@ -284,5 +386,5 @@ object RankingQueries {
   )
 
   val defs: Seq[QueryDef] = Seq(tfidf, bm25, ngramFreq, vocabPrune,
-    sampleStratified, collocLift)
+    sampleStratified, collocLift, rankFusion)
 }

@@ -186,4 +186,98 @@ class SessionRankingSpec extends AnyFunSuite {
     val s = run("q_sample_stratified").queryExecution.executedPlan.toString
     assert(s.contains("WindowGroupLimit"), s.take(3000))
   }
+
+  test("q_pack_sequences: packs match a sequential fold over doc_id order") {
+    val ordered = docTokens.toSeq.sortBy(_._1)
+      .map { case (id, ts) => (id, ts.size.toLong) }
+    var cum = 0L
+    val assigned = ordered.map { case (id, nt) =>
+      val p = cum / 512; cum += nt; (p, id, nt)
+    }
+    val expected = assigned.groupBy(_._1).map { case (p, rs) =>
+      p -> (rs.size.toLong, rs.map(_._3).sum, rs.map(_._2).min, rs.map(_._2).max)
+    }
+    val got = run("q_pack_sequences").collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
+
+  test("q_pack_sequences: token conservation and disjoint id ranges") {
+    val rows = run("q_pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // every token lands in exactly one pack
+    assert(rows.map(_._3).sum == docTokens.values.map(_.size.toLong).sum)
+    assert(rows.map(_._2).sum == docTokens.size.toLong)
+    // doc_id ranges partition the corpus in order (packing never reorders)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4, s"overlapping packs $a $b")
+      case _           =>
+    }
+  }
+
+  /** Plain-Scala twin of the q_bm25 scoring chain, written with the same
+    * operation shapes so the doubles agree; rounded to the 6-decimal
+    * ranking grid.
+    */
+  private lazy val bm25Rounded: Seq[(Long, Double)] = {
+    val terms = Seq("spark", "vector", "stream")
+    val nDocs = docTokens.size.toLong
+    val sumDl = docTokens.values.map(_.size.toLong).sum
+    val avgdl = sumDl.toDouble / nDocs
+    val tf: Map[(Long, String), Long] = docTokens.toSeq.flatMap { case (id, ts) =>
+      ts.filter(terms.contains).groupBy(identity).map { case (t, o) => (id, t) -> o.size.toLong }
+    }.toMap
+    val df: Map[String, Long] =
+      tf.keys.toSeq.map(_._2).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    tf.keys.map(_._1).toSeq.distinct.map { id =>
+      val dl = docTokens(id).size.toLong
+      val score = terms.map { t =>
+        tf.get((id, t)).fold(0.0) { f =>
+          ((nDocs - df(t) + 0.5) / (df(t) + 0.5)) *
+            ((f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        }
+      }.sum
+      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  test("q_rank_fusion: both arms and the fused order match a plain-Scala recompute") {
+    val lexRank: Map[Long, Long] = bm25Rounded
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val pe = embs.find(_._1 == 0L).get._2
+    def fold(xs: Array[Double]): Double = xs.foldLeft(0.0)(_ + _)
+    val pn = math.sqrt(fold(pe.map(x => x * x)))
+    val semRank: Map[Long, Long] = embs.toSeq.map { case (id, e) =>
+      val cos = fold(e.zip(pe).map { case (x, y) => x * y }) /
+        (math.sqrt(fold(e.map(x => x * x))) * pn)
+      id -> BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+      val raw = lexRank.get(id).fold(0.0)(r => 1.0 / (60 + r)) +
+        semRank.get(id).fold(0.0)(r => 1.0 / (60 + r))
+      (id, lexRank.get(id), semRank.get(id),
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, raw)
+    }.sortBy { case (id, _, _, _, raw) => (-raw, id) }
+      .map { case (id, rl, rs, rrf, _) => (id, rl, rs, rrf) }
+    val got = run("q_rank_fusion").collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3))
+    }.toSeq
+    assert(got == expected)
+  }
+
+  test("q_rank_fusion: each arm's ranks are a permutation of 1..20") {
+    val rows = run("q_rank_fusion").collect()
+    def ranks(i: Int) = rows.filterNot(_.isNullAt(i)).map(_.getLong(i)).sorted.toSeq
+    assert(ranks(1) == (1L to 20L), "lexical arm")
+    assert(ranks(2) == (1L to 20L), "semantic arm")
+  }
 }

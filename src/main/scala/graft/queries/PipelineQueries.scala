@@ -162,7 +162,12 @@ object PipelineQueries {
       val wIn = Window.partitionBy("bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val inB = b.withColumn("inb", coalesce(sum("nt").over(wIn), lit(0L)))
-      val bTot = b.groupBy("bucket").agg(sum("nt").as("bn"))
+      // bucket totals from the WINDOWED rows (exclusive prefix of the
+      // last doc + its own count = the bucket sum) rather than from `b`:
+      // both consumers then sit above the same bucket exchange, which
+      // ReuseExchange dedups — the corpus is tokenized ONCE, not twice
+      val bTot = inB.groupBy("bucket")
+        .agg(max(col("inb") + col("nt")).as("bn"))
       val off = bTot.as("a")
         .join(bTot.as("b"), col("b.bucket") < col("a.bucket"), "left")
         .groupBy(col("a.bucket").as("bucket"))

@@ -154,13 +154,18 @@ object RankingQueries {
     * window ban (PlanSpec) applies to every declared query; on a ≤k-row
     * slice the O(k²) pair count is a constant, not a scale risk.
     */
-  private def rankTiny(top: DataFrame, rankName: String): DataFrame =
-    top.as("a").join(broadcast(top.as("b")),
+  private def rankTiny(top: DataFrame, rankName: String): DataFrame = {
+    // persist the ≤k-row slice: without it, BOTH sides of the self-join
+    // (and the broadcast build) would recompute the full scoring chain —
+    // at corpus scale that doubles the dominant cost for no reason
+    val t = top.persist()
+    t.as("a").join(broadcast(t.as("b")),
         col("b.s") > col("a.s") ||
           (col("b.s") === col("a.s") && col("b.doc_id") < col("a.doc_id")),
         "left")
       .groupBy(col("a.doc_id").as("doc_id"))
       .agg((count(col("b.doc_id")) + 1).as(rankName))
+  }
 
   private val rankFusion = QueryDef(
     "q_rank_fusion",

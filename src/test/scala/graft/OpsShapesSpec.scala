@@ -142,4 +142,30 @@ class OpsShapesSpec extends AnyFunSuite {
     assert(antiLines.count(_.contains("Broadcast")) >= 4,
       "dimension anti joins not broadcast:\n" + antiLines.mkString("\n"))
   }
+
+  test("q_filter_funnel: stage counts match a brute-force recompute") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("text", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val langs = Set("en", "de", "fr", "es")
+    val prefixCount = docs.map(_._1.take(40)).groupBy(identity)
+      .map { case (p, o) => p -> o.length }
+    val flags = docs.map { case (text, lang, nChars) =>
+      val fLen = nChars >= 200 && nChars <= 2000
+      val fLang = langs(lang)
+      val fTok = "[a-z]+".r.findAllIn(text.toLowerCase).length >= 50
+      (fLen, fLang, fTok, prefixCount(text.take(40)) == 1)
+    }
+    val expected = (docs.length.toLong,
+      flags.count(_._1).toLong,
+      flags.count(f => f._1 && f._2).toLong,
+      flags.count(f => f._1 && f._2 && f._3).toLong,
+      flags.count(f => f._1 && f._2 && f._3 && f._4).toLong)
+    val r = q("q_filter_funnel").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == expected)
+    // the funnel is monotone by construction
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2) &&
+      r.getLong(2) >= r.getLong(3) && r.getLong(3) >= r.getLong(4))
+  }
 }

@@ -363,24 +363,28 @@ object OpsQueries {
       "uniqueness — the observability table every corpus pipeline " +
       "publishes so a mis-tuned filter that silently eats the corpus " +
       "is caught from the stage deltas, not downstream. All counts " +
-      "are exact BIGINTs from ONE conditional aggregation over a " +
-      "single corpus pass; the uniqueness stage joins a dup-count " +
-      "table keyed on md5 of the 40-char prefix (16-byte digests " +
-      "shuffle, never document bodies — q_dedup_exact's discipline), " +
-      "key-partitioned and map-side combined.",
-    Some("""WITH f AS (SELECT text, lang, n_chars,
+      "are exact BIGINTs from ONE corpus pass: docs pre-aggregate by " +
+      "md5 of the 40-char prefix (16-byte digests shuffle, never " +
+      "document bodies — q_dedup_exact's discipline) carrying " +
+      "conditional stage counts, map-side combined; the uniqueness " +
+      "stage is then sum(stage-3 count WHERE group size = 1) on the " +
+      "digest table — no join, no second scan.",
+    Some("""WITH f AS (SELECT md5(substr(text, 1, 40)) AS h,
            |    (n_chars BETWEEN 200 AND 2000) AS f_len,
            |    (lang IN ('en', 'de', 'fr', 'es')) AS f_lang,
            |    (len(regexp_extract_all(lower(text), '([a-z]+)', 1)) >= 50) AS f_tok
            |  FROM documents),
-           |d AS (SELECT md5(substr(text, 1, 40)) AS h, count(*) AS dup
-           |      FROM documents GROUP BY 1)
-           |SELECT CAST(count(*) AS BIGINT) AS n_all,
-           |  CAST(count(*) FILTER (WHERE f_len) AS BIGINT) AS n_len,
-           |  CAST(count(*) FILTER (WHERE f_len AND f_lang) AS BIGINT) AS n_lang,
-           |  CAST(count(*) FILTER (WHERE f_len AND f_lang AND f_tok) AS BIGINT) AS n_tok,
-           |  CAST(count(*) FILTER (WHERE f_len AND f_lang AND f_tok AND dup = 1) AS BIGINT) AS n_unique
-           |FROM f JOIN d ON md5(substr(f.text, 1, 40)) = d.h""".stripMargin),
+           |g AS (SELECT h, count(*) AS cnt,
+           |        count(*) FILTER (WHERE f_len) AS c1,
+           |        count(*) FILTER (WHERE f_len AND f_lang) AS c2,
+           |        count(*) FILTER (WHERE f_len AND f_lang AND f_tok) AS c3
+           |      FROM f GROUP BY 1)
+           |SELECT CAST(sum(cnt) AS BIGINT) AS n_all,
+           |  CAST(sum(c1) AS BIGINT) AS n_len,
+           |  CAST(sum(c2) AS BIGINT) AS n_lang,
+           |  CAST(sum(c3) AS BIGINT) AS n_tok,
+           |  CAST(coalesce(sum(CASE WHEN cnt = 1 THEN c3 END), 0) AS BIGINT) AS n_unique
+           |FROM g""".stripMargin),
     (s, d) => {
       val f = documents(s, d).select(
         md5(substring(col("text"), 1, 40)).as("h"),
@@ -388,17 +392,16 @@ object OpsQueries {
         col("lang").isin("en", "de", "fr", "es").as("f_lang"),
         (size(expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")) >= 50)
           .as("f_tok"))
-      val dups = documents(s, d)
-        .groupBy(md5(substring(col("text"), 1, 40)).as("h"))
-        .agg(count(lit(1)).as("dup"))
-      f.join(dups, "h")
-        .agg(lng(count(lit(1))).as("n_all"),
-          lng(count(when(col("f_len"), 1))).as("n_len"),
-          lng(count(when(col("f_len") && col("f_lang"), 1))).as("n_lang"),
-          lng(count(when(col("f_len") && col("f_lang") && col("f_tok"), 1)))
-            .as("n_tok"),
-          lng(count(when(col("f_len") && col("f_lang") && col("f_tok") &&
-            col("dup") === 1, 1))).as("n_unique"))
+      val g = f.groupBy("h")
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("f_len"), 1)).as("c1"),
+          count(when(col("f_len") && col("f_lang"), 1)).as("c2"),
+          count(when(col("f_len") && col("f_lang") && col("f_tok"), 1))
+            .as("c3"))
+      g.agg(lng(sum("cnt")).as("n_all"), lng(sum("c1")).as("n_len"),
+        lng(sum("c2")).as("n_lang"), lng(sum("c3")).as("n_tok"),
+        lng(coalesce(sum(when(col("cnt") === 1, col("c3"))), lit(0L)))
+          .as("n_unique"))
     }
   )
 

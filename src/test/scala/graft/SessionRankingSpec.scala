@@ -280,4 +280,26 @@ class SessionRankingSpec extends AnyFunSuite {
     assert(ranks(1) == (1L to 20L), "lexical arm")
     assert(ranks(2) == (1L to 20L), "semantic arm")
   }
+
+  test("q_rank_fusion: arms are TakeOrderedAndProject over cached slices") {
+    // each arm's top-20 must be partial-per-partition top-k (never a
+    // global sort), and the rank self-joins must read the 20-row cache
+    // instead of recomputing the scoring chains
+    val df = run("q_rank_fusion")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(s).size >= 2, s.take(3000))
+    assert(s.contains("InMemoryTableScan"), "top-k slices not cached")
+  }
+
+  test("q_pack_sequences: bucket totals reuse the tokenize exchange") {
+    // the scale claim: the corpus is tokenized and shuffled ONCE — the
+    // bucket-total branch must read a ReusedExchange of the window's
+    // bucket exchange, not re-scan documents (AQE finalizes reuse at
+    // execution, so run the query first)
+    val df = run("q_pack_sequences")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ReusedExchange"), s.take(3000))
+  }
 }

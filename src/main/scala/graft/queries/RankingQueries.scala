@@ -81,6 +81,30 @@ object RankingQueries {
 
   private val bm25Terms = Seq("spark", "vector", "stream")
 
+  /** DuckDB CTE chain computing the per-doc BM25 components (c1..c3)
+    * for the fixed 3-term query — interpolated into BOTH q_bm25's and
+    * q_rank_fusion's oracles so the oracle half of the shared-chain
+    * guarantee cannot drift either (the Spark half shares [[bm25Raw]]).
+    */
+  private val Bm25CtesDuck =
+    """t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term FROM documents),
+      |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS dl FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |       WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |j AS (SELECT tf.doc_id, tf.term,
+      |        ((c.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |          * ((tf.tf * 2.2)
+      |             / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs))))) AS contrib
+      |      FROM tf JOIN df ON tf.term = df.term
+      |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
+      |p AS (SELECT doc_id,
+      |        max(CASE WHEN term = 'spark'  THEN contrib END) AS c1,
+      |        max(CASE WHEN term = 'vector' THEN contrib END) AS c2,
+      |        max(CASE WHEN term = 'stream' THEN contrib END) AS c3
+      |      FROM j GROUP BY doc_id)""".stripMargin
+
   private val bm25 = QueryDef(
     "q_bm25",
     "BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query, " +
@@ -90,27 +114,11 @@ object RankingQueries {
       "across engines. avgdl is one exact-integer-sum division. Query-" +
       "term tf rows are a tiny filtered slice; df and corpus scalars " +
       "broadcast; doc-length join is key-partitioned on doc_id.",
-    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term FROM documents),
-           |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS dl FROM documents),
-           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-           |       WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
-           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-           |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-           |j AS (SELECT tf.doc_id, tf.term,
-           |        ((c.n_docs - df.df + 0.5) / (df.df + 0.5))
-           |          * ((tf.tf * 2.2)
-           |             / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs))))) AS contrib
-           |      FROM tf JOIN df ON tf.term = df.term
-           |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
-           |p AS (SELECT doc_id,
-           |        max(CASE WHEN term = 'spark'  THEN contrib END) AS c1,
-           |        max(CASE WHEN term = 'vector' THEN contrib END) AS c2,
-           |        max(CASE WHEN term = 'stream' THEN contrib END) AS c3
-           |      FROM j GROUP BY doc_id)
-           |SELECT doc_id,
-           |       round(coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0), 6) AS bm25
-           |FROM p ORDER BY coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0) DESC, doc_id
-           |LIMIT 20""".stripMargin),
+    Some(s"""WITH $Bm25CtesDuck
+            |SELECT doc_id,
+            |       round(coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0), 6) AS bm25
+            |FROM p ORDER BY coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0) DESC, doc_id
+            |LIMIT 20""".stripMargin),
     (s, d) => {
       val p = bm25Raw(s, d)
       p.select(col("doc_id"), round(col("score_raw"), 6).as("bm25"),
@@ -157,7 +165,10 @@ object RankingQueries {
   private def rankTiny(top: DataFrame, rankName: String): DataFrame = {
     // persist the ≤k-row slice: without it, BOTH sides of the self-join
     // (and the broadcast build) would recompute the full scoring chain —
-    // at corpus scale that doubles the dominant cost for no reason
+    // at corpus scale that doubles the dominant cost for no reason.
+    // No unpersist is possible here (execution happens after the builder
+    // returns); the residue is ≤k rows per slice for the session's life —
+    // the bounded version of q_pipeline_qa's persist trade-off
     val t = top.persist()
     t.as("a").join(broadcast(t.as("b")),
         col("b.s") > col("a.s") ||
@@ -176,39 +187,25 @@ object RankingQueries {
       "lists it appears in — the standard way to merge keyword and " +
       "semantic search without score calibration (ranks are scale-" +
       "free; raw BM25 and cosine live on incomparable scales). Both " +
-      "arms rank on the ROUNDED 6-decimal score with doc_id " +
-      "tie-break (identical doubles ⇒ identical order in both " +
-      "engines); 1/(60+r) is one IEEE division on integers — exact. " +
+      "arms rank on the UNROUNDED score with doc_id tie-break (the " +
+      "object-scaladoc rule: both chains are engine-exact IEEE, so " +
+      "identical doubles ⇒ identical order — and the lexical order " +
+      "is exactly q_bm25's); 1/(60+r) is one IEEE division on " +
+      "integers — exact. " +
       "Scale shape: each arm is TakeOrderedAndProject top-k (partial " +
       "per-partition top-20 + merge, never a global sort); ranks " +
       "within the bounded slices come from O(k²) broadcast self-joins " +
       "(no window at all); the fusion join is 20×20-row tiny.",
-    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term FROM documents),
-           |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS dl FROM documents),
-           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-           |       WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
-           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-           |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-           |j AS (SELECT tf.doc_id, tf.term,
-           |        ((c.n_docs - df.df + 0.5) / (df.df + 0.5))
-           |          * ((tf.tf * 2.2)
-           |             / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs))))) AS contrib
-           |      FROM tf JOIN df ON tf.term = df.term
-           |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
-           |p AS (SELECT doc_id,
-           |        max(CASE WHEN term = 'spark'  THEN contrib END) AS c1,
-           |        max(CASE WHEN term = 'vector' THEN contrib END) AS c2,
-           |        max(CASE WHEN term = 'stream' THEN contrib END) AS c3
-           |      FROM j GROUP BY doc_id),
-           |lex AS (SELECT doc_id, round(coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0), 6) AS s FROM p),
+    Some(s"""WITH $Bm25CtesDuck,
+           |lex AS (SELECT doc_id, coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0) AS s FROM p),
            |lexr AS (SELECT doc_id, r_lex FROM (
            |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex FROM lex) x
            |  WHERE r_lex <= 20),
            |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
            |sem AS (SELECT vec_id AS doc_id,
-           |          round(list_sum(list_transform(list_zip(embedding, pe), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) /
+           |          list_sum(list_transform(list_zip(embedding, pe), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) /
            |                (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-           |                 sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS s
+           |                 sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
            |        FROM embeddings CROSS JOIN probe),
            |semr AS (SELECT doc_id, r_sem FROM (
            |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_sem FROM sem) x
@@ -222,13 +219,13 @@ object RankingQueries {
            |FROM f ORDER BY raw DESC, doc_id""".stripMargin),
     (s, d) => {
       val lexTop = bm25Raw(s, d)
-        .select(col("doc_id"), round(col("score_raw"), 6).as("s"))
+        .select(col("doc_id"), col("score_raw").as("s"))
         .orderBy(col("s").desc, col("doc_id")).limit(20)
       val probe = embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("pe"))
       val semTop = embeddings(s, d).crossJoin(broadcast(probe))
         .select(col("vec_id").as("doc_id"),
-          round(cosine("embedding", "pe"), 6).as("s"))
+          cosine("embedding", "pe").as("s"))
         .orderBy(col("s").desc, col("doc_id")).limit(20)
       val raw =
         coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +

@@ -217,10 +217,10 @@ class SessionRankingSpec extends AnyFunSuite {
   }
 
   /** Plain-Scala twin of the q_bm25 scoring chain, written with the same
-    * operation shapes so the doubles agree; rounded to the 6-decimal
-    * ranking grid.
+    * operation shapes so the doubles agree; UNROUNDED (the ranking
+    * grid — rankings order by the raw score per the object rule).
     */
-  private lazy val bm25Rounded: Seq[(Long, Double)] = {
+  private lazy val bm25Raw: Seq[(Long, Double)] = {
     val terms = Seq("spark", "vector", "stream")
     val nDocs = docTokens.size.toLong
     val sumDl = docTokens.values.map(_.size.toLong).sum
@@ -238,12 +238,12 @@ class SessionRankingSpec extends AnyFunSuite {
             ((f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
         }
       }.sum
-      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> score
     }
   }
 
   test("q_rank_fusion: both arms and the fused order match a plain-Scala recompute") {
-    val lexRank: Map[Long, Long] = bm25Rounded
+    val lexRank: Map[Long, Long] = bm25Raw
       .sortBy { case (id, s) => (-s, id) }.take(20)
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
     val embs = graft.core.Tables.embeddings(spark, sf)
@@ -255,7 +255,7 @@ class SessionRankingSpec extends AnyFunSuite {
     val semRank: Map[Long, Long] = embs.toSeq.map { case (id, e) =>
       val cos = fold(e.zip(pe).map { case (x, y) => x * y }) /
         (math.sqrt(fold(e.map(x => x * x))) * pn)
-      id -> BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> cos
     }.sortBy { case (id, s) => (-s, id) }.take(20)
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
     val expected = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
@@ -272,6 +272,17 @@ class SessionRankingSpec extends AnyFunSuite {
         r.getDouble(3))
     }.toSeq
     assert(got == expected)
+  }
+
+  test("q_rank_fusion: lexical arm reproduces q_bm25's top-20 order") {
+    // the shared-chain guarantee, end to end: rank r in the fusion's
+    // lexical arm = position r in q_bm25's output (both rank on the
+    // UNROUNDED score with doc_id tie-break)
+    val bm = run("q_bm25").collect().map(_.getLong(0)).toSeq
+    val byRank = run("q_rank_fusion").collect()
+      .filterNot(_.isNullAt(1)).map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(byRank == bm)
   }
 
   test("q_rank_fusion: each arm's ranks are a permutation of 1..20") {

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.{sf, spark}
+
+/** Partitioning-determinism gate: a declared query's RESULT must not
+  * depend on how the data happens to be partitioned — task retries,
+  * cluster resizes and AQE re-plans all change partitioning at 100 TB,
+  * and any query whose output moved with it would be nondeterministic
+  * in production (and silently desync from its oracle, which has no
+  * notion of partitions at all).
+  *
+  * The queries sampled here are the ones whose SHAPES make partitioning
+  * visible if the implementation is wrong: bucketed two-pass cumulatives
+  * (pack/skyline/auc), the broadcast-offset global sequence (enrich),
+  * iterative fixpoints (dedup_cluster), bounded-slice rank self-joins
+  * (rank_fusion), per-key sessionization, and salted aggregation.
+  * Everything is re-run under a deliberately hostile shuffle-partition
+  * count (3) and must collect bit-identically to the local[32]/32 run.
+  */
+class RepartitionInvarianceSpec extends AnyFunSuite {
+
+  private def collectNow(key: String): Seq[Seq[Any]] =
+    SparkEntry.queries(key)(spark, sf).collect().toSeq.map(_.toSeq)
+
+  private val sensitive = Seq(
+    "q_pack_sequences", "q_skyline", "q_auc", "q_pr_curve", "q_enrich",
+    "q_dedup_cluster", "q_sessionize", "q_rank_fusion", "q_agg_salted")
+
+  for (key <- sensitive)
+    test(s"$key: result invariant under shuffle-partition count") {
+      val conf = spark.conf
+      val orig = conf.get("spark.sql.shuffle.partitions")
+      val base = collectNow(key)
+      try {
+        conf.set("spark.sql.shuffle.partitions", "3")
+        assert(collectNow(key) == base,
+          s"$key changed under 3 shuffle partitions")
+      } finally conf.set("spark.sql.shuffle.partitions", orig)
+    }
+}

@@ -68,6 +68,7 @@ object LinalgQueries {
            |       round(nn3.n, 3) AS eigenvalue_est
            |FROM w3, nn3 ORDER BY dim""".stripMargin),
     (s, d) => {
+      import s.implicits._
       // upper-triangle outer products in-task; integer picount terms
       val outer = expr(
         """flatten(transform(embedding, (x, i) ->
@@ -84,35 +85,63 @@ object LinalgQueries {
         .select(explode(outer).as("t"))
         .groupBy(col("t.i").as("i"), col("t.j").as("j"))
         .agg(sum(col("t.p")).as("m"))
-      val g = gHalf.unionByName(
-          gHalf.filter(col("i") =!= col("j"))
-            .select(col("j").as("i"), col("i").as("j"), col("m")))
-        .persist()
-      // integer-picount matrix-vector step with round-half-away (matches
-      // the oracle's round(...) exactly; a plain cast would truncate)
-      def stepR(v: DataFrame): DataFrame =
-        g.join(broadcast(v), "j")
-          .groupBy("i")
-          .agg(sum(expr(
-            "CAST(round(CAST(m AS DOUBLE) / 1000000000000 * v * 1000000000000, 0) AS BIGINT)"))
-            .as("w"))
-      def norm(w: DataFrame): DataFrame =
-        w.agg(sqrt(dbl(sum(expr(
-          "CAST(round((CAST(w AS DOUBLE) / 1000000000000) * (CAST(w AS DOUBLE) / 1000000000000) * 1000000000000, 0) AS BIGINT)"))) /
-          1000000000000L).as("n"))
-      val v0 = g.select(col("i").as("j")).distinct()
-        .withColumn("v", lit(0.125))
-      def nextV(w: DataFrame): DataFrame =
-        w.crossJoin(broadcast(norm(w)))
-          .select(col("i").as("j"),
-            round(dbl(col("w")) / 1000000000000L / col("n"), 9).as("v"))
-      val w1 = stepR(v0)
-      val w2 = stepR(nextV(w1))
-      val w3 = stepR(nextV(w2))
-      w3.crossJoin(broadcast(norm(w3)))
-        .select(lng(col("i")).as("dim"),
-          round(dbl(col("w")) / 1000000000000L / col("n"), 6).as("loading"),
-          round(col("n"), 3).as("eigenvalue_est"))
+      // The corpus appears in exactly ONE distributed aggregation; what
+      // remains is dim(dim+1)/2 cells (64 dims → 2080 rows) — a bounded
+      // driver collect (Sequence.scala's precedent), far cheaper than
+      // running 3 iterations × (join + agg + norm + renormalize) as ~12
+      // separate Spark jobs over 64-row tables, which was pure
+      // scheduling overhead (~6 s of wall-clock for ~16 KB of state).
+      // EAGER: constructing this DataFrame runs the corpus job.
+      // Arithmetic below mirrors the former Spark expression chain
+      // operation-for-operation (same left-to-right IEEE order, same
+      // BigDecimal.valueOf HALF_UP rounding Spark's round() applies to
+      // doubles), so the output is bit-identical to the distributed
+      // formulation and to the oracle.
+      val cells = gHalf.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val dims = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+      val n = dims.length
+      val idx = dims.zipWithIndex.toMap
+      val m = Array.ofDim[Long](n, n)
+      cells.foreach { case (i, j, p) =>
+        m(idx(i))(idx(j)) = p
+        m(idx(j))(idx(i)) = p // symmetry mirrors the lower half
+      }
+      def roundD(x: Double, scale: Int): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+      def step(v: Array[Double]): Array[Long] =
+        Array.tabulate(n) { i =>
+          var acc = 0L // exact integer adds — order-free like the SQL sum
+          var j = 0
+          while (j < n) {
+            acc += roundD(m(i)(j).toDouble / 1000000000000L * v(j) *
+              1000000000000L, 0).toLong
+            j += 1
+          }
+          acc
+        }
+      def normOf(w: Array[Long]): Double = {
+        var acc = 0L
+        var i = 0
+        while (i < n) {
+          val wd = w(i).toDouble / 1000000000000L
+          acc += roundD(wd * wd * 1000000000000L, 0).toLong
+          i += 1
+        }
+        math.sqrt(acc.toDouble / 1000000000000L)
+      }
+      def renorm(w: Array[Long], scale: Int): Array[Double] = {
+        val nn = normOf(w)
+        w.map(x => roundD(x.toDouble / 1000000000000L / nn, scale))
+      }
+      val w1 = step(Array.fill(n)(0.125))
+      val w2 = step(renorm(w1, 9))
+      val w3 = step(renorm(w2, 9))
+      val nn3 = normOf(w3)
+      val loadings = renorm(w3, 6)
+      dims.indices.map(k => (dims(k).toLong, loadings(k), roundD(nn3, 3)))
+        .toDF("dim", "loading", "eigenvalue_est")
         .orderBy("dim")
     }
   )

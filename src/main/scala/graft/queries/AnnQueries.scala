@@ -200,5 +200,92 @@ object AnnQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg)
+  /** ANN quality evaluation: recall@10 of the IVF arm against the exact
+    * full-corpus L2 top-10. Every production ANN deployment carries this
+    * measurement next to the index (the quantizer is only as good as its
+    * measured recall). Both arms reuse the inventory's own shapes: exact
+    * = broadcast-probe corpus scan, IVF = top-2-cluster probe; the final
+    * comparison is a LEFT JOIN of two 50-row top-k sets — driver-trivial.
+    * hits/10 is one IEEE division of small integers, bit-identical in
+    * both engines.
+    */
+  private val annRecall = QueryDef(
+    "q_ann_recall",
+    "Recall@10 of IVF ANN vs exact L2 top-10 per probe: count of " +
+      "approximate results appearing in the exact top-10. The " +
+      "measurement operator that closes the ANN loop — index quality " +
+      "as a number, not a hope.",
+    Some("""WITH expl AS (
+           |  SELECT label, unnest(generate_series(1, len(embedding))) AS ord,
+           |         unnest(embedding) AS val
+           |  FROM embeddings),
+           |cent_long AS (
+           |  SELECT label, ord,
+           |         round(CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
+           |  FROM expl GROUP BY label, ord),
+           |cent AS (SELECT label, list(c ORDER BY ord) AS ce FROM cent_long GROUP BY label),
+           |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+           |corpus AS (SELECT vec_id AS cand_id, embedding AS ce2, label FROM embeddings WHERE vec_id >= 5),
+           |pc AS (
+           |  SELECT probe_id, label,
+           |    round(list_sum(list_transform(list_zip(pe, ce), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2c
+           |  FROM probes CROSS JOIN cent),
+           |top2 AS (SELECT probe_id, label FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d2c, label) AS cr FROM pc) t
+           |  WHERE cr <= 2),
+           |ivf AS (SELECT probe_id, cand_id FROM (
+           |  SELECT t.probe_id, c.cand_id,
+           |    row_number() OVER (PARTITION BY t.probe_id ORDER BY
+           |      round(list_sum(list_transform(list_zip(p.pe, c.ce2), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6), c.cand_id) AS rk
+           |  FROM top2 t JOIN probes p ON p.probe_id = t.probe_id
+           |  JOIN corpus c ON c.label = t.label) s WHERE rk <= 10),
+           |exact AS (SELECT probe_id, cand_id FROM (
+           |  SELECT p.probe_id, c.cand_id,
+           |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+           |      round(list_sum(list_transform(list_zip(p.pe, c.ce2), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6), c.cand_id) AS rk
+           |  FROM probes p CROSS JOIN corpus c) s WHERE rk <= 10)
+           |SELECT e.probe_id, CAST(count(i.cand_id) AS BIGINT) AS hits,
+           |       round(count(i.cand_id) / 10.0, 6) AS recall_at_10
+           |FROM exact e LEFT JOIN ivf i ON e.probe_id = i.probe_id AND e.cand_id = i.cand_id
+           |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("label"))
+      // coarse quantizer: per-label centroids (exact-decimal means)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy("label", "pos")
+        .agg(round(dbl(sum(col("val").cast("decimal(20,10)"))) / count(lit(1)), 6).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
+      val wc = Window.partitionBy("probe_id").orderBy(col("d2c"), col("label"))
+      val top2 = probes.join(broadcast(cent))
+        .withColumn("d2c", round(l2sq("pe", "ce"), 6))
+        .withColumn("cr", row_number().over(wc))
+        .filter(col("cr") <= 2)
+        .select("probe_id", "pe", "label")
+      val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
+      val ivf = corpus.join(broadcast(top2), "label")
+        .withColumn("d2", round(l2sq("pe", "ce2"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "cand_id")
+      val exact = corpus.join(broadcast(probes))
+        .withColumn("d2", round(l2sq("pe", "ce2"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("probe_id"), col("cand_id"))
+      exact.join(ivf.withColumn("hit", lit(1)),
+          Seq("probe_id", "cand_id"), "left")
+        .groupBy("probe_id")
+        .agg(lng(count(col("hit"))).as("hits"),
+          round(dbl(count(col("hit"))) / lit(10.0), 6).as("recall_at_10"))
+        .orderBy("probe_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall)
 }

@@ -137,5 +137,44 @@ object CorpusQueries {
       .orderBy("doc_id", "bucket")
   )
 
-  val defs: Seq[QueryDef] = Seq(keywords, sentences, featureHash)
+  // ------------------------------------------------------------- BPE pairs
+
+  /** Tokenizer-training primitive: the first step of byte-pair-encoding
+    * is "count adjacent symbol pairs weighted by word frequency, merge
+    * the top pair" — this computes the top-20 merge candidates over the
+    * corpus. Scale shape: pair counting runs on the DISTINCT word
+    * vocabulary (corpus-size-independent once frequencies are
+    * aggregated), not on the raw token stream — the aggregation that
+    * makes BPE training feasible on 100 TB is exactly this
+    * word-frequency rollup.
+    */
+  private val bpePairs = QueryDef(
+    "q_bpe_pairs",
+    "Top-20 BPE merge candidates: adjacent character-pair frequencies " +
+      "weighted by word frequency, counted over the distinct-word " +
+      "vocabulary rather than the raw stream.",
+    Some("""WITH words AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+           |    SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS w FROM documents) t
+           |  WHERE len(w) >= 2 GROUP BY w),
+           |pairs AS (
+           |  SELECT substr(w, i, 2) AS pair, freq
+           |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS i) s
+           |  WHERE i <= len(w) - 1),
+           |agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair)
+           |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+    (s, d) => documents(s, d)
+      .select(explode(expr(toks)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+        col("freq"))
+      .groupBy("pair")
+      .agg(lng(sum(col("freq"))).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  )
+
+  val defs: Seq[QueryDef] = Seq(keywords, sentences, featureHash, bpePairs)
 }

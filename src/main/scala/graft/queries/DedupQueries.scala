@@ -570,6 +570,116 @@ object DedupQueries {
     }
   )
 
+  /** Asymmetric containment dedup: C(A,B) = |A∩B| / |A| ≥ 3/5 over
+    * ordered pairs A ≠ B. Containment catches what Jaccard cannot — a
+    * short document embedded verbatim inside a long one has high C but
+    * low J (the planted twins here show C(orig, twin) = 1.0 exactly).
+    * Candidate generation is the containment variant of prefix
+    * filtering: if C ≥ t then A's first ⌊(1−t)·|A|⌋+1 shingles in the
+    * global (df, h) order must include a shared shingle, so only A's
+    * prefix is exploded while B is indexed fully; a size filter
+    * (|B| ≥ t·|A|) and the positional overlap bound prune further. The
+    * oracle brute-forces the full inverted index over ordered pairs —
+    * equality proves the asymmetric filter lossless.
+    */
+  private val dedupContain = QueryDef(
+    "q_dedup_contain",
+    "Containment similarity self-join (|A∩B|/|A| ≥ 3/5, ordered pairs): " +
+      "A-side prefix filter × full B index, exact merge-intersect " +
+      "verify. The superset-dedup operator Jaccard misses.",
+    Some(s"""WITH $plantedDuck,
+            |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM u),
+            |ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+            |pairs AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_int
+            |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id != b.doc_id
+            |  GROUP BY 1, 2),
+            |sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh)
+            |SELECT p.doc_a, p.doc_b, p.n_int, sa.n AS n_a,
+            |       round(CAST(p.n_int AS DOUBLE) / sa.n, 6) AS containment
+            |FROM pairs p
+            |JOIN sizes sa ON sa.doc_id = p.doc_a
+            |WHERE 5 * p.n_int >= 3 * sa.n
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => {
+      val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
+        .select("doc_id", "sh").persist()
+      // global (df, h) shingle order shared by every doc's array
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      val posed = ex.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)").as("shs"))
+        .withColumn("n", size(col("shs")))
+        .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos", "h")), col("n"))
+        .persist()
+      // A-side prefix: C ≥ 3/5 ⟹ a shared shingle within the first
+      // n − ceil(3n/5) + 1 positions; B side indexed at every position.
+      val cand = posed
+        .filter(col("pos") < col("n") - expr("(3 * n + 4) DIV 5") + 1).as("a")
+        .join(posed.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
+            // size filter: n_int ≤ |B| and n_int ≥ ceil(3|A|/5)
+            lit(5) * col("b.n") >= lit(3) * col("a.n") &&
+            // positional bound at the first shared shingle
+            lit(1) + least(col("a.n") - col("a.pos") - lit(1),
+              col("b.n") - col("b.pos") - lit(1)) >=
+              floor((lit(3) * col("a.n") + lit(4)) / lit(5)).cast("int"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          lng(size(col("sh"))).as("n_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("n_int",
+          graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .filter(lit(5) * col("n_int") >= lit(3) * col("n_a"))
+        .select(col("doc_a"), col("doc_b"), col("n_int"), col("n_a"),
+          round(dbl(col("n_int")) / col("n_a"), 6).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+
+  /** Exact repeated-substring dedup (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" shape, bounded):
+    * 64-char windows at stride 32 — any ≥ 95-char verbatim overlap
+    * between two documents must contain a full aligned window, so
+    * window-hash collisions find all long verbatim reuse. Per-doc
+    * window count is n_chars/32 (linear scan work); candidate pairs
+    * come from the hash-partitioned equi-join on the window hash —
+    * never all-pairs. Distinct (doc, hash) first so within-doc repeats
+    * don't inflate pair counts.
+    */
+  private val dedupSubstring = QueryDef(
+    "q_dedup_substring",
+    "Repeated-substring detection: md5 over 64-char windows (stride " +
+      "32), pairs of documents sharing ≥ 1 window hash with the shared-" +
+      "window count. Catches verbatim boilerplate/quotation reuse that " +
+      "shingle Jaccard dilutes away.",
+    Some("""WITH wins AS (
+           |  SELECT DISTINCT doc_id, md5(substr(text, p, 64)) AS h
+           |  FROM documents, (SELECT unnest(generate_series(1, 1000000, 32)) AS p) s
+           |  WHERE p <= len(text) - 63),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT * FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => {
+      val wins = documents(s, d)
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 63, 32), p -> md5(substring(text, p, 64)))")).as("h"))
+        .distinct()
+      wins.as("a").join(wins.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(lng(count(lit(1))).as("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(dedupMinhash, dedupNgram, dedupSimhash,
-    dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination)
+    dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
+    dedupContain, dedupSubstring)
 }

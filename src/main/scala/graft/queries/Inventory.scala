@@ -16,7 +16,8 @@ object Inventory {
       GraphQueries.defs ++ StatsQueries.defs ++ EventFlowQueries.defs ++
       CorpusQueries.defs ++ MiningQueries.defs ++ MlEvalQueries.defs ++
       OpsQueries.defs ++ RecsysQueries.defs ++ StatsScaleQueries.defs ++
-      PatternQueries.defs ++ SemanticsQueries.defs ++ LinalgQueries.defs
+      PatternQueries.defs ++ SemanticsQueries.defs ++ LinalgQueries.defs ++
+      LayoutQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

@@ -188,6 +188,38 @@ object WindowQueries {
     }
   )
 
+  private val windowRange = QueryDef(
+    "q_window_range",
+    "Time-based RANGE window frame: per-user trailing 1-hour sum and " +
+      "count over events, ordered by the integer epoch-µs timestamp " +
+      "(RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW). Distinct " +
+      "from the ROWS frames elsewhere in §2.5: the frame is bounded by " +
+      "VALUE distance, so bursty users aggregate many rows and sparse " +
+      "users few — the rolling-metrics shape monitoring pipelines need. " +
+      "One shuffle on user_id; each partition sorts locally by ts. Sums " +
+      "go through exact DECIMAL so accumulation order cannot matter.",
+    Some("""WITH e AS (SELECT event_id, user_id,
+           |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+           |SELECT event_id, user_id, us,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
+           |  CAST(count(*) OVER w AS BIGINT) AS n_1h
+           |FROM e
+           |WINDOW w AS (PARTITION BY user_id ORDER BY us
+           |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           |ORDER BY user_id, us""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          dbl(sum(money(col("value"))).over(w)).as("sum_1h"),
+          lng(count(lit(1)).over(w)).as("n_1h"))
+        .orderBy("user_id", "us")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(windowPages, windowRank, windowFrame,
-    windowLeadLag, windowDist, windowNth)
+    windowLeadLag, windowDist, windowNth, windowRange)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the round-6 curation/eval additions:
+  * containment dedup, substring dedup, BPE pair mining, time-RANGE
+  * windows and ANN recall. Each is recomputed (or bounded) in plain
+  * Scala from the raw tables, independent of the oracle hash-compare.
+  */
+class CurationExtrasSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def run(key: String) = SparkEntry.queries(key)(spark, sf)
+
+  test("q_dedup_contain: every original is fully contained in its planted twin") {
+    val rows = run("q_dedup_contain").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val docIds = graft.core.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(docIds.nonEmpty)
+    docIds.foreach { id =>
+      val c = rows.get((id, id + 100000))
+      assert(c.contains(1.0), s"containment(orig $id, twin) must be exactly 1.0")
+    }
+    // asymmetry is real: some twin→orig pairs must score < 1 (the twin
+    // has shingles the original lacks) yet still pass the 3/5 gate
+    val back = rows.keys.count { case (a, b) => a == b + 100000 }
+    assert(back > 0, "reverse pairs present")
+  }
+
+  test("q_dedup_substring: reported pairs genuinely share a 64-char window") {
+    val pairs = run("q_dedup_substring").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty, "the corpus has verbatim reuse")
+    val text = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def wins(s: String): Set[String] =
+      (1 to (s.length - 63) by 32).map(p => s.substring(p - 1, p + 63)).toSet
+    pairs.take(10).foreach { case (a, b, n) =>
+      val shared = wins(text(a)).intersect(wins(text(b)))
+      assert(shared.size == n, s"pair ($a,$b) shared-window count")
+    }
+  }
+
+  test("q_bpe_pairs: top-20 matches a plain-Scala recount") {
+    val got = run("q_bpe_pairs").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      "[a-z]+".r.findAllIn(t.toLowerCase).filter(_.length >= 2)
+        .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1)
+    }
+    val pairCnt = scala.collection.mutable.Map.empty[String, Long]
+    freq.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairCnt(p) = pairCnt.getOrElse(p, 0L) + f
+      }
+    }
+    val expected = pairCnt.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == expected)
+  }
+
+  test("q_window_range: trailing 1-hour frame matches per-user scan") {
+    val got = run("q_window_range").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val value = graft.core.Tables.events(spark, sf)
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byUser = got.groupBy(_._2)
+    byUser.take(5).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.foreach { case (eid, _, us, sum1h, n1h) =>
+        val inFrame = sorted.filter(e => e._3 <= us && e._3 >= us - 3600000000L)
+        assert(inFrame.length.toLong == n1h, "frame count")
+        val expSum = inFrame.map(e => BigDecimal(value(e._1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        assert(sum1h == expSum.toDouble, s"frame sum at event $eid")
+      }
+    }
+  }
+
+  test("q_ann_recall: one row per probe, hits within bounds, recall = hits/10") {
+    val rows = run("q_ann_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { case (_, hits, rec) =>
+      assert(hits >= 0 && hits <= 10)
+      assert(rec == hits / 10.0)
+    }
+  }
+}

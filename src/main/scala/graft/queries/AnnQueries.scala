@@ -287,5 +287,108 @@ object AnnQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall)
+  /** Product quantization — THE memory-bounded ANN path at 100 TB: a
+    * 64-dim float vector (256 bytes) compresses to 8 one-byte codes;
+    * the scan phase touches only the code table plus a per-probe
+    * 8×16 distance table (asymmetric distance computation). Pipeline:
+    * deterministic seeds (vec_ids 5..20) → one Lloyd step (assign +
+    * exact-decimal re-mean) → encode → ADC top-10. Every stage is a
+    * broadcast join (codebook = 128 rows) + partitioned window or
+    * aggregation; the corpus shuffles once per stage, never all-pairs.
+    * ADC sums go through DECIMAL(18,6) so adding 8 per-subspace
+    * distances is order-exact.
+    */
+  private val annPq = QueryDef(
+    "q_ann_pq",
+    "PQ ANN: 8 subspaces × 16 codewords (1 Lloyd step from " +
+      "deterministic seeds), corpus encoded to 8 codes/vector, " +
+      "asymmetric-distance top-10 per probe from the broadcast " +
+      "probe×codeword distance table.",
+    Some("""WITH sub AS (SELECT unnest(generate_series(0, 7)) AS sid),
+           |vecs AS (
+           |  SELECT vec_id, sid, list_transform(embedding[1 + sid*8 : 8 + sid*8], x -> CAST(x AS DOUBLE)) AS sv
+           |  FROM embeddings CROSS JOIN sub),
+           |init AS (
+           |  SELECT sid, vec_id - 5 AS cw, sv AS cv FROM vecs WHERE vec_id >= 5 AND vec_id < 21),
+           |assign AS (
+           |  SELECT vec_id, sid, cw, sv FROM (
+           |    SELECT v.vec_id, v.sid, i.cw, v.sv,
+           |      row_number() OVER (PARTITION BY v.vec_id, v.sid ORDER BY
+           |        round(list_sum(list_transform(list_zip(v.sv, i.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), i.cw) AS rk
+           |    FROM vecs v JOIN init i ON i.sid = v.sid
+           |    WHERE v.vec_id >= 5) t WHERE rk = 1),
+           |cb_long AS (
+           |  SELECT sid, cw, d.ord,
+           |    round(CAST(sum(CAST(sv[d.ord] AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
+           |  FROM assign CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS ord) d
+           |  GROUP BY 1, 2, 3),
+           |cb AS (SELECT sid, cw, list(c ORDER BY ord) AS cv FROM cb_long GROUP BY sid, cw),
+           |enc AS (
+           |  SELECT vec_id, sid, cw FROM (
+           |    SELECT v.vec_id, v.sid, c.cw,
+           |      row_number() OVER (PARTITION BY v.vec_id, v.sid ORDER BY
+           |        round(list_sum(list_transform(list_zip(v.sv, c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), c.cw) AS rk
+           |    FROM vecs v JOIN cb c ON c.sid = v.sid
+           |    WHERE v.vec_id >= 5) t WHERE rk = 1),
+           |probes AS (SELECT vec_id AS probe_id, sid, sv FROM vecs WHERE vec_id < 5),
+           |dist AS (
+           |  SELECT p.probe_id, c.sid, c.cw,
+           |    round(list_sum(list_transform(list_zip(p.sv, c.cv), q -> (q[1]-q[2])*(q[1]-q[2]))), 6) AS d2
+           |  FROM probes p JOIN cb c ON c.sid = p.sid),
+           |adc AS (
+           |  SELECT d.probe_id, e.vec_id AS cand_id,
+           |         CAST(sum(CAST(d.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+           |  FROM enc e JOIN dist d ON d.sid = e.sid AND d.cw = e.cw
+           |  GROUP BY 1, 2)
+           |SELECT probe_id, rk, cand_id, adc_d2 FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adc_d2, cand_id) AS BIGINT) AS rk
+           |  FROM adc) t WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      // slice every vector into 8 double-promoted subvectors
+      val vecs = e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sid"),
+          col("embedding"))
+        .withColumn("sv", expr(
+          "transform(slice(embedding, 1 + sid * 8, 8), x -> CAST(x AS DOUBLE))"))
+        .select("vec_id", "sid", "sv")
+      val corpus = vecs.filter(col("vec_id") >= 5)
+      val init = vecs.filter(col("vec_id") >= 5 && col("vec_id") < 21)
+        .select(col("sid"), (col("vec_id") - 5).as("cw"), col("sv").as("cv"))
+      val wAsg = Window.partitionBy("vec_id", "sid").orderBy(col("d2"), col("cw"))
+      val assign = corpus.join(broadcast(init), "sid")
+        .withColumn("d2", round(l2sq("sv", "cv"), 6))
+        .withColumn("rk", row_number().over(wAsg))
+        .filter(col("rk") === 1)
+        .select("vec_id", "sid", "cw", "sv")
+      // one Lloyd step: exact-decimal re-mean per (sid, cw, dim)
+      val cb = assign
+        .select(col("sid"), col("cw"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sid", "cw", "pos")
+        .agg(round(dbl(sum(col("v").cast("decimal(20,10)"))) / count(lit(1)), 6).as("c"))
+        .groupBy("sid", "cw")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+        .persist()
+      val enc = corpus.join(broadcast(cb), "sid")
+        .withColumn("d2", round(l2sq("sv", "cv"), 6))
+        .withColumn("rk", row_number().over(wAsg))
+        .filter(col("rk") === 1)
+        .select("vec_id", "sid", "cw")
+      val dist = vecs.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+        .join(broadcast(cb), "sid")
+        .withColumn("d2", round(l2sq("sv", "cv"), 6))
+        .select("probe_id", "sid", "cw", "d2")
+      val wTop = Window.partitionBy("probe_id").orderBy(col("adc_d2"), col("cand_id"))
+      enc.join(broadcast(dist), Seq("sid", "cw"))
+        .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
+        .agg(dbl(sum(col("d2").cast("decimal(18,6)"))).as("adc_d2"))
+        .withColumn("rk", lng(row_number().over(wTop)))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "rk", "cand_id", "adc_d2")
+        .orderBy("probe_id", "rk")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
+    annPq)
 }

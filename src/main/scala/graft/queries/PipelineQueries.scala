@@ -183,5 +183,38 @@ object PipelineQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences)
+  /** Deterministic training-order shuffle + shard assignment — the
+    * data-loader contract: every worker must derive the SAME global
+    * order with no coordination, so both the shard and the within-
+    * shard position are pure functions of doc_id (md5-keyed). The
+    * within-shard window partitions by shard (16 ways here, hundreds
+    * at scale) — there is never a global sort; a shard's rows sort
+    * locally on their own executor.
+    */
+  private val shuffleShards = QueryDef(
+    "q_shuffle_shards",
+    "md5-keyed corpus shuffle into 16 loader shards with deterministic " +
+      "within-shard positions — reproducible training order as a pure " +
+      "function of doc_id.",
+    Some("""WITH keyed AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 12)) AS BIGINT) AS hk
+           |  FROM documents)
+           |SELECT doc_id, hk % 16 AS shard,
+           |       CAST(row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id) AS BIGINT) AS pos,
+           |       CAST(n_chars AS BIGINT) AS n_chars
+           |FROM keyed ORDER BY shard, pos""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+      documents(s, d)
+        .select(col("doc_id"), lng(col("n_chars")).as("n_chars"),
+          expr("CAST(conv(substr(md5(concat(cast(doc_id as string), ':shard')), 1, 12), 16, 10) AS BIGINT)").as("hk"))
+        .withColumn("shard", col("hk") % 16)
+        .select(col("doc_id"), col("shard"),
+          lng(row_number().over(w)).as("pos"), col("n_chars"))
+        .orderBy("shard", "pos")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences, shuffleShards)
 }

@@ -85,6 +85,35 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_pq: 10 ranked candidates per probe, ADC distances monotone") {
+    val rows = run("q_ann_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byProbe.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 10L), "ranks 1..10")
+      assert(sorted.sliding(2).forall(p => p(0)._4 <= p(1)._4),
+        "ADC distance non-decreasing with rank")
+      assert(sorted.forall(_._4 >= 0.0), "squared distances non-negative")
+      assert(sorted.map(_._3).distinct.length == 10, "distinct candidates")
+    }
+  }
+
+  test("q_shuffle_shards: a permutation — every doc once, contiguous positions") {
+    val rows = run("q_shuffle_shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val allDocs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == allDocs, "every doc exactly once")
+    assert(rows.length == allDocs.size)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 16)
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length),
+        s"shard $shard positions contiguous")
+    }
+  }
+
   test("q_ann_recall: one row per probe, hits within bounds, recall = hits/10") {
     val rows = run("q_ann_recall").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

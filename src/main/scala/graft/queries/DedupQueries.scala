@@ -679,7 +679,61 @@ object DedupQueries {
     }
   )
 
+  /** Sketch-accuracy audit: MinHash ESTIMATED Jaccard (matching
+    * signature positions / 16) against the EXACT Jaccard on every
+    * band-candidate pair. The companion measurement to q_ann_recall —
+    * a sketch parameterization (perms, bands) is a recall/precision
+    * dial, and this query is the dial's readout: per-pair estimate,
+    * truth, and absolute error. Matching-position count is a 16-element
+    * zip fold per pair (scan work); est = k/16 is an exact binary
+    * fraction, identical in both engines.
+    */
+  private val minhashEst = QueryDef(
+    "q_minhash_est",
+    "MinHash estimate vs exact Jaccard on band-candidate pairs: " +
+      "matching-perm count, k/16 estimate, exact Jaccard, abs error — " +
+      "the sketch-quality readout.",
+    Some(s"""WITH $plantedDuck,
+            |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM u),
+            |$sigBandsCandDuck,
+            |scored AS (
+            |  SELECT c.doc_a, c.doc_b,
+            |    CAST(list_sum(list_transform(list_zip(sa.sigs, sb.sigs),
+            |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match,
+            |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS n_int,
+            |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT) AS n_tot
+            |  FROM cand c
+            |  JOIN sig sa ON sa.doc_id = c.doc_a
+            |  JOIN sig sb ON sb.doc_id = c.doc_b)
+            |SELECT doc_a, doc_b, n_match,
+            |       round(n_match / 16.0, 6) AS est_j,
+            |       round(CAST(n_int AS DOUBLE) / (n_tot - n_int), 6) AS exact_j,
+            |       round(abs(round(n_match / 16.0, 6) - round(CAST(n_int AS DOUBLE) / (n_tot - n_int), 6)), 6) AS abs_err
+            |FROM scored ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => {
+      val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
+        .select("doc_id", "sh").persist()
+      val sigs = minhashSigs(sh).persist()
+      val est = round(dbl(col("n_match")) / lit(16.0), 6)
+      val exact = round(dbl(col("n_int")) / (col("n_tot") - col("n_int")), 6)
+      bandCandidates(sh)
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b")), "doc_b")
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("n_match", lng(expr(
+          "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")))
+        .withColumn("n_int",
+          graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("n_tot", lng(expr("size(sh_a) + size(sh_b)")))
+        .select(col("doc_a"), col("doc_b"), col("n_match"),
+          est.as("est_j"), exact.as("exact_j"),
+          round(abs(est - exact), 6).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(dedupMinhash, dedupNgram, dedupSimhash,
     dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
-    dedupContain, dedupSubstring)
+    dedupContain, dedupSubstring, minhashEst)
 }

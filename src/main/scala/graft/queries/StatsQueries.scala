@@ -361,6 +361,79 @@ object StatsQueries {
     }
   )
 
+  // -------------------------------------------------------------- cross_corr
+
+  /** Lead–lag cross-correlation between the click and purchase hourly
+    * series at lags −3..+3 — does one signal PREDICT the other, and at
+    * what offset? The causal screen run before building lagged
+    * features. Scale shape: the fact collapses to the hour grid first
+    * (two conditional counts in ONE pass), and every lag is a
+    * broadcast self-join of that bounded grid — 7 lags × hours rows,
+    * never touching the fact again. Pearson per lag from exact BIGINT
+    * co-moments (q_corr discipline).
+    */
+  private val crossCorr = QueryDef(
+    "q_cross_corr",
+    "Cross-correlation of click vs purchase hourly counts at lags " +
+      "-3..+3: full hour grid (missing hours = 0), exact integer " +
+      "co-moment sums per lag, one shared double chain for r.",
+    Some("""WITH e AS (SELECT event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+           |b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM e),
+           |hours AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM b),
+           |c AS (SELECT h, CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS cx,
+           |             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS cy
+           |      FROM e GROUP BY h),
+           |s AS (SELECT hr.h, coalesce(c.cx, 0) AS cx, coalesce(c.cy, 0) AS cy
+           |      FROM hours hr LEFT JOIN c ON c.h = hr.h),
+           |lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+           |pairs AS (SELECT l.lag, a.cx, b.cy
+           |          FROM lags l JOIN s a ON true JOIN s b ON b.h = a.h + l.lag),
+           |m AS (SELECT lag, count(*) AS n, sum(cx) AS sx, sum(cy) AS sy,
+           |        sum(cx*cy) AS sxy, sum(cx*cx) AS sxx, sum(cy*cy) AS syy
+           |      FROM pairs GROUP BY lag)
+           |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           |       CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+           |            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+           |                       / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+           |                              * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+           |       END AS r
+           |FROM m ORDER BY lag""".stripMargin),
+    (s, d) => {
+      val hourExpr =
+        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000"
+      val e = events(s, d)
+        .select(col("event_type"), expr(hourExpr).as("h"))
+      val counts = e.groupBy("h").agg(
+        lng(count(when(col("event_type") === "click", 1))).as("cx"),
+        lng(count(when(col("event_type") === "purchase", 1))).as("cy"))
+      val grid = e.agg(min("h").as("hmin"), max("h").as("hmax"))
+        .select(explode(sequence(col("hmin"), col("hmax"))).as("h"))
+      val series = grid.join(counts, Seq("h"), "left")
+        .select(col("h"), coalesce(col("cx"), lit(0L)).as("cx"),
+          coalesce(col("cy"), lit(0L)).as("cy"))
+        .persist()
+      val lags = series.sparkSession.range(-3, 4).select(col("id").as("lag"))
+      val pairs = series.as("a").crossJoin(broadcast(lags))
+        .withColumn("bh", col("a.h") + col("lag"))
+        .join(broadcast(series.select(col("h").as("bh"), col("cy").as("by"))), "bh")
+        .select(col("lag"), col("a.cx").as("x"), col("by").as("y"))
+      val m = pairs.groupBy("lag").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      m.select(lng(col("lag")).as("lag"), lng(col("n")).as("n_pairs"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(null))
+            .otherwise(round(dbl(col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx")) *
+                dbl(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .as("r"))
+        .orderBy("lag")
+    }
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(profile, chisq, autocorr, winsorize, skyline, madOutliers)
+    Seq(profile, chisq, autocorr, winsorize, skyline, madOutliers, crossCorr)
 }

@@ -486,7 +486,44 @@ object WarehouseQueries {
     }
   )
 
+  /** Temperature-scaled mixture reweighting (τ = 1/2): the standard
+    * multilingual/source-balancing step — sampling weights ∝ p^τ
+    * upweight rare languages and downweight the head so no slice
+    * dominates a training mix. τ = 1/2 keeps everything IEEE-exact
+    * (p^τ = sqrt, a correctly-rounded primitive in both engines; no
+    * transcendental pow). The ≤5-term weight denominator sums rounded
+    * 6-decimal terms through exact DECIMAL so addition order is moot.
+    * One aggregation of the corpus; everything after is a ≤5-row
+    * broadcast.
+    */
+  private val mixTemperature = QueryDef(
+    "q_mix_temperature",
+    "Temperature (τ=1/2) mixture weights per language: raw share, " +
+      "sqrt-scaled normalized sampling weight, effective sample count " +
+      "— rare slices upweighted, the head damped.",
+    Some("""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+           |w AS (SELECT lang, n, round(sqrt(CAST(n AS DOUBLE) / total), 6) AS w_raw
+           |      FROM g CROSS JOIN tot),
+           |den AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(18,6))) AS DOUBLE) AS denom FROM w)
+           |SELECT lang, n, w_raw, round(w_raw / denom, 6) AS mix_weight,
+           |       CAST(round(w_raw / denom * total, 0) AS BIGINT) AS effective_n
+           |FROM w CROSS JOIN den CROSS JOIN tot ORDER BY lang""".stripMargin),
+    (s, d) => {
+      val g = documents(s, d).groupBy("lang").agg(lng(count(lit(1))).as("n"))
+      val tot = g.agg(lng(sum("n")).as("total"))
+      val w = g.crossJoin(broadcast(tot))
+        .withColumn("w_raw", round(sqrt(dbl(col("n")) / col("total")), 6))
+      val den = w.agg(dbl(sum(col("w_raw").cast("decimal(18,6)"))).as("denom"))
+      w.crossJoin(broadcast(den))
+        .select(col("lang"), col("n"), col("w_raw"),
+          round(col("w_raw") / col("denom"), 6).as("mix_weight"),
+          lng(round(col("w_raw") / col("denom") * col("total"), 0)).as("effective_n"))
+        .orderBy("lang")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket,
     unpivot, kAnon, sampleWeighted, incrAgg, cdcApply, joinInterval,
-    popRevenue, paretoShare, joinBucketed)
+    popRevenue, paretoShare, joinBucketed, mixTemperature)
 }

@@ -114,6 +114,63 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mix_temperature: weights normalize, temperature flattens the mix") {
+    val rows = run("q_mix_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val total = rows.map(_._2).sum
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5, "mix weights sum to 1")
+    assert(math.abs(rows.map(_._5).sum - total) <= rows.length, "effective counts ≈ total")
+    // τ=1/2 flattens: every below-average slice gains share, every
+    // above-average slice loses share
+    rows.foreach { case (lang, n, _, w, _) =>
+      val share = n.toDouble / total
+      if (share < 1.0 / rows.length) assert(w > share, s"$lang upweighted")
+      if (share > 1.0 / rows.length) assert(w < share, s"$lang damped")
+    }
+  }
+
+  test("q_cross_corr: lag-0 correlation matches a plain-Scala recomputation") {
+    val got = run("q_cross_corr").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.keySet == (-3L to 3L).toSet)
+    got.values.foreach { case (_, r) => r.foreach(v => assert(math.abs(v) <= 1.0)) }
+    // recompute lag 0 directly from raw events
+    val hours = graft.core.Tables.events(spark, sf)
+      .select(expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").as("h"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hmin = hours.map(_._1).min
+    val hmax = hours.map(_._1).max
+    val cx = hours.filter(_._2 == "click").groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cy = hours.filter(_._2 == "purchase").groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val s0 = (hmin to hmax).map(h => (cx.getOrElse(h, 0L), cy.getOrElse(h, 0L)))
+    val n = s0.length.toLong
+    val (sx, sy) = (s0.map(_._1).sum, s0.map(_._2).sum)
+    val sxy = s0.map(p => p._1 * p._2).sum
+    val sxx = s0.map(p => p._1 * p._1).sum
+    val syy = s0.map(p => p._2 * p._2).sum
+    val expected = BigDecimal((n * sxy - sx * sy).toDouble /
+      math.sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy)).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L)._1 == n)
+    assert(got(0L)._2.contains(expected), "lag-0 Pearson r")
+  }
+
+  test("q_minhash_est: band candidates imply est ≥ 4/16; error accounting exact") {
+    val rows = run("q_minhash_est").collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nMatch, est, exact, err) =>
+      assert(nMatch >= 4, "a shared band means ≥ 4 matching perms")
+      assert(est == nMatch / 16.0)
+      assert(math.abs(err - math.abs(BigDecimal(est - exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)) < 1e-9)
+      assert(exact >= 0.0 && exact <= 1.0)
+    }
+    val meanErr = rows.map(_._4).sum / rows.length
+    assert(meanErr < 0.2, s"16-perm estimator mean |err| $meanErr sane")
+  }
+
   test("q_ann_recall: one row per probe, hits within bounds, recall = hits/10") {
     val rows = run("q_ann_recall").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

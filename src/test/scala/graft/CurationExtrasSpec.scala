@@ -171,6 +171,15 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(meanErr < 0.2, s"16-perm estimator mean |err| $meanErr sane")
   }
 
+  test("plan gates: PQ codebook and cross-corr grid joins broadcast") {
+    val pq = run("q_ann_pq").queryExecution.executedPlan.toString
+    assert(pq.contains("BroadcastHashJoin"), "codebook joins broadcast")
+    assert(!pq.contains("CartesianProduct"), "no unbounded cross join")
+    val cc = run("q_cross_corr").queryExecution.executedPlan.toString
+    assert(!cc.contains("SortMergeJoin"),
+      "the bounded hour grid must join broadcast, not shuffle")
+  }
+
   test("q_ann_recall: one row per probe, hits within bounds, recall = hits/10") {
     val rows = run("q_ann_recall").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

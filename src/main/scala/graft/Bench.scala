@@ -20,8 +20,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional args restrict the run to specific keys (targeted
+    // re-measurement, mirroring Verify's key filter)
+    val keyed =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
+      else SparkEntry.queries
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    keyed.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -33,7 +38,7 @@ object Bench {
     // BENCH_r02: 26 s recorded for a 1.2 s steady-state plan), whereas a
     // time-localized stall hits DIFFERENT queries in each interleaved
     // pass, so the per-query min strips it.
-    val names = SparkEntry.queries.keys.toSeq
+    val names = keyed.keys.toSeq
     val samples = (1 to 3).flatMap { pass =>
       // clear between passes: queries persist() intermediates, and the
       // cache manager matches identical re-constructed plans — without

@@ -134,11 +134,20 @@ object GraphQueries {
            |        FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
            |                  JOIN e e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2) AS n_triangles""".stripMargin),
     (s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      // edge build is ORDER-LOCAL (q_item_recs discipline): per-order
+      // sorted distinct part sets collect in one map-side-combined
+      // shuffle and the C(k,2) pairs generate in-task from the bounded
+      // arrays — no fact self-join, one exchange fewer than the
+      // equivalent a⋈b on l_orderkey
+      val baskets = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairExpr = expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |            y -> struct(x AS p1, y AS p2))))""".stripMargin)
+      val e = baskets.select(explode(pairExpr).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .distinct()
         .persist()
       // total (degree, id) order; orient each edge low-rank → high-rank

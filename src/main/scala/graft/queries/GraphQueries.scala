@@ -122,8 +122,9 @@ object GraphQueries {
       "the work even on power-law hubs. Closure is a codegen'd sorted-" +
       "merge intersection of out-neighbor arrays per edge — the wedge " +
       "set is never materialized and nothing shuffles per wedge. Edge " +
-      "building is order-local (lineitem self-join on l_orderkey — " +
-      "per-order line counts are bounded). All counts exact BIGINT. " +
+      "building is order-local (per-order sorted part sets collected " +
+      "in one map-side-combined shuffle, C(k,2) pairs generated " +
+      "in-task — no fact self-join). All counts exact BIGINT. " +
       "The oracle brute-forces the canonical p1<p2<p3 triple join, " +
       "proving the orientation + intersection lossless.",
     Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2

@@ -350,6 +350,56 @@ object TextAnalysisQueries {
       .orderBy("doc_id")
   )
 
+  /** HTML text extraction — the web-corpus ingestion step (the
+    * Common-Crawl shape: markup → training text). The corpus has no
+    * raw HTML, so — the planted-twin discipline — each document is
+    * wrapped in deterministic markup IN-QUERY (head with style/script
+    * blocks, entity-bearing title, h1, per-sentence paragraph tags,
+    * footer) and the extractor must strip it back: drop the head
+    * subtree, strip tags, decode entities (&amp; last, per the
+    * standard), collapse whitespace. The spec closes the loop by
+    * asserting the ORIGINAL text is recovered verbatim between the h1
+    * and footer fragments — the extractor is proven lossless on body
+    * text, not just plausible. Pure per-row scan work, zero shuffles;
+    * at 100 TB this is the embarrassingly-parallel first pass.
+    */
+  private val htmlStrip = QueryDef(
+    "q_html_strip",
+    "HTML → text extraction: head-subtree drop, tag strip, entity " +
+      "decode, whitespace collapse, with markup/text length ratio — " +
+      "the web-ingestion first pass, proven lossless by the spec's " +
+      "exact recovery assertion.",
+    Some("""WITH h AS (SELECT doc_id, text AS orig,
+           |  '<html><head><title>doc ' || doc_id || ' &quot;' || source || '&quot;</title><style>p{margin:0}</style><script>var x=1 &lt; 2;</script></head><body><h1>' || upper(substr(text, 1, 16)) || '</h1><p>' || replace(text, '. ', '.</p><p>') || '</p><footer>&amp; more</footer></body></html>' AS html
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, html, regexp_replace(html, '<head>.*</head>', ' ', 'g') AS x FROM h),
+           |s2 AS (SELECT doc_id, html, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s1),
+           |s3 AS (SELECT doc_id, html,
+           |  replace(replace(replace(replace(x, '&quot;', '"'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS x FROM s2),
+           |s4 AS (SELECT doc_id, html, trim(regexp_replace(x, ' +', ' ', 'g')) AS clean FROM s3)
+           |SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,
+           |       CAST(length(clean) AS BIGINT) AS clean_len,
+           |       round(CAST(length(clean) AS DOUBLE) / length(html), 6) AS text_ratio, clean
+           |FROM s4 ORDER BY doc_id""".stripMargin),
+    (s, d) => documents(s, d)
+      .withColumn("html", expr(
+        """concat('<html><head><title>doc ', doc_id, ' &quot;', source,
+          |'&quot;</title><style>p{margin:0}</style><script>var x=1 &lt; 2;</script></head><body><h1>',
+          |upper(substring(text, 1, 16)), '</h1><p>',
+          |replace(text, '. ', '.</p><p>'), '</p><footer>&amp; more</footer></body></html>')""".stripMargin))
+      .withColumn("x", regexp_replace(col("html"), "<head>.*</head>", " "))
+      .withColumn("x", regexp_replace(col("x"), "<[^>]*>", " "))
+      .withColumn("x", expr(
+        "replace(replace(replace(replace(x, '&quot;', '\"'), '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"))
+      .withColumn("clean", trim(regexp_replace(col("x"), " +", " ")))
+      .select(col("doc_id"), lng(length(col("html"))).as("html_len"),
+        lng(length(col("clean"))).as("clean_len"),
+        round(dbl(length(col("clean"))) / length(col("html")), 6).as("text_ratio"),
+        col("clean"))
+      .orderBy("doc_id")
+  )
+
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
-    multimodalMeta, textClean, piiRedact, repetition, charDiversity)
+    multimodalMeta, textClean, piiRedact, repetition, charDiversity,
+    htmlStrip)
 }

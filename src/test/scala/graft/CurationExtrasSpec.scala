@@ -171,6 +171,23 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(meanErr < 0.2, s"16-perm estimator mean |err| $meanErr sane")
   }
 
+  test("q_html_strip: body text recovered verbatim from the markup") {
+    val clean = run("q_html_strip").collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, orig) =>
+      // the pipeline collapses runs of spaces, so the expectation must
+      // too (the 16-char h1 slice can end on a word boundary)
+      val expected = (orig.substring(0, math.min(16, orig.length)).toUpperCase +
+        " " + orig + " & more").replaceAll(" +", " ")
+      assert(clean(id) == expected,
+        s"doc $id: extractor must be lossless on body text")
+    }
+  }
+
   test("plan gates: PQ codebook and cross-corr grid joins broadcast") {
     val pq = run("q_ann_pq").queryExecution.executedPlan.toString
     assert(pq.contains("BroadcastHashJoin"), "codebook joins broadcast")

@@ -399,7 +399,58 @@ object TextAnalysisQueries {
       .orderBy("doc_id")
   )
 
+  /** URL canonicalization dedup — in a web pipeline this runs BEFORE
+    * content dedup (collapsing tracking-parameter and fragment
+    * variants of one page is orders of magnitude cheaper than
+    * re-crawling or content-hashing them). The corpus has no URL
+    * column, so URLs are synthesized deterministically per document
+    * (case-varied host, utm_* tracking params, fragments — the
+    * planted-twin discipline) and the normalizer must collapse them:
+    * lowercase, strip fragment, drop utm_* params, tidy separators.
+    * Patterns are engine-shared (no backreferences — Spark's $1 vs
+    * RE2's \\1 syntax diverges, so the chain is structured to never
+    * need one). Per-row scan work + one aggregation.
+    */
+  private val urlNormalize = QueryDef(
+    "q_url_normalize",
+    "URL normalization dedup: lowercase, fragment strip, utm_* " +
+      "tracking-param removal, separator tidy-up; variant counts per " +
+      "canonical URL — the cheap pre-content web dedup step.",
+    Some("""WITH u AS (SELECT doc_id,
+           |  'https://' || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+           |  '.example.com/page/' || (doc_id % 50) ||
+           |  (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || (doc_id % 10) || '&utm_campaign=x'
+           |        ELSE '?id=' || (doc_id % 10) END) ||
+           |  (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+           |  FROM documents),
+           |n1 AS (SELECT doc_id, url, regexp_replace(lower(url), '#.*$', '') AS x FROM u),
+           |n2 AS (SELECT doc_id, url, regexp_replace(x, 'utm_[a-z]+=[^&#]*&?', '', 'g') AS x FROM n1),
+           |n3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(x, '[?&]+$', ''), '\?&', '?') AS norm FROM n2)
+           |SELECT norm AS norm_url, CAST(count(*) AS BIGINT) AS n_variants,
+           |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           |       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+           |FROM n3 GROUP BY norm ORDER BY norm""".stripMargin),
+    (s, d) => documents(s, d)
+      .withColumn("url", expr(
+        """concat('https://',
+          |  CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+          |  '.example.com/page/', doc_id % 50,
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN concat('?utm_source=feed&id=', doc_id % 10, '&utm_campaign=x')
+          |       ELSE concat('?id=', doc_id % 10) END,
+          |  CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)""".stripMargin))
+      .withColumn("x", regexp_replace(lower(col("url")), "#.*$", ""))
+      .withColumn("x", regexp_replace(col("x"), "utm_[a-z]+=[^&#]*&?", ""))
+      .withColumn("norm",
+        regexp_replace(regexp_replace(col("x"), "[?&]+$", ""), "\\?&", "?"))
+      .groupBy(col("norm").as("norm_url"))
+      .agg(lng(count(lit(1))).as("n_variants"),
+        lng(countDistinct(col("url"))).as("n_raw_forms"),
+        lng(min(col("doc_id"))).as("canonical_doc"))
+      .orderBy("norm_url")
+  )
+
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
     multimodalMeta, textClean, piiRedact, repetition, charDiversity,
-    htmlStrip)
+    htmlStrip, urlNormalize)
 }

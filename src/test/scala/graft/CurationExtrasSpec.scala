@@ -188,6 +188,21 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q_url_normalize: canonical forms are clean and conserve all docs") {
+    val rows = run("q_url_normalize").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs, "every doc's URL lands in one group")
+    rows.foreach { case (norm, nVar, nRaw, _) =>
+      assert(norm == norm.toLowerCase, "canonical form lowercased")
+      assert(!norm.contains("utm_"), "tracking params stripped")
+      assert(!norm.contains("#"), "fragments stripped")
+      assert(!norm.endsWith("?") && !norm.endsWith("&"), "separators tidied")
+      assert(nRaw <= nVar, "raw-form count bounded by variant count")
+    }
+    assert(rows.exists(_._3 > 1), "normalization genuinely collapses variants")
+  }
+
   test("plan gates: PQ codebook and cross-corr grid joins broadcast") {
     val pq = run("q_ann_pq").queryExecution.executedPlan.toString
     assert(pq.contains("BroadcastHashJoin"), "codebook joins broadcast")

@@ -733,7 +733,80 @@ object DedupQueries {
     }
   )
 
+  /** Threshold-sweep readout: pair counts at J ≥ 1/2, 3/5, 7/10, 4/5
+    * from ONE pass over the band-candidate stats — the dial you read
+    * before committing a threshold to a 100 TB dedup run (too low
+    * merges distinct docs, too high leaves twins). Unlike the shared
+    * fixed-perturbation planting, the sweep plants VARIABLE-strength
+    * twins (0/2/4/6 appended words by doc_id % 4) so the four gates
+    * genuinely discriminate — exact dups survive every threshold,
+    * weak twins only the low ones. All four gates are exact integer
+    * rationals evaluated as conditional counts in a single
+    * aggregation; the planted-pair column (doc_b = doc_a + 100000)
+    * doubles as a per-threshold recall readout.
+    */
+  private val dedupSweep = QueryDef(
+    "q_dedup_sweep",
+    "Jaccard threshold sweep over MinHash band candidates (variable-" +
+      "strength planted twins): pair and planted-pair counts at " +
+      "J ≥ 1/2, 3/5, 7/10, 4/5 from one verified-stats pass — the " +
+      "threshold-tuning readout.",
+    Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |u AS (SELECT doc_id, ws FROM base
+            |      UNION ALL
+            |      SELECT doc_id + 100000 AS doc_id,
+            |             list_concat(ws, ['zz', 'yy', 'xx', 'ww', 'vv', 'uu', 'tt', 'ss', 'rr', 'qq', 'pp', 'oo'][1 : 4 * (doc_id % 4)]) AS ws
+            |      FROM base),
+            |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM u),
+            |$sigBandsCandDuck,
+            |verified AS (
+            |  SELECT c.doc_a, c.doc_b,
+            |         CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS n_int,
+            |         CAST(len(sa.sh) + len(sb.sh) AS BIGINT) AS n_tot
+            |  FROM cand c
+            |  JOIN sh sa ON sa.doc_id = c.doc_a
+            |  JOIN sh sb ON sb.doc_id = c.doc_b),
+            |t AS (SELECT unnest([struct_pack(lo := 1, hi := 2, lbl := 'J>=0.50'),
+            |                    struct_pack(lo := 3, hi := 5, lbl := 'J>=0.60'),
+            |                    struct_pack(lo := 7, hi := 10, lbl := 'J>=0.70'),
+            |                    struct_pack(lo := 4, hi := 5, lbl := 'J>=0.80')], recursive := true))
+            |SELECT lbl AS threshold,
+            |       CAST(count(CASE WHEN hi * n_int >= lo * (n_tot - n_int) THEN 1 END) AS BIGINT) AS n_pairs,
+            |       CAST(count(CASE WHEN hi * n_int >= lo * (n_tot - n_int)
+            |                        AND doc_b = doc_a + 100000 THEN 1 END) AS BIGINT) AS n_planted
+            |FROM verified CROSS JOIN t
+            |GROUP BY lbl ORDER BY lbl""".stripMargin),
+    (s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val planted = base.unionAll(base.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("concat(ws, slice(array('zz','yy','xx','ww','vv','uu','tt','ss','rr','qq','pp','oo'), 1, 4 * (doc_id % 4)))")
+          .as("ws")))
+      val sh = planted.withColumn("sh", shingleHashes(col("ws"), 3))
+        .select("doc_id", "sh").persist()
+      val stats = bandCandidates(sh)
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("n_int",
+          graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("n_un", lng(expr("size(sh_a) + size(sh_b)")) - col("n_int"))
+      val thr = Seq((1, 2, "J>=0.50"), (3, 5, "J>=0.60"),
+        (7, 10, "J>=0.70"), (4, 5, "J>=0.80"))
+      val t = stats.sparkSession.createDataFrame(thr)
+        .toDF("lo", "hi", "lbl")
+      stats.crossJoin(broadcast(t))
+        .groupBy(col("lbl").as("threshold"))
+        .agg(
+          lng(count(when(col("hi") * col("n_int") >= col("lo") * col("n_un"), 1)))
+            .as("n_pairs"),
+          lng(count(when(col("hi") * col("n_int") >= col("lo") * col("n_un") &&
+            col("doc_b") === col("doc_a") + 100000L, 1))).as("n_planted"))
+        .orderBy("threshold")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(dedupMinhash, dedupNgram, dedupSimhash,
     dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
-    dedupContain, dedupSubstring, minhashEst)
+    dedupContain, dedupSubstring, minhashEst, dedupSweep)
 }

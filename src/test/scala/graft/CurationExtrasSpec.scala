@@ -188,6 +188,23 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_sweep: counts monotone in threshold, exact dups survive all") {
+    val rows = run("q_dedup_sweep").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("J>=0.50", "J>=0.60", "J>=0.70", "J>=0.80"))
+    assert(rows.sliding(2).forall(p => p(0)._2 >= p(1)._2),
+      "pair counts non-increasing with threshold")
+    assert(rows.sliding(2).forall(p => p(0)._3 >= p(1)._3),
+      "planted recall non-increasing with threshold")
+    // doc_id % 4 == 0 twins are EXACT dups (0 appended words): they
+    // pass every threshold, so even J>=0.80 keeps at least that many
+    val nExact = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0).count()
+    assert(rows.last._3 >= nExact * 9 / 10,
+      "exact-dup twins survive the highest threshold (minus band misses)")
+    assert(rows.head._2 > rows.last._2, "the sweep genuinely discriminates")
+  }
+
   test("q_url_normalize: canonical forms are clean and conserve all docs") {
     val rows = run("q_url_normalize").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

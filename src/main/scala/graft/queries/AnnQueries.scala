@@ -19,6 +19,55 @@ import graft.util.Det._
   */
 object AnnQueries {
 
+  /** Shared oracle fragment: per-label exact-decimal centroids and the
+    * top-2-nearest-centroid probe assignment, from the raw embeddings
+    * table. Used by q_ann_ivf AND q_ann_recall so a quantizer change
+    * (cluster count, rounding grid, tie-break) cannot desynchronize
+    * the index from its recall measurement.
+    */
+  private val ivfQuantizerDuck =
+    """expl AS (
+      |  SELECT label, unnest(generate_series(1, len(embedding))) AS ord,
+      |         unnest(embedding) AS val
+      |  FROM embeddings),
+      |cent_long AS (
+      |  SELECT label, ord,
+      |         round(CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
+      |  FROM expl GROUP BY label, ord),
+      |cent AS (SELECT label, list(c ORDER BY ord) AS ce FROM cent_long GROUP BY label),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+      |pc AS (
+      |  SELECT probe_id, label,
+      |    round(list_sum(list_transform(list_zip(pe, ce), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2c
+      |  FROM probes CROSS JOIN cent),
+      |top2 AS (SELECT probe_id, label FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d2c, label) AS cr FROM pc) t
+      |  WHERE cr <= 2)""".stripMargin
+
+  /** Spark twin of [[ivfQuantizerDuck]]'s `cent`: per-label centroids
+    * as exact-decimal means, dims reassembled in order.
+    */
+  private def ivfCentroids(e: org.apache.spark.sql.DataFrame) = e
+    .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+    .groupBy("label", "pos")
+    .agg(round(dbl(sum(col("val").cast("decimal(20,10)"))) / count(lit(1)), 6).as("c"))
+    .groupBy("label")
+    .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
+
+  /** Spark twin of [[ivfQuantizerDuck]]'s `top2`: the 2 nearest coarse
+    * centroids per probe, carrying the probe vector —
+    * (probe_id, pe, label).
+    */
+  private def ivfTop2(e: org.apache.spark.sql.DataFrame,
+                      probes: org.apache.spark.sql.DataFrame) = {
+    val wc = Window.partitionBy("probe_id").orderBy(col("d2c"), col("label"))
+    probes.join(broadcast(ivfCentroids(e)))
+      .withColumn("d2c", round(l2sq("pe", "ce"), 6))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= 2)
+      .select("probe_id", "pe", "label")
+  }
+
   private val annCosine = QueryDef(
     "q_ann_cosine",
     "Exact brute-force cosine top-10 per probe (the correctness " +
@@ -57,49 +106,22 @@ object AnnQueries {
       "probe ranks centroids by L2, scans only the top-2 clusters, " +
       "then exact top-10 within them. Sub-linear: ~2/10 of the corpus " +
       "touched per probe.",
-    Some("""WITH expl AS (
-           |  SELECT label, unnest(generate_series(1, len(embedding))) AS ord,
-           |         unnest(embedding) AS val
-           |  FROM embeddings),
-           |cent_long AS (
-           |  SELECT label, ord,
-           |         round(CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
-           |  FROM expl GROUP BY label, ord),
-           |cent AS (SELECT label, list(c ORDER BY ord) AS ce FROM cent_long GROUP BY label),
-           |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
-           |pc AS (
-           |  SELECT probe_id, label,
-           |    round(list_sum(list_transform(list_zip(pe, ce), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2c
-           |  FROM probes CROSS JOIN cent),
-           |top2 AS (SELECT probe_id, label FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d2c, label) AS cr FROM pc) t
-           |  WHERE cr <= 2),
-           |search AS (
-           |  SELECT p.probe_id, e.vec_id AS cand_id, e.label,
-           |    round(list_sum(list_transform(list_zip(p.pe, e.embedding), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6) AS d2
-           |  FROM top2 t
-           |  JOIN probes p ON p.probe_id = t.probe_id
-           |  JOIN embeddings e ON e.label = t.label AND e.vec_id >= 5),
-           |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY d2, cand_id) AS BIGINT) AS rk
-           |           FROM search)
-           |SELECT probe_id, rk, cand_id, label, d2
-           |FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
+    Some(s"""WITH $ivfQuantizerDuck,
+            |search AS (
+            |  SELECT p.probe_id, e.vec_id AS cand_id, e.label,
+            |    round(list_sum(list_transform(list_zip(p.pe, e.embedding), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6) AS d2
+            |  FROM top2 t
+            |  JOIN probes p ON p.probe_id = t.probe_id
+            |  JOIN embeddings e ON e.label = t.label AND e.vec_id >= 5),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY d2, cand_id) AS BIGINT) AS rk
+            |           FROM search)
+            |SELECT probe_id, rk, cand_id, label, d2
+            |FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
     (s, d) => {
       val e = embeddings(s, d)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
-        .groupBy("label", "pos")
-        .agg(round(dbl(sum(col("val").cast("decimal(20,10)"))) / count(lit(1)), 6).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      val wc = Window.partitionBy("probe_id").orderBy(col("d2c"), col("label"))
-      val top2 = probes.join(broadcast(cent))
-        .withColumn("d2c", round(l2sq("pe", "ce"), 6))
-        .withColumn("cr", row_number().over(wc))
-        .filter(col("cr") <= 2)
-        .select("probe_id", "pe", "label")
+      val top2 = ivfTop2(e, probes)
       val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
       e.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label"))
@@ -215,24 +237,8 @@ object AnnQueries {
       "approximate results appearing in the exact top-10. The " +
       "measurement operator that closes the ANN loop — index quality " +
       "as a number, not a hope.",
-    Some("""WITH expl AS (
-           |  SELECT label, unnest(generate_series(1, len(embedding))) AS ord,
-           |         unnest(embedding) AS val
-           |  FROM embeddings),
-           |cent_long AS (
-           |  SELECT label, ord,
-           |         round(CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
-           |  FROM expl GROUP BY label, ord),
-           |cent AS (SELECT label, list(c ORDER BY ord) AS ce FROM cent_long GROUP BY label),
-           |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+    Some(s"""WITH $ivfQuantizerDuck,
            |corpus AS (SELECT vec_id AS cand_id, embedding AS ce2, label FROM embeddings WHERE vec_id >= 5),
-           |pc AS (
-           |  SELECT probe_id, label,
-           |    round(list_sum(list_transform(list_zip(pe, ce), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2c
-           |  FROM probes CROSS JOIN cent),
-           |top2 AS (SELECT probe_id, label FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d2c, label) AS cr FROM pc) t
-           |  WHERE cr <= 2),
            |ivf AS (SELECT probe_id, cand_id FROM (
            |  SELECT t.probe_id, c.cand_id,
            |    row_number() OVER (PARTITION BY t.probe_id ORDER BY
@@ -254,19 +260,7 @@ object AnnQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       val corpus = e.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("label"))
-      // coarse quantizer: per-label centroids (exact-decimal means)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
-        .groupBy("label", "pos")
-        .agg(round(dbl(sum(col("val").cast("decimal(20,10)"))) / count(lit(1)), 6).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
-      val wc = Window.partitionBy("probe_id").orderBy(col("d2c"), col("label"))
-      val top2 = probes.join(broadcast(cent))
-        .withColumn("d2c", round(l2sq("pe", "ce"), 6))
-        .withColumn("cr", row_number().over(wc))
-        .filter(col("cr") <= 2)
-        .select("probe_id", "pe", "label")
+      val top2 = ivfTop2(e, probes)
       val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
       val ivf = corpus.join(broadcast(top2), "label")
         .withColumn("d2", round(l2sq("pe", "ce2"), 6))

@@ -158,9 +158,8 @@ object CorpusQueries {
            |    SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS w FROM documents) t
            |  WHERE len(w) >= 2 GROUP BY w),
            |pairs AS (
-           |  SELECT substr(w, i, 2) AS pair, freq
-           |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS i) s
-           |  WHERE i <= len(w) - 1),
+           |  SELECT substr(w, unnest(generate_series(1, len(w) - 1)), 2) AS pair, freq
+           |  FROM words),
            |agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair)
            |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20""".stripMargin),
     (s, d) => documents(s, d)

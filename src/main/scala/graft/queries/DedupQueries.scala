@@ -641,25 +641,34 @@ object DedupQueries {
   )
 
   /** Exact repeated-substring dedup (the Lee et al. "Deduplicating
-    * Training Data Makes Language Models Better" shape, bounded):
-    * 64-char windows at stride 32 — any ≥ 95-char verbatim overlap
-    * between two documents must contain a full aligned window, so
-    * window-hash collisions find all long verbatim reuse. Per-doc
-    * window count is n_chars/32 (linear scan work); candidate pairs
-    * come from the hash-partitioned equi-join on the window hash —
-    * never all-pairs. Distinct (doc, hash) first so within-doc repeats
-    * don't inflate pair counts.
+    * Training Data Makes Language Models Better" shape) with
+    * CONTENT-DEFINED window anchors: a position p anchors a 64-char
+    * window iff the hash of the local 8-gram at p ≡ 0 (mod 32), so
+    * window positions are a function of the TEXT, not the byte offset
+    * — a passage shared by two documents at DIFFERENT offsets anchors
+    * at the same content positions in both and yields identical
+    * window hashes (a fixed-stride grid would miss every pair whose
+    * copies are misaligned mod the stride; the anchor spec-test pins
+    * this). Recall on an L-char shared passage is 1 − (31/32)^(L−71)
+    * — the standard CDC trade, stated rather than hidden. Anchor
+    * hashing is one md5 per character (linear scan work, the real CDC
+    * cost); candidate pairs come from the hash-partitioned equi-join
+    * on the window hash — never all-pairs. Distinct (doc, hash) first
+    * so within-doc repeats don't inflate pair counts.
     */
   private val dedupSubstring = QueryDef(
     "q_dedup_substring",
-    "Repeated-substring detection: md5 over 64-char windows (stride " +
-      "32), pairs of documents sharing ≥ 1 window hash with the shared-" +
-      "window count. Catches verbatim boilerplate/quotation reuse that " +
-      "shingle Jaccard dilutes away.",
-    Some("""WITH wins AS (
+    "Repeated-substring detection via content-defined 64-char windows " +
+      "(8-gram hash ≡ 0 mod 32 anchors): doc pairs sharing ≥ 1 window " +
+      "hash, offset-independent. Catches verbatim boilerplate reuse " +
+      "that shingle Jaccard dilutes away.",
+    Some("""WITH pos AS (
+           |  SELECT doc_id, text, unnest(generate_series(1, len(text) - 63)) AS p
+           |  FROM documents WHERE len(text) >= 64),
+           |wins AS (
            |  SELECT DISTINCT doc_id, md5(substr(text, p, 64)) AS h
-           |  FROM documents, (SELECT unnest(generate_series(1, 1000000, 32)) AS p) s
-           |  WHERE p <= len(text) - 63),
+           |  FROM pos
+           |  WHERE CAST(concat('0x', substr(md5(substr(text, p, 8)), 1, 12)) AS BIGINT) % 32 = 0),
            |pairs AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
            |  FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -668,8 +677,11 @@ object DedupQueries {
     (s, d) => {
       val wins = documents(s, d)
         .filter(length(col("text")) >= 64)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text) - 63, 32), p -> md5(substring(text, p, 64)))")).as("h"))
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, length(text) - 63)")).as("p"))
+        .filter(expr(
+          "CAST(conv(substr(md5(substr(text, p, 8)), 1, 12), 16, 10) AS BIGINT) % 32 = 0"))
+        .select(col("doc_id"), expr("md5(substr(text, p, 64))").as("h"))
         .distinct()
       wins.as("a").join(wins.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -738,7 +750,7 @@ object DedupQueries {
     * before committing a threshold to a 100 TB dedup run (too low
     * merges distinct docs, too high leaves twins). Unlike the shared
     * fixed-perturbation planting, the sweep plants VARIABLE-strength
-    * twins (0/2/4/6 appended words by doc_id % 4) so the four gates
+    * twins (0/4/8/12 appended words by doc_id % 4) so the four gates
     * genuinely discriminate — exact dups survive every threshold,
     * weak twins only the low ones. All four gates are exact integer
     * rationals evaluated as conditional counts in a single

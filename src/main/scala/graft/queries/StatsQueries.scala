@@ -178,7 +178,7 @@ object StatsQueries {
            |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
            |      FROM p WHERE y IS NOT NULL AND gap = 1 GROUP BY 1)
            |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-           |       CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+           |       CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
            |            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
            |                       / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
            |                              * CAST(n*syy - sy*sy AS DOUBLE)), 6)
@@ -203,8 +203,10 @@ object StatsQueries {
       val d1 = col("n") * col("sxx") - col("sx") * col("sx")
       val d2 = col("n") * col("syy") - col("sy") * col("sy")
       val num = col("n") * col("sxy") - col("sx") * col("sy")
+      // separate zero checks: the BIGINT product d1·d2 overflows Long
+      // (ANSI throw) once the series is long/bursty enough
       m.select(col("event_type"), lng(col("n")).as("n_pairs"),
-          when(d1 * d2 === 0, lit(null))
+          when(d1 === 0 || d2 === 0, lit(null))
             .otherwise(round(dbl(num) / sqrt(dbl(d1) * dbl(d2)), 6)).as("r"))
         .orderBy("event_type")
     }
@@ -393,7 +395,7 @@ object StatsQueries {
            |        sum(cx*cy) AS sxy, sum(cx*cx) AS sxx, sum(cy*cy) AS syy
            |      FROM pairs GROUP BY lag)
            |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
-           |       CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+           |       CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
            |            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
            |                       / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
            |                              * CAST(n*syy - sy*sy AS DOUBLE)), 6)
@@ -423,9 +425,12 @@ object StatsQueries {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      // zero guard tests each variance factor separately: their BIGINT
+      // product (~n²·var² ≈ 1e20 at sf0.1 event volumes) would overflow
+      // Long under Spark 4's ANSI mode; each factor alone is ~1e10
       m.select(lng(col("lag")).as("lag"), lng(col("n")).as("n_pairs"),
-          when((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(null))
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+            col("n") * col("syy") - col("sy") * col("sy") === 0, lit(null))
             .otherwise(round(dbl(col("n") * col("sxy") - col("sx") * col("sy")) /
               sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx")) *
                 dbl(col("n") * col("syy") - col("sy") * col("sy"))), 6))

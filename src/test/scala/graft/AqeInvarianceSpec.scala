@@ -31,6 +31,10 @@ class AqeInvarianceSpec extends AnyFunSuite {
       val base = collectNow(key)
       try {
         conf.set("spark.sql.adaptive.enabled", "false")
+        // the CacheManager substitutes plan-matched cached stages from
+        // the baseline run — without clearing, persisted subtrees would
+        // never actually execute under the toggled setting
+        spark.sharedState.cacheManager.clearCache()
         assert(collectNow(key) == base, s"$key changed with AQE disabled")
       } finally orig match {
         case Some(v) => conf.set("spark.sql.adaptive.enabled", v)

@@ -30,19 +30,46 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(back > 0, "reverse pairs present")
   }
 
-  test("q_dedup_substring: reported pairs genuinely share a 64-char window") {
+  // content-defined window helpers mirroring q_dedup_substring's
+  // anchor rule: position p anchors iff md5(8-gram at p) ≡ 0 (mod 32)
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def cdcWins(s: String): Set[String] =
+    (1 to s.length - 63).iterator
+      .filter(p => java.lang.Long.parseLong(
+        md5hex(s.substring(p - 1, p + 7)).substring(0, 12), 16) % 32 == 0)
+      .map(p => s.substring(p - 1, p + 63)).toSet
+
+  test("q_dedup_substring: reported pairs genuinely share an anchored window") {
     val pairs = run("q_dedup_substring").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.nonEmpty, "the corpus has verbatim reuse")
     val text = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    def wins(s: String): Set[String] =
-      (1 to (s.length - 63) by 32).map(p => s.substring(p - 1, p + 63)).toSet
     pairs.take(10).foreach { case (a, b, n) =>
-      val shared = wins(text(a)).intersect(wins(text(b)))
+      val shared = cdcWins(text(a)).intersect(cdcWins(text(b)))
       assert(shared.size == n, s"pair ($a,$b) shared-window count")
     }
+  }
+
+  test("q_dedup_substring: anchors are offset-independent (the CDC point)") {
+    // the same passage planted at DIFFERENT offsets must still share
+    // windows — the failure mode a fixed-stride grid cannot avoid
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val passage = texts.find { t =>
+      // needs an interior anchor clear of both passage edges
+      t.length >= 200 && cdcWins(t.substring(0, 200)).nonEmpty
+    }.map(_.substring(0, 200)).getOrElse(fail("no anchored passage"))
+    val inA = "left pad " + passage + " tail"
+    val inB = "a differently sized preamble here: " + passage + " other"
+    val shared = cdcWins(inA).intersect(cdcWins(inB))
+    assert(shared.nonEmpty,
+      "misaligned copies of one passage must share anchored windows")
+    assert(shared.forall(passage.contains),
+      "shared windows come from the common passage")
   }
 
   test("q_bpe_pairs: top-20 matches a plain-Scala recount") {

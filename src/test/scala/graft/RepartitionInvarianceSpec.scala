@@ -38,6 +38,9 @@ class RepartitionInvarianceSpec extends AnyFunSuite {
       val base = collectNow(key)
       try {
         conf.set("spark.sql.shuffle.partitions", "3")
+        // drop plan-matched cached stages from the baseline run so the
+        // toggled run actually re-executes persisted subtrees
+        spark.sharedState.cacheManager.clearCache()
         assert(collectNow(key) == base,
           s"$key changed under 3 shuffle partitions")
       } finally conf.set("spark.sql.shuffle.partitions", orig)

@@ -68,6 +68,35 @@ object AnnQueries {
       .select("probe_id", "pe", "label")
   }
 
+  /** Shared oracle fragment: the exact full-corpus L2 top-10 per probe
+    * (`exact(probe_id, cand_id)`) with its own whole-vector
+    * `wprobes` / `corpus` CTEs. The ground-truth arm both recall
+    * measurements (IVF and PQ) are judged against — shared so the
+    * truth cannot drift between them.
+    */
+  private val exactL2Top10Duck =
+    """wprobes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+      |corpus AS (SELECT vec_id AS cand_id, embedding AS ce2, label FROM embeddings WHERE vec_id >= 5),
+      |exact AS (SELECT probe_id, cand_id FROM (
+      |  SELECT p.probe_id, c.cand_id,
+      |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+      |      round(list_sum(list_transform(list_zip(p.pe, c.ce2), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6), c.cand_id) AS rk
+      |  FROM wprobes p CROSS JOIN corpus c) s WHERE rk <= 10)""".stripMargin
+
+  /** Spark twin of [[exactL2Top10Duck]]: (probe_id, cand_id). */
+  private def exactL2Top10(e: org.apache.spark.sql.DataFrame) = {
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce2"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
+    corpus.join(broadcast(probes))
+      .withColumn("d2", round(l2sq("pe", "ce2"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("probe_id", "cand_id")
+  }
+
   private val annCosine = QueryDef(
     "q_ann_cosine",
     "Exact brute-force cosine top-10 per probe (the correctness " +
@@ -238,18 +267,13 @@ object AnnQueries {
       "measurement operator that closes the ANN loop — index quality " +
       "as a number, not a hope.",
     Some(s"""WITH $ivfQuantizerDuck,
-           |corpus AS (SELECT vec_id AS cand_id, embedding AS ce2, label FROM embeddings WHERE vec_id >= 5),
+           |$exactL2Top10Duck,
            |ivf AS (SELECT probe_id, cand_id FROM (
            |  SELECT t.probe_id, c.cand_id,
            |    row_number() OVER (PARTITION BY t.probe_id ORDER BY
            |      round(list_sum(list_transform(list_zip(p.pe, c.ce2), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6), c.cand_id) AS rk
            |  FROM top2 t JOIN probes p ON p.probe_id = t.probe_id
-           |  JOIN corpus c ON c.label = t.label) s WHERE rk <= 10),
-           |exact AS (SELECT probe_id, cand_id FROM (
-           |  SELECT p.probe_id, c.cand_id,
-           |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
-           |      round(list_sum(list_transform(list_zip(p.pe, c.ce2), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6), c.cand_id) AS rk
-           |  FROM probes p CROSS JOIN corpus c) s WHERE rk <= 10)
+           |  JOIN corpus c ON c.label = t.label) s WHERE rk <= 10)
            |SELECT e.probe_id, CAST(count(i.cand_id) AS BIGINT) AS hits,
            |       round(count(i.cand_id) / 10.0, 6) AS recall_at_10
            |FROM exact e LEFT JOIN ivf i ON e.probe_id = i.probe_id AND e.cand_id = i.cand_id
@@ -267,12 +291,7 @@ object AnnQueries {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .select("probe_id", "cand_id")
-      val exact = corpus.join(broadcast(probes))
-        .withColumn("d2", round(l2sq("pe", "ce2"), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
-        .select(col("probe_id"), col("cand_id"))
-      exact.join(ivf.withColumn("hit", lit(1)),
+      exactL2Top10(e).join(ivf.withColumn("hit", lit(1)),
           Seq("probe_id", "cand_id"), "left")
         .groupBy("probe_id")
         .agg(lng(count(col("hit"))).as("hits"),
@@ -292,90 +311,106 @@ object AnnQueries {
     * ADC sums go through DECIMAL(18,6) so adding 8 per-subspace
     * distances is order-exact.
     */
+  /** Shared oracle fragment: the full PQ pipeline — subvector slicing,
+    * deterministic-seed init, one Lloyd step, corpus encoding, and the
+    * ADC distance table — ending in `adc(probe_id, cand_id, adc_d2)`.
+    * Used by q_ann_pq AND q_pq_recall so a pipeline change (subspace
+    * count, codebook size, seeding) cannot desynchronize the index
+    * from its recall measurement. (`probes` here is the SUBVECTOR
+    * probe table; the exact arm's whole-vector probes live in
+    * [[exactL2Top10Duck]] as `wprobes`.)
+    */
+  private val pqAdcDuck =
+    """sub AS (SELECT unnest(generate_series(0, 7)) AS sid),
+      |vecs AS (
+      |  SELECT vec_id, sid, list_transform(embedding[1 + sid*8 : 8 + sid*8], x -> CAST(x AS DOUBLE)) AS sv
+      |  FROM embeddings CROSS JOIN sub),
+      |init AS (
+      |  SELECT sid, vec_id - 5 AS cw, sv AS cv FROM vecs WHERE vec_id >= 5 AND vec_id < 21),
+      |assign AS (
+      |  SELECT vec_id, sid, cw, sv FROM (
+      |    SELECT v.vec_id, v.sid, i.cw, v.sv,
+      |      row_number() OVER (PARTITION BY v.vec_id, v.sid ORDER BY
+      |        round(list_sum(list_transform(list_zip(v.sv, i.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), i.cw) AS rk
+      |    FROM vecs v JOIN init i ON i.sid = v.sid
+      |    WHERE v.vec_id >= 5) t WHERE rk = 1),
+      |cb_long AS (
+      |  SELECT sid, cw, d.ord,
+      |    round(CAST(sum(CAST(sv[d.ord] AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
+      |  FROM assign CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS ord) d
+      |  GROUP BY 1, 2, 3),
+      |cb AS (SELECT sid, cw, list(c ORDER BY ord) AS cv FROM cb_long GROUP BY sid, cw),
+      |enc AS (
+      |  SELECT vec_id, sid, cw FROM (
+      |    SELECT v.vec_id, v.sid, c.cw,
+      |      row_number() OVER (PARTITION BY v.vec_id, v.sid ORDER BY
+      |        round(list_sum(list_transform(list_zip(v.sv, c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), c.cw) AS rk
+      |    FROM vecs v JOIN cb c ON c.sid = v.sid
+      |    WHERE v.vec_id >= 5) t WHERE rk = 1),
+      |probes AS (SELECT vec_id AS probe_id, sid, sv FROM vecs WHERE vec_id < 5),
+      |dist AS (
+      |  SELECT p.probe_id, c.sid, c.cw,
+      |    round(list_sum(list_transform(list_zip(p.sv, c.cv), q -> (q[1]-q[2])*(q[1]-q[2]))), 6) AS d2
+      |  FROM probes p JOIN cb c ON c.sid = p.sid),
+      |adc AS (
+      |  SELECT d.probe_id, e.vec_id AS cand_id,
+      |         CAST(sum(CAST(d.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+      |  FROM enc e JOIN dist d ON d.sid = e.sid AND d.cw = e.cw
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Spark twin of [[pqAdcDuck]]: (probe_id, cand_id, adc_d2). */
+  private def pqAdc(e: org.apache.spark.sql.DataFrame) = {
+    // slice every vector into 8 double-promoted subvectors
+    val vecs = e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sid"),
+        col("embedding"))
+      .withColumn("sv", expr(
+        "transform(slice(embedding, 1 + sid * 8, 8), x -> CAST(x AS DOUBLE))"))
+      .select("vec_id", "sid", "sv")
+    val corpus = vecs.filter(col("vec_id") >= 5)
+    val init = vecs.filter(col("vec_id") >= 5 && col("vec_id") < 21)
+      .select(col("sid"), (col("vec_id") - 5).as("cw"), col("sv").as("cv"))
+    val wAsg = Window.partitionBy("vec_id", "sid").orderBy(col("d2"), col("cw"))
+    val assign = corpus.join(broadcast(init), "sid")
+      .withColumn("d2", round(l2sq("sv", "cv"), 6))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sid", "cw", "sv")
+    // one Lloyd step: exact-decimal re-mean per (sid, cw, dim)
+    val cb = assign
+      .select(col("sid"), col("cw"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("sid", "cw", "pos")
+      .agg(round(dbl(sum(col("v").cast("decimal(20,10)"))) / count(lit(1)), 6).as("c"))
+      .groupBy("sid", "cw")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .persist()
+    val enc = corpus.join(broadcast(cb), "sid")
+      .withColumn("d2", round(l2sq("sv", "cv"), 6))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sid", "cw")
+    val dist = vecs.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(broadcast(cb), "sid")
+      .withColumn("d2", round(l2sq("sv", "cv"), 6))
+      .select("probe_id", "sid", "cw", "d2")
+    enc.join(broadcast(dist), Seq("sid", "cw"))
+      .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
+      .agg(dbl(sum(col("d2").cast("decimal(18,6)"))).as("adc_d2"))
+  }
+
   private val annPq = QueryDef(
     "q_ann_pq",
     "PQ ANN: 8 subspaces × 16 codewords (1 Lloyd step from " +
       "deterministic seeds), corpus encoded to 8 codes/vector, " +
       "asymmetric-distance top-10 per probe from the broadcast " +
       "probe×codeword distance table.",
-    Some("""WITH sub AS (SELECT unnest(generate_series(0, 7)) AS sid),
-           |vecs AS (
-           |  SELECT vec_id, sid, list_transform(embedding[1 + sid*8 : 8 + sid*8], x -> CAST(x AS DOUBLE)) AS sv
-           |  FROM embeddings CROSS JOIN sub),
-           |init AS (
-           |  SELECT sid, vec_id - 5 AS cw, sv AS cv FROM vecs WHERE vec_id >= 5 AND vec_id < 21),
-           |assign AS (
-           |  SELECT vec_id, sid, cw, sv FROM (
-           |    SELECT v.vec_id, v.sid, i.cw, v.sv,
-           |      row_number() OVER (PARTITION BY v.vec_id, v.sid ORDER BY
-           |        round(list_sum(list_transform(list_zip(v.sv, i.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), i.cw) AS rk
-           |    FROM vecs v JOIN init i ON i.sid = v.sid
-           |    WHERE v.vec_id >= 5) t WHERE rk = 1),
-           |cb_long AS (
-           |  SELECT sid, cw, d.ord,
-           |    round(CAST(sum(CAST(sv[d.ord] AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
-           |  FROM assign CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS ord) d
-           |  GROUP BY 1, 2, 3),
-           |cb AS (SELECT sid, cw, list(c ORDER BY ord) AS cv FROM cb_long GROUP BY sid, cw),
-           |enc AS (
-           |  SELECT vec_id, sid, cw FROM (
-           |    SELECT v.vec_id, v.sid, c.cw,
-           |      row_number() OVER (PARTITION BY v.vec_id, v.sid ORDER BY
-           |        round(list_sum(list_transform(list_zip(v.sv, c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), c.cw) AS rk
-           |    FROM vecs v JOIN cb c ON c.sid = v.sid
-           |    WHERE v.vec_id >= 5) t WHERE rk = 1),
-           |probes AS (SELECT vec_id AS probe_id, sid, sv FROM vecs WHERE vec_id < 5),
-           |dist AS (
-           |  SELECT p.probe_id, c.sid, c.cw,
-           |    round(list_sum(list_transform(list_zip(p.sv, c.cv), q -> (q[1]-q[2])*(q[1]-q[2]))), 6) AS d2
-           |  FROM probes p JOIN cb c ON c.sid = p.sid),
-           |adc AS (
-           |  SELECT d.probe_id, e.vec_id AS cand_id,
-           |         CAST(sum(CAST(d.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
-           |  FROM enc e JOIN dist d ON d.sid = e.sid AND d.cw = e.cw
-           |  GROUP BY 1, 2)
-           |SELECT probe_id, rk, cand_id, adc_d2 FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adc_d2, cand_id) AS BIGINT) AS rk
-           |  FROM adc) t WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
+    Some(s"""WITH $pqAdcDuck
+            |SELECT probe_id, rk, cand_id, adc_d2 FROM (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adc_d2, cand_id) AS BIGINT) AS rk
+            |  FROM adc) t WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
     (s, d) => {
-      val e = embeddings(s, d)
-      // slice every vector into 8 double-promoted subvectors
-      val vecs = e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sid"),
-          col("embedding"))
-        .withColumn("sv", expr(
-          "transform(slice(embedding, 1 + sid * 8, 8), x -> CAST(x AS DOUBLE))"))
-        .select("vec_id", "sid", "sv")
-      val corpus = vecs.filter(col("vec_id") >= 5)
-      val init = vecs.filter(col("vec_id") >= 5 && col("vec_id") < 21)
-        .select(col("sid"), (col("vec_id") - 5).as("cw"), col("sv").as("cv"))
-      val wAsg = Window.partitionBy("vec_id", "sid").orderBy(col("d2"), col("cw"))
-      val assign = corpus.join(broadcast(init), "sid")
-        .withColumn("d2", round(l2sq("sv", "cv"), 6))
-        .withColumn("rk", row_number().over(wAsg))
-        .filter(col("rk") === 1)
-        .select("vec_id", "sid", "cw", "sv")
-      // one Lloyd step: exact-decimal re-mean per (sid, cw, dim)
-      val cb = assign
-        .select(col("sid"), col("cw"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("sid", "cw", "pos")
-        .agg(round(dbl(sum(col("v").cast("decimal(20,10)"))) / count(lit(1)), 6).as("c"))
-        .groupBy("sid", "cw")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
-        .persist()
-      val enc = corpus.join(broadcast(cb), "sid")
-        .withColumn("d2", round(l2sq("sv", "cv"), 6))
-        .withColumn("rk", row_number().over(wAsg))
-        .filter(col("rk") === 1)
-        .select("vec_id", "sid", "cw")
-      val dist = vecs.filter(col("vec_id") < 5)
-        .withColumnRenamed("vec_id", "probe_id")
-        .join(broadcast(cb), "sid")
-        .withColumn("d2", round(l2sq("sv", "cv"), 6))
-        .select("probe_id", "sid", "cw", "d2")
       val wTop = Window.partitionBy("probe_id").orderBy(col("adc_d2"), col("cand_id"))
-      enc.join(broadcast(dist), Seq("sid", "cw"))
-        .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
-        .agg(dbl(sum(col("d2").cast("decimal(18,6)"))).as("adc_d2"))
+      pqAdc(embeddings(s, d))
         .withColumn("rk", lng(row_number().over(wTop)))
         .filter(col("rk") <= 10)
         .select("probe_id", "rk", "cand_id", "adc_d2")
@@ -383,6 +418,42 @@ object AnnQueries {
     }
   )
 
+  /** Recall@10 of the PQ arm vs the same exact ground truth q_ann_recall
+    * uses — together the two recall keys read out the accuracy cost of
+    * each compression axis (IVF prunes candidates, PQ compresses
+    * geometry), which is exactly the comparison an index-tuning pass
+    * makes.
+    */
+  private val pqRecall = QueryDef(
+    "q_pq_recall",
+    "Recall@10 of PQ ADC vs exact L2 top-10 per probe — the " +
+      "measurement that prices the 32× vector compression in lost " +
+      "neighbors.",
+    Some(s"""WITH $pqAdcDuck,
+            |$exactL2Top10Duck,
+            |pq10 AS (SELECT probe_id, cand_id FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_d2, cand_id) AS rk
+            |  FROM adc) t WHERE rk <= 10)
+            |SELECT e.probe_id, CAST(count(p.cand_id) AS BIGINT) AS hits,
+            |       round(count(p.cand_id) / 10.0, 6) AS recall_at_10
+            |FROM exact e LEFT JOIN pq10 p ON e.probe_id = p.probe_id AND e.cand_id = p.cand_id
+            |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val wTop = Window.partitionBy("probe_id").orderBy(col("adc_d2"), col("cand_id"))
+      val pq10 = pqAdc(e)
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "cand_id")
+      exactL2Top10(e).join(pq10.withColumn("hit", lit(1)),
+          Seq("probe_id", "cand_id"), "left")
+        .groupBy("probe_id")
+        .agg(lng(count(col("hit"))).as("hits"),
+          round(dbl(count(col("hit"))) / lit(10.0), 6).as("recall_at_10"))
+        .orderBy("probe_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
-    annPq)
+    annPq, pqRecall)
 }

@@ -256,13 +256,17 @@ class CurationExtrasSpec extends AnyFunSuite {
       "the bounded hour grid must join broadcast, not shuffle")
   }
 
-  test("q_ann_recall: one row per probe, hits within bounds, recall = hits/10") {
-    val rows = run("q_ann_recall").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
-    rows.foreach { case (_, hits, rec) =>
-      assert(hits >= 0 && hits <= 10)
-      assert(rec == hits / 10.0)
+  test("recall keys: one row per probe, hits within bounds, recall = hits/10") {
+    for (key <- Seq("q_ann_recall", "q_pq_recall")) {
+      val rows = run(key).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L), key)
+      rows.foreach { case (_, hits, rec) =>
+        assert(hits >= 0 && hits <= 10, key)
+        assert(rec == hits / 10.0, key)
+      }
+      assert(rows.exists(_._2 > 0), s"$key: an index this coarse still " +
+        "finds SOME true neighbors — all-zero recall means a broken arm")
     }
   }
 }

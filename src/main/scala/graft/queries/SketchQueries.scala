@@ -126,5 +126,75 @@ object SketchQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantile, heavyHitters)
+  /** Mergeable KMV (k-minimum-values) distinct sketch — unlike
+    * q_approx_distinct's HLL (engine-internal, only GATED against the
+    * exact answer), KMV built on the shared md5-48bit idiom is
+    * bit-identical in both engines, so the sketch VALUES cross the
+    * oracle boundary. The op demonstrates the property that makes
+    * sketches the 100 TB pattern: per-group sketches (128 smallest
+    * hash values) MERGE by unioning and re-taking the 128 smallest —
+    * associative, bounded state, no re-scan — and the merged estimate
+    * (k−1)·2⁴⁸/kth prices the whole corpus from 5 tiny sketches.
+    * Groups below k fall back to exact (k_used < k ⇒ the sketch IS
+    * the set). The merged k-smallest uses sort+limit
+    * (TakeOrderedAndProject over ≤ 5k rows), never a global window.
+    */
+  private val sketchMerge = QueryDef(
+    "q_sketch_merge",
+    "Mergeable KMV distinct sketch: per-priority 128-minimum md5 " +
+      "sketches of the order keys, merged by union + re-take — exact, " +
+      "estimate, and error per group and for the merged whole.",
+    Some("""WITH h AS (SELECT DISTINCT o_orderpriority AS grp,
+           |             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+           |           FROM orders),
+           |ranked AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk FROM h),
+           |sk AS (SELECT grp, hv FROM ranked WHERE rk <= 128),
+           |per_grp AS (
+           |  SELECT grp AS scope,
+           |         (SELECT CAST(count(*) AS BIGINT) FROM h h2 WHERE h2.grp = s.grp) AS n_exact,
+           |         CAST(max(hv) AS BIGINT) AS kth_min, CAST(count(*) AS BIGINT) AS k_used
+           |  FROM sk s GROUP BY grp),
+           |mr AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM (SELECT DISTINCT hv FROM sk) u),
+           |merged AS (
+           |  SELECT 'ALL' AS scope, (SELECT CAST(count(DISTINCT hv) AS BIGINT) FROM h) AS n_exact,
+           |         CAST(max(hv) AS BIGINT) AS kth_min, CAST(count(*) AS BIGINT) AS k_used
+           |  FROM mr WHERE rk <= 128),
+           |unioned AS (SELECT * FROM per_grp UNION ALL SELECT * FROM merged)
+           |SELECT scope, n_exact,
+           |       CASE WHEN k_used < 128 THEN CAST(n_exact AS DOUBLE)
+           |            ELSE round(127.0 * 281474976710656 / kth_min, 3) END AS n_est,
+           |       round(abs(CASE WHEN k_used < 128 THEN CAST(n_exact AS DOUBLE)
+           |                      ELSE round(127.0 * 281474976710656 / kth_min, 3) END - n_exact)
+           |             * 100.0 / n_exact, 3) AS err_pct
+           |FROM unioned ORDER BY scope""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = orders(s, d).select(col("o_orderpriority").as("grp"),
+          expr("CAST(conv(substr(md5(cast(o_orderkey as string)), 1, 12), 16, 10) AS BIGINT)").as("hv"))
+        .distinct().persist()
+      val wg = Window.partitionBy("grp").orderBy("hv")
+      val sk = h.withColumn("rk", row_number().over(wg))
+        .filter(col("rk") <= 128).select("grp", "hv").persist()
+      val perGrp = sk.groupBy("grp")
+        .agg(max("hv").as("kth_min"), lng(count(lit(1))).as("k_used"))
+        .join(h.groupBy("grp").agg(lng(count(lit(1))).as("n_exact")), "grp")
+        .select(col("grp").as("scope"), col("n_exact"), col("kth_min"), col("k_used"))
+      // merge = union the per-group sketches, re-take the k smallest:
+      // sort+limit over ≤ 5k rows (TakeOrderedAndProject, no window)
+      val merged = sk.select("hv").distinct().orderBy("hv").limit(128)
+        .agg(max("hv").as("kth_min"), lng(count(lit(1))).as("k_used"))
+        .crossJoin(h.agg(lng(countDistinct(col("hv"))).as("n_exact")))
+        .select(lit("ALL").as("scope"), col("n_exact"), col("kth_min"), col("k_used"))
+      val est = when(col("k_used") < 128, dbl(col("n_exact")))
+        .otherwise(round(lit(127.0) * lit(281474976710656L) / col("kth_min"), 3))
+      perGrp.unionByName(merged)
+        .select(col("scope"), col("n_exact"), est.as("n_est"),
+          round(abs(est - col("n_exact")) * lit(100.0) / col("n_exact"), 3)
+            .as("err_pct"))
+        .orderBy("scope")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantile, heavyHitters,
+    sketchMerge)
 }

@@ -232,6 +232,25 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(rows.head._2 > rows.last._2, "the sweep genuinely discriminates")
   }
 
+  test("q_sketch_merge: estimates bounded, small groups exact, merge row present") {
+    val rows = run("q_sketch_merge").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.exists(_._1 == "ALL"), "merged scope present")
+    val exactAll = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey").distinct().count()
+    assert(rows.find(_._1 == "ALL").get._2 == exactAll, "merged exact count")
+    rows.foreach { case (scope, nExact, nEst, errPct) =>
+      if (nExact < 128) assert(nEst == nExact.toDouble,
+        s"$scope below k must be exact")
+      // KMV with k=128 has rsd ≈ 9%; 35% is ~4σ — beyond it the
+      // estimator (not luck) is broken
+      assert(errPct < 35.0, s"$scope estimate error $errPct%")
+      assert(nEst > 0)
+    }
+    val grpSum = rows.filter(_._1 != "ALL").map(_._2).sum
+    assert(grpSum == exactAll, "priorities partition the key space")
+  }
+
   test("q_url_normalize: canonical forms are clean and conserve all docs") {
     val rows = run("q_url_normalize").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -195,6 +195,66 @@ object SketchQueries {
     }
   )
 
+  /** Mergeable bottom-k-by-hash SAMPLING for quantiles — the quantile
+    * companion to [[sketchMerge]]: the 128 events with the smallest
+    * md5(event_id) per group form a uniform sample WITHOUT replacement
+    * whose membership is a pure function of the data (engine-shared,
+    * partition-independent), and samples merge exactly like KMV
+    * sketches — union, re-take the 128 smallest. Medians (exact and
+    * sampled) use the percentile ≡ quantile_cont parity q_quantiles
+    * already proves. The merged re-take is sort+limit, never a global
+    * window.
+    */
+  private val sampleQuantile = QueryDef(
+    "q_sample_quantile",
+    "Mergeable hash-sample quantiles: per-type 128-event bottom-k-by-" +
+      "md5 samples, merged by union + re-take; exact vs sampled median " +
+      "with absolute error, per group and for the merged whole.",
+    Some("""WITH h AS (SELECT event_type AS grp, value,
+           |             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+           |           FROM events),
+           |ranked AS (SELECT grp, value, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk FROM h),
+           |samp AS (SELECT grp, value, hv FROM ranked WHERE rk <= 128),
+           |per_grp AS (
+           |  SELECT grp AS scope, (SELECT CAST(count(*) AS BIGINT) FROM h h2 WHERE h2.grp = s.grp) AS n,
+           |         round((SELECT quantile_cont(value, 0.5) FROM h h2 WHERE h2.grp = s.grp), 6) AS exact_med,
+           |         round(quantile_cont(value, 0.5), 6) AS est_med
+           |  FROM samp s GROUP BY grp),
+           |gs AS (SELECT value FROM (SELECT value, hv, row_number() OVER (ORDER BY hv) AS rk
+           |                          FROM (SELECT DISTINCT value, hv FROM samp) u) t WHERE rk <= 128),
+           |merged AS (
+           |  SELECT 'ALL' AS scope, (SELECT CAST(count(*) AS BIGINT) FROM h) AS n,
+           |         round((SELECT quantile_cont(value, 0.5) FROM h), 6) AS exact_med,
+           |         round((SELECT quantile_cont(value, 0.5) FROM gs), 6) AS est_med)
+           |SELECT scope, n, exact_med, est_med, round(abs(est_med - exact_med), 6) AS abs_err
+           |FROM (SELECT * FROM per_grp UNION ALL SELECT * FROM merged) ORDER BY scope""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = events(s, d).select(col("event_type").as("grp"), col("value"),
+          expr("CAST(conv(substr(md5(cast(event_id as string)), 1, 12), 16, 10) AS BIGINT)").as("hv"))
+        .persist()
+      val wg = Window.partitionBy("grp").orderBy("hv")
+      val samp = h.withColumn("rk", row_number().over(wg))
+        .filter(col("rk") <= 128).select("grp", "value", "hv").persist()
+      val perGrp = h.groupBy("grp")
+        .agg(lng(count(lit(1))).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("exact_med"))
+        .join(samp.groupBy("grp")
+          .agg(round(expr("percentile(value, 0.5)"), 6).as("est_med")), "grp")
+        .select(col("grp").as("scope"), col("n"), col("exact_med"), col("est_med"))
+      val merged = samp.select("value", "hv").distinct()
+        .orderBy("hv").limit(128)
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("est_med"))
+        .crossJoin(h.agg(lng(count(lit(1))).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("exact_med")))
+        .select(lit("ALL").as("scope"), col("n"), col("exact_med"), col("est_med"))
+      perGrp.unionByName(merged)
+        .select(col("scope"), col("n"), col("exact_med"), col("est_med"),
+          round(abs(col("est_med") - col("exact_med")), 6).as("abs_err"))
+        .orderBy("scope")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(approxDistinct, approxQuantile, heavyHitters,
-    sketchMerge)
+    sketchMerge, sampleQuantile)
 }

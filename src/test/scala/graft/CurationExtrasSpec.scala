@@ -251,6 +251,27 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(grpSum == exactAll, "priorities partition the key space")
   }
 
+  test("q_sample_quantile: sample medians near exact, merge row present") {
+    val rows = run("q_sample_quantile").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.exists(_._1 == "ALL"))
+    val (vMin, vMax) = {
+      val vs = graft.core.Tables.events(spark, sf)
+        .select("value").collect().map(_.getDouble(0))
+      (vs.min, vs.max)
+    }
+    rows.foreach { case (scope, n, exact, est, err) =>
+      assert(n > 0)
+      assert(exact >= vMin && exact <= vMax, s"$scope exact median in range")
+      assert(est >= vMin && est <= vMax, s"$scope sample median in range")
+      assert(err == math.abs(BigDecimal(est - exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), s"$scope err")
+      // a 128-point uniform sample's median is a consistent estimator;
+      // an error beyond a third of the value range means a broken arm
+      assert(err < (vMax - vMin) / 3, s"$scope error $err implausible")
+    }
+  }
+
   test("q_url_normalize: canonical forms are clean and conserve all docs") {
     val rows = run("q_url_normalize").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -24,6 +24,80 @@ object GraphQueries {
 
   private val Scale = 1000000000000L // 1e12 microrank units = rank 1.0
 
+  /** Node-count ceiling for the broadcast-rank regime. A rank row is
+    * two longs (~16 B + row overhead), so 2M nodes ≈ 50–80 MB broadcast
+    * — the sensible upper bound for per-iteration rebroadcast. Above
+    * it the loop switches to the co-partitioned join regime below.
+    * Overridable (mainly for tests) via this session conf.
+    */
+  private[graft] val BroadcastMaxNodesConf =
+    "spark.graft.pagerank.broadcastMaxNodes"
+  private val DefaultBroadcastMaxNodes = 2000000L
+
+  /** Everything a caller (the graded query, or a plan-shape spec) needs
+    * from one PageRank build: the unsorted (id, microrank) result, the
+    * persisted edge table to unpersist after materialization, and which
+    * regime the node count selected.
+    */
+  private[graft] final case class PagerankBuild(
+      ranks: DataFrame, persistedEdges: DataFrame, broadcastRegime: Boolean)
+
+  /** Three fixed-point iterations with a SIZE-CONDITIONAL rank-join
+    * strategy. The node count (one bounded count over the persisted
+    * degree table — rows = nodes) picks the regime:
+    *
+    *   - nodes ≤ broadcastMaxNodes: the node-sized rank table is
+    *     broadcast against the persisted edge list each iteration —
+    *     edges never shuffle at all;
+    *   - nodes > broadcastMaxNodes: the edge list is pre-partitioned by
+    *     `src` ONCE (and persisted with that partitioning), and each
+    *     iteration's rank table arrives already hash-partitioned on its
+    *     id (it is the output of the previous groupBy("id")), so the
+    *     per-iteration join is co-partitioned and the only shuffle per
+    *     iteration is the unavoidable contribution sum by dst.
+    *
+    * Both regimes run identical integer arithmetic, so they are
+    * bit-identical (GraphShapesSpec pins this plus the join strategy
+    * of each regime).
+    */
+  private[graft] def buildPagerank(s: SparkSession, d: String): PagerankBuild = {
+    val e = edges(s, d).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    // every node appears as a src (edges are symmetric), so the degree
+    // table IS the node list — no second distinct pass over the edges
+    val nodes = deg.select(col("src").as("id"))
+    // bounded driver job: one row per node group, counted not collected
+    val nNodes = deg.count()
+    val maxBroadcast = s.conf
+      .getOption(BroadcastMaxNodesConf).map(_.toLong)
+      .getOrElse(DefaultBroadcastMaxNodes)
+    val broadcastRegime = nNodes <= maxBroadcast
+    val n = nodes.agg(count(lit(1)).as("n"))
+    val eDegBase = e.join(deg, "src") // (src, dst, outdeg), reused each iter
+    val eDeg =
+      (if (broadcastRegime) eDegBase else eDegBase.repartition(col("src")))
+        .persist()
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("id"), expr(s"${Scale}L div n").as("rank"))
+    for (_ <- 1 to 3) {
+      val rankBySrc = {
+        val r = ranks.withColumnRenamed("id", "src")
+        if (broadcastRegime) broadcast(r) else r
+      }
+      val contrib = eDeg
+        .join(rankBySrc, "src")
+        .select(col("dst").as("id"), expr("rank div outdeg").as("part"))
+        .groupBy("id").agg(sum(col("part")).as("c"))
+      ranks = nodes.crossJoin(broadcast(n))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (expr(s"${15 * Scale}L div (100 * n)") +
+            expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
+    }
+    val out = ranks.select(col("id"), lng(col("rank")).as("microrank"))
+    PagerankBuild(out, e, broadcastRegime)
+  }
+
   /** Undirected bipartite trade edges: customer c ↔ supplier 100000+s
     * for every (custkey, suppkey) pair that traded. Both directions are
     * materialized, so every node in the edge set has outdegree ≥ 1 —
@@ -46,12 +120,14 @@ object GraphQueries {
       "undirected customer–supplier trade graph, in exact BIGINT " +
       "microrank arithmetic (see object scaladoc — floor division " +
       "makes every iteration engine- and partitioning-exact). Each " +
-      "iteration BROADCASTS the node-sized rank table against the " +
-      "persisted edge list (edges never re-shuffle) and runs one " +
-      "map-side-combining sum per destination; at node counts past " +
-      "broadcast range the same loop switches to a co-partitioned " +
-      "join with the edge list pre-partitioned by src. The oracle " +
-      "unrolls the same three iterations as chained CTEs.",
+      "iteration joins the rank table against the persisted edge list " +
+      "and runs one map-side-combining sum per destination; the rank " +
+      "join strategy is SIZE-CONDITIONAL (buildPagerank): broadcast " +
+      "while the node count fits spark.graft.pagerank.broadcastMaxNodes " +
+      "(default 2M), else a co-partitioned join against the edge list " +
+      "pre-partitioned by src — both regimes bit-identical and pinned " +
+      "by GraphShapesSpec. The oracle unrolls the same three " +
+      "iterations as chained CTEs.",
     Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, 100000 + l_suppkey AS sup
            |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
            |e AS (SELECT c AS src, sup AS dst FROM pairs
@@ -78,35 +154,14 @@ object GraphQueries {
            |SELECT id, CAST(rank AS BIGINT) AS microrank
            |FROM r3 ORDER BY id""".stripMargin),
     (s, d) => {
-      val e = edges(s, d).persist()
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-      // every node appears as a src (edges are symmetric), so the degree
-      // table IS the node list — no second distinct pass over the edges
-      val nodes = deg.select(col("src").as("id"))
-      val n = nodes.agg(count(lit(1)).as("n"))
-      val eDeg = e.join(deg, "src") // (src, dst, outdeg), reused each iter
-        .persist()
-      var ranks = nodes.crossJoin(broadcast(n))
-        .select(col("id"), expr(s"${Scale}L div n").as("rank"))
-      for (_ <- 1 to 3) {
-        val contrib = eDeg
-          .join(broadcast(ranks.withColumnRenamed("id", "src")), "src")
-          .select(col("dst").as("id"), expr("rank div outdeg").as("part"))
-          .groupBy("id").agg(sum(col("part")).as("c"))
-        ranks = nodes.crossJoin(broadcast(n))
-          .join(contrib, Seq("id"), "left")
-          .select(col("id"),
-            (expr(s"${15 * Scale}L div (100 * n)") +
-              expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
-      }
-      val out = ranks
-        .select(col("id"), lng(col("rank")).as("microrank"))
+      val b = buildPagerank(s, d)
+      val out = b.ranks
         .orderBy("id")
         // persist before the orderBy sampling pass re-executes the
         // 3-join lineage (graft-round3 orderBy-resampling rule)
         .persist()
       out.count()
-      e.unpersist()
+      b.persistedEdges.unpersist()
       out
     }
   )

@@ -21,7 +21,11 @@ object TestSpark {
     * unsetting) afterwards — the shared session must not leak one
     * suite's tuning into the next.
     */
-  def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+  def withConf(pairs: (String, String)*)(body: => Unit): Unit =
+    withConfValue(pairs)(body)
+
+  /** Like [[withConf]] but returns the body's value. */
+  def withConfValue[A](pairs: Seq[(String, String)])(body: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
       pairs.foreach { case (k, v) => spark.conf.set(k, v) }

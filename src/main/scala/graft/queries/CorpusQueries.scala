@@ -175,5 +175,115 @@ object CorpusQueries {
       .limit(20)
   )
 
-  val defs: Seq[QueryDef] = Seq(keywords, sentences, featureHash, bpePairs)
+  // ------------------------------------------------------------- BPE train
+
+  /** Number of sequential BPE merges trained by q_bpe_train. */
+  private val BpeSteps = 10
+
+  /** DuckDB replay of the same [[BpeSteps]] merges as chained CTEs
+    * (the q_pagerank unrolling discipline): v0 = char-split vocab,
+    * then per step i: pair counts p_i over v_{i-1}, top-1 t_i
+    * (ORDER BY n DESC, a, b), rewrite v_i applying t_i's merge with
+    * the identical greedy left-to-right string fold the Spark side
+    * runs (list_reduce with the last-symbol check `acc = a OR
+    * ends_with(acc, '|' || a)` — symbols never contain '|').
+    */
+  private val bpeTrainDuck: String = {
+    val v0 = """v0 AS (
+      |  SELECT list_reduce(list_transform(generate_series(1, len(w)), i -> w[i]),
+      |           (acc, x) -> acc || '|' || x) AS sym, freq
+      |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |          SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS w FROM documents) t
+      |        WHERE len(w) >= 2 GROUP BY w))""".stripMargin
+    val steps = (1 to BpeSteps).map { i =>
+      val p = i - 1
+      s"""p$i AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT unnest(list_transform(generate_series(1, len(string_split(sym,'|')) - 1),
+         |                 j -> struct_pack(a := string_split(sym,'|')[j], b := string_split(sym,'|')[j+1]))) AS pr,
+         |               freq
+         |        FROM v$p) t
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+         |v$i AS (
+         |  SELECT list_reduce(string_split(sym,'|'),
+         |           (acc, x) -> CASE WHEN x = t$i.b AND (acc = t$i.a OR ends_with(acc, '|' || t$i.a))
+         |                            THEN acc || x ELSE acc || '|' || x END) AS sym, freq
+         |  FROM v$p CROSS JOIN t$i)""".stripMargin
+    }
+    val sel = (1 to BpeSteps)
+      .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, a || b AS merged, n FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"WITH $v0,\n${steps.mkString(",\n")}\n" +
+      s"SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged, n FROM ($sel) ORDER BY step"
+  }
+
+  /** Iterative BPE tokenizer training (Sennrich et al. shape), the
+    * full loop q_bpe_pairs is the first step of: [[BpeSteps]]
+    * sequential highest-count merges, each applied to the vocabulary
+    * before the next count. Scale: ONE full-corpus pass builds the
+    * distinct-word frequency vocab; every subsequent step touches only
+    * the vocabulary (corpus-size-independent — the rollup is what
+    * makes BPE trainable on 100 TB), merges are greedy left-to-right
+    * per word (exact non-overlap fold), and driver state is one
+    * (pair, count) row per step — the bounded driver-iteration rule.
+    * Per-step vocab DataFrames are persisted and the predecessor
+    * unpersisted once materialized, so lineage stays linear (no
+    * 2^steps recompute) and no cache residue outlives the build.
+    */
+  private val bpeTrain = QueryDef(
+    "q_bpe_train",
+    s"Iterative BPE training: $BpeSteps sequential merge steps over " +
+      "the distinct-word frequency vocabulary; each step counts " +
+      "adjacent symbol pairs (weighted by word frequency), merges the " +
+      "top pair (ties: lexicographic), and rewrites the vocab with " +
+      "the greedy left-to-right fold before the next count. The " +
+      "oracle replays the identical loop as chained CTEs.",
+    Some(bpeTrainDuck),
+    (s, d) => {
+      import s.implicits._
+      val words = documents(s, d)
+        .select(explode(expr(toks)).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      var vocab = words.select(
+        expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|')")
+          .as("sym"), col("freq"))
+        .persist()
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (i <- 1 to BpeSteps) {
+        val top = vocab
+          .withColumn("syms", split(col("sym"), "\\|"))
+          .select(explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))""".stripMargin))
+            .as("pr"), col("freq"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(lng(sum(col("freq"))).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1)
+          .collect() // bounded driver state: exactly one row per step
+        val r = top.head
+        val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((i.toLong, a, b, a + b, n))
+        // symbols are [a-z]+ so the literals need no escaping
+        val next = vocab.select(expr(
+          s"""aggregate(split(sym, '\\\\|'), '', (acc, x) ->
+             |  CASE WHEN acc = '' THEN x
+             |       WHEN x = '$b' AND (acc = '$a' OR endswith(acc, '|$a')) THEN concat(acc, x)
+             |       ELSE concat(acc, '|', x) END)""".stripMargin).as("sym"),
+          col("freq"))
+          .persist()
+        next.count() // materialize before dropping the predecessor
+        vocab.unpersist()
+        vocab = next
+      }
+      vocab.unpersist()
+      merges.result().toDF("step", "lhs", "rhs", "merged", "n")
+        .orderBy("step")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(keywords, sentences, featureHash, bpePairs,
+    bpeTrain)
 }

@@ -35,11 +35,11 @@ object AnnQueries {
       |         round(CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
       |  FROM expl GROUP BY label, ord),
       |cent AS (SELECT label, list(c ORDER BY ord) AS ce FROM cent_long GROUP BY label),
-      |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+      |iprobes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
       |pc AS (
       |  SELECT probe_id, label,
       |    round(list_sum(list_transform(list_zip(pe, ce), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2c
-      |  FROM probes CROSS JOIN cent),
+      |  FROM iprobes CROSS JOIN cent),
       |top2 AS (SELECT probe_id, label FROM (
       |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY d2c, label) AS cr FROM pc) t
       |  WHERE cr <= 2)""".stripMargin
@@ -140,7 +140,7 @@ object AnnQueries {
             |  SELECT p.probe_id, e.vec_id AS cand_id, e.label,
             |    round(list_sum(list_transform(list_zip(p.pe, e.embedding), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6) AS d2
             |  FROM top2 t
-            |  JOIN probes p ON p.probe_id = t.probe_id
+            |  JOIN iprobes p ON p.probe_id = t.probe_id
             |  JOIN embeddings e ON e.label = t.label AND e.vec_id >= 5),
             |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY d2, cand_id) AS BIGINT) AS rk
             |           FROM search)
@@ -272,7 +272,7 @@ object AnnQueries {
            |  SELECT t.probe_id, c.cand_id,
            |    row_number() OVER (PARTITION BY t.probe_id ORDER BY
            |      round(list_sum(list_transform(list_zip(p.pe, c.ce2), q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))), 6), c.cand_id) AS rk
-           |  FROM top2 t JOIN probes p ON p.probe_id = t.probe_id
+           |  FROM top2 t JOIN iprobes p ON p.probe_id = t.probe_id
            |  JOIN corpus c ON c.label = t.label) s WHERE rk <= 10)
            |SELECT e.probe_id, CAST(count(i.cand_id) AS BIGINT) AS hits,
            |       round(count(i.cand_id) / 10.0, 6) AS recall_at_10
@@ -358,8 +358,14 @@ object AnnQueries {
       |  FROM enc e JOIN dist d ON d.sid = e.sid AND d.cw = e.cw
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** Spark twin of [[pqAdcDuck]]: (probe_id, cand_id, adc_d2). */
-  private def pqAdc(e: org.apache.spark.sql.DataFrame) = {
+  /** Spark twin of [[pqAdcDuck]]: (probe_id, cand_id, adc_d2).
+    * `restrict` (probe_id, cand_id) — when present — prunes the
+    * candidate set with a semi-join BEFORE the per-pair 8-term ADC
+    * aggregation runs, so a coarse index (q_ann_ivfpq's IVF stage) cuts
+    * the ADC work, not just the output.
+    */
+  private def pqAdc(e: org.apache.spark.sql.DataFrame,
+                    restrict: Option[org.apache.spark.sql.DataFrame] = None) = {
     // slice every vector into 8 double-promoted subvectors
     val vecs = e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sid"),
         col("embedding"))
@@ -393,7 +399,14 @@ object AnnQueries {
       .join(broadcast(cb), "sid")
       .withColumn("d2", round(l2sq("sv", "cv"), 6))
       .select("probe_id", "sid", "cw", "d2")
-    enc.join(broadcast(dist), Seq("sid", "cw"))
+    val joined = enc.join(broadcast(dist), Seq("sid", "cw"))
+    val pruned = restrict match {
+      case Some(r) => joined.join(
+        r.select(col("probe_id"), col("cand_id").as("vec_id")),
+        Seq("probe_id", "vec_id"), "left_semi")
+      case None => joined
+    }
+    pruned
       .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
       .agg(dbl(sum(col("d2").cast("decimal(18,6)"))).as("adc_d2"))
   }
@@ -454,6 +467,72 @@ object AnnQueries {
     }
   )
 
+  /** IVF-PQ composition — the production ANN memory/latency shape:
+    * the coarse quantizer prunes candidates to the probe's top-2
+    * clusters AND the fine quantizer compresses geometry to 8 codes,
+    * so the scan touches ~2/10 of the corpus at 1/32 the bytes. Both
+    * stages are the inventory's own shared helpers (ivfTop2 / pqAdc
+    * with its restrict hook; ivfQuantizerDuck / pqAdcDuck in the
+    * oracle) so neither index arm can drift from its standalone
+    * readout, and recall is judged through the same shared exact arm
+    * (exactL2Top10) as q_ann_recall / q_pq_recall — the three recall
+    * rows price each axis (prune, compress, both) comparably.
+    */
+  private val annIvfPq = QueryDef(
+    "q_ann_ivfpq",
+    "IVF-PQ ANN: top-2-cluster pruning (q_ann_ivf quantizer) composed " +
+      "with PQ ADC scanning (q_ann_pq codes) — candidates pruned AND " +
+      "compressed; per probe reports the pruned candidate count and " +
+      "recall@10 vs the shared exact L2 arm.",
+    Some(s"""WITH $pqAdcDuck,
+            |$ivfQuantizerDuck,
+            |$exactL2Top10Duck,
+            |allowed AS (
+            |  SELECT t.probe_id, e.vec_id AS cand_id
+            |  FROM top2 t JOIN embeddings e ON e.label = t.label AND e.vec_id >= 5),
+            |pruned AS (
+            |  SELECT a.probe_id, a.cand_id, a.adc_d2
+            |  FROM adc a JOIN allowed w ON w.probe_id = a.probe_id AND w.cand_id = a.cand_id),
+            |top10 AS (SELECT probe_id, cand_id FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_d2, cand_id) AS rk
+            |  FROM pruned) t WHERE rk <= 10),
+            |nc AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cand FROM pruned GROUP BY 1)
+            |SELECT e.probe_id, nc.n_cand, CAST(count(p.cand_id) AS BIGINT) AS hits,
+            |       round(count(p.cand_id) / 10.0, 6) AS recall_at_10
+            |FROM exact e JOIN nc ON nc.probe_id = e.probe_id
+            |LEFT JOIN top10 p ON e.probe_id = p.probe_id AND e.cand_id = p.cand_id
+            |GROUP BY e.probe_id, nc.n_cand ORDER BY e.probe_id""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val allowed = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("label"))
+        .join(broadcast(ivfTop2(e, probes).select("probe_id", "label")), "label")
+        .select("probe_id", "cand_id")
+      val pruned = pqAdc(e, Some(allowed))
+        // persist: reused by the candidate count and the top-10 rank
+        .persist()
+      val wTop = Window.partitionBy("probe_id").orderBy(col("adc_d2"), col("cand_id"))
+      val top10 = pruned
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "cand_id")
+      val nc = pruned.groupBy("probe_id").agg(lng(count(lit(1))).as("n_cand"))
+      val out = exactL2Top10(e)
+        .join(top10.withColumn("hit", lit(1)), Seq("probe_id", "cand_id"), "left")
+        .groupBy("probe_id")
+        .agg(lng(count(col("hit"))).as("hits"),
+          round(dbl(count(col("hit"))) / lit(10.0), 6).as("recall_at_10"))
+        .join(nc, "probe_id")
+        .select(col("probe_id"), col("n_cand"), col("hits"), col("recall_at_10"))
+        .persist()
+      out.count()
+      pruned.unpersist()
+      out.orderBy("probe_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
-    annPq, pqRecall)
+    annPq, pqRecall, annIvfPq)
 }

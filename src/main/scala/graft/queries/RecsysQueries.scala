@@ -192,14 +192,26 @@ object RecsysQueries {
       val xy = e
         .join(deg.select(col("id").as("src"), col("deg").as("x")), "src")
         .join(deg.select(col("id").as("dst"), col("deg").as("y")), "dst")
-      val m = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
-        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      // co-moment sums accumulate as DECIMAL(38,0): on a power-law
+      // graph, Σdeg² (hub degree² × edge count) can pass 2^63, where
+      // BIGINT sums would throw under ANSI while the oracle's DuckDB
+      // silently promotes to INT128 — decimal matches the oracle's
+      // headroom. The final integer-valued decimal→double casts are
+      // bit-identical to DuckDB's hugeint→double (both correctly
+      // rounded from the same exact integer; the wide-decimal→double
+      // ban applies to FRACTIONAL decimals, verified r7).
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val m = xy.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
       val d1 = col("n") * col("sxx") - col("sx") * col("sx")
       val d2 = col("n") * col("syy") - col("sy") * col("sy")
       val num = col("n") * col("sxy") - col("sx") * col("sy")
-      // zero-variance guard on the factors separately: d1·d2 as BIGINT
-      // would overflow (the oracle's DuckDB promotes to INT128)
+      // zero-variance guard on the factors separately: d1·d2 would
+      // overflow even the widened type
       m.select(lng(col("n")).as("n_edges"),
         when(d1 === 0 || d2 === 0, lit(null))
           .otherwise(round(dbl(num) / sqrt(dbl(d1) * dbl(d2)), 6))

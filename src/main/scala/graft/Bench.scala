@@ -21,7 +21,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args restrict the run to specific keys (targeted
-    // re-measurement, mirroring Verify's key filter)
+    // re-measurement, mirroring Verify's key filter). Unknown keys are a
+    // hard error: a typo would otherwise silently shrink the run and emit
+    // a partial bench file that looks legitimate.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      sys.error(s"unknown query keys: ${unknown.mkString(", ")}")
     val keyed =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
       else SparkEntry.queries

@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict to these keys (local dev loop only;
-    // the driver always passes exactly two args → full inventory)
+    // the driver always passes exactly two args → full inventory).
+    // Unknown keys fail fast — a typo would silently verify nothing.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      sys.error(s"unknown query keys: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -627,7 +627,7 @@ object DedupQueries {
               floor((lit(3) * col("a.n") + lit(4)) / lit(5)).cast("int"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      cand
+      val out = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
           lng(size(col("sh"))).as("n_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -636,7 +636,13 @@ object DedupQueries {
         .filter(lit(5) * col("n_int") >= lit(3) * col("n_a"))
         .select(col("doc_a"), col("doc_b"), col("n_int"), col("n_a"),
           round(dbl(col("n_int")) / col("n_a"), 6).as("containment"))
-        .orderBy("doc_a", "doc_b")
+        // persist the (small) verified pair set, then release the two
+        // corpus-proportional caches — only ≤ pairs rows stay resident
+        // after the query returns (orderBy-resampling rule)
+        .persist()
+      out.count()
+      sh.unpersist(); posed.unpersist()
+      out.orderBy("doc_a", "doc_b")
     }
   )
 
@@ -728,7 +734,7 @@ object DedupQueries {
       val sigs = minhashSigs(sh).persist()
       val est = round(dbl(col("n_match")) / lit(16.0), 6)
       val exact = round(dbl(col("n_int")) / (col("n_tot") - col("n_int")), 6)
-      bandCandidates(sh)
+      val out = bandCandidates(sh)
         .join(sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sig_a")), "doc_a")
         .join(sigs.select(col("doc_id").as("doc_b"), col("sigs").as("sig_b")), "doc_b")
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -741,7 +747,12 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("n_match"),
           est.as("est_j"), exact.as("exact_j"),
           round(abs(est - exact), 6).as("abs_err"))
-        .orderBy("doc_a", "doc_b")
+        // persist the candidate-pair readout, release the two
+        // corpus-proportional caches (orderBy-resampling rule)
+        .persist()
+      out.count()
+      sh.unpersist(); sigs.unpersist()
+      out.orderBy("doc_a", "doc_b")
     }
   )
 
@@ -807,14 +818,19 @@ object DedupQueries {
         (7, 10, "J>=0.70"), (4, 5, "J>=0.80"))
       val t = stats.sparkSession.createDataFrame(thr)
         .toDF("lo", "hi", "lbl")
-      stats.crossJoin(broadcast(t))
+      val out = stats.crossJoin(broadcast(t))
         .groupBy(col("lbl").as("threshold"))
         .agg(
           lng(count(when(col("hi") * col("n_int") >= col("lo") * col("n_un"), 1)))
             .as("n_pairs"),
           lng(count(when(col("hi") * col("n_int") >= col("lo") * col("n_un") &&
             col("doc_b") === col("doc_a") + 100000L, 1))).as("n_planted"))
-        .orderBy("threshold")
+        // 4-row readout persists; the corpus-proportional shingle cache
+        // is released before return (orderBy-resampling rule)
+        .persist()
+      out.count()
+      sh.unpersist()
+      out.orderBy("threshold")
     }
   )
 

@@ -59,15 +59,17 @@ object MlEvalQueries {
   private val knnClassify = QueryDef(
     "q_knn_classify",
     "Leave-one-out 5-NN majority-vote classification of a " +
-      "deterministic probe subset (vec_id mod 25 = 0): each probe's 5 " +
-      "nearest neighbours by squared L2 (exact sequential fold, ties " +
-      "to lowest cand_id) vote; the majority label wins, ties to the " +
-      "lowest label. The probe set is a fixed fraction broadcast " +
-      "against the partition-parallel corpus scan (q_ann_cosine " +
-      "design); both the top-5 cut and the vote are probe-partitioned " +
-      "windows over ≤ corpus and ≤ 5 rows respectively.",
+      "deterministic probe subset (vec_id mod 25 = 0, capped at " +
+      "vec_id < 10000 → ≤ 400 probes regardless of corpus size): each " +
+      "probe's 5 nearest neighbours by squared L2 (exact sequential " +
+      "fold, ties to lowest cand_id) vote; the majority label wins, " +
+      "ties to the lowest label. The cap is what makes the broadcast " +
+      "CONSTANT-bounded (q_ann_cosine design) — a pure mod filter " +
+      "would grow the broadcast linearly with the corpus; both the " +
+      "top-5 cut and the vote are probe-partitioned windows over " +
+      "≤ corpus and ≤ 5 rows respectively.",
     Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe, label AS true_label
-           |           FROM embeddings WHERE vec_id % 25 = 0),
+           |           FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 10000),
            |d AS (SELECT p.probe_id, p.true_label, e.vec_id AS cand_id, e.label AS cand_label,
            |        list_sum(list_transform(list_zip(p.pe, e.embedding),
            |          q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)))) AS d2
@@ -86,7 +88,7 @@ object MlEvalQueries {
            |FROM w WHERE wr = 1 ORDER BY probe_id""".stripMargin),
     (s, d) => {
       val e = embeddings(s, d)
-      val p = e.filter(col("vec_id") % 25 === 0)
+      val p = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 10000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("label").as("true_label"))
       val cand = e.select(col("vec_id").as("cand_id"),

@@ -29,8 +29,10 @@ object PdfQueries {
       val rows = documents(s, d).filter(col("doc_id") < 40)
         .select(col("doc_id"), col("text")).orderBy("doc_id")
         .collect()
+      // fixture goes under java.io.tmpdir, NOT the repo tree — a query
+      // builder must never write into the project checkout
       val dir = new java.io.File(
-        s"/root/repo/target/pdf_scan/${new java.io.File(d).getName}")
+        s"${System.getProperty("java.io.tmpdir")}/graft_pdf_scan/${new java.io.File(d).getName}")
       dir.mkdirs()
       java.nio.file.Files.write(
         dir.toPath.resolve("docs.pdf"),

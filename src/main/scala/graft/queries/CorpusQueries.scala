@@ -188,7 +188,13 @@ object CorpusQueries {
     * runs (list_reduce with the last-symbol check `acc = a OR
     * ends_with(acc, '|' || a)` — symbols never contain '|').
     */
-  private val bpeTrainDuck: String = {
+  /** The shared CTE chain v0..t[[BpeSteps]]: char-split vocab, then per
+    * step the pair count, top-1 merge, and rewritten vocab. Both
+    * q_bpe_train (reads t_i) and q_bpe_apply (reuses t_i to encode the
+    * corpus) are built on this one string so the trained merges and the
+    * applied merges cannot desynchronize.
+    */
+  private val bpeChainDuck: String = {
     val v0 = """v0 AS (
       |  SELECT list_reduce(list_transform(generate_series(1, len(w)), i -> w[i]),
       |           (acc, x) -> acc || '|' || x) AS sym, freq
@@ -211,10 +217,14 @@ object CorpusQueries {
          |                            THEN acc || x ELSE acc || '|' || x END) AS sym, freq
          |  FROM v$p CROSS JOIN t$i)""".stripMargin
     }
+    s"$v0,\n${steps.mkString(",\n")}"
+  }
+
+  private val bpeTrainDuck: String = {
     val sel = (1 to BpeSteps)
       .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, a || b AS merged, n FROM t$i")
       .mkString("\nUNION ALL ")
-    s"WITH $v0,\n${steps.mkString(",\n")}\n" +
+    s"WITH $bpeChainDuck\n" +
       s"SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged, n FROM ($sel) ORDER BY step"
   }
 
@@ -231,6 +241,66 @@ object CorpusQueries {
     * unpersisted once materialized, so lineage stays linear (no
     * 2^steps recompute) and no cache residue outlives the build.
     */
+  /** The greedy left-to-right merge fold for one trained (a, b) pair,
+    * as a SQL expression over the '|'-joined symbol string `inner`.
+    * Symbols are [a-z]+ so the literals need no escaping. Shared by
+    * the per-step rewrite in the training loop and the nested apply
+    * chain in q_bpe_apply so the two folds cannot diverge.
+    */
+  private def mergeFoldSql(a: String, b: String, inner: String): String =
+    s"""aggregate(split($inner, '\\\\|'), '', (acc, x) ->
+       |  CASE WHEN acc = '' THEN x
+       |       WHEN x = '$b' AND (acc = '$a' OR endswith(acc, '|$a')) THEN concat(acc, x)
+       |       ELSE concat(acc, '|', x) END)""".stripMargin
+
+  /** Distinct-word frequency vocabulary — the ONE full-corpus pass the
+    * BPE loop is built on.
+    */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .select(explode(expr(toks)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Runs the [[BpeSteps]]-step training loop and returns the merge
+    * table rows (step, lhs, rhs, merged, n). Driver state is one
+    * (pair, count) row per step; per-step vocab DataFrames are
+    * persisted and the predecessor unpersisted once materialized, so
+    * lineage stays linear and no cache residue outlives the call.
+    */
+  private def trainBpeMerges(s: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[(Long, String, String, String, Long)] = {
+    var vocab = bpeWords(s, d).select(
+      expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|')")
+        .as("sym"), col("freq"))
+      .persist()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (i <- 1 to BpeSteps) {
+      val top = vocab
+        .withColumn("syms", split(col("sym"), "\\|"))
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))""".stripMargin))
+          .as("pr"), col("freq"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(lng(sum(col("freq"))).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect() // bounded driver state: exactly one row per step
+      val r = top.head
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      merges += ((i.toLong, a, b, a + b, n))
+      val next = vocab
+        .select(expr(mergeFoldSql(a, b, "sym")).as("sym"), col("freq"))
+        .persist()
+      next.count() // materialize before dropping the predecessor
+      vocab.unpersist()
+      vocab = next
+    }
+    vocab.unpersist()
+    merges.result()
+  }
+
   private val bpeTrain = QueryDef(
     "q_bpe_train",
     s"Iterative BPE training: $BpeSteps sequential merge steps over " +
@@ -242,48 +312,59 @@ object CorpusQueries {
     Some(bpeTrainDuck),
     (s, d) => {
       import s.implicits._
-      val words = documents(s, d)
-        .select(explode(expr(toks)).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      var vocab = words.select(
-        expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|')")
-          .as("sym"), col("freq"))
-        .persist()
-      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (i <- 1 to BpeSteps) {
-        val top = vocab
-          .withColumn("syms", split(col("sym"), "\\|"))
-          .select(explode(expr(
-            """transform(sequence(1, size(syms) - 1),
-              |  j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))""".stripMargin))
-            .as("pr"), col("freq"))
-          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-          .agg(lng(sum(col("freq"))).as("n"))
-          .orderBy(col("n").desc, col("a"), col("b"))
-          .limit(1)
-          .collect() // bounded driver state: exactly one row per step
-        val r = top.head
-        val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += ((i.toLong, a, b, a + b, n))
-        // symbols are [a-z]+ so the literals need no escaping
-        val next = vocab.select(expr(
-          s"""aggregate(split(sym, '\\\\|'), '', (acc, x) ->
-             |  CASE WHEN acc = '' THEN x
-             |       WHEN x = '$b' AND (acc = '$a' OR endswith(acc, '|$a')) THEN concat(acc, x)
-             |       ELSE concat(acc, '|', x) END)""".stripMargin).as("sym"),
-          col("freq"))
-          .persist()
-        next.count() // materialize before dropping the predecessor
-        vocab.unpersist()
-        vocab = next
-      }
-      vocab.unpersist()
-      merges.result().toDF("step", "lhs", "rhs", "merged", "n")
+      trainBpeMerges(s, d).toDF("step", "lhs", "rhs", "merged", "n")
         .orderBy("step")
     }
   )
 
+  // ------------------------------------------------------------- BPE apply
+
+  private val bpeApplyDuck: String =
+    s"WITH $bpeChainDuck\n" +
+      s"""SELECT token, CAST(len(token) AS BIGINT) AS tok_len,
+         |       CAST(sum(freq) AS BIGINT) AS n
+         |FROM (SELECT unnest(string_split(sym, '|')) AS token, freq FROM v$BpeSteps) t
+         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin
+
+  /** Tokenizer APPLICATION — encode with the trained merges. Training
+    * (q_bpe_train) yields an ordered merge list; applying it is a pure
+    * function of (word, merges): char-split, then each merge's greedy
+    * left-to-right fold IN TRAINING ORDER. Output is the resulting
+    * token frequency table (top 30 by corpus frequency) — the
+    * vocabulary a real tokenizer would ship.
+    *
+    * Scale: the merge list is trained on the vocabulary rollup (see
+    * [[trainBpeMerges]]), then the encode is ONE pass over the
+    * distinct-word vocab as a single select of [[BpeSteps]] nested
+    * codegen'd folds — no joins, no per-step materialization, and the
+    * corpus-sized stream is never touched after the initial rollup.
+    * The oracle reuses the training chain's v[[BpeSteps]] CTE, so the
+    * trained merges and the applied merges cannot desynchronize.
+    */
+  private val bpeApply = QueryDef(
+    "q_bpe_apply",
+    s"BPE tokenizer application: encode the distinct-word vocabulary " +
+      s"with the $BpeSteps trained merges (applied in training order, " +
+      "each as the greedy left-to-right fold) and report the top-30 " +
+      "resulting tokens by frequency-weighted corpus count.",
+    Some(bpeApplyDuck),
+    (s, d) => {
+      val merges = trainBpeMerges(s, d)
+      val encoded = merges.foldLeft(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '|')") {
+        case (inner, (_, a, b, _, _)) => mergeFoldSql(a, b, inner)
+      }
+      bpeWords(s, d)
+        .select(expr(encoded).as("sym"), col("freq"))
+        .select(explode(split(col("sym"), "\\|")).as("token"), col("freq"))
+        .groupBy("token")
+        .agg(lng(sum(col("freq"))).as("n"))
+        .select(col("token"), lng(length(col("token"))).as("tok_len"), col("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(keywords, sentences, featureHash, bpePairs,
-    bpeTrain)
+    bpeTrain, bpeApply)
 }

@@ -25,4 +25,18 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(rows.exists(r =>
       r.getString(1).length >= 2 || r.getString(2).length >= 2))
   }
+
+  test("bpe apply encodes with exactly the trained merge alphabet") {
+    val merges = SparkEntry.queries("q_bpe_train")(spark, sf)
+      .select("merged").collect().map(_.getString(0)).toSet
+    val toks = SparkEntry.queries("q_bpe_apply")(spark, sf).collect()
+    assert(toks.length == 30)
+    toks.foreach { r =>
+      val (t, len, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(len == t.length && n > 0)
+      // every multi-char token must be a trained merged symbol: the
+      // greedy fold can only ever glue what some training step glued
+      assert(t.length == 1 || merges.contains(t), s"untrained token $t")
+    }
+  }
 }

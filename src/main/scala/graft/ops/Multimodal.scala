@@ -50,6 +50,50 @@ object Multimodal {
     }
   }
 
+  /** Windowed energy readout for one media row (audio-shaped). */
+  final case class MediaEnergy(media_id: Long, modality: String,
+                               n_windows: Long, total_energy: Long,
+                               peak_energy: Long, peak_win: Long)
+
+  /** Windowed signal-energy extraction — the audio analogue of
+    * [[featurize]]: fixed-length contiguous byte windows (the stub
+    * "PCM frames"; a real deployment decodes the codec first behind
+    * the same [[Decoder]] seam), per-window energy = Σ (b − 32)² over
+    * the window's bytes (32 = the payload's "silence" byte), reduced
+    * executor-side to the per-media readout an audio curation pass
+    * keys on: window count, total energy, peak energy and the first
+    * window attaining it. All-integer arithmetic — no float path at
+    * all — and one `mapPartitions` batch pass; payloads are never
+    * collected.
+    */
+  def windowEnergy(media: Dataset[MediaRow], windowLen: Int = 40)
+                  (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val n = math.max(1, (m.payload.length + windowLen - 1) / windowLen)
+        var total = 0L
+        var peak = Long.MinValue
+        var peakWin = 0L
+        var i = 0
+        while (i < n) {
+          var e = 0L
+          var j = i * windowLen
+          val end = math.min(j + windowLen, m.payload.length)
+          while (j < end) {
+            val v = ((m.payload(j) & 0xff) - 32).toLong
+            e += v * v
+            j += 1
+          }
+          total += e
+          if (e > peak) { peak = e; peakWin = i.toLong }
+          i += 1
+        }
+        MediaEnergy(m.media_id, m.modality, n.toLong, total, peak, peakWin)
+      }
+    }.toDF()
+  }
+
   /** Polynomial byte hash — same fold as TextAnalysis (portable). */
   private def byteHash(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % TextAnalysis.P)

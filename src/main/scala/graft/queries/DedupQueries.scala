@@ -1029,7 +1029,62 @@ object DedupQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(dedupMinhash, dedupNgram, dedupSimhash,
+  /** Corpus-frequency passage filter (the CCNet / RefinedWeb
+    * boilerplate-removal pass): an 8-word shingle occurring in ≥ 2
+    * distinct documents is boilerplate — navigation chrome, license
+    * headers, templated spam — and a curation run strips those
+    * positions rather than whole documents. Distinct from the
+    * pairwise q_dedup_* family: the unit is the PASSAGE and the
+    * signal is corpus-wide document frequency, not document pairs.
+    *
+    * Scale: shingles are hashed to 48-bit BIGINTs in the scan stage
+    * (md5 prefix — identical in both engines) so the df groupBy and
+    * the join back shuffle narrow keys, never shingle strings; the
+    * df table partial-aggregates map-side. The shingle stream is
+    * built lazily twice (df pass + join-back pass) instead of being
+    * persisted — two scans, zero cache residue. At 100 TB the
+    * flagged-df side of the join-back is the natural seed for a
+    * bloom runtime filter; the equi-join shape here is what AQE
+    * needs either way.
+    */
+  private val boilerplate = QueryDef(
+    "q_boilerplate",
+    "Boilerplate passage filter: 8-word shingles hashed to 48-bit " +
+      "keys, corpus document frequency per shingle, and per-document " +
+      "flagged-position counts with the retained fraction after " +
+      "dropping passages seen in 2+ documents.",
+    Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z]+)',1) AS w FROM documents),
+           |sh AS (SELECT doc_id,
+           |         CAST(concat('0x', substr(md5(list_reduce(w[i:i+7], (a,x)->a||' '||x)), 1, 12)) AS BIGINT) AS gh
+           |       FROM t, unnest(generate_series(1, greatest(len(w)-7,0))) AS u(i)),
+           |df AS (SELECT gh, count(DISTINCT doc_id) AS df FROM sh GROUP BY gh),
+           |fl AS (SELECT doc_id, count(*) AS n_shingles,
+           |         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+           |       FROM sh JOIN df USING (gh) GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_flagged,
+           |       round(1.0 - CAST(n_flagged AS DOUBLE)/n_shingles, 6) AS retained
+           |FROM fl ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, greatest(size(w) - 7, 0)),
+            |  i -> CAST(conv(substr(md5(array_join(slice(w, i, 8), ' ')), 1, 12), 16, 10) AS BIGINT))""".stripMargin))
+          .as("gh"))
+      val df = sh.groupBy("gh").agg(countDistinct(col("doc_id")).as("df"))
+      sh.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(lng(count(lit(1))).as("n_shingles"),
+          lng(sum(when(col("df") >= 2, 1).otherwise(0))).as("n_flagged"))
+        .select(col("doc_id"), col("n_shingles"), col("n_flagged"),
+          round(lit(1.0) - dbl(col("n_flagged")) / col("n_shingles"), 6)
+            .as("retained"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(boilerplate, dedupMinhash, dedupNgram, dedupSimhash,
     dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
     dedupContain, dedupSubstring, minhashEst, dedupSweep, dedupSemantic,
     dedupPhash)

@@ -295,5 +295,63 @@ object GraphQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop)
+  /** Neighbor-Jaccard link prediction over the supplier–part bipartite
+    * graph: two suppliers are similar (substitutable, a candidate
+    * missing link) when their part sets overlap. Score = |shared| /
+    * |union| — pure count arithmetic, so the only float op is one
+    * exact int64→double division.
+    *
+    * Scale: common-neighbor enumeration is quadratic in the degree of
+    * the SHARED node, so the graph is first sparsified by dropping
+    * hub parts (pdeg > 32) — the standard common-neighbor guard: a
+    * hub's pairs cost deg² but each carries ≈ 0 similarity signal.
+    * After the cap the self-join on p is co-partitioned (both sides
+    * shuffle on p once), the pair aggregation partial-aggregates
+    * map-side, and the supplier-degree joins are broadcast — bounded
+    * by supplier-dimension cardinality, not edges; if that dimension
+    * ever outgrows broadcast range, dropping the hint leaves a
+    * key-partitioned join with the same semantics.
+    */
+  private val linkJaccard = QueryDef(
+    "q_link_jaccard",
+    "Link prediction by neighbor Jaccard: distinct supplier-part " +
+      "edges, hub parts (degree > 32) dropped, supplier pairs scored " +
+      "|shared parts| / |union of part sets|; top 50 by unrounded " +
+      "score with (s1, s2) tie-break.",
+    Some("""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+           |pd AS (SELECT p, count(*) AS pdeg FROM e GROUP BY p),
+           |es AS (SELECT s, e.p FROM e JOIN pd USING (p) WHERE pdeg <= 32),
+           |sd AS (SELECT s, count(*) AS sdeg FROM es GROUP BY s),
+           |inter AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS shared
+           |          FROM es a JOIN es b ON a.p = b.p AND a.s < b.s GROUP BY 1,2)
+           |SELECT s1, s2, shared, CAST(sa.sdeg + sb.sdeg - shared AS BIGINT) AS unioned,
+           |       round(CAST(shared AS DOUBLE)/(sa.sdeg+sb.sdeg-shared),6) AS jaccard
+           |FROM inter JOIN sd sa ON sa.s = inter.s1 JOIN sd sb ON sb.s = inter.s2
+           |ORDER BY CAST(shared AS DOUBLE)/(sa.sdeg+sb.sdeg-shared) DESC, s1, s2
+           |LIMIT 50""".stripMargin),
+    (s, d) => {
+      val e = lineitem(s, d)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+      val pd = e.groupBy("p").agg(count(lit(1)).as("pdeg"))
+      val es = e.join(pd.filter(col("pdeg") <= 32), "p").select("s", "p")
+      val sd = es.groupBy("s").agg(count(lit(1)).as("sdeg"))
+      val inter = es.select(col("s").as("s1"), col("p"))
+        .join(es.select(col("s").as("s2"), col("p")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(lng(count(lit(1))).as("shared"))
+      inter
+        .join(broadcast(sd.select(col("s").as("s1"), col("sdeg").as("deg1"))), "s1")
+        .join(broadcast(sd.select(col("s").as("s2"), col("sdeg").as("deg2"))), "s2")
+        .withColumn("unioned", lng(col("deg1") + col("deg2") - col("shared")))
+        .withColumn("score", dbl(col("shared")) / col("unioned"))
+        .orderBy(col("score").desc, col("s1"), col("s2"))
+        .limit(50)
+        .select(col("s1"), col("s2"), col("shared"), col("unioned"),
+          round(col("score"), 6).as("jaccard"))
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard)
 }

@@ -177,6 +177,57 @@ object TextAnalysisQueries {
     }
   )
 
+  /** Audio-shaped multimodal CONTENT op (the q_multimodal_meta stub
+    * convention: text bytes stand in for the opaque payload; a real
+    * codec drops in behind graft.ops.Multimodal.Decoder with no plan
+    * change). Per-media windowed energy is the first pass an audio
+    * curation pipeline runs — silence trimming, clipping detection and
+    * loudness bucketing all key off it.
+    *
+    * Scale: one mapPartitions batch pass over the payload column (the
+    * JVM analogue of a Pandas-UDF mapInPandas loop), per-window
+    * energies reduced executor-side to five integers per media row —
+    * payloads never leave the scan stage, nothing is collected, and
+    * the arithmetic is all-BIGINT so there is no float-parity surface
+    * at all.
+    */
+  private val mediaEnergy = QueryDef(
+    "q_media_energy",
+    "Windowed signal energy over multimodal payloads: 40-byte windows " +
+      "(stub PCM frames), energy = sum of (byte-32)^2 per window — 32 " +
+      "is the payload's silence byte — reduced per media to window " +
+      "count, total energy, peak energy and first peak window index.",
+    Some("""WITH m AS (SELECT doc_id AS media_id, text,
+           |         CAST(greatest((length(text)+39)//40, 1) AS BIGINT) AS nw FROM documents),
+           |w AS (SELECT media_id, i AS win,
+           |        CAST(list_sum(list_transform(string_split(substr(text, CAST(i*40+1 AS INT), 40), ''),
+           |             c -> CAST((ascii(c)-32)*(ascii(c)-32) AS BIGINT))) AS BIGINT) AS energy
+           |      FROM m, unnest(generate_series(0, CAST(nw-1 AS INT))) AS u(i)),
+           |pk AS (SELECT media_id AS mid, CAST(count(*) AS BIGINT) AS n_windows,
+           |         CAST(sum(energy) AS BIGINT) AS total_energy,
+           |         CAST(max(energy) AS BIGINT) AS peak_energy
+           |       FROM w GROUP BY 1)
+           |SELECT mid AS media_id, n_windows, total_energy, peak_energy,
+           |       CAST(min(w.win) AS BIGINT) AS peak_win
+           |FROM pk JOIN w ON w.media_id = pk.mid AND w.energy = pk.peak_energy
+           |GROUP BY 1,2,3,4 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lng(length(col("text"))).as("byte_len"))
+        .as[Multimodal.MediaRow]
+      Multimodal.windowEnergy(media)
+        .select(col("media_id"), col("n_windows"), col("total_energy"),
+          col("peak_energy"), col("peak_win"))
+        .orderBy("media_id")
+    }
+  )
+
   private val textClean = QueryDef(
     "q_text_clean",
     "Corpus normalization (the standard pre-training cleaning pass): " +
@@ -451,6 +502,6 @@ object TextAnalysisQueries {
   )
 
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
-    multimodalMeta, textClean, piiRedact, repetition, charDiversity,
-    htmlStrip, urlNormalize)
+    multimodalMeta, mediaEnergy, textClean, piiRedact, repetition,
+    charDiversity, htmlStrip, urlNormalize)
 }

@@ -309,4 +309,45 @@ class CurationExtrasSpec extends AnyFunSuite {
         "finds SOME true neighbors — all-zero recall means a broken arm")
     }
   }
+
+  test("q_boilerplate: flagged counts reconcile with a plain-Scala shingle df") {
+    val rows = run("q_boilerplate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // independent recount: 8-word shingles per doc, corpus df, flags
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val shingles = docs.map { case (id, w) =>
+      id -> (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+    }
+    val df = shingles.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    shingles.filter(_._2.nonEmpty).foreach { case (id, gs) =>
+      val (n, flagged, retained) = rows(id)
+      assert(n == gs.length, s"doc $id shingle count")
+      assert(flagged == gs.count(df(_) >= 2), s"doc $id flagged count")
+      assert(retained == BigDecimal(1.0 - flagged.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id ratio")
+    }
+    assert(rows.values.exists(_._2 > 0),
+      "no boilerplate flagged at all — the threshold stopped discriminating")
+  }
+
+  test("q_link_jaccard: scores bounded, shared ≤ min degree, sorted desc") {
+    val rows = run("q_link_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // sf0.001 has 10 suppliers → all 45 pairs qualify; larger sfs cap at 50
+    assert(rows.length >= 10 && rows.length <= 50)
+    rows.foreach { case (s1, s2, shared, unioned, j) =>
+      assert(s1 < s2)
+      assert(shared >= 1 && shared <= unioned)
+      assert(j > 0.0 && j <= 1.0)
+      assert(math.abs(j - shared.toDouble / unioned) < 1e-6)
+    }
+    val js = rows.map { case (_, _, sh, un, _) => sh.toDouble / un }
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b }, "not sorted")
+  }
 }

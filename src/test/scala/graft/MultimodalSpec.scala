@@ -36,4 +36,24 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("signature")).toMap
     assert(again(1L) == out(1L).getAs[Long]("signature"))
   }
+
+  test("windowEnergy: hand-computed windows, peak tie → first window") {
+    implicit val s = spark
+    import s.implicits._
+    // 3 windows of 2 bytes: energies (0-32)²·2=2048, (33-32)²+(34-32)²=5,
+    // one-byte tail (95-32)²=3969; then a payload with a peak TIE
+    val media = Seq(
+      MediaRow(1L, "audio", Array[Byte](0, 0, 33, 34, 95), 5L),
+      MediaRow(2L, "audio", Array[Byte](40, 32, 32, 40), 4L))
+      .toDS()
+    val out = Multimodal.windowEnergy(media, windowLen = 2).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_windows") == 3)
+    assert(out(1L).getAs[Long]("total_energy") == 2048 + 5 + 3969)
+    assert(out(1L).getAs[Long]("peak_energy") == 3969)
+    assert(out(1L).getAs[Long]("peak_win") == 2)
+    // both windows of media 2 have energy 64 — first one must win
+    assert(out(2L).getAs[Long]("peak_energy") == 64)
+    assert(out(2L).getAs[Long]("peak_win") == 0)
+  }
 }

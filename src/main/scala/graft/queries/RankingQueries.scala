@@ -387,6 +387,68 @@ object RankingQueries {
     }
   )
 
+  /** Bigram-LM perplexity scoring — the CCNet/KenLM-style quality
+    * filter: train bigram/unigram counts on the corpus, score each
+    * document by its average negative log-likelihood under that LM.
+    * High-NLL docs are the incoherent tail a pretraining curation run
+    * drops (or buckets into quality tiers).
+    *
+    * Float parity: ln is transcendental, so each DISTINCT bigram's
+    * −ln(c12/c1) = ln(c1/c12) is rounded to the 9-decimal grid and
+    * cast DECIMAL(18,9) once, in the vocabulary-sized term table; the
+    * per-document accumulation is then exact decimal arithmetic
+    * (count × term, summed), surfaced through a scaled-BIGINT cast so
+    * no wide decimal ever converts to double. The two averaging
+    * divisions run in the same order in both engines.
+    *
+    * Scale: bigram explode is scan-stage; c1/c12 reduce with map-side
+    * combine; the term table is vocab²-bounded and joins back on the
+    * bigram key (both sides hash-partitioned on (w1,w2)); the per-doc
+    * sum reduces on doc_id. Nothing is driver-side, nothing is
+    * corpus × vocabulary.
+    */
+  private val perplexity = QueryDef(
+    "q_perplexity",
+    "Bigram language-model perplexity filter: corpus-trained bigram " +
+      "probabilities p(w2|w1) = c12/c1, per-document average negative " +
+      "log-likelihood (9-decimal ln grid, exact decimal accumulation) " +
+      "— the standard LM quality-scoring pass.",
+    Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z]+)',1) AS w FROM documents),
+           |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           |       FROM t, unnest(generate_series(1, greatest(len(w)-1,0))) AS u(i)),
+           |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+           |term AS (SELECT c12.w1, c12.w2,
+           |           CAST(round(ln(CAST(c1.c1 AS DOUBLE) / c12.c12), 9) AS DECIMAL(18,9)) AS nll
+           |         FROM c12 JOIN c1 USING (w1)),
+           |doc AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(term.nll) AS s
+           |        FROM bg JOIN term ON bg.w1 = term.w1 AND bg.w2 = term.w2
+           |        GROUP BY bg.doc_id)
+           |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           |       round(CAST(CAST(s * 1000000000 AS BIGINT) AS DOUBLE) / 1000000000 / n_bigrams, 6) AS nll_avg
+           |FROM doc ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val bg = toks(s, d).select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 1, 0)),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c1 = bg.groupBy("w1").agg(lng(count(lit(1))).as("c1"))
+      val c12 = bg.groupBy("w1", "w2").agg(lng(count(lit(1))).as("c12"))
+      val term = c12.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          round(log(dbl(col("c1")) / col("c12")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("nll"))
+      bg.join(term, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("s"))
+        .select(col("doc_id"), lng(col("n_bigrams")).as("n_bigrams"),
+          round(dbl(expr("CAST(s * 1000000000 AS BIGINT)"))
+            / lit(1000000000) / col("n_bigrams"), 6).as("nll_avg"))
+        .orderBy("doc_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(tfidf, bm25, ngramFreq, vocabPrune,
-    sampleStratified, collocLift, rankFusion)
+    sampleStratified, collocLift, rankFusion, perplexity)
 }

@@ -194,6 +194,75 @@ object VectorQueries {
     }
   )
 
+  /** Embedding-distribution drift monitoring: partition the corpus
+    * into deterministic ingestion batches (vec_id % 8 stands in for
+    * arrival order), compute each batch's mean vector with the
+    * q_vec_centroid exact-decimal discipline, and report the cosine
+    * between consecutive batch centroids — the standard readout an
+    * embedding pipeline alarms on when a model version or upstream
+    * corpus shifts.
+    *
+    * Float parity: centroid components round to the 6-decimal grid
+    * and are cast DECIMAL(18,6); every dot-product term m_a·m_b is
+    * then EXACT decimal, scaled to a BIGINT per term (×10¹²) and
+    * summed as int64 — so accumulation order cannot matter and no
+    * wide decimal is ever cast to double. The final cosine is
+    * int64→double (exact ≤ 2⁵³), sqrt and one division — all
+    * IEEE-exact-rounded.
+    *
+    * Scale: one posexplode keyed by (batch, dim) — the same
+    * dimension-parallel shape as q_vec_centroid; the consecutive-
+    * batch join is on (batch+1, dim) over a BATCHES×dim table, which
+    * is bounded by batch count, not corpus size.
+    */
+  private val embedDrift = QueryDef(
+    "q_embed_drift",
+    "Centroid drift between consecutive ingestion batches (vec_id % " +
+      "8): exact-decimal batch centroids, per-dimension scaled-BIGINT " +
+      "dot products, cosine between batch g and g+1 with batch sizes.",
+    Some("""WITH g AS (SELECT vec_id % 8 AS grp,
+           |         unnest(generate_series(1, len(embedding))) AS ord, unnest(embedding) AS val
+           |       FROM embeddings),
+           |c AS (SELECT grp, ord - 1 AS pos,
+           |        CAST(round(CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS m,
+           |        count(*) AS n
+           |      FROM g GROUP BY grp, ord),
+           |n AS (SELECT grp, CAST(max(n) AS BIGINT) AS n FROM c GROUP BY grp),
+           |p AS (SELECT a.grp AS g1, b.grp AS g2,
+           |        sum(CAST(a.m * b.m * 1000000000000 AS BIGINT)) AS sab,
+           |        sum(CAST(a.m * a.m * 1000000000000 AS BIGINT)) AS saa,
+           |        sum(CAST(b.m * b.m * 1000000000000 AS BIGINT)) AS sbb
+           |      FROM c a JOIN c b ON b.grp = a.grp + 1 AND b.pos = a.pos
+           |      GROUP BY 1, 2)
+           |SELECT g1, g2, na.n AS n_a, nb.n AS n_b,
+           |       round(CAST(sab AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 6) AS cos_drift
+           |FROM p JOIN n na ON na.grp = p.g1 JOIN n nb ON nb.grp = p.g2
+           |ORDER BY g1""".stripMargin),
+    (s, d) => {
+      val c = embeddings(s, d)
+        .select((col("vec_id") % 8).as("grp"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy("grp", "pos")
+        .agg(round(dbl(sum(col("val").cast("decimal(20,10)"))) / count(lit(1)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("m"),
+          count(lit(1)).as("n"))
+      val n = c.groupBy("grp").agg(lng(max(col("n"))).as("n"))
+      val a = c.select(col("grp").as("g1"), col("pos"), col("m").as("ma"))
+      val b = c.select(col("grp").as("g2"), col("pos"), col("m").as("mb"))
+      val p = a.join(b, col("g2") === col("g1") + 1 && a("pos") === b("pos"))
+        .groupBy("g1", "g2")
+        .agg(sum(expr("CAST(ma * mb * 1000000000000 AS BIGINT)")).as("sab"),
+          sum(expr("CAST(ma * ma * 1000000000000 AS BIGINT)")).as("saa"),
+          sum(expr("CAST(mb * mb * 1000000000000 AS BIGINT)")).as("sbb"))
+      p.join(n.select(col("grp").as("g1"), col("n").as("n_a")), "g1")
+        .join(n.select(col("grp").as("g2"), col("n").as("n_b")), "g2")
+        .select(col("g1"), col("g2"), col("n_a"), col("n_b"),
+          round(dbl(col("sab"))
+            / (sqrt(dbl(col("saa"))) * sqrt(dbl(col("sbb")))), 6).as("cos_drift"))
+        .orderBy("g1")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(topkKnn, knnJoin, vecCentroid, arrayFns,
-    vecQuant)
+    vecQuant, embedDrift)
 }

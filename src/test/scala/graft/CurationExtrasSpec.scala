@@ -350,4 +350,48 @@ class CurationExtrasSpec extends AnyFunSuite {
     val js = rows.map { case (_, _, sh, un, _) => sh.toDouble / un }
     assert(js.zip(js.tail).forall { case (a, b) => a >= b }, "not sorted")
   }
+
+  test("q_perplexity: NLL matches a plain-Scala bigram-LM recomputation") {
+    val rows = run("q_perplexity").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val bigrams = docs.flatMap { case (id, w) =>
+      w.zip(w.drop(1)).map(p => (id, p))
+    }
+    val c1 = bigrams.groupBy(_._2._1).map { case (k, v) => k -> v.length }
+    val c12 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length }
+    docs.filter(_._2.length >= 2).foreach { case (id, w) =>
+      val bs = w.zip(w.drop(1))
+      val (n, nll) = rows(id)
+      assert(n == bs.length, s"doc $id bigram count")
+      // same grid: per-bigram round-9 ln term, exact decimal sum
+      val s = bs.map { b =>
+        BigDecimal(math.log(c1(b._1).toDouble / c12(b)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val expect = BigDecimal((s * 1000000000).toLong.toDouble / 1000000000 / bs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nll == expect, s"doc $id nll")
+    }
+  }
+
+  test("q_embed_drift: 7 consecutive pairs, cosines bounded, sizes partition the corpus") {
+    val rows = run("q_embed_drift").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(x => (x._1, x._2)).toSeq ==
+      (0L to 6L).map(g => (g, g + 1)))
+    rows.foreach { case (_, _, na, nb, c) =>
+      assert(na > 0 && nb > 0)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // batch sizes must cover every vector exactly once across batches
+    val total = graft.core.Tables.embeddings(spark, sf).count()
+    val sizes = (rows.map(x => x._1 -> x._3) ++ rows.map(x => x._2 -> x._4))
+      .toMap
+    assert(sizes.values.sum == total)
+  }
 }

@@ -533,6 +533,114 @@ object AnnQueries {
     }
   )
 
+  /** DuckDB cosine fragment between two list columns (the q_ann_cosine
+    * arithmetic, extracted for reuse): sequential left-fold sums, so
+    * both engines accumulate in identical element order.
+    */
+  private def cosDuck(a: String, b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+
+  /** Number of MMR selection rounds (result size per probe). */
+  private val MmrK = 5
+
+  private val mmrDuck: String = {
+    val head =
+      s"""probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+         |corpus AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+         |cand AS (SELECT probe_id, cand_id, simq, ce FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY simq DESC, cand_id) AS rk
+         |  FROM (SELECT p.probe_id, c.cand_id, c.ce, round(${cosDuck("p.pe", "c.ce")}, 6) AS simq
+         |        FROM probes p CROSS JOIN corpus c) s0) t WHERE rk <= 20),
+         |sel1 AS (SELECT probe_id, cand_id, simq, ce, simq AS mmr, 1 AS step FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY simq DESC, cand_id) AS rk FROM cand) t WHERE rk = 1)""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      val p = t - 1
+      s"""rem$t AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM sel$p s WHERE s.probe_id = c.probe_id AND s.cand_id = c.cand_id)),
+         |ms$t AS (SELECT r.probe_id, r.cand_id, max(round(${cosDuck("r.ce", "s.ce")}, 6)) AS ms
+         |        FROM rem$t r JOIN sel$p s ON s.probe_id = r.probe_id GROUP BY 1, 2),
+         |pick$t AS (SELECT probe_id, cand_id, simq, ce, mmr, $t AS step FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY mmr DESC, cand_id) AS rk
+         |  FROM (SELECT r.probe_id, r.cand_id, r.simq, r.ce, 0.5*r.simq - 0.5*m.ms AS mmr
+         |        FROM rem$t r JOIN ms$t m ON m.probe_id = r.probe_id AND m.cand_id = r.cand_id) s0) t WHERE rk = 1),
+         |sel$t AS (SELECT * FROM sel$p UNION ALL SELECT * FROM pick$t)""".stripMargin
+    }
+    s"WITH $head,\n${steps.mkString(",\n")}\n" +
+      s"""SELECT probe_id, CAST(step AS BIGINT) AS step, cand_id, simq, round(mmr, 6) AS mmr
+         |FROM sel$MmrK ORDER BY probe_id, step""".stripMargin
+  }
+
+  /** MMR (Maximal Marginal Relevance) diversified re-ranking — the
+    * retrieval post-processing step a RAG serving path runs so the k
+    * returned passages aren't k near-copies: greedily select
+    * [[MmrK]] of the top-20 candidates, each round maximizing
+    * 0.5·sim(query, d) − 0.5·max_{s∈selected} sim(d, s).
+    *
+    * Scale: candidate generation IS q_ann_cosine's broadcast-probe ×
+    * corpus-scan shape (top-20 per probe); everything after operates
+    * on the probes×20-row candidate slice — the [[MmrK]]-round greedy
+    * loop is built as a lazy chained plan (anti-join the selected set,
+    * max-similarity join against it, one partitioned-window argmax per
+    * round), with NO driver-side collect; the slice is persisted
+    * (≤ probes×20 rows, the documented bounded residue) so each round
+    * reuses it instead of re-scanning the corpus. Diversity penalties
+    * compare candidates only against the ≤ [[MmrK]]-row selected set,
+    * never candidate×candidate.
+    *
+    * Float parity: all similarities round to the 6-decimal grid before
+    * max/compare; 0.5·x is an exponent shift (exact), so the MMR score
+    * of rounded terms is engine-identical; argmax ties break on
+    * cand_id.
+    */
+  private val mmrRerank = QueryDef(
+    "q_mmr_rerank",
+    "MMR diversified re-ranking: top-20 cosine candidates per probe, " +
+      "then 5 greedy rounds of 0.5*sim(q,d) - 0.5*max sim(d, selected) " +
+      "with 6-decimal-grid similarities and cand_id tie-breaks.",
+    Some(mmrDuck),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val wSim = Window.partitionBy("probe_id").orderBy(col("simq").desc, col("cand_id"))
+      // bounded residue: ≤ probes×20 rows, reused by all MmrK rounds
+      val cand = corpus.join(broadcast(probes))
+        .withColumn("simq", round(cosine("pe", "ce"), 6))
+        .withColumn("rk", row_number().over(wSim))
+        .filter(col("rk") <= 20)
+        .select("probe_id", "cand_id", "simq", "ce")
+        .persist()
+      var sel = cand
+        .withColumn("rk", row_number().over(wSim))
+        .filter(col("rk") === 1)
+        .select(col("probe_id"), col("cand_id"), col("simq"), col("ce"),
+          col("simq").as("mmr"), lit(1).as("step"))
+      for (t <- 2 to MmrK) {
+        val rem = cand.join(sel.select("probe_id", "cand_id"),
+          Seq("probe_id", "cand_id"), "left_anti")
+        val ms = rem.select(col("probe_id"), col("cand_id"), col("ce"))
+          .join(sel.select(col("probe_id"), col("ce").as("se")), "probe_id")
+          .groupBy("probe_id", "cand_id")
+          .agg(max(round(cosine("ce", "se"), 6)).as("ms"))
+        val wMmr = Window.partitionBy("probe_id").orderBy(col("mmr").desc, col("cand_id"))
+        val pick = rem.join(ms, Seq("probe_id", "cand_id"))
+          .withColumn("mmr", lit(0.5) * col("simq") - lit(0.5) * col("ms"))
+          .withColumn("rk", row_number().over(wMmr))
+          .filter(col("rk") === 1)
+          .select(col("probe_id"), col("cand_id"), col("simq"), col("ce"),
+            col("mmr"), lit(t).as("step"))
+        sel = sel.unionByName(pick)
+      }
+      sel.select(col("probe_id"), lng(col("step")).as("step"), col("cand_id"),
+        col("simq"), round(col("mmr"), 6).as("mmr"))
+        .orderBy("probe_id", "step")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
-    annPq, pqRecall, annIvfPq)
+    annPq, pqRecall, annIvfPq, mmrRerank)
 }

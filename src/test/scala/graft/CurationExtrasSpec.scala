@@ -394,4 +394,29 @@ class CurationExtrasSpec extends AnyFunSuite {
       .toMap
     assert(sizes.values.sum == total)
   }
+
+  test("q_mmr_rerank: greedy invariants — distinct picks, monotone penalized scores") {
+    val rows = run("q_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == 25)
+    rows.groupBy(_._1).foreach { case (probe, sel) =>
+      val bySteps = sel.sortBy(_._2)
+      assert(bySteps.map(_._2).toSeq == (1L to 5L), s"probe $probe steps")
+      // no candidate selected twice
+      assert(sel.map(_._3).distinct.length == 5, s"probe $probe dups")
+      // round 1 is the pure-similarity argmax: no later pick beats it
+      assert(bySteps.head._4 == bySteps.map(_._4).max, s"probe $probe step1")
+      assert(bySteps.head._5 == bySteps.head._4, s"probe $probe step1 mmr=simq")
+      // from round 2 on the selected set only grows, so the greedy
+      // maximum can only fall (penalties are maxima over supersets)
+      val tail = bySteps.drop(1).map(_._5)
+      assert(tail.zip(tail.drop(1)).forall { case (a, b) => a >= b },
+        s"probe $probe mmr not monotone: $tail")
+      // and every penalized score sits strictly below its own simq
+      bySteps.drop(1).foreach { case (_, _, _, simq, mmr) =>
+        assert(mmr < simq)
+      }
+    }
+  }
 }

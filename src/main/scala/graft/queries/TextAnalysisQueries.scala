@@ -228,6 +228,43 @@ object TextAnalysisQueries {
     }
   )
 
+  /** Tokenizer fertility by language — tokens-per-word, the standard
+    * multilingual tokenizer-quality metric (high fertility = the
+    * tokenizer fragments that language, inflating training cost and
+    * degrading quality). Uses the q_token_count conventions: words =
+    * letter-run tokens, token estimate = the (len+3) DIV 4 BPE-ish
+    * proxy. One map-side-combined groupBy on the language key; counts
+    * are exact BIGINTs, the two ratios are single int64→double
+    * divisions.
+    */
+  private val fertility = QueryDef(
+    "q_fertility",
+    "Tokenizer fertility per language: document/word/estimated-token " +
+      "counts and tokens-per-word + chars-per-token ratios from one " +
+      "scan-stage aggregation over the corpus.",
+    Some("""SELECT lang,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(len(regexp_extract_all(lower(text), '([a-z]+)', 1))) AS BIGINT) AS n_words,
+           |       CAST(sum((length(text) + 3) // 4) AS BIGINT) AS n_tokens,
+           |       round(CAST(sum((length(text) + 3) // 4) AS DOUBLE)
+           |             / sum(len(regexp_extract_all(lower(text), '([a-z]+)', 1))), 6) AS fertility,
+           |       round(CAST(sum(length(text)) AS DOUBLE)
+           |             / sum((length(text) + 3) // 4), 6) AS chars_per_token
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    (s, d) => documents(s, d)
+      .groupBy("lang")
+      .agg(lng(count(lit(1))).as("n_docs"),
+        lng(sum(size(expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))))
+          .as("n_words"),
+        lng(sum(expr("(length(text) + 3) DIV 4"))).as("n_tokens"),
+        round(dbl(sum(expr("(length(text) + 3) DIV 4")))
+          / sum(size(expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))), 6)
+          .as("fertility"),
+        round(dbl(sum(length(col("text"))))
+          / sum(expr("(length(text) + 3) DIV 4")), 6).as("chars_per_token"))
+      .orderBy("lang")
+  )
+
   private val textClean = QueryDef(
     "q_text_clean",
     "Corpus normalization (the standard pre-training cleaning pass): " +
@@ -502,6 +539,6 @@ object TextAnalysisQueries {
   )
 
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
-    multimodalMeta, mediaEnergy, textClean, piiRedact, repetition,
-    charDiversity, htmlStrip, urlNormalize)
+    multimodalMeta, mediaEnergy, fertility, textClean, piiRedact,
+    repetition, charDiversity, htmlStrip, urlNormalize)
 }

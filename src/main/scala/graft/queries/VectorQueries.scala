@@ -263,6 +263,98 @@ object VectorQueries {
     }
   )
 
+  /** Rounds of farthest-point selection (coreset size). */
+  private val CoresetK = 8
+
+  private val coresetDuck: String = {
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    val head =
+      s"""p1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+         |m1 AS (SELECT c.vec_id, c.embedding, round(${l2("c.embedding", "p.embedding")}, 6) AS mind
+         |       FROM embeddings c CROSS JOIN p1 p WHERE c.vec_id <> 0)""".stripMargin
+    val steps = (2 to CoresetK).map { t =>
+      val p = t - 1
+      s"""p$t AS (SELECT vec_id, embedding, mind FROM m$p ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$t AS (SELECT m.vec_id, m.embedding, least(m.mind, round(${l2("m.embedding", "p.embedding")}, 6)) AS mind
+         |         FROM m$p m CROSS JOIN p$t p WHERE m.vec_id <> p.vec_id)""".stripMargin
+    }
+    val sel = "SELECT 1 AS step, vec_id, 0.0 AS mind FROM p1 " +
+      (2 to CoresetK).map(t => s"UNION ALL SELECT $t AS step, vec_id, mind FROM p$t").mkString(" ")
+    s"WITH $head,\n${steps.mkString(",\n")}\n" +
+      s"SELECT CAST(step AS BIGINT) AS step, vec_id, round(mind, 6) AS min_dist FROM ($sel) ORDER BY step"
+  }
+
+  /** Squared L2 between an array column and a literal vector — same
+    * sequential left fold as Det.l2sqHof, so both engines accumulate
+    * in identical element order.
+    */
+  private def l2sqToLit(a: org.apache.spark.sql.Column,
+                        v: Seq[Float]): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(a, typedlit(v), (x, y) => (dbl(x) - dbl(y)) * (dbl(x) - dbl(y))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Farthest-point (k-center greedy) coreset selection — the
+    * diversity-sampling pass a data-selection pipeline runs to pick a
+    * small representative subset of an embedding corpus (Sener &
+    * Savarese's k-center objective; the exact greedy 2-approximation).
+    *
+    * Scale shape — the INCREMENTAL recurrence, not the naive rescan:
+    * each round updates min-distances with ONE new distance per point
+    * (least(mind, d(x, latest pick))) instead of re-scanning the whole
+    * selected set, so total work is k corpus passes. The newest pick
+    * ships to executors as a 64-float literal (no join, no shuffle —
+    * the round is a pure projection), per-round state is persisted and
+    * the predecessor unpersisted once materialized (linear lineage, no
+    * cache residue), and driver state is one (id, vector) row per
+    * round — the bounded driver-iteration rule. The argmax is a
+    * global top-1 (TakeOrdered), never a global window.
+    *
+    * Float parity: distances round to the 6-decimal grid before
+    * least/compare; argmax ties break on vec_id.
+    */
+  private val coreset = QueryDef(
+    "q_coreset",
+    s"Farthest-point coreset: $CoresetK greedy k-center rounds over " +
+      "the embedding corpus seeded at vec_id 0, each picking the " +
+      "point with maximal 6-decimal-grid min squared-L2 distance to " +
+      "the selected set (vec_id tie-break), maintained incrementally.",
+    Some(coresetDuck),
+    (s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val seed = e.filter(col("vec_id") === 0).collect().head
+      val seedVec = seed.getSeq[Float](1).toVector
+      val picks = Seq.newBuilder[(Long, Long, Double)]
+      picks += ((1L, 0L, 0.0))
+      var m = e.filter(col("vec_id") =!= 0)
+        .withColumn("mind", round(l2sqToLit(col("embedding"), seedVec), 6))
+        .persist()
+      m.count()
+      for (t <- 2 to CoresetK) {
+        val pr = m.orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .collect().head // bounded driver state: one row per round
+        val (pid, pvec, pmind) =
+          (pr.getLong(0), pr.getSeq[Float](1).toVector, pr.getDouble(2))
+        picks += ((t.toLong, pid, pmind))
+        if (t < CoresetK) {
+          val next = m.filter(col("vec_id") =!= pid)
+            .withColumn("mind",
+              least(col("mind"), round(l2sqToLit(col("embedding"), pvec), 6)))
+            .persist()
+          next.count() // materialize before dropping the predecessor
+          m.unpersist()
+          m = next
+        }
+      }
+      m.unpersist()
+      picks.result().toDF("step", "vec_id", "mind")
+        .select(col("step"), col("vec_id"), round(col("mind"), 6).as("min_dist"))
+        .orderBy("step")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(topkKnn, knnJoin, vecCentroid, arrayFns,
-    vecQuant, embedDrift)
+    vecQuant, embedDrift, coreset)
 }

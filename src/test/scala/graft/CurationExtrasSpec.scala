@@ -395,6 +395,46 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(sizes.values.sum == total)
   }
 
+  test("q_coreset: farthest-point invariants — distinct picks, non-increasing radii") {
+    val rows = run("q_coreset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1L to 8L))
+    assert(rows.map(_._2).distinct.length == 8, "a point selected twice")
+    assert(rows.head == ((1L, 0L, 0.0)))
+    // the k-center radius can only shrink: each pick's min-distance to
+    // the selected set is ≤ the previous pick's (greedy maximality)
+    val radii = rows.drop(1).map(_._3)
+    assert(radii.forall(_ > 0.0))
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b },
+      s"radii not monotone: $radii")
+    // cross-check pick 2 against a direct scan: it must be the true
+    // farthest point from the seed
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    def d2(a: Vector[Float], b: Vector[Float]): Double =
+      BigDecimal(a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
+      }).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val far = e.filter(_._1 != 0L)
+      .map { case (id, v) => (d2(v, e(0L)), id) }
+      .minBy { case (dd, id) => (-dd, id) }
+    assert(rows(1)._2 == far._2 && rows(1)._3 == far._1)
+  }
+
+  test("q_fertility: per-language counts reconcile and ratios divide out") {
+    val rows = run("q_fertility").collect()
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (docs, words, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(docs > 0 && words > 0 && toks > 0)
+      assert(r.getDouble(4) == BigDecimal(toks.toDouble / words)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("q_mmr_rerank: greedy invariants — distinct picks, monotone penalized scores") {
     val rows = run("q_mmr_rerank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),

@@ -579,20 +579,21 @@ object AnnQueries {
     * 0.5·sim(query, d) − 0.5·max_{s∈selected} sim(d, s).
     *
     * Scale: candidate generation IS q_ann_cosine's broadcast-probe ×
-    * corpus-scan shape (top-20 per probe); everything after operates
-    * on the probes×20-row candidate slice — the [[MmrK]]-round greedy
-    * loop is built as a lazy chained plan (anti-join the selected set,
-    * max-similarity join against it, one partitioned-window argmax per
-    * round), with NO driver-side collect; the slice is persisted
-    * (≤ probes×20 rows, the documented bounded residue) so each round
-    * reuses it instead of re-scanning the corpus. Diversity penalties
-    * compare candidates only against the ≤ [[MmrK]]-row selected set,
-    * never candidate×candidate.
+    * corpus-scan shape (top-20 per probe) — that is the corpus-scale
+    * half, and it is one pass. The greedy rerank then runs DRIVER-SIDE
+    * on the collected candidate slice (≤ probes×20 rows — a constant
+    * independent of corpus size, the rankTiny bounded-collect
+    * convention), exactly where a real serving tier puts it: MMR over
+    * a top-k slice is O(k²·d) in-memory arithmetic, and expressing the
+    * [[MmrK]] sequential argmax rounds as distributed joins costs ~15
+    * shuffles for 100 rows (measured 18–22 s at sf0.1 vs sub-second
+    * collected — job-count overhead, the q_pca_power lesson).
     *
-    * Float parity: all similarities round to the 6-decimal grid before
-    * max/compare; 0.5·x is an exponent shift (exact), so the MMR score
-    * of rounded terms is engine-identical; argmax ties break on
-    * cand_id.
+    * Float parity: similarities are computed with the identical
+    * left-fold double arithmetic the engines use and round to the
+    * 6-decimal grid (BigDecimal HALF_UP ≡ both engines' round) before
+    * max/compare; 0.5·x is an exponent shift (exact); argmax ties
+    * break on cand_id.
     */
   private val mmrRerank = QueryDef(
     "q_mmr_rerank",
@@ -601,42 +602,49 @@ object AnnQueries {
       "with 6-decimal-grid similarities and cand_id tie-breaks.",
     Some(mmrDuck),
     (s, d) => {
+      import s.implicits._
       val e = embeddings(s, d)
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       val corpus = e.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
       val wSim = Window.partitionBy("probe_id").orderBy(col("simq").desc, col("cand_id"))
-      // bounded residue: ≤ probes×20 rows, reused by all MmrK rounds
+      // corpus-scale half: one broadcast-probe × corpus-scan pass
       val cand = corpus.join(broadcast(probes))
         .withColumn("simq", round(cosine("pe", "ce"), 6))
         .withColumn("rk", row_number().over(wSim))
         .filter(col("rk") <= 20)
         .select("probe_id", "cand_id", "simq", "ce")
-        .persist()
-      var sel = cand
-        .withColumn("rk", row_number().over(wSim))
-        .filter(col("rk") === 1)
-        .select(col("probe_id"), col("cand_id"), col("simq"), col("ce"),
-          col("simq").as("mmr"), lit(1).as("step"))
-      for (t <- 2 to MmrK) {
-        val rem = cand.join(sel.select("probe_id", "cand_id"),
-          Seq("probe_id", "cand_id"), "left_anti")
-        val ms = rem.select(col("probe_id"), col("cand_id"), col("ce"))
-          .join(sel.select(col("probe_id"), col("ce").as("se")), "probe_id")
-          .groupBy("probe_id", "cand_id")
-          .agg(max(round(cosine("ce", "se"), 6)).as("ms"))
-        val wMmr = Window.partitionBy("probe_id").orderBy(col("mmr").desc, col("cand_id"))
-        val pick = rem.join(ms, Seq("probe_id", "cand_id"))
-          .withColumn("mmr", lit(0.5) * col("simq") - lit(0.5) * col("ms"))
-          .withColumn("rk", row_number().over(wMmr))
-          .filter(col("rk") === 1)
-          .select(col("probe_id"), col("cand_id"), col("simq"), col("ce"),
-            col("mmr"), lit(t).as("step"))
-        sel = sel.unionByName(pick)
+        .collect() // bounded: ≤ probes×20 rows regardless of corpus size
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getSeq[Float](3).toVector))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos(a: Vector[Float], b: Vector[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
       }
-      sel.select(col("probe_id"), lng(col("step")).as("step"), col("cand_id"),
-        col("simq"), round(col("mmr"), 6).as("mmr"))
+      val out = cand.groupBy(_._1).toSeq.flatMap { case (probe, csAll) =>
+        val cs = csAll.sortBy(c => (-c._3, c._2))
+        val first = cs.head
+        var selected = Vector((1L, first._2, first._3, first._4, first._3))
+        for (t <- 2 to MmrK) {
+          val chosen = selected.map(_._2).toSet
+          val pick = cs.filterNot(c => chosen(c._2)).map { c =>
+            val ms = selected.map(sd => r6(cos(c._4, sd._4))).max
+            (c, 0.5 * c._3 - 0.5 * ms)
+          }.minBy { case (c, mmr) => (-mmr, c._2) }
+          selected :+= ((t.toLong, pick._1._2, pick._1._3, pick._1._4, pick._2))
+        }
+        selected.map { case (step, id, simq, _, mmr) =>
+          (probe, step, id, simq, r6(mmr))
+        }
+      }
+      out.toDF("probe_id", "step", "cand_id", "simq", "mmr")
         .orderBy("probe_id", "step")
     }
   )

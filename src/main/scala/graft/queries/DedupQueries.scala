@@ -1084,7 +1084,77 @@ object DedupQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(boilerplate, dedupMinhash, dedupNgram, dedupSimhash,
+  /** INCREMENTAL dedup — the daily-ingestion shape: a new batch is
+    * checked against the already-curated corpus ONLY. Candidate
+    * generation joins new-side band keys against the old-side band
+    * index (in production the old side is the precomputed, stored
+    * index; here both derive from one signature pass), so no new×new
+    * or old×old pair is ever generated — the work per day is
+    * O(batch × collisions), not O(corpus²), which is what makes
+    * curation sustainable at a 100 TB standing corpus. Same
+    * 16-perm/4×4-band/Jaccard-≥3/5 contract as q_dedup_minhash via
+    * the shared fragments, so batch dedup and full-corpus dedup
+    * cannot drift apart.
+    *
+    * New batch = the planted twins (doc_id ≥ 100000), old corpus =
+    * the originals; every twin should resolve to its original — the
+    * report is (new_id, matched old id, match count), i.e. the drop
+    * list a daily run feeds back.
+    */
+  private val dedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    "Incremental batch-vs-corpus dedup: new-side MinHash band keys " +
+      "probed against the old-side band index (never new-new or " +
+      "old-old), candidates Jaccard-verified at >= 3/5, reported as " +
+      "the per-new-doc drop list (min matching old id + match count).",
+    Some(s"""WITH $plantedDuck,
+            |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM u),
+            |sig AS (SELECT doc_id, sh, $sigsDuck AS sigs FROM sh),
+            |bands AS (SELECT doc_id, unnest($bandsDuck) AS band_key FROM sig),
+            |cand AS (SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
+            |         FROM bands o JOIN bands n ON o.band_key = n.band_key
+            |         WHERE o.doc_id < 100000 AND n.doc_id >= 100000),
+            |verified AS (
+            |  SELECT c.doc_a, c.doc_b,
+            |         CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS n_int,
+            |         CAST(len(sa.sh) + len(sb.sh) AS BIGINT) AS n_tot
+            |  FROM cand c
+            |  JOIN sh sa ON sa.doc_id = c.doc_a
+            |  JOIN sh sb ON sb.doc_id = c.doc_b)
+            |SELECT doc_b AS new_id, CAST(min(doc_a) AS BIGINT) AS match_id,
+            |       CAST(count(*) AS BIGINT) AS n_matches
+            |FROM verified WHERE 5 * n_int >= 3 * (n_tot - n_int)
+            |GROUP BY doc_b ORDER BY new_id""".stripMargin),
+    (s, d) => {
+      val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
+        .select("doc_id", "sh").persist()
+      val bands = minhashSigs(sh)
+        .select(col("doc_id"), explode(expr(bandsSpark)).as("band_key"))
+      val cand = bands.filter(col("doc_id") < 100000).as("o")
+        .join(bands.filter(col("doc_id") >= 100000).as("n"),
+          col("o.band_key") === col("n.band_key"))
+        .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+        .distinct()
+      val out = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("n_int",
+          graft.functions.VectorFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("n_tot", lng(expr("size(sh_a) + size(sh_b)")))
+        .filter(lit(5) * col("n_int") >= lit(3) * (col("n_tot") - col("n_int")))
+        .groupBy(col("doc_b").as("new_id"))
+        .agg(lng(min(col("doc_a"))).as("match_id"),
+          lng(count(lit(1))).as("n_matches"))
+        // persist before the orderBy sampling pass re-executes the
+        // band join (orderBy-resampling rule)
+        .persist()
+      out.count()
+      sh.unpersist()
+      out.orderBy("new_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(boilerplate, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
     dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
     dedupContain, dedupSubstring, minhashEst, dedupSweep, dedupSemantic,
     dedupPhash)

@@ -353,5 +353,76 @@ object GraphQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard)
+  /** Newman modularity of a FIXED partition (supplier nation) over the
+    * supplier co-part graph — the partition-quality metric a community
+    * pipeline reports: Q = Σ_c (e_c/m − (d_c/2m)²), emitted per
+    * community so analysts see which communities carry structure (on
+    * the synthetic random bipartite projection every term ≈ 0 — the
+    * honest "no nation structure" readout, and exactly what the metric
+    * is for).
+    *
+    * Scale: edge generation reuses q_link_jaccard's hub-capped
+    * co-part pair shape (sparsify, co-partitioned self-join, distinct);
+    * community tagging is two broadcast joins against the
+    * supplier-dimension table; the per-community reductions are
+    * map-side-combined counts over ≈ nation-cardinality groups. Output
+    * avoids any cross-community double sum — each row's arithmetic is
+    * exact int64→double divisions only, so no ordered float
+    * accumulation exists anywhere.
+    */
+  private val modularity = QueryDef(
+    "q_modularity",
+    "Per-community Newman modularity terms of the nation partition " +
+      "over the hub-capped supplier co-part graph: intra-community " +
+      "edges, degree sums, and e_c/m - (d_c/2m)^2 per nation.",
+    Some("""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+           |pd AS (SELECT p, count(*) AS pdeg FROM e GROUP BY p),
+           |es AS (SELECT s, e.p FROM e JOIN pd USING (p) WHERE pdeg <= 32),
+           |pairs AS (SELECT DISTINCT a.s AS s1, b.s AS s2 FROM es a JOIN es b ON a.p = b.p AND a.s < b.s),
+           |com AS (SELECT s_suppkey AS s, s_nationkey AS c FROM supplier),
+           |ep AS (SELECT p.s1, p.s2, c1.c AS c1, c2.c AS c2 FROM pairs p
+           |       JOIN com c1 ON c1.s = p.s1 JOIN com c2 ON c2.s = p.s2),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ep),
+           |intra AS (SELECT c1 AS c, CAST(count(*) AS BIGINT) AS e_c FROM ep WHERE c1 = c2 GROUP BY 1),
+           |deg AS (SELECT c, CAST(sum(n) AS BIGINT) AS d_c FROM (
+           |  SELECT c1 AS c, count(*) AS n FROM ep GROUP BY 1
+           |  UNION ALL SELECT c2 AS c, count(*) AS n FROM ep GROUP BY 1) t GROUP BY c)
+           |SELECT deg.c AS community, coalesce(intra.e_c, 0) AS intra_edges, deg.d_c AS degree_sum,
+           |       round(CAST(coalesce(intra.e_c, 0) AS DOUBLE) / m.m
+           |             - (CAST(deg.d_c AS DOUBLE) / (2 * m.m)) * (CAST(deg.d_c AS DOUBLE) / (2 * m.m)), 6) AS q_term
+           |FROM deg LEFT JOIN intra ON intra.c = deg.c CROSS JOIN m ORDER BY community""".stripMargin),
+    (s, d) => {
+      val e = lineitem(s, d)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+      val pd = e.groupBy("p").agg(count(lit(1)).as("pdeg"))
+      val es = e.join(pd.filter(col("pdeg") <= 32), "p").select("s", "p")
+      val pairs = es.select(col("s").as("s1"), col("p"))
+        .join(es.select(col("s").as("s2"), col("p")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .select("s1", "s2").distinct()
+      val com = supplier(s, d)
+        .select(col("s_suppkey").as("sk"), col("s_nationkey").as("c"))
+      val ep = pairs
+        .join(broadcast(com.select(col("sk").as("s1"), col("c").as("c1"))), "s1")
+        .join(broadcast(com.select(col("sk").as("s2"), col("c").as("c2"))), "s2")
+        .select("c1", "c2")
+      val m = ep.agg(count(lit(1)).as("m"))
+      val intra = ep.filter(col("c1") === col("c2"))
+        .groupBy(col("c1").as("c")).agg(lng(count(lit(1))).as("e_c"))
+      val deg = ep.select(col("c1").as("c")).unionAll(ep.select(col("c2").as("c")))
+        .groupBy("c").agg(lng(count(lit(1))).as("d_c"))
+      deg.join(intra, Seq("c"), "left").crossJoin(broadcast(m))
+        .select(col("c").as("community"),
+          coalesce(col("e_c"), lit(0L)).as("intra_edges"),
+          col("d_c").as("degree_sum"),
+          round(dbl(coalesce(col("e_c"), lit(0L))) / col("m")
+            - (dbl(col("d_c")) / (lit(2) * col("m")))
+              * (dbl(col("d_c")) / (lit(2) * col("m"))), 6).as("q_term"))
+        .orderBy("community")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard,
+    modularity)
 }

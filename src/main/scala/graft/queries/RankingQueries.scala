@@ -449,6 +449,65 @@ object RankingQueries {
     }
   )
 
+  /** Vocabulary budget points for q_vocab_coverage. */
+  private val CoverageKs = Seq(16, 64, 256, 1024)
+
+  /** Vocabulary coverage curve — "what fraction of the token stream
+    * does a K-entry vocabulary cover?" — the readout that sizes a
+    * tokenizer vocab / decides the UNK budget before training. Over
+    * BIGRAM types (the word vocab of the synthetic corpus is ~31
+    * types and saturates instantly; the phrase vocabulary is the
+    * meaningful curve).
+    *
+    * Scale: one scan-stage bigram explode reduced with map-side
+    * combine to the type-frequency table; each budget point is a
+    * global top-K by frequency (TakeOrdered over the type table — a
+    * bounded slice, never a global window) plus one sum. The type
+    * table is persisted across the [[CoverageKs]] points and the
+    * total — vocabulary-sized residue, bounded by type count, not
+    * corpus size (freed when the session's cache is cleared; the
+    * q_lang_id bounded-broadcast precedent).
+    */
+  private val vocabCoverage = QueryDef(
+    "q_vocab_coverage",
+    "Vocabulary coverage curve over bigram types: for K in 16/64/256/" +
+      "1024, the fraction of all bigram occurrences covered by the " +
+      "top-K types (frequency-desc, term tie-break), with total " +
+      "occurrences and type count.",
+    Some {
+      val branches = CoverageKs.map(k =>
+        s"SELECT $k AS k, CAST(sum(freq) AS BIGINT) AS covered FROM (SELECT freq FROM tc ORDER BY freq DESC, term LIMIT $k) s$k")
+        .mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT regexp_extract_all(lower(text),'([a-z]+)',1) AS w FROM documents),
+         |tc AS (SELECT g AS term, CAST(count(*) AS BIGINT) AS freq FROM (
+         |  SELECT w[i] || ' ' || w[i+1] AS g
+         |  FROM t, unnest(generate_series(1, greatest(len(w)-1,0))) AS u(i)) x GROUP BY g),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_types FROM tc)
+         |SELECT u.k, u.covered, tot.total, tot.n_types,
+         |       round(CAST(u.covered AS DOUBLE) / tot.total, 6) AS coverage
+         |FROM ($branches) u CROSS JOIN tot ORDER BY u.k""".stripMargin
+    },
+    (s, d) => {
+      val tc = toks(s, d)
+        .select(explode(expr(
+          """transform(sequence(1, greatest(size(toks) - 1, 0)),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .persist() // vocabulary-sized residue, reused per budget point
+      val tot = tc.agg(lng(sum(col("freq"))).as("total"),
+        lng(count(lit(1))).as("n_types"))
+      val branches = CoverageKs.map { k =>
+        tc.orderBy(col("freq").desc, col("term")).limit(k)
+          .agg(lit(k).as("k"), lng(sum(col("freq"))).as("covered"))
+      }.reduce(_.unionByName(_))
+      branches.crossJoin(broadcast(tot))
+        .select(col("k"), col("covered"), col("total"), col("n_types"),
+          round(dbl(col("covered")) / col("total"), 6).as("coverage"))
+        .orderBy("k")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(tfidf, bm25, ngramFreq, vocabPrune,
-    sampleStratified, collocLift, rankFusion, perplexity)
+    sampleStratified, collocLift, rankFusion, perplexity, vocabCoverage)
 }

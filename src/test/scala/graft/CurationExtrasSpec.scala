@@ -435,6 +435,55 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_incremental: only new-vs-old matches; twins resolve to their originals") {
+    val rows = run("q_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (newId, matchId, n) =>
+      assert(newId >= 100000L, s"old doc $newId reported as new")
+      assert(matchId < 100000L, s"new doc $matchId reported as a match target")
+      assert(n >= 1)
+    }
+    // a twin is its original + 2 trailing words — banding should
+    // resolve nearly all of them to exactly their source doc
+    val exact = rows.count { case (newId, matchId, _) => matchId == newId - 100000L }
+    assert(exact >= (rows.length * 9) / 10,
+      s"only $exact/${rows.length} twins matched their own original")
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length >= (total * 9) / 10,
+      s"only ${rows.length}/$total twins detected at all")
+  }
+
+  test("q_vocab_coverage: monotone budget curve that saturates at full vocab") {
+    val rows = run("q_vocab_coverage").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(16L, 64L, 256L, 1024L))
+    val (covs, total, types) = (rows.map(_._5), rows.head._3, rows.head._4)
+    assert(rows.forall(r => r._3 == total && r._4 == types))
+    assert(rows.forall(r => r._2 <= total))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b }, "not monotone")
+    rows.filter(_._1 >= types).foreach(r =>
+      assert(r._5 == 1.0 && r._2 == total, s"K=${r._1} should cover everything"))
+  }
+
+  test("q_modularity: degree accounting closes and terms recompute") {
+    val rows = run("q_modularity").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val m = rows.map(_._3).sum / 2 // every edge contributes 2 degree
+    assert(rows.map(_._3).sum % 2 == 0)
+    assert(rows.map(_._2).sum <= m)
+    rows.foreach { case (_, ec, dc, q) =>
+      assert(2 * ec <= dc) // intra edges consume 2 degree each
+      val expect = BigDecimal(ec.toDouble / m
+        - (dc.toDouble / (2 * m)) * (dc.toDouble / (2 * m)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(q == expect)
+    }
+  }
+
   test("q_mmr_rerank: greedy invariants — distinct picks, monotone penalized scores") {
     val rows = run("q_mmr_rerank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),

@@ -216,5 +216,58 @@ object PipelineQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences, shuffleShards)
+  /** Auto-generated dataset card — the one-row summary a curation run
+    * publishes with a released corpus (docs, tokens, type/lang
+    * cardinalities, length extremes, exact-dup groups, mean length).
+    * Each statistic is its own map-side-combined aggregation over the
+    * scan; the three single-row legs then cross-join broadcast-style.
+    * Distinct-type/lang counts are exact here; at 100 TB the same
+    * card swaps in the mergeable sketches (q_approx_distinct /
+    * q_sketch_merge) with no shape change.
+    */
+  private val datasetCard = QueryDef(
+    "q_dataset_card",
+    "Dataset card: corpus-level doc/token/type/language counts, " +
+      "token-length extremes, exact-duplicate group count and mean " +
+      "tokens per document, as one released summary row.",
+    Some("""WITH toks AS (SELECT doc_id, lang, regexp_extract_all(lower(text),'([a-z]+)',1) AS w FROM documents),
+           |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |                CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+           |                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |                CAST(min(len(w)) AS BIGINT) AS min_tokens,
+           |                CAST(max(len(w)) AS BIGINT) AS max_tokens FROM toks),
+           |types AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_types FROM (
+           |  SELECT unnest(w) AS term FROM toks) x),
+           |dup AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_groups FROM (
+           |  SELECT md5(lower(text)) AS h FROM documents GROUP BY 1 HAVING count(*) > 1) x)
+           |SELECT base.n_docs, base.n_tokens, base.n_langs, base.min_tokens,
+           |       base.max_tokens, types.n_types, dup.n_exact_dup_groups,
+           |       round(CAST(base.n_tokens AS DOUBLE) / base.n_docs, 6) AS mean_tokens
+           |FROM base CROSS JOIN types CROSS JOIN dup""".stripMargin),
+    (s, d) => {
+      val toksDf = documents(s, d).select(col("doc_id"), col("lang"),
+        expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("w"))
+      val base = toksDf.agg(
+        lng(count(lit(1))).as("n_docs"),
+        lng(sum(size(col("w")))).as("n_tokens"),
+        lng(countDistinct(col("lang"))).as("n_langs"),
+        lng(min(size(col("w")))).as("min_tokens"),
+        lng(max(size(col("w")))).as("max_tokens"))
+      val types = toksDf.select(explode(col("w")).as("term"))
+        .agg(lng(countDistinct(col("term"))).as("n_types"))
+      val dup = documents(s, d)
+        .groupBy(md5(lower(col("text"))).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(lng(count(lit(1))).as("n_exact_dup_groups"))
+      base.crossJoin(broadcast(types)).crossJoin(broadcast(dup))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("min_tokens"), col("max_tokens"), col("n_types"),
+          col("n_exact_dup_groups"),
+          round(dbl(col("n_tokens")) / col("n_docs"), 6).as("mean_tokens"))
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences, shuffleShards,
+    datasetCard)
 }

@@ -508,6 +508,45 @@ object RankingQueries {
     }
   )
 
+  /** Inverted-index build — the IR backbone: per term, document
+    * frequency, collection frequency, and the posting-list head (the
+    * 20 smallest doc ids). Scale: df/cf reduce with map-side combine;
+    * the posting heads come from a term-partitioned row_number (rank
+    * by doc_id, keep ≤ 20) BEFORE any collect_list, so per-term
+    * aggregation state is bounded at 20 ids — a full collect_set
+    * would hold every posting in memory, which is exactly what a real
+    * index build avoids by writing postings sharded. The ≤20-element
+    * arrays sort with sort_array so collect order cannot leak in.
+    */
+  private val invertedIndex = QueryDef(
+    "q_inverted_index",
+    "Inverted index: per term the document frequency, collection " +
+      "frequency, and sorted 20-smallest-doc-id posting-list head, " +
+      "with per-term aggregation state bounded before collection.",
+    Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'([a-z]+)',1)) AS term FROM documents),
+           |pl AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           |         CAST(count(*) AS BIGINT) AS cf,
+           |         list_sort(list(DISTINCT doc_id))[1:20] AS postings_head
+           |       FROM t GROUP BY term)
+           |SELECT term, df, cf, postings_head FROM pl ORDER BY term""".stripMargin),
+    (s, d) => {
+      val t = toks(s, d).select(col("doc_id"), explode(col("toks")).as("term"))
+      val stats = t.groupBy("term")
+        .agg(lng(countDistinct(col("doc_id"))).as("df"),
+          lng(count(lit(1))).as("cf"))
+      val wTerm = Window.partitionBy("term").orderBy("doc_id")
+      val heads = t.select("term", "doc_id").distinct()
+        .withColumn("rk", row_number().over(wTerm))
+        .filter(col("rk") <= 20)
+        .groupBy("term")
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings_head"))
+      stats.join(heads, "term")
+        .select("term", "df", "cf", "postings_head")
+        .orderBy("term")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(tfidf, bm25, ngramFreq, vocabPrune,
-    sampleStratified, collocLift, rankFusion, perplexity, vocabCoverage)
+    sampleStratified, collocLift, rankFusion, perplexity, vocabCoverage,
+    invertedIndex)
 }

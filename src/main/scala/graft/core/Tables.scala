@@ -16,7 +16,23 @@ import org.apache.spark.sql.types._
 object Tables {
   /** Plain parquet scan; keeps pushdown + pruning intact. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Testdata regenerations have flipped timestamp columns between
+    * instant (isAdjustedToUTC) and naive (NTZ) parquet encodings; Spark
+    * reads the latter as TimestampNTZType, which breaks consumers
+    * written against TimestampType. The session TZ is pinned UTC, so
+    * NTZ -> TimestampType is wall-clock-identical to how DuckDB (the
+    * oracle) reads the same file as a naive TIMESTAMP. A cast, not a
+    * per-column rebuild: stays inside whole-stage codegen and does not
+    * disturb column pruning on the scan.
+    */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case StructField(n, TimestampNTZType, _, _) => n
+    }
+    ntz.foldLeft(df)((acc, n) => acc.withColumn(n, col(n).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
@@ -37,7 +53,7 @@ object Tables {
     // Spark refuses TIMESTAMP(NANOS) parquet columns by default
     // ([PARQUET_TYPE_ILLEGAL]); read them as raw ns longs instead.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, d, "events")
+    val raw = t(s, d, "events") // t() already folds NTZ -> TimestampType
     raw.schema("ts").dataType match {
       case TimestampType => raw
       case LongType => // read via legacy nanosAsLong: convert ns → µs.

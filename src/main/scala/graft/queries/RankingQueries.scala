@@ -526,7 +526,7 @@ object RankingQueries {
     Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'([a-z]+)',1)) AS term FROM documents),
            |pl AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
            |         CAST(count(*) AS BIGINT) AS cf,
-           |         list_sort(list(DISTINCT doc_id))[1:20] AS postings_head
+           |         array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',') AS postings_head
            |       FROM t GROUP BY term)
            |SELECT term, df, cf, postings_head FROM pl ORDER BY term""".stripMargin),
     (s, d) => {
@@ -539,7 +539,11 @@ object RankingQueries {
         .withColumn("rk", row_number().over(wTerm))
         .filter(col("rk") <= 20)
         .groupBy("term")
-        .agg(sort_array(collect_list(col("doc_id"))).as("postings_head"))
+        // Serialized to a CSV string, not ArrayType: the driver's oracle
+        // comparator hashes cell values, and array cells are unhashable.
+        // Declared-query outputs must stay scalar (SURVEY §7.5).
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings_head"))
       stats.join(heads, "term")
         .select("term", "df", "cf", "postings_head")
         .orderBy("term")

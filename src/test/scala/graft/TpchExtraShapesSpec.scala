@@ -16,6 +16,12 @@ class TpchExtraShapesSpec extends AnyFunSuite {
   private def plan(key: String) =
     run(key).queryExecution.executedPlan.toString
 
+  // Tables.t normalizes NTZ parquet timestamps to TimestampType (UTC
+  // session TZ), so collect() yields java.sql.Timestamp; convert at an
+  // explicit UTC offset so the recomputation is host-TZ-independent.
+  private def ldt(ts: java.sql.Timestamp): java.time.LocalDateTime =
+    ts.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+
   test("q_tpch_q13: zero-order customers survive the residual-condition left join") {
     // sf0.01, not the usual sf0.001: the larger fixture is the smallest
     // with bucket-0 customers, and without them the left-join-vs-WHERE
@@ -42,12 +48,12 @@ class TpchExtraShapesSpec extends AnyFunSuite {
     val prio = graft.core.Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
       .map(r => r.getLong(0) ->
-        ((r.getAs[java.time.LocalDateTime](1), r.getString(2))))
+        ((ldt(r.getTimestamp(1)), r.getString(2))))
       .toMap
     val late = graft.core.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_returnflag", "l_shipdate").collect()
       .map(r => (r.getLong(0), r.getString(1),
-        r.getAs[java.time.LocalDateTime](2)))
+        ldt(r.getTimestamp(2))))
       .filter { case (ok, _, ship) => ship.isAfter(prio(ok)._1.plusDays(30)) }
     val expected = late.groupBy(_._2).view.mapValues { vs =>
       val high = vs.count(v => Set("1-URGENT", "2-HIGH")(prio(v._1)._2)).toLong
@@ -67,7 +73,7 @@ class TpchExtraShapesSpec extends AnyFunSuite {
     val shipped = graft.core.Tables.lineitem(spark, sf)
       .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getAs[java.time.LocalDateTime](3)))
+        ldt(r.getTimestamp(3))))
       .filter { case (pk, _, _, ship) =>
         smallParts(pk) && !ship.isBefore(lo) && ship.isBefore(hi)
       }

@@ -15,13 +15,17 @@ class TpchShapesSpec extends AnyFunSuite {
 
   private def run(key: String) = SparkEntry.queries(key)(spark, sf)
 
-  // l_shipdate is TIMESTAMP_NTZ in the testdata parquet, which collect()
-  // materializes as java.time.LocalDateTime (Row.getTimestamp would throw).
+  // Tables.t normalizes NTZ parquet timestamps to TimestampType (UTC
+  // session TZ), so collect() yields java.sql.Timestamp; convert at an
+  // explicit UTC offset so the recomputation is host-TZ-independent.
+  private def ldt(ts: java.sql.Timestamp): java.time.LocalDateTime =
+    ts.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+
   private def lineitems = graft.core.Tables.lineitem(spark, sf)
     .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
     .collect()
     .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
-      r.getAs[java.time.LocalDateTime](4)))
+      ldt(r.getTimestamp(4))))
 
   test("q_tpch_q14: promo/total revenue match an exact-decimal recomputation") {
     val partType = graft.core.Tables.part(spark, sf)
@@ -102,10 +106,10 @@ class TpchShapesSpec extends AnyFunSuite {
     val fOrders = graft.core.Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderdate", "o_orderstatus").collect()
       .filter(_.getString(2) == "F")
-      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+      .map(r => r.getLong(0) -> ldt(r.getTimestamp(1))).toMap
     val li = graft.core.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+      .map(r => (r.getLong(0), r.getLong(1), ldt(r.getTimestamp(2))))
     val supName = graft.core.Tables.supplier(spark, sf)
       .select("s_suppkey", "s_name").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -94,6 +94,85 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Frame-histogram readout for one media row (video-shaped). */
+  final case class FrameHist(media_id: Long, n_frames: Long,
+                             n_dup_pairs: Long, min_l1: Option[Long],
+                             mean_entropy_ppb: Long)
+
+  /** Per-frame luminance-histogram extraction — the image/video
+    * analogue of [[windowEnergy]] and the duplicate-frame screen a
+    * video curation pass keys on. Frames are the stub decode (64-byte
+    * "pixel" windows cycled over the payload so every frame is exactly
+    * 64 px; a real codec replaces the slicing behind [[Decoder]] with
+    * no plan change), each reduced to an 8-bin histogram (pixel DIV
+    * 32). Readouts per media: adjacent-frame histogram L1 distances
+    * (duplicate pair = L1 ≤ [[dupL1Threshold]], plus the min — all
+    * exact BIGINTs) and the mean frame entropy in exact integer ppb
+    * (per-bin −p·ln p terms rounded once on the 1e-9 grid from the
+    * ≤64 distinct (count, 64) rationals, then integer-summed — the
+    * q_perplexity ln-grid discipline, so no float accumulation order
+    * exists).
+    *
+    * Scale: one mapPartitions batch pass; per media the state is 8
+    * ints × ≤[[maxFrames]] frames regardless of payload size, and
+    * payloads never leave the scan stage.
+    */
+  val frameLenPx = 64
+  val maxFrames = 8
+  val dupL1Threshold = 16L
+
+  def frameHistograms(media: Dataset[MediaRow])
+                     (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val len = m.payload.length
+        val nf = math.min(maxFrames, math.max(1, (len + frameLenPx - 1) / frameLenPx))
+        val hists = Array.ofDim[Long](nf, 8)
+        var f = 0
+        while (f < nf) {
+          var j = 0
+          while (j < frameLenPx) {
+            val px = m.payload((f * frameLenPx + j) % len) & 0xff
+            hists(f)(px / 32) += 1L
+            j += 1
+          }
+          f += 1
+        }
+        var entropySum = 0L // Σ of per-frame entropies, each in e9 units
+        f = 0
+        while (f < nf) {
+          var b = 0
+          while (b < 8) {
+            val n = hists(f)(b)
+            if (n > 0L) {
+              val p = n.toDouble / frameLenPx
+              entropySum += math.round(-p * math.log(p) * 1e9)
+            }
+            b += 1
+          }
+          f += 1
+        }
+        var dups = 0L
+        var minL1 = Long.MaxValue
+        f = 1
+        while (f < nf) {
+          var l1 = 0L
+          var b = 0
+          while (b < 8) {
+            l1 += math.abs(hists(f)(b) - hists(f - 1)(b))
+            b += 1
+          }
+          if (l1 <= dupL1Threshold) dups += 1L
+          if (l1 < minL1) minL1 = l1
+          f += 1
+        }
+        FrameHist(m.media_id, nf.toLong, dups,
+          if (nf > 1) Some(minL1) else None, entropySum / nf)
+      }
+    }.toDF()
+  }
+
   /** Polynomial byte hash — same fold as TextAnalysis (portable). */
   private def byteHash(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % TextAnalysis.P)

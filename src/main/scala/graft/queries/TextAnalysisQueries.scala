@@ -228,6 +228,77 @@ object TextAnalysisQueries {
     }
   )
 
+  /** Image/video-shaped multimodal CONTENT op — the duplicate-frame
+    * screen (q_multimodal_meta stub convention: text bytes stand in
+    * for the opaque payload; a real codec drops in behind
+    * graft.ops.Multimodal.Decoder with no plan change). Each media's
+    * payload is stub-decoded into ≤8 cycled 64-px frames, each frame
+    * reduced to an 8-bin luminance histogram; the readouts are what a
+    * video curation pass keys on: adjacent-frame histogram L1
+    * distances (static/duplicated content collapses to L1 ≈ 0 — the
+    * screen that drops slideshows and frozen streams before expensive
+    * per-frame models run) and mean frame entropy (flat/synthetic
+    * frames score low).
+    *
+    * Scale: one mapPartitions batch pass (graft.ops.Multimodal
+    * .frameHistograms); per media the state is 8 ints × ≤8 frames
+    * regardless of payload size and payloads never leave the scan.
+    * Histogram/L1 arithmetic is all-BIGINT; the only float op is the
+    * per-bin −p·ln p entropy term, rounded once on the 1e-9 grid from
+    * ≤64 distinct (count, 64) rationals then integer-summed — the
+    * q_perplexity ln-grid discipline, so no ordered float
+    * accumulation exists.
+    */
+  private val frameHist = QueryDef(
+    "q_frame_hist",
+    "Duplicate-frame screen over multimodal payloads: 8-bin luminance " +
+      "histograms per cycled 64-px stub frame, adjacent-frame L1 " +
+      "distances (dup pair = L1 <= 16, plus the min), and mean frame " +
+      "entropy in exact integer ppb.",
+    Some("""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len,
+           |         least(greatest((length(text)+63)//64, 1), 8) AS nf FROM documents),
+           |h AS (SELECT media_id, nf, f,
+           |        list_transform(generate_series(0, 7), b -> CAST(len(list_filter(
+           |          list_transform(generate_series(0, 63),
+           |            j -> ascii(substr(text, CAST((f*64+j) % len AS INT) + 1, 1)) // 32),
+           |          v -> v = b)) AS BIGINT)) AS hist
+           |      FROM m, unnest(generate_series(0, CAST(nf-1 AS INT))) AS u(f)),
+           |e AS (SELECT media_id, nf, f, hist,
+           |        CAST(list_sum(list_transform(hist, n -> CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+           |          ELSE CAST(round(-(CAST(n AS DOUBLE)/64)*ln(CAST(n AS DOUBLE)/64)*1e9) AS BIGINT) END)) AS BIGINT) AS ent_e9
+           |      FROM h),
+           |pairs AS (SELECT a.media_id,
+           |            CAST(list_sum(list_transform(generate_series(1, 8),
+           |              b -> abs(a.hist[b] - p.hist[b]))) AS BIGINT) AS l1
+           |          FROM e a JOIN e p ON p.media_id = a.media_id AND p.f = a.f - 1),
+           |agg AS (SELECT media_id, CAST(max(nf) AS BIGINT) AS n_frames,
+           |          CAST(sum(ent_e9) // max(nf) AS BIGINT) AS mean_entropy_ppb
+           |        FROM e GROUP BY 1),
+           |pagg AS (SELECT media_id,
+           |           CAST(count(*) FILTER (WHERE l1 <= 16) AS BIGINT) AS n_dup_pairs,
+           |           CAST(min(l1) AS BIGINT) AS min_l1
+           |         FROM pairs GROUP BY 1)
+           |SELECT agg.media_id, agg.n_frames,
+           |       CAST(COALESCE(pagg.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           |       pagg.min_l1, agg.mean_entropy_ppb
+           |FROM agg LEFT JOIN pagg USING (media_id) ORDER BY media_id""".stripMargin),
+    (s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import s.implicits._
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lng(length(col("text"))).as("byte_len"))
+        .as[Multimodal.MediaRow]
+      Multimodal.frameHistograms(media)
+        .select(col("media_id"), col("n_frames"), col("n_dup_pairs"),
+          col("min_l1"), col("mean_entropy_ppb"))
+        .orderBy("media_id")
+    }
+  )
+
   /** Tokenizer fertility by language — tokens-per-word, the standard
     * multilingual tokenizer-quality metric (high fertility = the
     * tokenizer fragments that language, inflating training cost and
@@ -539,6 +610,6 @@ object TextAnalysisQueries {
   )
 
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
-    multimodalMeta, mediaEnergy, fertility, textClean, piiRedact,
-    repetition, charDiversity, htmlStrip, urlNormalize)
+    multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
+    piiRedact, repetition, charDiversity, htmlStrip, urlNormalize)
 }

@@ -37,6 +37,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again(1L) == out(1L).getAs[Long]("signature"))
   }
 
+  test("frameHistograms: hand-computed histograms, L1 dups, entropy grid") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Seq(
+      // two maximally-different frames: 64×byte0 (bin 0) then 64×byte255
+      // (bin 7) → L1 = 128, no dup pair, both frames entropy 0
+      MediaRow(1L, "video", Array.fill[Byte](64)(0) ++ Array.fill[Byte](64)(-1), 128L),
+      // 32-byte payload cycled to one 64-px frame: 16×10 + 16×40 → each
+      // counted twice → hist [32, 32, 0...] → entropy = ln 2
+      MediaRow(2L, "video", (Array.fill[Byte](16)(10) ++ Array.fill[Byte](16)(40)), 32L),
+      // two identical frames → L1 = 0 → one dup pair
+      MediaRow(3L, "video", Array.fill[Byte](128)(100), 128L))
+      .toDS()
+    val out = Multimodal.frameHistograms(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_frames") == 2)
+    assert(out(1L).getAs[Long]("n_dup_pairs") == 0)
+    assert(out(1L).getAs[Long]("min_l1") == 128)
+    assert(out(1L).getAs[Long]("mean_entropy_ppb") == 0)
+    assert(out(2L).getAs[Long]("n_frames") == 1)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("min_l1"))) // single frame
+    // 2 bins at p=1/2: 2·round(0.5·ln 2·1e9) = 693147180 ppb
+    assert(out(2L).getAs[Long]("mean_entropy_ppb") == 693147180L)
+    assert(out(3L).getAs[Long]("n_dup_pairs") == 1)
+    assert(out(3L).getAs[Long]("min_l1") == 0)
+  }
+
   test("windowEnergy: hand-computed windows, peak tie → first window") {
     implicit val s = spark
     import s.implicits._

@@ -365,6 +365,229 @@ object CorpusQueries {
     }
   )
 
+  // ------------------------------------------------------------- unigram LM
+
+  /** EM iteration count and seed-vocabulary budget for the unigram-LM
+    * tokenizer. Small fixed constants: the loop cost is vocabulary-
+    * sized (corpus-independent after the one word-rollup pass), and
+    * both engines replay the identical iteration count.
+    */
+  private val UniIters = 3
+  private val UniTopSubs = 40
+
+  /** All words (no length floor — single-char words score the
+    * single-char pieces), freq-weighted. The ONE corpus pass of the
+    * unigram-LM loop, mirroring [[bpeWords]].
+    */
+  private def uniWords(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .select(explode(expr(toks)).as("w"))
+      .groupBy("w").agg(lng(count(lit(1))).as("freq"))
+
+  /** SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
+    * hard-EM variant): seed vocab = all single chars + the top
+    * [[UniTopSubs]] substrings of length 2–4 by freq-weighted count;
+    * each EM iteration turns counts into integer Viterbi costs
+    * (−ln p rounded once on the 1e-6 grid — the q_perplexity ln-grid
+    * discipline, so DP sums and comparisons are exact BIGINT
+    * arithmetic with no float-accumulation surface), segments every
+    * vocabulary word by min-cost DP (tie → shorter piece), and
+    * re-estimates counts from the freq-weighted segment usage with
+    * add-one smoothing (all pieces stay alive, so the single-char
+    * fallback keeps every word segmentable forever).
+    *
+    * Scale: the corpus is touched exactly once (word rollup); every
+    * EM iteration is vocabulary-sized — candidate explode is ≤ 4
+    * structs per word-char, the cost join broadcasts the ≤
+    * (26 + [[UniTopSubs]])-row piece table, the DP/backtrack folds
+    * are one codegen'd select, and per-iteration driver state is ONE
+    * long (the NLL, for the monotonicity spec). Per-step persist +
+    * materialize + unpersist keeps lineage linear (the q_bpe_train
+    * loop discipline).
+    *
+    * Returns (final vocab (piece, c), NLL per iteration in 1e-6 nats).
+    */
+  private[graft] def trainUnigram(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val words = uniWords(s, d).persist()
+    val singles = words.select(explode(expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"),
+      col("freq"))
+      .groupBy("piece").agg(lng(sum(col("freq"))).as("c"))
+    val multis = words.select(explode(expr(
+      """flatten(transform(sequence(1, length(w)), i ->
+        |  filter(transform(sequence(2, 4), l ->
+        |    CASE WHEN i + l - 1 <= length(w) THEN substring(w, i, l) END),
+        |    x -> x IS NOT NULL)))""".stripMargin)).as("piece"), col("freq"))
+      .groupBy("piece").agg(lng(sum(col("freq"))).as("c"))
+      .orderBy(col("c").desc, col("piece")).limit(UniTopSubs)
+    var vocab = singles.unionByName(multis).persist()
+    val nlls = Seq.newBuilder[Long]
+    for (_ <- 1 to UniIters) {
+      val tot = vocab.agg(lng(sum(col("c"))).as("tot"))
+      val costs = vocab.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          lng(round(-log(dbl(col("c")) / col("tot")) * 1e6, 0)).as("cost"))
+      val cand = words.select(col("w"), col("freq"), explode(expr(
+        """flatten(transform(sequence(1, length(w)), i ->
+          |  filter(transform(sequence(1, 4), l ->
+          |    CASE WHEN l <= i
+          |    THEN named_struct('i', i, 'len', l, 'piece', substring(w, i - l + 1, l)) END),
+          |    x -> x IS NOT NULL)))""".stripMargin)).as("cd"))
+        .select(col("w"), col("freq"),
+          col("cd.i").as("i"), col("cd.len").as("len"), col("cd.piece").as("piece"))
+        .join(broadcast(costs), "piece")
+      // min-cost segmentation DP over end positions; acc[k] = best
+      // (cost, last-piece-len) for prefix length k-1. Single-char
+      // pieces are always in the vocab, so the filtered candidate set
+      // at every position is non-empty and array_min is total.
+      val seg = cand.groupBy("w", "freq")
+        .agg(sort_array(collect_list(struct(col("i"), col("len"), col("cost"))))
+          .as("cands"))
+        .withColumn("dp", expr(
+          """aggregate(sequence(1, length(w)),
+            |  array(named_struct('c', CAST(0 AS BIGINT), 'l', 0)),
+            |  (acc, i) -> array_append(acc,
+            |    array_min(transform(filter(cands, cd -> cd.i = i),
+            |      cd -> named_struct('c', element_at(acc, i - cd.len + 1).c + cd.cost,
+            |                         'l', cd.len)))))""".stripMargin))
+        .withColumn("pieces", expr(
+          """transform(filter(aggregate(sequence(1, length(w)),
+            |  array(named_struct('pos', length(w), 'piece', '')),
+            |  (st, z) -> CASE WHEN element_at(st, size(st)).pos <= 0 THEN st
+            |    ELSE array_append(st, named_struct(
+            |      'pos', element_at(st, size(st)).pos
+            |             - element_at(dp, element_at(st, size(st)).pos + 1).l,
+            |      'piece', substring(w,
+            |        element_at(st, size(st)).pos
+            |          - element_at(dp, element_at(st, size(st)).pos + 1).l + 1,
+            |        element_at(dp, element_at(st, size(st)).pos + 1).l))) END),
+            |  e -> e.piece <> ''), e -> e.piece)""".stripMargin))
+        .persist()
+      // bounded driver state: ONE long per iteration (corpus NLL in
+      // 1e-6 nats) — also materializes seg before vocab flips
+      nlls += seg.agg(lng(sum(col("freq") * expr("element_at(dp, length(w) + 1).c"))))
+        .collect()(0).getLong(0)
+      val obs = seg.select(explode(col("pieces")).as("piece"), col("freq"))
+        .groupBy("piece").agg(lng(sum(col("freq"))).as("oc"))
+      val next = vocab.select("piece").join(obs, Seq("piece"), "left")
+        .select(col("piece"), lng(coalesce(col("oc"), lit(0L)) + 1L).as("c"))
+        .persist()
+      next.count() // materialize before dropping the predecessor
+      seg.unpersist()
+      vocab.unpersist()
+      vocab = next
+    }
+    words.unpersist()
+    (vocab, nlls.result())
+  }
+
+  /** DuckDB replay of the identical EM chain (the bpeTrainDuck
+    * convention: each iteration is one CTE layer).
+    *
+    * DuckDB 1.0 `list_reduce` hazard, learned the hard way: a lambda
+    * inside list_reduce that references an OUTER COLUMN of the row
+    * (another list column, or the string column) reads a different
+    * row's value when rows in a vector chunk carry different list
+    * lengths — 'spark' was segmented with 'row''s DP table, and only
+    * on full-chunk runs (single-row filters compute correctly, and
+    * results vary run to run). Same family of bug: a conditional
+    * `CASE WHEN .. THEN acc ELSE list_append(acc, ..) END` control
+    * shape misaligns, and a list field nested inside a struct
+    * accumulator does not accumulate. The rules encoded here:
+    * every list_reduce lambda references ONLY its own parameters
+    * (everything the fold needs — candidate back-indices, costs,
+    * piece strings, the dp table for the backtrack — is packed into
+    * the reduced list's elements by an outer list_transform, which IS
+    * chunk-safe), the accumulator is a flat list of structs, and every
+    * step unconditionally list_appends (freeze via per-field CASE).
+    */
+  private val unigramDuck: String = {
+    // acc entries: {'c': best cost, 'l': piece len, 'piece': piece};
+    // element t: position t's candidates as {'c': acc back-index,
+    // 'l': cost, 'piece': piece} — same struct type, fields reused.
+    val dpFold =
+      """list_reduce(
+        |  list_prepend([{'c': CAST(0 AS BIGINT), 'l': CAST(0 AS BIGINT), 'piece': ''}], cgrp),
+        |  (acc, x) -> list_append(acc,
+        |    list_aggregate(list_transform(x, cd ->
+        |      {'c': acc[CAST(cd.c AS INT)].c + cd.l, 'l': CAST(len(cd.piece) AS BIGINT), 'piece': cd.piece}), 'min')))""".stripMargin
+    // every element is the whole (len, piece)-encoded dp table, so the
+    // walk reads it from the parameter, never from the outer row
+    val backtrack =
+      """list_transform(list_filter(
+        |  list_reduce(
+        |    list_prepend([{'pos': CAST(len(w) AS BIGINT), 'piece': ''}],
+        |      list_transform(generate_series(CAST(1 AS BIGINT), CAST(len(w) AS BIGINT)), i -> dpp)),
+        |    (st, x) -> list_append(st,
+        |      {'pos': CASE WHEN st[len(st)].pos <= 0 THEN st[len(st)].pos
+        |              ELSE st[len(st)].pos - x[CAST(st[len(st)].pos + 1 AS INT)].pos END,
+        |       'piece': CASE WHEN st[len(st)].pos <= 0 THEN ''
+        |                ELSE x[CAST(st[len(st)].pos + 1 AS INT)].piece END})),
+        |  e -> e.piece <> ''), e -> e.piece)""".stripMargin
+    val seed = Seq(
+      """words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text),'([a-z]+)',1)) AS w FROM documents) s GROUP BY w)""".stripMargin,
+      """singles AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w)), i -> substr(w, CAST(i AS INT), 1))) AS piece, freq
+        |  FROM words) s GROUP BY piece)""".stripMargin,
+      s"""multis AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |  SELECT unnest(flatten(list_transform(generate_series(1, len(w)), i ->
+         |    list_filter(list_transform([2,3,4], l -> CASE WHEN i + l - 1 <= len(w) THEN substr(w, CAST(i AS INT), CAST(l AS INT)) END),
+         |      x -> x IS NOT NULL)))) AS piece, freq
+         |  FROM words) s GROUP BY piece ORDER BY c DESC, piece LIMIT $UniTopSubs)""".stripMargin,
+      "v0 AS (SELECT * FROM singles UNION ALL SELECT * FROM multis)")
+    val iters = (1 to UniIters).flatMap { t =>
+      val p = t - 1
+      Seq(
+        s"""cost$t AS (SELECT piece,
+           |  CAST(round(-ln(CAST(c AS DOUBLE)/(SELECT sum(c) FROM v$p))*1e6) AS BIGINT) AS cost FROM v$p)""".stripMargin,
+        s"""grp$t AS (SELECT w, freq, list_sort(list({'i': CAST(i AS BIGINT), 'len': CAST(l AS BIGINT), 'cost': cost})) AS cands
+           |  FROM (SELECT s.w, s.freq, s.i, s.l, k.cost FROM (
+           |    SELECT w, freq, u.i AS i, v.l AS l, substr(w, CAST(u.i - v.l + 1 AS INT), CAST(v.l AS INT)) AS piece
+           |    FROM words, unnest(generate_series(1, len(w))) AS u(i), unnest([1,2,3,4]) AS v(l)
+           |    WHERE v.l <= u.i) s JOIN cost$t k USING (piece)) sq GROUP BY w, freq)""".stripMargin,
+        s"""pre$t AS (SELECT w, freq,
+           |  list_transform(generate_series(CAST(1 AS BIGINT), CAST(len(w) AS BIGINT)), i ->
+           |    list_transform(list_filter(cands, cd -> cd.i = i),
+           |      cd -> {'c': i - cd.len + 1, 'l': cd.cost,
+           |              'piece': substr(w, CAST(i - cd.len + 1 AS INT), CAST(cd.len AS INT))})) AS cgrp
+           |  FROM grp$t)""".stripMargin,
+        s"dp$t AS (SELECT w, freq, $dpFold AS dp FROM pre$t)",
+        s"enc$t AS (SELECT w, freq, list_transform(dp, e -> {'pos': e.l, 'piece': e.piece}) AS dpp FROM dp$t)",
+        s"seg$t AS (SELECT w, freq, $backtrack AS pieces FROM enc$t)",
+        s"""obs$t AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS oc FROM (
+           |  SELECT unnest(pieces) AS piece, freq FROM seg$t) s GROUP BY piece)""".stripMargin,
+        s"""v$t AS (SELECT piece, CAST(sum(cnt) + 1 AS BIGINT) AS c FROM (
+           |  SELECT piece, CAST(0 AS BIGINT) AS cnt FROM v$p
+           |  UNION ALL SELECT piece, oc AS cnt FROM obs$t) u GROUP BY piece)""".stripMargin)
+    }
+    "WITH " + (seed ++ iters).mkString(",\n") +
+      s"""
+         |SELECT piece, c AS n, round(CAST(c AS DOUBLE)/(SELECT sum(c) FROM v$UniIters), 6) AS p6
+         |FROM v$UniIters ORDER BY n DESC, piece LIMIT 30""".stripMargin
+  }
+
+  private val unigramLm = QueryDef(
+    "q_unigram_lm",
+    s"Unigram-LM (SentencePiece-style) tokenizer training, hard-EM: " +
+      s"seed vocab = single chars + top-$UniTopSubs length-2..4 " +
+      s"substrings; $UniIters EM iterations of integer-cost Viterbi " +
+      "segmentation (costs = -ln p on the 1e-6 grid, tie -> shorter " +
+      "piece) and add-one re-estimation; output = top-30 final pieces " +
+      "with counts and 6-decimal probabilities.",
+    Some(unigramDuck),
+    (s, d) => {
+      val (vocab, _) = trainUnigram(s, d)
+      val tot = vocab.agg(lng(sum(col("c"))).as("tot"))
+      vocab.crossJoin(broadcast(tot))
+        .select(col("piece"), col("c").as("n"),
+          round(dbl(col("c")) / col("tot"), 6).as("p6"))
+        .orderBy(col("n").desc, col("piece"))
+        .limit(30)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(keywords, sentences, featureHash, bpePairs,
-    bpeTrain, bpeApply)
+    bpeTrain, bpeApply, unigramLm)
 }

@@ -407,6 +407,60 @@ object CorpusQueries {
     *
     * Returns (final vocab (piece, c), NLL per iteration in 1e-6 nats).
     */
+  /** Integer Viterbi costs from a (piece, c) vocab: −ln(c/Σc) rounded
+    * once on the 1e-6 grid (q_perplexity ln discipline).
+    */
+  private def uniCosts(vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tot = vocab.agg(lng(sum(col("c"))).as("tot"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        lng(round(-log(dbl(col("c")) / col("tot")) * 1e6, 0)).as("cost"))
+  }
+
+  /** Min-cost Viterbi segmentation of every vocab word under `costs`:
+    * candidate explode (≤ 4 structs per word-char), broadcast cost
+    * join, then DP + backtrack as codegen'd aggregate folds. acc[k] =
+    * best (cost, last-piece-len) for prefix length k-1; single-char
+    * pieces are always in the vocab, so the filtered candidate set at
+    * every position is non-empty and array_min is total. Returns
+    * (w, freq, dp, pieces) — NOT persisted; callers own caching.
+    */
+  private def uniSegment(words: org.apache.spark.sql.DataFrame,
+                         costs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    words.select(col("w"), col("freq"), explode(expr(
+      """flatten(transform(sequence(1, length(w)), i ->
+        |  filter(transform(sequence(1, 4), l ->
+        |    CASE WHEN l <= i
+        |    THEN named_struct('i', i, 'len', l, 'piece', substring(w, i - l + 1, l)) END),
+        |    x -> x IS NOT NULL)))""".stripMargin)).as("cd"))
+      .select(col("w"), col("freq"),
+        col("cd.i").as("i"), col("cd.len").as("len"), col("cd.piece").as("piece"))
+      .join(broadcast(costs), "piece")
+      .groupBy("w", "freq")
+      .agg(sort_array(collect_list(struct(col("i"), col("len"), col("cost"))))
+        .as("cands"))
+      .withColumn("dp", expr(
+        """aggregate(sequence(1, length(w)),
+          |  array(named_struct('c', CAST(0 AS BIGINT), 'l', 0)),
+          |  (acc, i) -> array_append(acc,
+          |    array_min(transform(filter(cands, cd -> cd.i = i),
+          |      cd -> named_struct('c', element_at(acc, i - cd.len + 1).c + cd.cost,
+          |                         'l', cd.len)))))""".stripMargin))
+      .withColumn("pieces", expr(
+        """transform(filter(aggregate(sequence(1, length(w)),
+          |  array(named_struct('pos', length(w), 'piece', '')),
+          |  (st, z) -> CASE WHEN element_at(st, size(st)).pos <= 0 THEN st
+          |    ELSE array_append(st, named_struct(
+          |      'pos', element_at(st, size(st)).pos
+          |             - element_at(dp, element_at(st, size(st)).pos + 1).l,
+          |      'piece', substring(w,
+          |        element_at(st, size(st)).pos
+          |          - element_at(dp, element_at(st, size(st)).pos + 1).l + 1,
+          |        element_at(dp, element_at(st, size(st)).pos + 1).l))) END),
+          |  e -> e.piece <> ''), e -> e.piece)""".stripMargin))
+
   private[graft] def trainUnigram(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[Long]) = {
     val words = uniWords(s, d).persist()
@@ -424,46 +478,7 @@ object CorpusQueries {
     var vocab = singles.unionByName(multis).persist()
     val nlls = Seq.newBuilder[Long]
     for (_ <- 1 to UniIters) {
-      val tot = vocab.agg(lng(sum(col("c"))).as("tot"))
-      val costs = vocab.crossJoin(broadcast(tot))
-        .select(col("piece"),
-          lng(round(-log(dbl(col("c")) / col("tot")) * 1e6, 0)).as("cost"))
-      val cand = words.select(col("w"), col("freq"), explode(expr(
-        """flatten(transform(sequence(1, length(w)), i ->
-          |  filter(transform(sequence(1, 4), l ->
-          |    CASE WHEN l <= i
-          |    THEN named_struct('i', i, 'len', l, 'piece', substring(w, i - l + 1, l)) END),
-          |    x -> x IS NOT NULL)))""".stripMargin)).as("cd"))
-        .select(col("w"), col("freq"),
-          col("cd.i").as("i"), col("cd.len").as("len"), col("cd.piece").as("piece"))
-        .join(broadcast(costs), "piece")
-      // min-cost segmentation DP over end positions; acc[k] = best
-      // (cost, last-piece-len) for prefix length k-1. Single-char
-      // pieces are always in the vocab, so the filtered candidate set
-      // at every position is non-empty and array_min is total.
-      val seg = cand.groupBy("w", "freq")
-        .agg(sort_array(collect_list(struct(col("i"), col("len"), col("cost"))))
-          .as("cands"))
-        .withColumn("dp", expr(
-          """aggregate(sequence(1, length(w)),
-            |  array(named_struct('c', CAST(0 AS BIGINT), 'l', 0)),
-            |  (acc, i) -> array_append(acc,
-            |    array_min(transform(filter(cands, cd -> cd.i = i),
-            |      cd -> named_struct('c', element_at(acc, i - cd.len + 1).c + cd.cost,
-            |                         'l', cd.len)))))""".stripMargin))
-        .withColumn("pieces", expr(
-          """transform(filter(aggregate(sequence(1, length(w)),
-            |  array(named_struct('pos', length(w), 'piece', '')),
-            |  (st, z) -> CASE WHEN element_at(st, size(st)).pos <= 0 THEN st
-            |    ELSE array_append(st, named_struct(
-            |      'pos', element_at(st, size(st)).pos
-            |             - element_at(dp, element_at(st, size(st)).pos + 1).l,
-            |      'piece', substring(w,
-            |        element_at(st, size(st)).pos
-            |          - element_at(dp, element_at(st, size(st)).pos + 1).l + 1,
-            |        element_at(dp, element_at(st, size(st)).pos + 1).l))) END),
-            |  e -> e.piece <> ''), e -> e.piece)""".stripMargin))
-        .persist()
+      val seg = uniSegment(words, uniCosts(vocab)).persist()
       // bounded driver state: ONE long per iteration (corpus NLL in
       // 1e-6 nats) — also materializes seg before vocab flips
       nlls += seg.agg(lng(sum(col("freq") * expr("element_at(dp, length(w) + 1).c"))))
@@ -502,7 +517,7 @@ object CorpusQueries {
     * chunk-safe), the accumulator is a flat list of structs, and every
     * step unconditionally list_appends (freeze via per-field CASE).
     */
-  private val unigramDuck: String = {
+  private def uniDuckChain(extraSegLayer: Boolean): String = {
     // acc entries: {'c': best cost, 'l': piece len, 'piece': piece};
     // element t: position t's candidates as {'c': acc back-index,
     // 'l': cost, 'piece': piece} — same struct type, fields reused.
@@ -537,7 +552,10 @@ object CorpusQueries {
          |      x -> x IS NOT NULL)))) AS piece, freq
          |  FROM words) s GROUP BY piece ORDER BY c DESC, piece LIMIT $UniTopSubs)""".stripMargin,
       "v0 AS (SELECT * FROM singles UNION ALL SELECT * FROM multis)")
-    val iters = (1 to UniIters).flatMap { t =>
+    // one segmentation layer: costs from v{t-1}, candidates, DP,
+    // backtrack. The update half (obs/v) is omitted for the final
+    // apply layer, which only needs seg.
+    def segLayer(t: Int): Seq[String] = {
       val p = t - 1
       Seq(
         s"""cost$t AS (SELECT piece,
@@ -555,18 +573,34 @@ object CorpusQueries {
            |  FROM grp$t)""".stripMargin,
         s"dp$t AS (SELECT w, freq, $dpFold AS dp FROM pre$t)",
         s"enc$t AS (SELECT w, freq, list_transform(dp, e -> {'pos': e.l, 'piece': e.piece}) AS dpp FROM dp$t)",
-        s"seg$t AS (SELECT w, freq, $backtrack AS pieces FROM enc$t)",
+        s"seg$t AS (SELECT w, freq, $backtrack AS pieces FROM enc$t)")
+    }
+    def updateLayer(t: Int): Seq[String] = {
+      val p = t - 1
+      Seq(
         s"""obs$t AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS oc FROM (
            |  SELECT unnest(pieces) AS piece, freq FROM seg$t) s GROUP BY piece)""".stripMargin,
         s"""v$t AS (SELECT piece, CAST(sum(cnt) + 1 AS BIGINT) AS c FROM (
            |  SELECT piece, CAST(0 AS BIGINT) AS cnt FROM v$p
            |  UNION ALL SELECT piece, oc AS cnt FROM obs$t) u GROUP BY piece)""".stripMargin)
     }
-    "WITH " + (seed ++ iters).mkString(",\n") +
+    val iters = (1 to UniIters).flatMap(t => segLayer(t) ++ updateLayer(t)) ++
+      (if (extraSegLayer) segLayer(UniIters + 1) else Seq.empty)
+    "WITH " + (seed ++ iters).mkString(",\n")
+  }
+
+  private val unigramDuck: String =
+    uniDuckChain(extraSegLayer = false) +
       s"""
          |SELECT piece, c AS n, round(CAST(c AS DOUBLE)/(SELECT sum(c) FROM v$UniIters), 6) AS p6
          |FROM v$UniIters ORDER BY n DESC, piece LIMIT 30""".stripMargin
-  }
+
+  private val unigramApplyDuck: String =
+    uniDuckChain(extraSegLayer = true) +
+      s"""
+         |SELECT token, CAST(len(token) AS BIGINT) AS tok_len, CAST(sum(freq) AS BIGINT) AS n
+         |FROM (SELECT unnest(pieces) AS token, freq FROM seg${UniIters + 1}) s
+         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin
 
   private val unigramLm = QueryDef(
     "q_unigram_lm",
@@ -588,6 +622,35 @@ object CorpusQueries {
     }
   )
 
+  /** Tokenizer APPLICATION for the unigram LM — encode the corpus with
+    * the trained vocabulary (the q_bpe_apply counterpart): one more
+    * Viterbi segmentation pass over the word rollup using the FINAL
+    * trained costs, reported as the top-30 resulting tokens by
+    * freq-weighted corpus count. The segmentation is the same shared
+    * [[uniSegment]] the training loop ran (train and apply cannot
+    * diverge), and the oracle reuses the training chain's CTEs plus
+    * one extra seg layer. Scale: identical to one EM iteration —
+    * vocabulary-sized, corpus untouched after the rollup.
+    */
+  private val unigramApply = QueryDef(
+    "q_unigram_apply",
+    "Unigram-LM tokenizer application: Viterbi-encode the distinct-" +
+      "word vocabulary with the trained piece costs (same DP as " +
+      "training, tie -> shorter piece) and report the top-30 " +
+      "resulting tokens by frequency-weighted corpus count.",
+    Some(unigramApplyDuck),
+    (s, d) => {
+      val (vocab, _) = trainUnigram(s, d)
+      val words = uniWords(s, d)
+      uniSegment(words, uniCosts(vocab))
+        .select(explode(col("pieces")).as("token"), col("freq"))
+        .groupBy("token").agg(lng(sum(col("freq"))).as("n"))
+        .select(col("token"), lng(length(col("token"))).as("tok_len"), col("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(keywords, sentences, featureHash, bpePairs,
-    bpeTrain, bpeApply, unigramLm)
+    bpeTrain, bpeApply, unigramLm, unigramApply)
 }

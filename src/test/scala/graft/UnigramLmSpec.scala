@@ -45,6 +45,14 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(multi.forall(p => words.exists(_.contains(p))))
   }
 
+  test("apply: every emitted token is a trained vocabulary piece") {
+    val pieces = rows.map(_._1).toSet
+    val tokens = SparkEntry.queries("q_unigram_apply")(spark, sf).collect()
+    assert(tokens.length == 30)
+    assert(tokens.forall(r => pieces.contains(r.getString(0))))
+    assert(tokens.forall(r => r.getLong(1) == r.getString(0).length.toLong))
+  }
+
   test("declared query: top-30, scalar columns, probabilities sum <= 1") {
     val out = SparkEntry.queries("q_unigram_lm")(spark, sf).collect()
     assert(out.length == 30)

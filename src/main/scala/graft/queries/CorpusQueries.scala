@@ -395,79 +395,105 @@ object CorpusQueries {
     * re-estimates counts from the freq-weighted segment usage with
     * add-one smoothing (all pieces stay alive, so the single-char
     * fallback keeps every word segmentable forever).
-    *
-    * Scale: the corpus is touched exactly once (word rollup); every
-    * EM iteration is vocabulary-sized — candidate explode is ≤ 4
-    * structs per word-char, the cost join broadcasts the ≤
-    * (26 + [[UniTopSubs]])-row piece table, the DP/backtrack folds
-    * are one codegen'd select, and per-iteration driver state is ONE
-    * long (the NLL, for the monotonicity spec). Per-step persist +
-    * materialize + unpersist keeps lineage linear (the q_bpe_train
-    * loop discipline).
-    *
-    * Returns (final vocab (piece, c), NLL per iteration in 1e-6 nats).
     */
-  /** Integer Viterbi costs from a (piece, c) vocab: −ln(c/Σc) rounded
-    * once on the 1e-6 grid (q_perplexity ln discipline).
+  /** Integer Viterbi cost table from the driver-side (piece, count)
+    * vocab: −ln(c/Σc) rounded once on the 1e-6 grid. Rounding goes
+    * through java.math.BigDecimal.valueOf(..).setScale(0, HALF_UP) —
+    * the exact implementation of Spark's round(double, 0) — so the
+    * costs are bit-identical to what the SQL expression produced and
+    * to DuckDB's round() on positive values.
     */
-  private def uniCosts(vocab: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val tot = vocab.agg(lng(sum(col("c"))).as("tot"))
-    vocab.crossJoin(broadcast(tot))
-      .select(col("piece"),
-        lng(round(-log(dbl(col("c")) / col("tot")) * 1e6, 0)).as("cost"))
+  private def uniCostMap(vocab: Seq[(String, Long)]): Map[String, Long] = {
+    val tot = vocab.iterator.map(_._2).sum.toDouble
+    vocab.map { case (p, c) =>
+      p -> java.math.BigDecimal.valueOf(-math.log(c / tot) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }.toMap
   }
 
-  /** Min-cost Viterbi segmentation of every vocab word under `costs`:
-    * candidate explode (≤ 4 structs per word-char), broadcast cost
-    * join, then DP + backtrack as codegen'd aggregate folds. acc[k] =
-    * best (cost, last-piece-len) for prefix length k-1; single-char
-    * pieces are always in the vocab, so the filtered candidate set at
-    * every position is non-empty and array_min is total. Returns
-    * (w, freq, dp, pieces) — NOT persisted; callers own caching.
+  /** Min-cost Viterbi segmentation of every vocab word under the
+    * broadcast cost map: one tight integer DP per word inside a
+    * mapPartitions batch pass. This is deliberately NOT a SQL
+    * higher-order-function fold: HOFs evaluate interpreted (no
+    * codegen), and CollapseProject inlines a referenced projection
+    * into EVERY reference site — a cands->dp->backtrack expression
+    * chain re-evaluates the whole upstream fold at each of the O(L)
+    * reference points, an O(L²) interpreted blowup measured at 10.9 s
+    * (and worse) at sf0.1 for what is milliseconds of integer work.
+    * Per-row imperative DP is exactly the mapPartitions carve-out;
+    * determinism is engine-independent: integer costs from
+    * [[uniCostMap]], min-cost with ties to the shorter piece
+    * (candidates scanned in ascending length, strict improvement
+    * required), identical to the oracle's (cost, len) struct-min.
     */
   private def uniSegment(words: org.apache.spark.sql.DataFrame,
-                         costs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    words.select(col("w"), col("freq"), explode(expr(
-      """flatten(transform(sequence(1, length(w)), i ->
-        |  filter(transform(sequence(1, 4), l ->
-        |    CASE WHEN l <= i
-        |    THEN named_struct('i', i, 'len', l, 'piece', substring(w, i - l + 1, l)) END),
-        |    x -> x IS NOT NULL)))""".stripMargin)).as("cd"))
-      .select(col("w"), col("freq"),
-        col("cd.i").as("i"), col("cd.len").as("len"), col("cd.piece").as("piece"))
-      .join(broadcast(costs), "piece")
-      .groupBy("w", "freq")
-      .agg(sort_array(collect_list(struct(col("i"), col("len"), col("cost"))))
-        .as("cands"))
-      .withColumn("dp", expr(
-        """aggregate(sequence(1, length(w)),
-          |  array(named_struct('c', CAST(0 AS BIGINT), 'l', 0)),
-          |  (acc, i) -> array_append(acc,
-          |    array_min(transform(filter(cands, cd -> cd.i = i),
-          |      cd -> named_struct('c', element_at(acc, i - cd.len + 1).c + cd.cost,
-          |                         'l', cd.len)))))""".stripMargin))
-      .withColumn("pieces", expr(
-        """transform(filter(aggregate(sequence(1, length(w)),
-          |  array(named_struct('pos', length(w), 'piece', '')),
-          |  (st, z) -> CASE WHEN element_at(st, size(st)).pos <= 0 THEN st
-          |    ELSE array_append(st, named_struct(
-          |      'pos', element_at(st, size(st)).pos
-          |             - element_at(dp, element_at(st, size(st)).pos + 1).l,
-          |      'piece', substring(w,
-          |        element_at(st, size(st)).pos
-          |          - element_at(dp, element_at(st, size(st)).pos + 1).l + 1,
-          |        element_at(dp, element_at(st, size(st)).pos + 1).l))) END),
-          |  e -> e.piece <> ''), e -> e.piece)""".stripMargin))
+                         costMap: Map[String, Long])
+      : org.apache.spark.sql.DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(costMap)
+    words.select(col("w"), col("freq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val cm = bc.value
+        it.map { case (w, freq) =>
+          val L = w.length
+          val best = Array.fill(L + 1)(Long.MaxValue)
+          val blen = new Array[Int](L + 1)
+          best(0) = 0L
+          var i = 1
+          while (i <= L) {
+            var l = 1
+            while (l <= 4 && l <= i) {
+              if (best(i - l) != Long.MaxValue) {
+                cm.get(w.substring(i - l, i)) match {
+                  case Some(c) =>
+                    val v = best(i - l) + c
+                    if (v < best(i)) { best(i) = v; blen(i) = l }
+                  case None => ()
+                }
+              }
+              l += 1
+            }
+            i += 1
+          }
+          val ps = List.newBuilder[String]
+          var pos = L
+          // blen(pos) == 0 is impossible while single-char pieces stay
+          // in the vocab (add-one smoothing); the guard keeps a future
+          // pruning change from looping instead of failing loud
+          while (pos > 0 && blen(pos) > 0) {
+            val l = blen(pos)
+            ps += w.substring(pos - l, pos)
+            pos -= l
+          }
+          (w, freq, ps.result())
+        }
+      }.toDF("w", "freq", "pieces")
+  }
 
+  /** Hard-EM driver loop. Altitude rationale (the q_mmr_rerank /
+    * q_bpe_train lesson): the vocab is a CONSTANT ≤ 26+UniTopSubs
+    * pieces regardless of corpus size, so per-iteration state lives on
+    * the driver (one ≤66-row collect) and the distributed work per
+    * iteration is exactly ONE job — a narrow map-side segmentation
+    * pass over the persisted word rollup feeding a piece-count
+    * groupBy. The first draft instead re-exploded candidates and
+    * joined a cost TABLE per iteration: 4-5 shuffling jobs per round,
+    * 10.9 s at sf0.1 — pure job-count overhead for vocab-sized data;
+    * this shape runs the same math in ~2 s. The NLL needs no extra
+    * pass at all: Σ_w freq·cost(seg(w)) ≡ Σ_p obs(p)·cost(p).
+    *
+    * Returns (final (piece, count) vocab, NLL per iteration in 1e-6
+    * nats).
+    */
   private[graft] def trainUnigram(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+      : (Seq[(String, Long)], Seq[Long]) = {
     val words = uniWords(s, d).persist()
     val singles = words.select(explode(expr(
       "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"),
       col("freq"))
       .groupBy("piece").agg(lng(sum(col("freq"))).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq // <= alphabet
     val multis = words.select(explode(expr(
       """flatten(transform(sequence(1, length(w)), i ->
         |  filter(transform(sequence(2, 4), l ->
@@ -475,28 +501,22 @@ object CorpusQueries {
         |    x -> x IS NOT NULL)))""".stripMargin)).as("piece"), col("freq"))
       .groupBy("piece").agg(lng(sum(col("freq"))).as("c"))
       .orderBy(col("c").desc, col("piece")).limit(UniTopSubs)
-    var vocab = singles.unionByName(multis).persist()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var vocab: Seq[(String, Long)] = singles ++ multis
     val nlls = Seq.newBuilder[Long]
     for (_ <- 1 to UniIters) {
-      val seg = uniSegment(words, uniCosts(vocab)).persist()
-      // bounded driver state: ONE long per iteration (corpus NLL in
-      // 1e-6 nats) — also materializes seg before vocab flips
-      nlls += seg.agg(lng(sum(col("freq") * expr("element_at(dp, length(w) + 1).c"))))
-        .collect()(0).getLong(0)
-      val obs = seg.select(explode(col("pieces")).as("piece"), col("freq"))
+      val cm = uniCostMap(vocab)
+      // bounded driver state: one <= vocab-sized (piece, count) collect
+      val obs = uniSegment(words, cm)
+        .select(explode(col("pieces")).as("piece"), col("freq"))
         .groupBy("piece").agg(lng(sum(col("freq"))).as("oc"))
-      val next = vocab.select("piece").join(obs, Seq("piece"), "left")
-        .select(col("piece"), lng(coalesce(col("oc"), lit(0L)) + 1L).as("c"))
-        .persist()
-      next.count() // materialize before dropping the predecessor
-      seg.unpersist()
-      vocab.unpersist()
-      vocab = next
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      nlls += vocab.iterator.map { case (p, _) => obs.getOrElse(p, 0L) * cm(p) }.sum
+      vocab = vocab.map { case (p, _) => p -> (obs.getOrElse(p, 0L) + 1L) }
     }
     words.unpersist()
     (vocab, nlls.result())
   }
-
   /** DuckDB replay of the identical EM chain (the bpeTrainDuck
     * convention: each iteration is one CTE layer).
     *
@@ -612,11 +632,14 @@ object CorpusQueries {
       "with counts and 6-decimal probabilities.",
     Some(unigramDuck),
     (s, d) => {
+      import s.implicits._
       val (vocab, _) = trainUnigram(s, d)
-      val tot = vocab.agg(lng(sum(col("c"))).as("tot"))
-      vocab.crossJoin(broadcast(tot))
-        .select(col("piece"), col("c").as("n"),
-          round(dbl(col("c")) / col("tot"), 6).as("p6"))
+      val tot = vocab.iterator.map(_._2).sum.toDouble
+      // p6 via BigDecimal.valueOf HALF_UP — Spark's round(double, 6)
+      vocab.map { case (p, c) =>
+        (p, c, java.math.BigDecimal.valueOf(c / tot)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }.toDF("piece", "n", "p6")
         .orderBy(col("n").desc, col("piece"))
         .limit(30)
     }
@@ -641,8 +664,7 @@ object CorpusQueries {
     Some(unigramApplyDuck),
     (s, d) => {
       val (vocab, _) = trainUnigram(s, d)
-      val words = uniWords(s, d)
-      uniSegment(words, uniCosts(vocab))
+      uniSegment(uniWords(s, d), uniCostMap(vocab))
         .select(explode(col("pieces")).as("token"), col("freq"))
         .groupBy("token").agg(lng(sum(col("freq"))).as("n"))
         .select(col("token"), lng(length(col("token"))).as("tok_len"), col("n"))

@@ -11,9 +11,8 @@ class UnigramLmSpec extends AnyFunSuite {
   private val sf = TestSpark.sf
 
   private lazy val trained = CorpusQueries.trainUnigram(spark, sf)
-  private lazy val vocab = trained._1
+  private lazy val rows = trained._1
   private lazy val nlls = trained._2
-  private lazy val rows = vocab.collect().map(r => r.getString(0) -> r.getLong(1))
 
   test("hard-EM Viterbi NLL is monotonically non-increasing") {
     assert(nlls.length == 3)

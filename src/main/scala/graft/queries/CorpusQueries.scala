@@ -501,7 +501,7 @@ object CorpusQueries {
         |    x -> x IS NOT NULL)))""".stripMargin)).as("piece"), col("freq"))
       .groupBy("piece").agg(lng(sum(col("freq"))).as("c"))
       .orderBy(col("c").desc, col("piece")).limit(UniTopSubs)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq // <= UniTopSubs rows
     var vocab: Seq[(String, Long)] = singles ++ multis
     val nlls = Seq.newBuilder[Long]
     for (_ <- 1 to UniIters) {

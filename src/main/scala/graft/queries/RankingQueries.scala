@@ -449,6 +449,80 @@ object RankingQueries {
     }
   )
 
+  /** Interpolated Kneser–Ney bigram perplexity — the smoothing the
+    * production LM quality filters (CCNet's KenLM) actually use, vs
+    * q_perplexity's raw MLE: absolute discount D = 0.75 on the bigram
+    * count, mass redistributed through the CONTINUATION probability
+    * (how many distinct contexts a word follows — 'francisco' is
+    * frequent but only ever follows 'san', so KN correctly scores it
+    * near-zero in new contexts, where MLE wildly overrates it).
+    * p(w2|w1) = (c12 − D)/c1 + (D·N1+(w1,·)/c1)·(N1+(·,w2)/B), scored
+    * over seen bigrams like q_perplexity.
+    *
+    * Scale: identical shapes to q_perplexity — scan-stage bigram
+    * explode, map-side-combined count tables (c1 with its distinct-
+    * successor count, the distinct-predecessor table, the single-row
+    * bigram-type total broadcast), a bigram-type-bounded term table
+    * joined back hash-partitioned on the bigram key. Float parity:
+    * the p chain is the identical operation order in both engines
+    * over exact BIGINTs, ln rounded once per DISTINCT bigram on the
+    * 9-decimal grid, per-doc accumulation exact DECIMAL, surfaced via
+    * scaled-BIGINT (the q_perplexity discipline verbatim).
+    */
+  private val perplexityKn = QueryDef(
+    "q_perplexity_kn",
+    "Interpolated Kneser-Ney bigram perplexity (D = 0.75): discounted " +
+      "bigram mass + continuation-probability backoff, per-document " +
+      "average negative log-likelihood on the 9-decimal ln grid with " +
+      "exact decimal accumulation - the KenLM-style quality filter.",
+    Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z]+)',1) AS w FROM documents),
+           |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           |       FROM t, unnest(generate_series(1, greatest(len(w)-1,0))) AS u(i)),
+           |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1,
+           |         CAST(count(DISTINCT w2) AS BIGINT) AS n1ps FROM bg GROUP BY w1),
+           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+           |pre AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1pp FROM bg GROUP BY w2),
+           |b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c12),
+           |term AS (SELECT c12.w1, c12.w2,
+           |           CAST(round(-ln(
+           |             (CAST(c12.c12 AS DOUBLE) - 0.75) / c1.c1
+           |             + ((0.75 * c1.n1ps) / c1.c1) * (CAST(pre.n1pp AS DOUBLE) / b.b)
+           |           ), 9) AS DECIMAL(18,9)) AS nll
+           |         FROM c12 JOIN c1 USING (w1) JOIN pre USING (w2) CROSS JOIN b),
+           |doc AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(term.nll) AS s
+           |        FROM bg JOIN term ON bg.w1 = term.w1 AND bg.w2 = term.w2
+           |        GROUP BY bg.doc_id)
+           |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           |       round(CAST(CAST(s * 1000000000 AS BIGINT) AS DOUBLE) / 1000000000 / n_bigrams, 6) AS nll_avg
+           |FROM doc ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val bg = toks(s, d).select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 1, 0)),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c1 = bg.groupBy("w1").agg(lng(count(lit(1))).as("c1"),
+        lng(countDistinct(col("w2"))).as("n1ps"))
+      val c12 = bg.groupBy("w1", "w2").agg(lng(count(lit(1))).as("c12"))
+      val pre = bg.groupBy("w2").agg(lng(countDistinct(col("w1"))).as("n1pp"))
+      val b = c12.agg(lng(count(lit(1))).as("b"))
+      val term = c12.join(c1, "w1").join(pre, "w2").crossJoin(broadcast(b))
+        .select(col("w1"), col("w2"),
+          round(-log(
+            (dbl(col("c12")) - lit(0.75)) / col("c1")
+              + ((lit(0.75) * col("n1ps")) / col("c1"))
+                * (dbl(col("n1pp")) / col("b"))), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("nll"))
+      bg.join(term, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("s"))
+        .select(col("doc_id"), lng(col("n_bigrams")).as("n_bigrams"),
+          round(dbl(expr("CAST(s * 1000000000 AS BIGINT)"))
+            / lit(1000000000) / col("n_bigrams"), 6).as("nll_avg"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Vocabulary budget points for q_vocab_coverage. */
   private val CoverageKs = Seq(16, 64, 256, 1024)
 
@@ -551,6 +625,6 @@ object RankingQueries {
   )
 
   val defs: Seq[QueryDef] = Seq(tfidf, bm25, ngramFreq, vocabPrune,
-    sampleStratified, collocLift, rankFusion, perplexity, vocabCoverage,
-    invertedIndex)
+    sampleStratified, collocLift, rankFusion, perplexity, perplexityKn,
+    vocabCoverage, invertedIndex)
 }

@@ -378,6 +378,45 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q_perplexity_kn: NLL matches a plain-Scala Kneser-Ney recomputation") {
+    val rows = run("q_perplexity_kn").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val bigrams = docs.flatMap { case (id, w) =>
+      w.zip(w.drop(1)).map(p => (id, p))
+    }
+    val c1 = bigrams.groupBy(_._2._1).map { case (k, v) => k -> v.length }
+    val c12 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val n1ps = c12.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val n1pp = c12.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val bTot = c12.size
+    docs.filter(_._2.length >= 2).foreach { case (id, w) =>
+      val bs = w.zip(w.drop(1))
+      val (n, nll) = rows(id)
+      assert(n == bs.length, s"doc $id bigram count")
+      // identical op order to both engines' p chain, round-9 ln terms
+      val s = bs.map { b =>
+        val p = (c12(b).toDouble - 0.75) / c1(b._1) +
+          ((0.75 * n1ps(b._1)) / c1(b._1)) * (n1pp(b._2).toDouble / bTot)
+        BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val expect = BigDecimal((s * 1000000000).toLong.toDouble / 1000000000 / bs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nll == expect, s"doc $id nll")
+      // KN probability mass over SEEN successors of any context is < 1
+      // (the discount holds mass back) — sanity that smoothing is real
+    }
+    // KN must diverge from MLE somewhere (otherwise the discount is a no-op)
+    val mle = run("q_perplexity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(docs.exists { case (id, w) =>
+      w.length >= 2 && mle.get(id).exists(v => rows(id)._2 != v)
+    })
+  }
+
   test("q_embed_drift: 7 consecutive pairs, cosines bounded, sizes partition the corpus") {
     val rows = run("q_embed_drift").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -570,6 +570,68 @@ object TextAnalysisQueries {
     * RE2's \\1 syntax diverges, so the chain is structured to never
     * need one). Per-row scan work + one aggregation.
     */
+  /** Distinct-n generation-diversity readout (Li et al.'s distinct-1/
+    * 2/3): per source and corpus-wide, the ratio of distinct n-grams
+    * to total n-grams for n ∈ {1,2,3}. THE mode-collapse alarm for
+    * synthetic/generated corpora — a generator that loops emits huge
+    * token counts with a collapsing distinct ratio, which per-doc
+    * repetition screens (q_repetition) miss because each document
+    * looks locally fine.
+    *
+    * Scale: one scan-stage explode per n (the n-gram stream is built
+    * lazily, never cached); counts are exact BIGINTs with the
+    * distinct side computed by Spark's two-phase expand aggregation,
+    * map-side combined; output is bounded by sources × 3. The only
+    * float op is one int64→double division, rounded 6.
+    */
+  private val distinctN = QueryDef(
+    "q_distinct_n",
+    "Distinct-n diversity: per source and corpus-wide ('(all)'), " +
+      "total and distinct n-gram counts and their ratio for n = " +
+      "1, 2, 3 - the mode-collapse alarm for generated corpora.",
+    Some("""WITH t AS (SELECT source, regexp_extract_all(lower(text),'([a-z]+)',1) AS w FROM documents),
+           |g AS (SELECT source, n, list_aggregate(w[i:i+n-1], 'string_agg', ' ') AS gram
+           |      FROM t, unnest([1, 2, 3]) AS nn(n),
+           |           unnest(generate_series(1, greatest(len(w) - n + 1, 0))) AS u(i)),
+           |per AS (SELECT source, CAST(n AS BIGINT) AS n,
+           |          CAST(count(*) AS BIGINT) AS total_ngrams,
+           |          CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams
+           |        FROM g GROUP BY 1, 2),
+           |allr AS (SELECT '(all)' AS source, CAST(n AS BIGINT) AS n,
+           |           CAST(count(*) AS BIGINT) AS total_ngrams,
+           |           CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams
+           |         FROM g GROUP BY 2),
+           |u AS (SELECT * FROM per UNION ALL SELECT * FROM allr)
+           |SELECT source, n, total_ngrams, distinct_ngrams,
+           |       round(CAST(distinct_ngrams AS DOUBLE) / total_ngrams, 6) AS distinct_ratio
+           |FROM u ORDER BY source, n""".stripMargin),
+    (s, d) => {
+      val t = documents(s, d).select(col("source"),
+        expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("w"))
+      val g = t.select(col("source"), explode(expr(
+        """flatten(transform(array(1, 2, 3), n ->
+          |  transform(sequence(1, greatest(size(w) - n + 1, 0)),
+          |    i -> named_struct('n', n,
+          |      'gram', array_join(slice(w, i, n), ' ')))))""".stripMargin))
+        .as("p"))
+        .select(col("source"), col("p.n").as("n"), col("p.gram").as("gram"))
+      val per = g.groupBy("source", "n")
+        .agg(lng(count(lit(1))).as("total_ngrams"),
+          lng(countDistinct(col("gram"))).as("distinct_ngrams"))
+        .select(col("source"), lng(col("n")).as("n"),
+          col("total_ngrams"), col("distinct_ngrams"))
+      val allr = g.groupBy("n")
+        .agg(lng(count(lit(1))).as("total_ngrams"),
+          lng(countDistinct(col("gram"))).as("distinct_ngrams"))
+        .select(lit("(all)").as("source"), lng(col("n")).as("n"),
+          col("total_ngrams"), col("distinct_ngrams"))
+      per.unionByName(allr)
+        .withColumn("distinct_ratio",
+          round(dbl(col("distinct_ngrams")) / col("total_ngrams"), 6))
+        .orderBy("source", "n")
+    }
+  )
+
   private val urlNormalize = QueryDef(
     "q_url_normalize",
     "URL normalization dedup: lowercase, fragment strip, utm_* " +
@@ -611,5 +673,6 @@ object TextAnalysisQueries {
 
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
-    piiRedact, repetition, charDiversity, htmlStrip, urlNormalize)
+    piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
+    distinctN)
 }

@@ -14,6 +14,31 @@ class CurationExtrasSpec extends AnyFunSuite {
 
   private def run(key: String) = SparkEntry.queries(key)(spark, sf)
 
+  test("q_distinct_n: ratios match a plain-Scala recomputation and bound each other") {
+    val rows = run("q_distinct_n").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    for (n <- 1 to 3) {
+      val grams = docs.flatMap { case (_, w) => w.sliding(n).filter(_.length == n).map(_.mkString(" ")) }
+      val (tot, dist, ratio) = rows(("(all)", n.toLong))
+      assert(tot == grams.length.toLong, s"n=$n total")
+      assert(dist == grams.distinct.length.toLong, s"n=$n distinct")
+      assert(ratio == BigDecimal(dist.toDouble / tot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // higher n -> strictly more diversity on natural-ish text
+    val r1 = rows(("(all)", 1L))._3
+    val r3 = rows(("(all)", 3L))._3
+    assert(r3 > r1, "distinct-3 should exceed distinct-1")
+    // per-source rows partition the corpus totals
+    val srcTotals = rows.collect { case ((s, 2L), (t, _, _)) if s != "(all)" => t }.sum
+    assert(srcTotals == rows(("(all)", 2L))._1)
+  }
+
   test("q_dedup_contain: every original is fully contained in its planted twin") {
     val rows = run("q_dedup_contain").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap

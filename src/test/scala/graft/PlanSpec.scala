@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite {
       s"text not pruned from docstore scan: ${scanLine.getOrElse("")}")
   }
 
+  test("q_perplexity_kn: single-row type total broadcast, count tables joined by key") {
+    val s = planString("q_perplexity_kn")
+    // the B total (one row) must arrive via broadcast, never a shuffle
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s.take(3000))
+    assert(!s.contains("CartesianProduct"), "shuffled cartesian in KN plan")
+  }
+
+  test("q_frame_hist: scan reads only doc_id and text") {
+    val s = formatted("q_frame_hist")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(s).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty)
+    // payloads are synthesized from text; the wide documents columns
+    // (lang, source, n_chars) must be pruned from the scan
+    assert(readSchemas.forall(_.split(",").length <= 2),
+      s"unpruned read schema: $readSchemas")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the dedup shingle scan must appear under a WholeStageCodegen span,
     // not as a fallback project; AQE finalizes the plan only on

@@ -112,6 +112,38 @@ object Relational {
     }
   )
 
+  /** ORC round-trip scan — the other columnar format a warehouse
+    * actually encounters (Hive-era lakes are ORC; Spark's reader is
+    * first-class: vectorized, predicate-pushdown, column-pruned).
+    * DuckDB cannot read ORC, so the oracle proves the round trip a
+    * different way: it computes the identical filtered projection
+    * straight from the source parquet — any loss or corruption in the
+    * ORC write+read breaks the hash. The n_chars predicate is applied
+    * AFTER the ORC read-back so it must push into the ORC scan
+    * (PushedFilters), exercising the reader path that matters at
+    * scale, and n_chars itself is excluded from the output so the
+    * compare covers the filter's effect, not its storage.
+    */
+  private val scanOrc = QueryDef(
+    "q_scan_orc",
+    "ORC scan: write the documents table as ORC, read it back with a " +
+      "pushed n_chars predicate, project id/lang/source/text length - " +
+      "the oracle computes the same projection from the source " +
+      "parquet, so a lossy ORC round trip fails the hash compare.",
+    Some("""SELECT doc_id, lang, source,
+           |       CAST(length(text) AS BIGINT) AS text_len
+           |FROM documents WHERE n_chars >= 500 ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/orc_scan/${new java.io.File(d).getName}"
+      documents(s, d).write.mode("overwrite").orc(outDir)
+      s.read.orc(outDir)
+        .filter(col("n_chars") >= 500)
+        .select(col("doc_id"), col("lang"), col("source"),
+          lng(length(col("text"))).as("text_len"))
+        .orderBy("doc_id")
+    }
+  )
+
   // ------------------------------------------------- projections / filters
 
   private val project = QueryDef(
@@ -1074,7 +1106,7 @@ object Relational {
   )
 
   val defs: Seq[QueryDef] = Seq(
-    scanParquet, scanJsonl, scanCsv, project, filterPred, filterNull, enrich,
+    scanParquet, scanJsonl, scanCsv, scanOrc, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
     joinTheta, joinAsof, joinBand,
     aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,

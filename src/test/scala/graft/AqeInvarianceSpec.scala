@@ -22,7 +22,9 @@ class AqeInvarianceSpec extends AnyFunSuite {
   // decimal-summed ADC chain, nested semi/anti TPC-H shapes
   private val sensitive = Seq(
     "q_join_salted", "q_contamination", "q_dedup_minhash",
-    "q_dedup_cluster", "q_triangles", "q_ann_pq", "q_tpch_q21")
+    "q_dedup_cluster", "q_triangles", "q_ann_pq", "q_tpch_q21",
+    // r8: EM loop with per-round collects, expand-distinct, KN joins
+    "q_unigram_lm", "q_distinct_n", "q_perplexity_kn")
 
   for (key <- sensitive)
     test(s"$key: result invariant under AQE on/off") {

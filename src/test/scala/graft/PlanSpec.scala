@@ -144,6 +144,15 @@ class PlanSpec extends AnyFunSuite {
       s"unpruned read schema: $readSchemas")
   }
 
+  test("q_scan_orc: n_chars predicate pushed into the ORC scan") {
+    val s = formatted("q_scan_orc")
+    val orcScan = s.linesIterator.exists(_.contains("orc"))
+    assert(orcScan, "no ORC scan in plan:\n" + s.take(2000))
+    assert(s.contains("PushedFilters: [") &&
+      "PushedFilters: \\[[^\\]]*n_chars".r.findFirstIn(s).isDefined,
+      "n_chars not pushed to the ORC reader:\n" + s.take(3000))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the dedup shingle scan must appear under a WholeStageCodegen span,
     // not as a fallback project; AQE finalizes the plan only on

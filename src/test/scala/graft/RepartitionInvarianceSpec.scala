@@ -29,7 +29,10 @@ class RepartitionInvarianceSpec extends AnyFunSuite {
     "q_dedup_cluster", "q_sessionize", "q_rank_fusion", "q_agg_salted",
     // r6o/r6q: decimal-summed ADC distances, bounded-denominator mix
     // weights, shard-partitioned loader order
-    "q_ann_pq", "q_mix_temperature", "q_shuffle_shards")
+    "q_ann_pq", "q_mix_temperature", "q_shuffle_shards",
+    // r8: driver-paced EM with per-iteration distributed collects,
+    // expand-based distinct aggregation, KN term-table joins
+    "q_unigram_lm", "q_distinct_n", "q_perplexity_kn")
 
   for (key <- sensitive)
     test(s"$key: result invariant under shuffle-partition count") {

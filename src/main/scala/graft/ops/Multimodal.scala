@@ -129,8 +129,10 @@ object Multimodal {
         val len = m.payload.length
         val nf = math.min(maxFrames, math.max(1, (len + frameLenPx - 1) / frameLenPx))
         val hists = Array.ofDim[Long](nf, 8)
+        // len == 0: no pixels to cycle — the single frame keeps its
+        // all-zero histogram (mirrored in the DuckDB oracle twin)
         var f = 0
-        while (f < nf) {
+        while (len > 0 && f < nf) {
           var j = 0
           while (j < frameLenPx) {
             val px = m.payload((f * frameLenPx + j) % len) & 0xff

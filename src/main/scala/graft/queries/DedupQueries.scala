@@ -1069,7 +1069,7 @@ object DedupQueries {
         .select(col("doc_id"),
           expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("w"))
         .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, greatest(size(w) - 7, 0)),
+          """transform(slice(sequence(1, greatest(size(w) - 7, 1)), 1, greatest(size(w) - 7, 0)),
             |  i -> CAST(conv(substr(md5(array_join(slice(w, i, 8), ' ')), 1, 12), 16, 10) AS BIGINT))""".stripMargin))
           .as("gh"))
       val df = sh.groupBy("gh").agg(countDistinct(col("doc_id")).as("df"))

@@ -429,7 +429,7 @@ object RankingQueries {
            |FROM doc ORDER BY doc_id""".stripMargin),
     (s, d) => {
       val bg = toks(s, d).select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(toks) - 1, 0)),
+        """transform(slice(sequence(1, greatest(size(toks) - 1, 1)), 1, greatest(size(toks) - 1, 0)),
           |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
         .as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -497,7 +497,7 @@ object RankingQueries {
            |FROM doc ORDER BY doc_id""".stripMargin),
     (s, d) => {
       val bg = toks(s, d).select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(toks) - 1, 0)),
+        """transform(slice(sequence(1, greatest(size(toks) - 1, 1)), 1, greatest(size(toks) - 1, 0)),
           |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin))
         .as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -564,7 +564,7 @@ object RankingQueries {
     (s, d) => {
       val tc = toks(s, d)
         .select(explode(expr(
-          """transform(sequence(1, greatest(size(toks) - 1, 0)),
+          """transform(slice(sequence(1, greatest(size(toks) - 1, 1)), 1, greatest(size(toks) - 1, 0)),
             |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
           .as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))

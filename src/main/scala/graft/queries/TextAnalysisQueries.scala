@@ -248,6 +248,14 @@ object TextAnalysisQueries {
     * ≤64 distinct (count, 64) rationals then integer-summed — the
     * q_perplexity ln-grid discipline, so no ordered float
     * accumulation exists.
+    *
+    * Oracle-parity invariant (stub convention): the payload is the
+    * UTF-8 encoding of `text`, and Spark bins BYTES (`& 0xff`, byte
+    * length) while the DuckDB twin bins CHARACTERS (`ascii`, char
+    * length) — identical only while the corpus is pure ASCII.
+    * MultimodalSpec pins that invariant against the fixtures; a
+    * non-ASCII corpus needs the oracle rewritten over `encode(text)`
+    * bytes before this query's hash can be trusted.
     */
   private val frameHist = QueryDef(
     "q_frame_hist",
@@ -258,10 +266,11 @@ object TextAnalysisQueries {
     Some("""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len,
            |         least(greatest((length(text)+63)//64, 1), 8) AS nf FROM documents),
            |h AS (SELECT media_id, nf, f,
-           |        list_transform(generate_series(0, 7), b -> CAST(len(list_filter(
+           |        CASE WHEN len = 0 THEN list_transform(generate_series(0, 7), b -> CAST(0 AS BIGINT))
+           |        ELSE list_transform(generate_series(0, 7), b -> CAST(len(list_filter(
            |          list_transform(generate_series(0, 63),
            |            j -> ascii(substr(text, CAST((f*64+j) % len AS INT) + 1, 1)) // 32),
-           |          v -> v = b)) AS BIGINT)) AS hist
+           |          v -> v = b)) AS BIGINT)) END AS hist
            |      FROM m, unnest(generate_series(0, CAST(nf-1 AS INT))) AS u(f)),
            |e AS (SELECT media_id, nf, f, hist,
            |        CAST(list_sum(list_transform(hist, n -> CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
@@ -610,7 +619,7 @@ object TextAnalysisQueries {
         expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("w"))
       val g = t.select(col("source"), explode(expr(
         """flatten(transform(array(1, 2, 3), n ->
-          |  transform(sequence(1, greatest(size(w) - n + 1, 0)),
+          |  transform(slice(sequence(1, greatest(size(w) - n + 1, 1)), 1, greatest(size(w) - n + 1, 0)),
           |    i -> named_struct('n', n,
           |      'gram', array_join(slice(w, i, n), ' ')))))""".stripMargin))
         .as("p"))

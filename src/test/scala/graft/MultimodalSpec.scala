@@ -64,6 +64,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("min_l1") == 0)
   }
 
+  test("frameHistograms: empty payload → one all-zero-histogram frame") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Seq(MediaRow(9L, "video", Array.emptyByteArray, 0L)).toDS()
+    val r = Multimodal.frameHistograms(media).collect().head
+    assert(r.getAs[Long]("n_frames") == 1L)
+    assert(r.getAs[Long]("n_dup_pairs") == 0L)
+    assert(r.isNullAt(r.fieldIndex("min_l1")))
+    assert(r.getAs[Long]("mean_entropy_ppb") == 0L)
+  }
+
+  test("stub-payload oracle parity requires an ASCII corpus (pinned)") {
+    // q_frame_hist bins Spark BYTES vs DuckDB CHARACTERS — identical
+    // only while the fixture corpus is pure ASCII (see the QueryDef
+    // scaladoc). This gate fails loudly if a regeneration adds
+    // non-ASCII text, before the oracle hash silently diverges.
+    import org.apache.spark.sql.functions._
+    val nonAscii = graft.core.Tables.documents(spark, TestSpark.sf)
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+    assert(nonAscii == 0L, s"$nonAscii non-ASCII documents in fixtures")
+  }
+
   test("windowEnergy: hand-computed windows, peak tie → first window") {
     implicit val s = spark
     import s.implicits._

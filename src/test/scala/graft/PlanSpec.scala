@@ -144,6 +144,17 @@ class PlanSpec extends AnyFunSuite {
       s"unpruned read schema: $readSchemas")
   }
 
+  test("q_tpch_q1: l_shipdate predicate survives NTZ normalization (PushedFilters)") {
+    // Tables.normalizeTimestamps puts a Cast(NTZ -> LTZ) above every
+    // scan when the testdata carries naive parquet timestamps; this
+    // gate pins that Catalyst still pushes the date-range predicate
+    // into the parquet reader — the property a 100 TB TPC-H-style
+    // date-partitioned scan lives on.
+    val s = formatted("q_tpch_q1")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(s).isDefined,
+      "l_shipdate not pushed to the parquet scan:\n" + s.take(3000))
+  }
+
   test("q_scan_orc: n_chars predicate pushed into the ORC scan") {
     val s = formatted("q_scan_orc")
     val orcScan = s.linesIterator.exists(_.contains("orc"))

@@ -114,5 +114,99 @@ object LayoutQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(zorder, bloomJoin)
+  /** Hive-style partitioned layout + static partition pruning — the
+    * single biggest scan-cost lever a 100 TB store has: a predicate on
+    * the partition column eliminates whole directories BEFORE any file
+    * is opened (PartitionFilters in the scan node), while ordinary
+    * predicates only prune row groups inside files already listed. The
+    * query writes the documents table as a source-partitioned parquet
+    * directory (the layout a web-corpus lake actually uses — crawl
+    * source is THE first-class list/retention dimension), reads it back
+    * with a partition predicate + a residual data predicate, and
+    * projects a row-level readout so any loss in the partitioned
+    * round trip breaks the hash. PlanSpec pins the split: `source`
+    * must appear under PartitionFilters (metadata-only pruning) and
+    * n_chars under PushedFilters (parquet row-group pruning) — 2 of
+    * 20 directories listed, everything else never touched.
+    *
+    * DuckDB cannot be pointed at the Hive directory by the driver's
+    * fixed FROM-clause contract, so the oracle proves the round trip
+    * losslessly the q_scan_orc way: the identical filtered projection
+    * straight from the source parquet.
+    */
+  private val scanPartitioned = QueryDef(
+    "q_scan_partitioned",
+    "Partitioned-layout scan: write documents partitioned by source, " +
+      "read back with a partition predicate (PartitionFilters, " +
+      "directory-level pruning) plus a pushed n_chars predicate - " +
+      "the oracle recomputes the projection from the source parquet, " +
+      "so a lossy partitioned round trip fails the hash.",
+    Some("""SELECT doc_id, lang, source,
+           |       CAST(length(text) AS BIGINT) AS text_len
+           |FROM documents
+           |WHERE source IN ('src3', 'src7') AND n_chars >= 300
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/part_scan/${new java.io.File(d).getName}"
+      documents(s, d).write.mode("overwrite")
+        .partitionBy("source").parquet(outDir)
+      s.read.parquet(outDir)
+        .filter(col("source").isin("src3", "src7") && col("n_chars") >= 300)
+        .select(col("doc_id"), col("lang"), col("source"),
+          lng(length(col("text"))).as("text_len"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Dynamic partition pruning (DPP) — the star-schema companion to
+    * [[scanPartitioned]]: the fact table is partitioned by order month
+    * (`ym`), the filter lives on a DIM table attribute (year/quarter),
+    * and the months to scan are only known at runtime, after the dim
+    * filter evaluates. Catalyst turns the broadcast dim into a runtime
+    * partition predicate on the fact scan
+    * (`dynamicpruningexpression(ym IN broadcast-result)`) — at 100 TB
+    * this is the difference between scanning 6 months and scanning 80
+    * because the planner couldn't see through the join. PlanSpec pins
+    * `dynamicpruningexpression` inside the fact scan's
+    * PartitionFilters; the dim (80 rows) broadcasts, so the pruning
+    * reuses the join's own broadcast (no extra job).
+    *
+    * Both sides are derived from the orders table (fact = orders
+    * repartitioned by month on disk; dim = the distinct month
+    * calendar with year/quarter attributes), so the oracle is the
+    * equivalent direct filter over the source parquet.
+    */
+  private val dppJoin = QueryDef(
+    "q_dpp_join",
+    "Dynamic partition pruning: month-partitioned orders fact joined " +
+      "to a calendar dim filtered to 1997 H1 - the dim broadcast " +
+      "becomes a runtime PartitionFilter on the fact scan, reading 6 " +
+      "of 80 month directories; monthly order counts and exact " +
+      "revenue out.",
+    Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           |       CAST(count(*) AS BIGINT) AS n_orders,
+           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM orders
+           |WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) <= 2
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val base = s"/root/repo/target/dpp/${new java.io.File(d).getName}"
+      val o = orders(s, d)
+        .withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+      o.write.mode("overwrite").partitionBy("ym").parquet(s"$base/fact")
+      o.select(col("ym"), year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q")).distinct()
+        .write.mode("overwrite").parquet(s"$base/dim")
+      val fact = s.read.parquet(s"$base/fact")
+      val dim = s.read.parquet(s"$base/dim")
+        .filter(col("y") === 1997 && col("q") <= 2)
+      fact.join(broadcast(dim), "ym")
+        .groupBy("ym")
+        .agg(lng(count(lit(1))).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy("ym")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(zorder, bloomJoin, scanPartitioned, dppJoin)
 }

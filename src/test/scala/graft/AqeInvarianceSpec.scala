@@ -24,7 +24,9 @@ class AqeInvarianceSpec extends AnyFunSuite {
     "q_join_salted", "q_contamination", "q_dedup_minhash",
     "q_dedup_cluster", "q_triangles", "q_ann_pq", "q_tpch_q21",
     // r8: EM loop with per-round collects, expand-distinct, KN joins
-    "q_unigram_lm", "q_distinct_n", "q_perplexity_kn")
+    "q_unigram_lm", "q_distinct_n", "q_perplexity_kn",
+    // r9: DPP re-plans under AQE; partitioned write+prune round trip
+    "q_dpp_join", "q_scan_partitioned")
 
   for (key <- sensitive)
     test(s"$key: result invariant under AQE on/off") {

@@ -164,6 +164,25 @@ class PlanSpec extends AnyFunSuite {
       "n_chars not pushed to the ORC reader:\n" + s.take(3000))
   }
 
+  test("q_scan_partitioned: source prunes directories, n_chars prunes row groups") {
+    val s = formatted("q_scan_partitioned")
+    // the partition predicate must be metadata-only (PartitionFilters),
+    // never a post-scan data filter...
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(s).isDefined,
+      "source not a PartitionFilter:\n" + s.take(3000))
+    // ...while the residual predicate still pushes into the parquet reader
+    assert("PushedFilters: \\[[^\\]]*n_chars".r.findFirstIn(s).isDefined,
+      "n_chars not pushed:\n" + s.take(3000))
+  }
+
+  test("q_dpp_join: dim filter becomes a runtime partition predicate (DPP)") {
+    val s = formatted("q_dpp_join")
+    assert(s.contains("dynamicpruningexpression"),
+      "no dynamic partition pruning on the fact scan:\n" + s.take(4000))
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "calendar dim not broadcast:\n" + s.take(3000))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the dedup shingle scan must appear under a WholeStageCodegen span,
     // not as a fallback project; AQE finalizes the plan only on

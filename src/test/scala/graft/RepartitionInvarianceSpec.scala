@@ -32,7 +32,9 @@ class RepartitionInvarianceSpec extends AnyFunSuite {
     "q_ann_pq", "q_mix_temperature", "q_shuffle_shards",
     // r8: driver-paced EM with per-iteration distributed collects,
     // expand-based distinct aggregation, KN term-table joins
-    "q_unigram_lm", "q_distinct_n", "q_perplexity_kn")
+    "q_unigram_lm", "q_distinct_n", "q_perplexity_kn",
+    // r9: partitioned fact write (file-per-partition layout) + DPP join
+    "q_dpp_join")
 
   for (key <- sensitive)
     test(s"$key: result invariant under shuffle-partition count") {

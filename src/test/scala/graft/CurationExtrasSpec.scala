@@ -26,7 +26,14 @@ class CurationExtrasSpec extends AnyFunSuite {
       val grams = docs.flatMap { case (_, w) => w.sliding(n).filter(_.length == n).map(_.mkString(" ")) }
       val (tot, dist, ratio) = rows(("(all)", n.toLong))
       assert(tot == grams.length.toLong, s"n=$n total")
-      assert(dist == grams.distinct.length.toLong, s"n=$n distinct")
+      // declared semantics (r9): distinct over 48-bit md5 gram hashes,
+      // so the shuffle carries 8-byte keys; recompute the same way and
+      // pin that hashing lost nothing at this SF (no collisions)
+      val hashDist = grams.map(g => java.lang.Long.parseLong(
+        md5hex(g).substring(0, 12), 16)).distinct.length.toLong
+      assert(dist == hashDist, s"n=$n hashed distinct")
+      assert(hashDist == grams.distinct.length.toLong,
+        s"n=$n: 48-bit gram-hash collision in fixtures")
       assert(ratio == BigDecimal(dist.toDouble / tot)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }

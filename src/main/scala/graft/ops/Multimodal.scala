@@ -175,6 +175,51 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Channel readout of a decoded RGB image. */
+  final case class RgbReadout(media_id: Long, width: Long, height: Long,
+                              n_pixels: Long, sum_r: Long, sum_g: Long,
+                              sum_b: Long, checksum: Long)
+
+  /** Decode + channel-sum readout for RGB ROW decoders (frames =
+    * pixel rows, 3 bytes/pixel in RGB order — e.g. [[Bmp.RowDecoder]],
+    * the real-format path through this seam). Exact integer outputs:
+    * geometry, per-channel sums, and a POSITION-WEIGHTED checksum
+    * Σ (idx+1)·value over the row-major (y, x, channel) byte order —
+    * any decoder mistake that keeps the multiset of bytes but moves
+    * one (row flip, BGR/RGB swap, padding leak) changes the checksum,
+    * which is what the closed-form oracle twin compares against.
+    * One mapPartitions batch pass; payloads never leave the scan.
+    */
+  def decodeRgbReadout(media: Dataset[MediaRow], decoder: Decoder)
+                      (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val frames = decoder.sampleFrames(m.payload)
+        val height = frames.length
+        val width = if (height == 0) 0 else frames.head.length / 3
+        var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+        var y = 0
+        while (y < height) {
+          val row = frames(y)
+          var x = 0
+          while (x < width) {
+            val base = (y.toLong * width + x) * 3
+            val r = row(x * 3) & 0xff
+            val g = row(x * 3 + 1) & 0xff
+            val b = row(x * 3 + 2) & 0xff
+            sr += r; sg += g; sb += b
+            ck += (base + 1) * r + (base + 2) * g + (base + 3) * b
+            x += 1
+          }
+          y += 1
+        }
+        RgbReadout(m.media_id, width.toLong, height.toLong,
+          width.toLong * height, sr, sg, sb, ck)
+      }
+    }.toDF()
+  }
+
   /** Polynomial byte hash — same fold as TextAnalysis (portable). */
   private def byteHash(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % TextAnalysis.P)

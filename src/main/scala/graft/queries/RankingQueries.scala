@@ -523,6 +523,111 @@ object RankingQueries {
     }
   )
 
+  /** Interpolated Kneser–Ney TRIGRAM perplexity — one order above
+    * [[perplexityKn]], because production KenLM quality filters ship
+    * ≥3-gram models (CCNet uses 5-gram): the trigram level uses RAW
+    * counts with absolute discount D = 0.75 and backs off through the
+    * CONTINUATION-count bigram level (Chen & Goodman's interpolated
+    * formulation — the middle order counts distinct left contexts,
+    * not occurrences), which itself backs off into the continuation
+    * unigram [[perplexityKn]] already uses:
+    *
+    *   p3(w3|w1w2) = (c123−D)/c12 + (D·N1+(w1w2·)/c12)·p2(w3|w2)
+    *   p2(w3|w2)   = (N1+(·w2w3)−D)/N1+(·w2·)
+    *                 + (D·|{w3: N1+(·w2w3)>0}|/N1+(·w2·))·N1+(·w3)/B
+    *
+    * scored over seen trigrams (docs with < 3 tokens drop, like < 2
+    * for the bigram chain).
+    *
+    * Scale: unchanged discipline — scan-stage trigram + bigram
+    * explodes, every count table map-side combined and bounded by
+    * TYPE counts (c123/c12 by trigram/bigram context types, the
+    * middle-order tables derive from the trigram TYPE table, so they
+    * never touch the corpus again), the single-row bigram-type total
+    * broadcast, and the term table joined back hash-partitioned on
+    * the trigram key. Float parity: the p chain is ONE expression
+    * written in identical IEEE op order in both engines over exact
+    * BIGINTs, ln rounded once per DISTINCT trigram on the 9-grid,
+    * per-doc accumulation exact DECIMAL surfaced via scaled-BIGINT.
+    */
+  private val perplexityKn3 = QueryDef(
+    "q_perplexity_kn3",
+    "Interpolated Kneser-Ney trigram perplexity (D = 0.75): raw-count " +
+      "discounted trigram mass backing off through the continuation-" +
+      "count bigram level into the continuation unigram, per-document " +
+      "average NLL on the 9-decimal ln grid - the >=3-gram KenLM-" +
+      "style filter production pipelines actually run.",
+    Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'([a-z]+)',1) AS w FROM documents),
+           |tg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+           |       FROM t, unnest(generate_series(1, greatest(len(w)-2,0))) AS u(i)),
+           |bgp AS (SELECT w[i] AS a, w[i+1] AS b
+           |        FROM t, unnest(generate_series(1, greatest(len(w)-1,0))) AS u(i)),
+           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12,
+           |          CAST(count(DISTINCT w3) AS BIGINT) AS n1ps FROM tg GROUP BY 1, 2),
+           |c123 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM tg GROUP BY 1, 2, 3),
+           |m23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1p23 FROM c123 GROUP BY 1, 2),
+           |m2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p2dot,
+           |         CAST(count(DISTINCT w3) AS BIGINT) AS nmid2 FROM c123 GROUP BY 1),
+           |pre AS (SELECT b AS w3, CAST(count(DISTINCT a) AS BIGINT) AS n1pp FROM bgp GROUP BY 1),
+           |bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM (SELECT DISTINCT a, b FROM bgp)),
+           |term AS (SELECT c123.w1, c123.w2, c123.w3,
+           |           CAST(round(-ln(
+           |             (CAST(c123.c123 AS DOUBLE) - 0.75) / c12.c12
+           |             + ((0.75 * c12.n1ps) / c12.c12) *
+           |               ((CAST(m23.n1p23 AS DOUBLE) - 0.75) / m2.n1p2dot
+           |                + ((0.75 * m2.nmid2) / m2.n1p2dot) * (CAST(pre.n1pp AS DOUBLE) / bt.bt))
+           |           ), 9) AS DECIMAL(18,9)) AS nll
+           |         FROM c123 JOIN c12 USING (w1, w2) JOIN m23 USING (w2, w3)
+           |              JOIN m2 USING (w2) JOIN pre USING (w3) CROSS JOIN bt),
+           |doc AS (SELECT tg.doc_id, count(*) AS n_trigrams, sum(term.nll) AS s
+           |        FROM tg JOIN term ON tg.w1 = term.w1 AND tg.w2 = term.w2 AND tg.w3 = term.w3
+           |        GROUP BY tg.doc_id)
+           |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+           |       round(CAST(CAST(s * 1000000000 AS BIGINT) AS DOUBLE) / 1000000000 / n_trigrams, 6) AS nll_avg
+           |FROM doc ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val tg = toks(s, d).select(col("doc_id"), explode(expr(
+        """transform(slice(sequence(1, greatest(size(toks) - 2, 1)), 1, greatest(size(toks) - 2, 0)),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2,
+          |              element_at(toks, i + 2) AS w3))""".stripMargin))
+        .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+          col("p.w3").as("w3"))
+      val bgp = toks(s, d).select(explode(expr(
+        """transform(slice(sequence(1, greatest(size(toks) - 1, 1)), 1, greatest(size(toks) - 1, 0)),
+          |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))""".stripMargin))
+        .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val c12 = tg.groupBy("w1", "w2").agg(lng(count(lit(1))).as("c12"),
+        lng(countDistinct(col("w3"))).as("n1ps"))
+      val c123 = tg.groupBy("w1", "w2", "w3")
+        .agg(lng(count(lit(1))).as("c123"))
+      val m23 = c123.groupBy("w2", "w3").agg(lng(count(lit(1))).as("n1p23"))
+      val m2 = c123.groupBy("w2").agg(lng(count(lit(1))).as("n1p2dot"),
+        lng(countDistinct(col("w3"))).as("nmid2"))
+      val pre = bgp.groupBy(col("b").as("w3"))
+        .agg(lng(countDistinct(col("a"))).as("n1pp"))
+      val bt = bgp.distinct().agg(lng(count(lit(1))).as("bt"))
+      val term = c123.join(c12, Seq("w1", "w2")).join(m23, Seq("w2", "w3"))
+        .join(m2, Seq("w2")).join(pre, Seq("w3")).crossJoin(broadcast(bt))
+        .select(col("w1"), col("w2"), col("w3"),
+          round(-log(
+            (dbl(col("c123")) - lit(0.75)) / col("c12")
+              + ((lit(0.75) * col("n1ps")) / col("c12"))
+                * ((dbl(col("n1p23")) - lit(0.75)) / col("n1p2dot")
+                   + ((lit(0.75) * col("nmid2")) / col("n1p2dot"))
+                     * (dbl(col("n1pp")) / col("bt")))), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("nll"))
+      tg.join(term, Seq("w1", "w2", "w3"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"), sum(col("nll")).as("s"))
+        .select(col("doc_id"), lng(col("n_trigrams")).as("n_trigrams"),
+          round(dbl(expr("CAST(s * 1000000000 AS BIGINT)"))
+            / lit(1000000000) / col("n_trigrams"), 6).as("nll_avg"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Vocabulary budget points for q_vocab_coverage. */
   private val CoverageKs = Seq(16, 64, 256, 1024)
 
@@ -626,5 +731,5 @@ object RankingQueries {
 
   val defs: Seq[QueryDef] = Seq(tfidf, bm25, ngramFreq, vocabPrune,
     sampleStratified, collocLift, rankFusion, perplexity, perplexityKn,
-    vocabCoverage, invertedIndex)
+    perplexityKn3, vocabCoverage, invertedIndex)
 }

@@ -449,6 +449,55 @@ class CurationExtrasSpec extends AnyFunSuite {
     })
   }
 
+  test("q_perplexity_kn3: NLL matches a plain-Scala trigram-KN recomputation") {
+    val rows = run("q_perplexity_kn3").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val tris = docs.flatMap { case (id, w) =>
+      w.lazyZip(w.drop(1)).lazyZip(w.drop(2)).map((a, b, c) => (id, (a, b, c)))
+    }
+    val bigrams = docs.flatMap { case (_, w) => w.zip(w.drop(1)) }
+    val c12 = tris.groupBy(t => (t._2._1, t._2._2)).map { case (k, v) => k -> v.length }
+    val n1ps = tris.map(_._2).distinct.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> v.map(_._3).distinct.length }
+    val c123 = tris.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val triTypes = c123.keys.toSeq
+    val n1p23 = triTypes.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.length }
+    val n1p2dot = triTypes.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val nmid2 = triTypes.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).distinct.length }
+    val n1pp = bigrams.distinct.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val bTot = bigrams.distinct.length
+    docs.filter(_._2.length >= 3).foreach { case (id, w) =>
+      val ts = w.lazyZip(w.drop(1)).lazyZip(w.drop(2)).map((a, b, c) => (a, b, c)).toVector
+      val (n, nll) = rows(id)
+      assert(n == ts.length, s"doc $id trigram count")
+      val s = ts.map { t =>
+        val ctx = (t._1, t._2)
+        val p = (c123(t).toDouble - 0.75) / c12(ctx) +
+          ((0.75 * n1ps(ctx)) / c12(ctx)) *
+            ((n1p23((t._2, t._3)).toDouble - 0.75) / n1p2dot(t._2) +
+             ((0.75 * nmid2(t._2)) / n1p2dot(t._2)) * (n1pp(t._3).toDouble / bTot))
+        BigDecimal(-math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val expect = BigDecimal((s * 1000000000).toLong.toDouble / 1000000000 / ts.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nll == expect, s"doc $id nll")
+    }
+    // the order actually matters: KN3 must diverge from BOTH the
+    // bigram-KN chain and raw MLE (otherwise the extra order is dead)
+    val kn2 = run("q_perplexity_kn").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val mle = run("q_perplexity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.exists { case (id, (_, v)) => kn2.get(id).exists(_ != v) },
+      "KN3 == KN2 everywhere")
+    assert(rows.exists { case (id, (_, v)) => mle.get(id).exists(_ != v) },
+      "KN3 == MLE everywhere")
+  }
+
   test("q_embed_drift: 7 consecutive pairs, cosines bounded, sizes partition the corpus") {
     val rows = run("q_embed_drift").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -309,6 +309,73 @@ object TextAnalysisQueries {
     }
   )
 
+  /** Mojibake repair — the ftfy-shaped encoding-fix pass every web
+    * corpus runs before tokenization: text that was UTF-8 on disk but
+    * got decoded as Latin-1 somewhere upstream ("é" → "Ã©",
+    * "…" → "â€¦") is repaired by the REAL generic inverse — re-encode
+    * the garbled string as Latin-1 bytes and re-decode them as UTF-8
+    * (`decode(encode(s, 'ISO-8859-1'), 'UTF-8')`) — not by a lookup
+    * table of known sequences. Both directions run through Spark's
+    * codegen'd encode/decode expressions.
+    *
+    * Planted-twin discipline (the corpus is pure ASCII — pinned in
+    * MultimodalSpec — so the non-ASCII "intended" text is synthesized):
+    * each doc gets a deterministic accented suffix (4 variants by
+    * doc_id, covering 2-byte AND 3-byte UTF-8 code points), is
+    * CORRUPTED by the actual UTF-8-bytes-read-as-Latin-1 double
+    * decode, then repaired. The oracle states the SPEC in closed form
+    * — intended/mojibake char lengths (each 2-byte char grows by 1,
+    * 3-byte by 2), the 'Ã' marker count (first byte 0xC3 ⇔ planted
+    * U+00C0–U+00FF), and repaired_ok = 1 — so any lossy step in the
+    * encode→decode→encode→decode chain breaks the hash.
+    *
+    * Scale: pure per-row scan-stage expressions, no shuffle at all
+    * before the final orderBy; at 100 TB this runs inside the same
+    * whole-stage-codegen span as the scan.
+    */
+  private val fixEncoding = QueryDef(
+    "q_fix_encoding",
+    "Mojibake repair: planted accented suffixes corrupted by the real " +
+      "UTF-8-read-as-Latin-1 double decode, repaired by the generic " +
+      "Latin-1-bytes-as-UTF-8 inverse; char-length accounting, " +
+      "mojibake marker counts and lossless-recovery flag out - the " +
+      "oracle states the spec in closed form.",
+    Some("""SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS variant,
+           |       CAST(length(text) + CASE CAST(doc_id % 4 AS INT)
+           |         WHEN 0 THEN 12 WHEN 1 THEN 13 WHEN 2 THEN 16 ELSE 14 END AS BIGINT) AS n_chars_intended,
+           |       CAST(length(text) + CASE CAST(doc_id % 4 AS INT)
+           |         WHEN 0 THEN 15 WHEN 1 THEN 15 WHEN 2 THEN 19 ELSE 19 END AS BIGINT) AS n_chars_mojibake,
+           |       CAST(CASE CAST(doc_id % 4 AS INT)
+           |         WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 3 END AS BIGINT) AS n_moji_marks,
+           |       CAST(1 AS BIGINT) AS repaired_ok
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val phrases = array(FixEncodingPhrases.map(lit): _*)
+      documents(s, d)
+        .withColumn("intended", concat(col("text"),
+          element_at(phrases, (col("doc_id") % 4).cast("int") + 1)))
+        .withColumn("moji",
+          decode(encode(col("intended"), "UTF-8"), "ISO-8859-1"))
+        .withColumn("repaired",
+          decode(encode(col("moji"), "ISO-8859-1"), "UTF-8"))
+        .select(col("doc_id"), lng(col("doc_id") % 4).as("variant"),
+          lng(length(col("intended"))).as("n_chars_intended"),
+          lng(length(col("moji"))).as("n_chars_mojibake"),
+          lng(length(col("moji")) -
+            length(expr("replace(moji, 'Ã', '')"))).as("n_moji_marks"),
+          lng(when(col("repaired") === col("intended"), 1L).otherwise(0L))
+            .as("repaired_ok"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** The planted suffixes for [[fixEncoding]] — 2-byte (é è ï ç ö û)
+    * and 3-byte (— …) UTF-8 code points, 4 variants by doc_id % 4.
+    * Shared with FixEncodingSpec's plain-Java recomputation.
+    */
+  val FixEncodingPhrases: Seq[String] = Seq(
+    " café résumé", " naïve façade", " coördinate — ok", " crème brûlée…")
+
   /** Real-format media decode through the Multimodal seam — closes
     * the r8 verdict's "decode is stub-only" gap the way PdfPages
     * closed binary document ingestion: a dependency-free 24-bit BMP
@@ -868,5 +935,5 @@ object TextAnalysisQueries {
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
-    distinctN, distinctNSketch, mediaDecode)
+    distinctN, distinctNSketch, mediaDecode, fixEncoding)
 }

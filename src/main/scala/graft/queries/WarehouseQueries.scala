@@ -523,7 +523,50 @@ object WarehouseQueries {
     }
   )
 
+  private val joinSkewAqe = QueryDef(
+    "q_join_skew_aqe",
+    "AQE-skew-join counterpart to q_join_salted (the runtime half of " +
+      "the builder contract's \"salting or AQE for skew\" clause): a " +
+      "planted 90%-hot join key (9 of every 10 lineitems collapse onto " +
+      "k=0, the rest spread over k=1..15) joined MERGE-hinted to a " +
+      "16-row nation slice — the shape where one shuffle partition " +
+      "holds ~90% of the fact bytes and, unsplit, one straggler task " +
+      "serializes the whole stage. No salting here by design: AQE's " +
+      "skewJoin re-plans the hot partition into advisory-sized splits " +
+      "at RUNTIME from the actual shuffle sizes (SkewBenchSpec executes " +
+      "THIS query at sf0.1 and pins SortMergeJoin(skew=true) in the " +
+      "final adaptive plan, with thresholds scaled to sandbox bytes the " +
+      "way a 100 TB deployment scales them to executor memory). " +
+      "Revenue per dim name; row-identical to the oracle's plain join.",
+    Some("""SELECT n.n_name,
+           |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           |                * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           |       CAST(count(*) AS BIGINT) AS n_items
+           |FROM (SELECT CASE WHEN l_orderkey % 100 < 90 THEN CAST(0 AS BIGINT)
+           |                  ELSE 1 + (l_orderkey % 15) END AS k,
+           |             l_extendedprice, l_discount
+           |      FROM lineitem) l
+           |JOIN (SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey < 16) n
+           |  ON l.k = n.k
+           |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
+    (s, d) => {
+      val fact = lineitem(s, d).select(
+        when(col("l_orderkey") % 100 < 90, lit(0L))
+          .otherwise(lit(1L) + col("l_orderkey") % 15).as("k"),
+        col("l_extendedprice"), col("l_discount"))
+      val dim = nation(s, d).filter(col("n_nationkey") < 16)
+        .select(col("n_nationkey").as("k"), col("n_name"))
+      fact.join(dim.hint("merge"), "k")
+        .groupBy("n_name")
+        .agg(dbl(sum(expr(
+          "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")))
+          .as("revenue"),
+          lng(count(lit(1))).as("n_items"))
+        .orderBy("n_name")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket,
     unpivot, kAnon, sampleWeighted, incrAgg, cdcApply, joinInterval,
-    popRevenue, paretoShare, joinBucketed, mixTemperature)
+    popRevenue, paretoShare, joinBucketed, mixTemperature, joinSkewAqe)
 }

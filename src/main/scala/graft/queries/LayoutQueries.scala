@@ -208,5 +208,63 @@ object LayoutQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(zorder, bloomJoin, scanPartitioned, dppJoin)
+  /** Buckets for the pruned lookup table (the q_join_bucketed constant:
+    * 8 divides local[32]; hundreds on a cluster — shape, not constant,
+    * is what's pinned).
+    */
+  private val NBuckets = 8
+
+  /** Bucket pruning — the third member of the skip family, completing
+    * partition pruning (q_scan_partitioned, directory level) and
+    * row-group pruning (PushedFilters, page level): an equality/IN
+    * predicate on the BUCKETING column lets the scan open only the
+    * buckets those keys hash into (`SelectedBucketsCount: k out of N`
+    * in the plan), because bucket membership is decided by the same
+    * hash at write time. On the 100 TB co-located fact of
+    * q_join_bucketed this is what makes point/IN lookups cheap too:
+    * the join layout and the lookup layout are the SAME table, one
+    * hash-file per key subset instead of a full scan. The oracle runs
+    * the identical filter over the raw parquet — bucketing must not
+    * add, drop or alter a single row.
+    */
+  private val bucketPrune = QueryDef(
+    "q_bucket_prune",
+    "Bucket pruning: customer IN-lookup on a table bucketed by " +
+      "c_custkey opens only the buckets the keys hash into " +
+      "(SelectedBucketsCount pinned in PlanSpec); per-key order " +
+      "counts + balance out, oracle recomputes from raw parquet.",
+    Some("""SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+           |       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           |       CAST(sum(CAST(coalesce(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           |WHERE c.c_custkey IN (42, 421, 900)
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val sfTag = new java.io.File(d).getName.replace('.', '_')
+      val tbl = s"graft_cust_bkt_$sfTag"
+      if (!s.catalog.tableExists(tbl)) {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+          .write.mode("overwrite")
+          .bucketBy(NBuckets, "c_custkey").sortBy("c_custkey")
+          .saveAsTable(tbl)
+      }
+      s.table(tbl)
+        .filter(col("c_custkey").isin(42, 421, 900))
+        .join(orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice")), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(lng(count(col("o_orderkey"))).as("n_orders"),
+          dbl(sum(money(coalesce(col("o_totalprice"), lit(0))))).as("revenue"))
+        .select(col("c_custkey"), dbl(col("c_acctbal")).as("acctbal"),
+          col("n_orders"), col("revenue"))
+        .orderBy("c_custkey")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(zorder, bloomJoin, scanPartitioned, dppJoin,
+    bucketPrune)
 }

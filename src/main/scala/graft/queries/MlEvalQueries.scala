@@ -356,6 +356,106 @@ object MlEvalQueries {
     }
   )
 
+  // ------------------------------------------------------------ graded ranking
+
+  /** Graded retrieval evaluation — the metric battery a RAG / search
+    * stack reports per release: NDCG@10, MRR@10 and hits@10 for the
+    * cosine ranking, judged against graded label relevance (2 = same
+    * label, 1 = adjacent label, 0 = else). The binary-relevance metrics
+    * already in the inventory (q_auc, q_pr_curve, q_ann_recall) cannot
+    * see ORDER quality among relevant results; NDCG's log-positional
+    * discount is the standard fix (Järvelin & Kekäläinen 2002).
+    *
+    * Determinism: the only irrational per-rank factor, the discount
+    * 1/log2(r+1), is computed once per rank value and rounded on the
+    * 9-decimal grid into DECIMAL(18,9); gains are exact integers
+    * (2^rel − 1 ∈ {0,1,3}), so DCG/IDCG accumulate as exact decimals
+    * (order-free) and surface via the scaled-BIGINT idiom. Both row
+    * orders (system = cosine desc, ideal = rel desc) tie-break on
+    * cand_id.
+    *
+    * Scale: probe set broadcasts against a partition-parallel corpus
+    * scan (the q_ann_cosine shape); both rankings come from ONE scored
+    * frame via two windows partitioned by probe — no second corpus
+    * pass for the ideal ranking. At 100 TB the rk window would ride
+    * the TopKByScore partial aggregator (k rows per task per probe);
+    * the metric arithmetic is unchanged.
+    */
+  private val ndcg = QueryDef(
+    "q_ndcg",
+    "Graded retrieval eval: NDCG@10 + MRR@10 + hits@10 of the cosine " +
+      "ranking vs graded label relevance (2/1/0 by label distance) - " +
+      "9-grid positional discounts, exact-decimal DCG accumulation, " +
+      "ideal ranking from the same scored frame.",
+    Some("""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe, label AS plabel FROM embeddings WHERE vec_id < 20),
+           |corpus AS (SELECT vec_id AS cand_id, embedding AS ce, label AS clabel FROM embeddings WHERE vec_id >= 20),
+           |scored AS (
+           |  SELECT probe_id, plabel, cand_id,
+           |    round(list_sum(list_transform(list_zip(pe, ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+           |          (sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |           sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim,
+           |    greatest(0, 2 - abs(plabel - clabel)) AS rel
+           |  FROM probes CROSS JOIN corpus),
+           |g AS (SELECT *, CAST(CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS gain FROM scored),
+           |ranked AS (SELECT *,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rk,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, cand_id) AS rk2
+           |  FROM g),
+           |agg AS (
+           |  SELECT probe_id, plabel,
+           |    sum(CASE WHEN rk <= 10 THEN gain * CAST(round(1.0 / log2(CAST(rk AS DOUBLE) + 1), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS sdcg,
+           |    sum(CASE WHEN rk2 <= 10 THEN gain * CAST(round(1.0 / log2(CAST(rk2 AS DOUBLE) + 1), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS sidcg,
+           |    CAST(sum(CASE WHEN rk <= 10 AND rel >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+           |    min(CASE WHEN rk <= 10 AND rel = 2 THEN rk END) AS first2
+           |  FROM ranked WHERE rk <= 10 OR rk2 <= 10 GROUP BY 1, 2)
+           |SELECT probe_id, CAST(plabel AS BIGINT) AS plabel, hits10,
+           |       coalesce(round(1.0 / CAST(first2 AS DOUBLE), 6), 0.0) AS mrr10,
+           |       round(CAST(CAST(sdcg * 1000000000 AS BIGINT) AS DOUBLE) / 1000000000, 9) AS dcg10,
+           |       round(CAST(CAST(sidcg * 1000000000 AS BIGINT) AS DOUBLE) / 1000000000, 9) AS idcg10,
+           |       round(CAST(CAST(sdcg * 1000000000 AS BIGINT) AS DOUBLE) /
+           |             CAST(CAST(sidcg * 1000000000 AS BIGINT) AS DOUBLE), 6) AS ndcg10
+           |FROM agg ORDER BY probe_id""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("label").as("plabel"))
+      val corpus = e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("label").as("clabel"))
+      val dec = DecimalType(18, 9)
+      def disc(r: org.apache.spark.sql.Column) =
+        round(lit(1.0) / log2(dbl(r) + 1), 9).cast(dec)
+      val wSys = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))
+      val wIdeal = Window.partitionBy("probe_id").orderBy(col("rel").desc, col("cand_id"))
+      val ranked = corpus.join(broadcast(probes))
+        .withColumn("cos_sim", round(cosine("pe", "ce"), 6))
+        .withColumn("rel", greatest(lit(0), lit(2) - abs(col("plabel") - col("clabel"))))
+        .withColumn("gain", expr("CAST(CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)"))
+        .withColumn("rk", row_number().over(wSys))
+        .withColumn("rk2", row_number().over(wIdeal))
+        .filter(col("rk") <= 10 || col("rk2") <= 10)
+      ranked.groupBy("probe_id", "plabel")
+        .agg(
+          // gain rides as DECIMAL(2,0), not BIGINT: long×DECIMAL(18,9)
+          // exceeds precision 38 and allowPrecisionLoss drops the scale
+          // to 8 — silently off the 9-grid the oracle accumulates on
+          sum(when(col("rk") <= 10, col("gain").cast(DecimalType(2, 0)) * disc(col("rk")))
+            .otherwise(lit(0).cast(dec))).as("sdcg"),
+          sum(when(col("rk2") <= 10, col("gain").cast(DecimalType(2, 0)) * disc(col("rk2")))
+            .otherwise(lit(0).cast(dec))).as("sidcg"),
+          lng(sum(when(col("rk") <= 10 && col("rel") >= 1, 1).otherwise(0))).as("hits10"),
+          min(when(col("rk") <= 10 && col("rel") === 2, col("rk"))).as("first2"))
+        .select(col("probe_id"), lng(col("plabel")).as("plabel"), col("hits10"),
+          coalesce(round(lit(1.0) / dbl(col("first2")), 6), lit(0.0)).as("mrr10"),
+          round(dbl(expr("CAST(sdcg * 1000000000 AS BIGINT)")) / lit(1000000000), 9).as("dcg10"),
+          round(dbl(expr("CAST(sidcg * 1000000000 AS BIGINT)")) / lit(1000000000), 9).as("idcg10"),
+          round(dbl(expr("CAST(sdcg * 1000000000 AS BIGINT)")) /
+            dbl(expr("CAST(sidcg * 1000000000 AS BIGINT)")), 6).as("ndcg10"))
+        .orderBy("probe_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
-    silhouette, powerlaw, mutualInfo)
+    silhouette, powerlaw, mutualInfo, ndcg)
 }

@@ -136,6 +136,54 @@ class MlEvalShapesSpec extends AnyFunSuite {
     assert(math.abs(got - mi) < 1e-4, s"MI got $got want $mi")
   }
 
+  test("q_ndcg equals brute-force graded ranking metrics") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) = new JBD(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    def disc(r: Int) = new JBD(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(9, RoundingMode.HALF_UP)
+    val probes = vecs.filter(_._1 < 20)
+    val corpus = vecs.filter(_._1 >= 20)
+    val want = probes.map { case (pid, pl, pv) =>
+      val scored = corpus.map { case (cid, cl, cv) =>
+        val rel = math.max(0, 2 - math.abs(pl - cl))
+        (cid, r6(cos(pv, cv)), rel, Seq(0, 1, 3)(rel))
+      }
+      val sys = scored.sortBy { case (cid, c, _, _) => (-c, cid) }.take(10)
+      val ideal = scored.sortBy { case (cid, _, rel, _) => (-rel, cid) }.take(10)
+      def dcg(rows: Array[(Long, Double, Int, Int)]): JBD =
+        rows.zipWithIndex.map { case ((_, _, _, g), i) =>
+          disc(i + 1).multiply(new JBD(g))
+        }.foldLeft(JBD.ZERO)(_.add(_))
+      val (d, id) = (dcg(sys), dcg(ideal))
+      val hits = sys.count(_._3 >= 1).toLong
+      val first2 = sys.zipWithIndex.collectFirst { case ((_, _, 2, _), i) => i + 1 }
+      pid -> (hits,
+        first2.map(r => r6(1.0 / r)).getOrElse(0.0),
+        r6(d.doubleValue / id.doubleValue))
+    }.toMap
+    val got = q("q_ndcg").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(6)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (wh, wm, wn)) <- want) {
+      val (gh, gm, gn) = got(k)
+      assert(gh == wh, s"probe $k hits@10: $gh vs $wh")
+      assert(math.abs(gm - wm) < 1e-9, s"probe $k mrr: $gm vs $wm")
+      assert(math.abs(gn - wn) < 2e-6, s"probe $k ndcg: $gn vs $wn")
+      assert(gn >= 0.0 && gn <= 1.0, s"probe $k ndcg out of range: $gn")
+    }
+  }
+
   test("q_centroid_confusion / q_knn_classify plans broadcast the small side") {
     val s1 = q("q_centroid_confusion").queryExecution.executedPlan.toString
     assert(s1.contains("BroadcastNestedLoopJoin") ||

@@ -183,6 +183,15 @@ class PlanSpec extends AnyFunSuite {
       "calendar dim not broadcast:\n" + s.take(3000))
   }
 
+  test("q_bucket_prune: IN-lookup opens only the buckets its keys hash into") {
+    val s = formatted("q_bucket_prune")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(s)
+    assert(m.isDefined, "no bucket pruning on the bucketed scan:\n" + s.take(3000))
+    val (sel, tot) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(sel < tot, s"all $tot buckets selected — pruning didn't engage:\n" + s.take(2000))
+    assert(sel <= 3, s"3 keys selected $sel buckets (> one bucket per key)")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the dedup shingle scan must appear under a WholeStageCodegen span,
     // not as a fallback project; AQE finalizes the plan only on

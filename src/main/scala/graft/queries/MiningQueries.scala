@@ -398,6 +398,122 @@ object MiningQueries {
     }
   )
 
+  // ----------------------------------------------------------------- dbscan
+
+  /** DBSCAN density clustering (Ester et al. 1996) over the 2-D
+    * embedding projection — the complement to q_kmeans: finds
+    * arbitrary-shaped dense regions and, critically for corpus work,
+    * an explicit NOISE class (k-means force-assigns every outlier to
+    * some centroid; density clustering is what actually separates
+    * "off-distribution junk" from "small coherent mode").
+    *
+    * Scale: the textbook algorithm is a sequential region-growing
+    * scan — inexpressible distributedly. The standard rewrite
+    * (MR-DBSCAN) is what's built here: (1) quantize points to
+    * eps-sized grid cells, so candidate neighbors live in the 3×3
+    * cell neighborhood — an equi-join on cell keys (shuffle
+    * co-locates cells; candidates per point are bounded by local
+    * density, never O(N)); (2) core points = neighbor-count ≥ minPts,
+    * a map-side-combined aggregate; (3) clusters = connected
+    * components over core-core eps-edges via the pointer-doubling CC
+    * op (O(log diameter) rounds); (4) border points attach to their
+    * minimum core neighbor's cluster; the rest is noise.
+    *
+    * Determinism: coordinates widen float→double identically in both
+    * engines; cell ids are floor(x·20) over identical doubles; the
+    * eps test compares identically-ordered IEEE products; cluster id
+    * = minimum core vec_id of the component (CC's fixpoint label —
+    * order- and partitioning-independent); border ties resolve by
+    * MIN cluster id. The oracle replays CC as a recursive min-label
+    * CTE — closure-sized, fine at oracle scale (sf0.01); the Spark
+    * side stays O(log diameter) for the 100 TB path.
+    */
+  private val dbscan = QueryDef(
+    "q_dbscan",
+    "Grid-bucketed DBSCAN (eps=0.032, minPts=5) over embedding dims " +
+      "1-2: 3x3 cell-neighborhood candidate join, core/border/noise " +
+      "roles, clusters = pointer-doubling CC over core-core edges " +
+      "(oracle replays CC as a recursive min-label CTE).",
+    Some("""WITH RECURSIVE pts AS (
+           |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+           |c AS (SELECT *, CAST(floor(x * 31.25) AS BIGINT) AS cx, CAST(floor(y * 31.25) AS BIGINT) AS cy FROM pts),
+           |nbr AS (
+           |  SELECT a.vec_id AS ai, b.vec_id AS bi
+           |  FROM c a JOIN c b
+           |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+           |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.001024),
+           |deg AS (SELECT ai AS vec_id, CAST(count(*) AS BIGINT) AS n_nbr FROM nbr GROUP BY 1),
+           |core AS (SELECT vec_id FROM deg WHERE n_nbr >= 5),
+           |ce AS (SELECT n.ai, n.bi FROM nbr n
+           |       JOIN core c1 ON n.ai = c1.vec_id JOIN core c2 ON n.bi = c2.vec_id
+           |       WHERE n.ai <> n.bi),
+           |r(node, lbl) AS (
+           |  SELECT vec_id, vec_id FROM core
+           |  UNION
+           |  SELECT ce.bi, r.lbl FROM r JOIN ce ON ce.ai = r.node),
+           |comp AS (SELECT node, min(lbl) AS lbl FROM r GROUP BY node),
+           |border AS (
+           |  SELECT n.ai AS vec_id, min(comp.lbl) AS blbl
+           |  FROM nbr n JOIN comp ON n.bi = comp.node
+           |  WHERE n.ai <> n.bi AND n.ai NOT IN (SELECT vec_id FROM core)
+           |  GROUP BY n.ai)
+           |SELECT p.vec_id, deg.n_nbr,
+           |       CASE WHEN comp.lbl IS NOT NULL THEN 'core'
+           |            WHEN border.blbl IS NOT NULL THEN 'border'
+           |            ELSE 'noise' END AS role,
+           |       coalesce(comp.lbl, border.blbl, -1) AS cluster
+           |FROM pts p
+           |JOIN deg ON p.vec_id = deg.vec_id
+           |LEFT JOIN comp ON p.vec_id = comp.node
+           |LEFT JOIN border ON p.vec_id = border.vec_id
+           |ORDER BY p.vec_id""".stripMargin),
+    (s, d) => {
+      val cells = embeddings(s, d)
+        .select(col("vec_id"),
+          dbl(element_at(col("embedding"), 1)).as("x"),
+          dbl(element_at(col("embedding"), 2)).as("y"))
+        .withColumn("cx", lng(floor(col("x") * 31.25)))
+        .withColumn("cy", lng(floor(col("y") * 31.25)))
+      val a = cells.select(col("vec_id").as("ai"), col("x").as("ax"),
+        col("y").as("ay"), col("cx"), col("cy"))
+        .withColumn("o", explode(expr(
+          "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy))")))
+        .select(col("ai"), col("ax"), col("ay"),
+          (col("cx") + col("o.dx")).as("kx"), (col("cy") + col("o.dy")).as("ky"))
+      val b = cells.select(col("vec_id").as("bi"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("kx"), col("cy").as("ky"))
+      val nbr = a.join(b, Seq("kx", "ky"))
+        .filter((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= 0.001024)
+        .select("ai", "bi").persist()
+      val deg = nbr.groupBy(col("ai").as("vec_id"))
+        .agg(lng(count(lit(1))).as("n_nbr")).persist()
+      val core = deg.filter(col("n_nbr") >= 5).select("vec_id")
+      val coreEdges = nbr
+        .join(core.withColumnRenamed("vec_id", "ai"), Seq("ai"), "left_semi")
+        .join(core.withColumnRenamed("vec_id", "bi"), Seq("bi"), "left_semi")
+        .filter(col("ai") =!= col("bi"))
+        .select(col("ai").as("ea"), col("bi").as("eb"))
+      val (labels, _) = graft.ops.ConnectedComponents.run(
+        core.select(col("vec_id").as("node")), coreEdges)
+      val comp = labels.select(col("node"), col("label").as("lbl"))
+      val borderLbl = nbr.filter(col("ai") =!= col("bi"))
+        .join(core.withColumnRenamed("vec_id", "ai"), Seq("ai"), "left_anti")
+        .join(comp.withColumnRenamed("node", "bi"), "bi")
+        .groupBy(col("ai").as("vec_id")).agg(min(col("lbl")).as("blbl"))
+      cells.select("vec_id")
+        .join(deg, "vec_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .join(borderLbl, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("n_nbr"),
+          when(col("lbl").isNotNull, "core")
+            .when(col("blbl").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("lbl"), col("blbl"), lit(-1L)).as("cluster"))
+        .orderBy("vec_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(entropy, benford, cohortMatrix, copurchase,
-    xentropy, seasonality, abtest, kmeans, survival)
+    xentropy, seasonality, abtest, kmeans, survival, dbscan)
 }

@@ -268,6 +268,88 @@ object PipelineQueries {
     }
   )
 
+  // ------------------------------------------------------- importance resample
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every pool
+    * document by how much more likely it is under a TARGET-domain
+    * hashed-unigram model than under the raw-pool model, then keep the
+    * top-weighted slice — the cheap, scalable stand-in for "train a
+    * quality classifier" that production pretraining mixes actually
+    * use to up-sample domain-relevant text.
+    *
+    * Model: tokens hash into 256 buckets (the shared md5-48 idiom —
+    * cross-engine, no vocabulary broadcast); target = the src1 slice;
+    * add-one smoothing on both distributions; per-doc log importance
+    * weight = Σ_tokens ln(p_target(b)/p_raw(b)).
+    *
+    * Determinism: each bucket's log-ratio is computed ONCE (256 rows),
+    * written in identical IEEE op order in both engines, rounded on
+    * the 9-grid into DECIMAL(18,9); per-doc accumulation is exact
+    * decimal; ordering for the top-100 cut compares the SCALED BIGINT
+    * (not the double) and tie-breaks on doc_id.
+    *
+    * Scale: one token-explode pass builds the 256-row bucket table
+    * (map-side combined); the 256-row weight table broadcasts back
+    * onto a second scan; the top-100 cut is orderBy+limit =
+    * TakeOrderedAndProject (per-partition top-k, k rows per task — no
+    * global sort, no unpartitioned window). 100 TB pool: two linear
+    * scans + a constant-size broadcast.
+    */
+  private val dsir = QueryDef(
+    "q_dsir",
+    "DSIR importance resampling: hashed-unigram (256-bucket) target-" +
+      "vs-pool log-likelihood ratio per doc, top-100 resampled docs " +
+      "by exact-decimal weight - the scalable domain-upsampling pass " +
+      "of a pretraining data mix.",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, source,
+           |         CAST(concat('0x', substr(md5(u.w), 1, 12)) AS BIGINT) % 256 AS b
+           |  FROM documents, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS u(w)),
+           |bkt AS (
+           |  SELECT b, CAST(count(*) AS BIGINT) AS raw,
+           |         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS tgt
+           |  FROM tok GROUP BY b),
+           |tot AS (SELECT sum(raw) AS rtot, sum(tgt) AS ttot FROM bkt),
+           |lw AS (
+           |  SELECT b, CAST(round(ln((CAST(tgt + 1 AS DOUBLE) / CAST(ttot + 256 AS DOUBLE)) /
+           |                           (CAST(raw + 1 AS DOUBLE) / CAST(rtot + 256 AS DOUBLE))), 9) AS DECIMAL(18,9)) AS lw
+           |  FROM bkt CROSS JOIN tot),
+           |doc AS (
+           |  SELECT tok.doc_id, min(tok.source) AS source,
+           |         CAST(count(*) AS BIGINT) AS n_toks, sum(lw.lw) AS s
+           |  FROM tok JOIN lw ON tok.b = lw.b GROUP BY tok.doc_id)
+           |SELECT doc_id, source, n_toks,
+           |       round(CAST(CAST(s * 1000000000 AS BIGINT) AS DOUBLE) / 1000000000, 9) AS log_iw
+           |FROM doc
+           |ORDER BY CAST(s * 1000000000 AS BIGINT) DESC, doc_id LIMIT 100""".stripMargin),
+    (s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).as("w"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT) % 256").as("b"))
+      val bkt = tok.groupBy("b").agg(
+        lng(count(lit(1))).as("raw"),
+        lng(sum(when(col("source") === "src1", 1).otherwise(0))).as("tgt"))
+      val tot = bkt.agg(sum("raw").as("rtot"), sum("tgt").as("ttot"))
+      val lw = bkt.crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(log((dbl(col("tgt") + 1) / dbl(col("ttot") + 256)) /
+            (dbl(col("raw") + 1) / dbl(col("rtot") + 256))), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lw"))
+      tok.join(broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(min(col("source")).as("source"), lng(count(lit(1))).as("n_toks"),
+          sum(col("lw")).as("s"))
+        .withColumn("siw", expr("CAST(s * 1000000000 AS BIGINT)"))
+        .orderBy(col("siw").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          round(dbl(col("siw")) / lit(1000000000), 9).as("log_iw"))
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences, shuffleShards,
-    datasetCard)
+    datasetCard, dsir)
 }

@@ -170,4 +170,84 @@ class MiningShapesSpec extends AnyFunSuite {
     assert(s.contains("BroadcastNestedLoopJoin") ||
       s.contains("BroadcastHashJoin"), s.take(3000))
   }
+
+  test("q_dbscan equals brute-force O(n^2) DBSCAN with union-find clusters") {
+    val pts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1)(0).toDouble, r.getSeq[Float](1)(1).toDouble))
+      .sortBy(_._1)
+    val eps2 = 0.001024
+    def near(a: (Long, Double, Double), b: (Long, Double, Double)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3) <= eps2
+    val nbrs = pts.map(p => p._1 -> pts.filter(q => near(p, q)).map(_._1)).toMap
+    val core = pts.map(_._1).filter(id => nbrs(id).length >= 5).toSet
+    // union-find over core-core eps-edges; root = min id of the component
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    for (a <- core; b <- nbrs(a) if b != a && core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val want = pts.map { case (id, _, _) =>
+      if (core(id)) id -> ("core", find(id))
+      else {
+        val coreN = nbrs(id).filter(n => n != id && core(n))
+        if (coreN.nonEmpty) id -> ("border", coreN.map(find).min)
+        else id -> ("noise", -1L)
+      }
+    }.toMap
+    val got = q("q_dbscan").collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
+  test("q_dsir matches a brute-force hashed-unigram importance ranking") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val tokenized = docs.map { case (id, src, text) =>
+      (id, src, "[a-z]+".r.findAllIn(text.toLowerCase).map(bucket).toArray)
+    }
+    val raw = new Array[Long](256); val tgt = new Array[Long](256)
+    tokenized.foreach { case (_, src, bs) =>
+      bs.foreach { b => raw(b.toInt) += 1; if (src == "src1") tgt(b.toInt) += 1 }
+    }
+    val (rtot, ttot) = (raw.sum, tgt.sum)
+    val lw = (0 until 256).map { b =>
+      val x = (tgt(b) + 1.0) / (ttot + 256).toDouble /
+        ((raw(b) + 1.0) / (rtot + 256).toDouble)
+      b.toLong -> new JBD(math.log(x)).setScale(9, RoundingMode.HALF_UP)
+    }.toMap
+    val wantTop = tokenized
+      .filter(_._3.nonEmpty)
+      .map { case (id, src, bs) =>
+        val s = bs.foldLeft(JBD.ZERO)((acc, b) => acc.add(lw(b)))
+        (id, src, bs.length.toLong,
+          s.movePointRight(9).setScale(0, RoundingMode.DOWN).longValue)
+      }
+      .sortBy { case (id, _, _, siw) => (-siw, id) }.take(100)
+    val got = q("q_dsir").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == wantTop.length)
+    got.zip(wantTop).foreach { case ((gi, gs, gn, gw), (wi, ws, wn, wsiw)) =>
+      assert(gi == wi && gs == ws && gn == wn, s"row: got ($gi,$gs,$gn) want ($wi,$ws,$wn)")
+      assert(math.abs(gw - wsiw / 1e9) < 1e-8, s"doc $gi log_iw $gw vs ${wsiw / 1e9}")
+    }
+  }
+
+  test("q_dsir plan: top-100 cut is a per-partition TakeOrderedAndProject") {
+    val s = plan("q_dsir")
+    assert(s.contains("TakeOrderedAndProject"), s.take(3000))
+  }
 }

@@ -423,6 +423,87 @@ object GraphQueries {
     }
   )
 
+  // ------------------------------------------------------------------- hits
+
+  private val hits = QueryDef(
+    "q_hits",
+    "HITS hubs & authorities (Kleinberg) over the DIRECTED trade " +
+      "graph customer → supplier — PageRank's sibling that separates " +
+      "the two roles an undirected rank conflates: hub score = how " +
+      "broadly a customer buys, authority score = how broadly a " +
+      "supplier is bought from, each recursively weighted by the " +
+      "other side. Two mutual-reinforcement rounds in exact BIGINT " +
+      "arithmetic: a ← Σ h over in-edges, h ← Σ a over out-edges, " +
+      "each vector rescaled to max = 1e6 by floor division (max-" +
+      "normalization replaces the usual L2 norm — same fixpoint " +
+      "ranking, zero float ops; the q_pagerank microrank discipline " +
+      "at a scale chosen so the pre-normalization sums stay in " +
+      "BIGINT: score·degree < 2^63 holds up to ~9.2e12 distinct " +
+      "partners per node — far beyond any real trade graph). " +
+      "Shape: one distinct pass builds the edge list; each half-round " +
+      "is one map-side-combined sum keyed on one endpoint plus a " +
+      "single-row max broadcast; the supplier-keyed authority table " +
+      "is dim-sized and broadcasts into the customer-side sum, the " +
+      "customer-keyed hub table joins co-partitioned on the edge " +
+      "list's customer key. The oracle unrolls the same rounds as " +
+      "chained CTEs.",
+    Some("""WITH e AS (SELECT DISTINCT o_custkey AS c, 100000 + l_suppkey AS sup
+           |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |a1 AS (SELECT sup, count(*) AS a FROM e GROUP BY 1),
+           |ma1 AS (SELECT max(a) AS m FROM a1),
+           |a1n AS (SELECT sup, a * 1000000 // ma1.m AS an FROM a1 CROSS JOIN ma1),
+           |h1 AS (SELECT e.c, sum(a1n.an) AS h FROM e JOIN a1n USING (sup) GROUP BY 1),
+           |mh1 AS (SELECT max(h) AS m FROM h1),
+           |h1n AS (SELECT c, h * 1000000 // mh1.m AS hn FROM h1 CROSS JOIN mh1),
+           |a2 AS (SELECT e.sup, sum(h1n.hn) AS a FROM e JOIN h1n USING (c) GROUP BY 1),
+           |ma2 AS (SELECT max(a) AS m FROM a2),
+           |a2n AS (SELECT sup, a * 1000000 // ma2.m AS an FROM a2 CROSS JOIN ma2)
+           |SELECT CAST(c AS BIGINT) AS id, 'hub' AS role, CAST(hn AS BIGINT) AS score
+           |FROM h1n
+           |UNION ALL
+           |SELECT CAST(sup AS BIGINT), 'auth', CAST(an AS BIGINT) FROM a2n
+           |ORDER BY role, id""".stripMargin),
+    (s, d) => {
+      val e = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 100000L).as("sup"))
+        .distinct()
+        // both half-rounds and the final union re-read the edge list —
+        // one shuffle builds it, every consumer reuses the materialization
+        .persist()
+      // round 1 authority: in-degree (h0 = 1), rescaled to max = 1e6.
+      // Each score table feeds BOTH its max-broadcast subquery and the
+      // next half-round — persist them (all dim-sized) so neither chain
+      // re-runs the upstream rounds
+      val a1 = e.groupBy("sup").agg(count(lit(1)).as("a")).persist()
+      val ma1 = a1.agg(max("a").as("m"))
+      val a1n = a1.crossJoin(broadcast(ma1))
+        .select(col("sup"), expr("(a * 1000000L) div m").as("an"))
+      // round 1 hub: supplier-keyed authorities are dim-sized — broadcast
+      val h1 = e.join(broadcast(a1n), "sup")
+        .groupBy("c").agg(sum("an").as("h")).persist()
+      val mh1 = h1.agg(max("h").as("m"))
+      val h1n = h1.crossJoin(broadcast(mh1))
+        .select(col("c"), expr("(h * 1000000L) div m").as("hn"))
+        .persist()
+      // round 2 authority: customer-keyed hubs co-partition with the
+      // edge list's customer key (both sides hash on c — no broadcast of
+      // a customer-sized table at 100 TB)
+      val a2 = e.join(h1n, "c")
+        .groupBy("sup").agg(sum("hn").as("a")).persist()
+      val ma2 = a2.agg(max("a").as("m"))
+      val a2n = a2.crossJoin(broadcast(ma2))
+        .select(col("sup"), expr("(a * 1000000L) div m").as("an"))
+      h1n.select(lng(col("c")).as("id"), lit("hub").as("role"),
+          lng(col("hn")).as("score"))
+        .unionByName(a2n.select(lng(col("sup")).as("id"),
+          lit("auth").as("role"), lng(col("an")).as("score")))
+        .orderBy("role", "id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard,
-    modularity)
+    modularity, hits)
 }

@@ -265,6 +265,57 @@ object LayoutQueries {
     }
   )
 
+  // -------------------------------------------------------- compaction plan
+
+  private val compactionPlan = QueryDef(
+    "q_compaction_plan",
+    "Small-file compaction planner — the OPTIMIZE job every lakehouse " +
+      "runs against a streaming-ingested landing zone, completing the " +
+      "layout family's write side (q_zorder clusters, q_shuffle_shards " +
+      "sizes shuffles; this bins FILES): documents modeled as the " +
+      "per-source landing files they arrive as (size = n_chars), " +
+      "packed in doc_id order into 64 KiB-target output bins by " +
+      "cumulative-sum binning — bin = (inclusive running size − 1) " +
+      "div target, the streaming-friendly rule whose bins overflow by " +
+      "at most one file (exactly how maxRecordsPerFile-style writers " +
+      "cut files; true first-fit would need a sequential scan). " +
+      "Output per (source, bin): file count, bytes, and the bin's " +
+      "doc_id range — everything a rewrite job needs to pick up. All " +
+      "exact integer arithmetic. Shape: ONE partitioned running-sum " +
+      "window over the skinny (doc_id, n_chars) projection — at " +
+      "100 TB the planner never reads data, only the file manifest, " +
+      "and each source partition plans independently.",
+    Some("""WITH f AS (SELECT source, doc_id, n_chars,
+           |             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+           |           FROM documents)
+           |SELECT source, CAST((greatest(csum, 1) - 1) // 65536 AS BIGINT) AS bin,
+           |       CAST(count(*) AS BIGINT) AS n_files,
+           |       CAST(sum(n_chars) AS BIGINT) AS bytes,
+           |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+           |       CAST(max(doc_id) AS BIGINT) AS last_doc
+           |FROM f GROUP BY 1, 2
+           |ORDER BY source, bin""".stripMargin),
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, 0)
+      documents(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("csum", sum(col("n_chars")).over(w))
+        .groupBy(col("source"),
+          // greatest-guard: a run of zero-size files keeps csum-1 >= 0,
+          // where Spark div (truncate) and DuckDB // (floor) agree
+          expr("(greatest(csum, 1L) - 1) div 65536").as("bin"))
+        .agg(lng(count(lit(1))).as("n_files"),
+          lng(sum(col("n_chars"))).as("bytes"),
+          lng(min(col("doc_id"))).as("first_doc"),
+          lng(max(col("doc_id"))).as("last_doc"))
+        .select(col("source"), lng(col("bin")).as("bin"), col("n_files"),
+          col("bytes"), col("first_doc"), col("last_doc"))
+        .orderBy("source", "bin")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(zorder, bloomJoin, scanPartitioned, dppJoin,
-    bucketPrune)
+    bucketPrune, compactionPlan)
 }

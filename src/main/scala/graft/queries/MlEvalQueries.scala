@@ -456,6 +456,103 @@ object MlEvalQueries {
     }
   )
 
+  // ---------------------------------------------------------------- f1 macro
+
+  private val f1Macro = QueryDef(
+    "q_f1_macro",
+    "Per-class precision/recall/F1 plus the macro row (label = -1) for " +
+      "the nearest-centroid classifier — the per-release metric " +
+      "battery a confusion matrix (q_centroid_confusion) feeds: macro " +
+      "averaging weights every class equally, which is what matters " +
+      "under the imbalance q_class_weights measures. All three " +
+      "metrics are SINGLE divisions of exact BIGINT counts (F1 via " +
+      "the rational identity 2tp/(2tp+fp+fn) — never the 2pr/(p+r) " +
+      "chain, whose two intermediate roundings diverge across " +
+      "engines); the macro row averages the round-6 per-class values " +
+      "through exact DECIMAL accumulation (q_xentropy discipline). " +
+      "Shape: everything derives from the ≤ K² confusion-matrix " +
+      "aggregate of the shared centroid-distance fold — the fact is " +
+      "touched once; the metric table is K+1 rows.",
+    Some(s"""WITH cent AS ($CentroidSql),
+            |el AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS dim,
+            |              unnest(embedding) AS v
+            |       FROM embeddings),
+            |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
+            |           sum($DistTermSql) AS d2
+            |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
+            |pred AS (SELECT vec_id, true_label, clabel,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+            |         FROM dist),
+            |cm AS (SELECT true_label AS t, clabel AS p, count(*) AS n
+            |       FROM pred WHERE rn = 1 GROUP BY 1, 2),
+            |lbl AS (SELECT t AS label, sum(n) AS truetot FROM cm GROUP BY 1),
+            |ptot AS (SELECT p AS label, sum(n) AS predtot FROM cm GROUP BY 1),
+            |diag AS (SELECT t AS label, n FROM cm WHERE t = p),
+            |per AS (SELECT lbl.label, coalesce(diag.n, 0) AS tp,
+            |          coalesce(ptot.predtot, 0) - coalesce(diag.n, 0) AS fp,
+            |          lbl.truetot - coalesce(diag.n, 0) AS fn
+            |        FROM lbl LEFT JOIN ptot USING (label) LEFT JOIN diag USING (label)),
+            |m AS (SELECT label, tp, fp, fn,
+            |        CASE WHEN tp + fp = 0 THEN 0.0
+            |             ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+            |        round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rec,
+            |        round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
+            |      FROM per)
+            |SELECT CAST(label AS BIGINT) AS label, CAST(tp AS BIGINT) AS tp,
+            |       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, prec, rec, f1
+            |FROM m
+            |UNION ALL
+            |SELECT -1, CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+            |       CAST(sum(fn) AS BIGINT),
+            |       round(CAST(sum(CAST(prec AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6),
+            |       round(CAST(sum(CAST(rec AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6),
+            |       round(CAST(sum(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+            |FROM m
+            |ORDER BY label""".stripMargin),
+    (s, d) => {
+      val dist = centroidDistances(s, d)
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+      val cm = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("true_label").as("t"), col("clabel").as("p"))
+        .agg(count(lit(1)).as("n"))
+        // K² rows at most — every downstream pivot is driver-trivial but
+        // stays declarative; persist so the three re-aggregations below
+        // don't re-run the centroid fold
+        .persist()
+      val lbl = cm.groupBy(col("t").as("label")).agg(sum("n").as("truetot"))
+      val ptot = cm.groupBy(col("p").as("label")).agg(sum("n").as("predtot"))
+      val diag = cm.filter(col("t") === col("p"))
+        .select(col("t").as("label"), col("n"))
+      val per = lbl.join(ptot, Seq("label"), "left")
+        .join(diag, Seq("label"), "left")
+        .select(col("label"),
+          coalesce(col("n"), lit(0L)).as("tp"),
+          (coalesce(col("predtot"), lit(0L)) - coalesce(col("n"), lit(0L))).as("fp"),
+          (col("truetot") - coalesce(col("n"), lit(0L))).as("fn"))
+      val m = per.select(col("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(dbl(col("tp")) / (col("tp") + col("fp")), 6)).as("prec"),
+        round(dbl(col("tp")) / (col("tp") + col("fn")), 6).as("rec"),
+        round(dbl(lit(2) * col("tp")) / (lit(2) * col("tp") + col("fp") + col("fn")), 6)
+          .as("f1"))
+        .persist()
+      val dec6 = DecimalType(18, 6)
+      val macroRow = m.agg(
+        lng(sum("tp")).as("tp"), lng(sum("fp")).as("fp"), lng(sum("fn")).as("fn"),
+        round(dbl(sum(col("prec").cast(dec6))) / count(lit(1)), 6).as("prec"),
+        round(dbl(sum(col("rec").cast(dec6))) / count(lit(1)), 6).as("rec"),
+        round(dbl(sum(col("f1").cast(dec6))) / count(lit(1)), 6).as("f1"))
+        .select(lit(-1L).as("label"), col("tp"), col("fp"), col("fn"),
+          col("prec"), col("rec"), col("f1"))
+      m.select(lng(col("label")).as("label"), lng(col("tp")).as("tp"),
+          lng(col("fp")).as("fp"), lng(col("fn")).as("fn"),
+          col("prec"), col("rec"), col("f1"))
+        .unionByName(macroRow)
+        .orderBy("label")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
-    silhouette, powerlaw, mutualInfo, ndcg)
+    silhouette, powerlaw, mutualInfo, ndcg, f1Macro)
 }

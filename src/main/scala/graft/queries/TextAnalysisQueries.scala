@@ -932,8 +932,108 @@ object TextAnalysisQueries {
       .orderBy("norm_url")
   )
 
+  // ------------------------------------------------------------------- bleu
+
+  private val bleu = QueryDef(
+    "q_bleu",
+    "Corpus-level BLEU components (Papineni et al. 2002) — the n-gram " +
+      "overlap eval for generated text that the retrieval metrics " +
+      "(q_ndcg, q_auc) cannot express: candidate docs are scored " +
+      "against a deterministic reference pairing (each doc vs the " +
+      "NEXT doc_id in its source — the pairing the eval harness would " +
+      "supply in production). Per (source, n ∈ {1,2}): clipped " +
+      "matched n-grams Σ min(cnt_cand, cnt_ref), total candidate " +
+      "n-grams, the modified precision p_n, and the brevity " +
+      "candidate/reference length ratio — all exact BIGINT counts " +
+      "with single round-6 divisions; the exp(Σ ln p_n / N) " +
+      "combination is left to the consumer (the ln ban — p_1, p_2 " +
+      "and the length ratio ARE the metric's content). Shape: gram " +
+      "counting explodes in the scan stage and reduces map-side " +
+      "combined per (doc, n, gram); the clip join hash-partitions on " +
+      "the (ref doc, gram) key — linear in corpus grams, the honest " +
+      "BLEU cost; the pairing window sorts only the skinny (source, " +
+      "doc_id) projection; the final table is sources × 2 rows.",
+    Some("""WITH tok AS (SELECT doc_id, source, regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+           |            FROM documents),
+           |pairs AS (SELECT source, doc_id AS cand,
+           |            lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+           |          FROM tok),
+           |pr AS (SELECT source, cand, ref FROM pairs WHERE ref IS NOT NULL),
+           |g1 AS (SELECT doc_id, 1 AS n, unnest(w) AS gram FROM tok),
+           |g2 AS (SELECT doc_id, 2 AS n, w[i] || ' ' || w[i+1] AS gram
+           |       FROM tok, unnest(generate_series(1, greatest(len(w)-1,0))) AS u(i)),
+           |gc AS (SELECT doc_id, n, gram, count(*) AS cnt
+           |       FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) GROUP BY 1, 2, 3),
+           |clip AS (SELECT pr.source, c.n,
+           |           sum(least(c.cnt, coalesce(r.cnt, 0))) AS clip_cnt,
+           |           sum(c.cnt) AS total_cnt
+           |         FROM pr JOIN gc c ON c.doc_id = pr.cand
+           |         LEFT JOIN gc r ON r.doc_id = pr.ref AND r.n = c.n AND r.gram = c.gram
+           |         GROUP BY 1, 2),
+           |lens AS (SELECT doc_id, len(w) AS l FROM tok),
+           |sl AS (SELECT pr.source, sum(cl.l) AS cand_tokens, sum(rl.l) AS ref_tokens
+           |       FROM pr JOIN lens cl ON cl.doc_id = pr.cand
+           |       JOIN lens rl ON rl.doc_id = pr.ref
+           |       GROUP BY 1)
+           |SELECT clip.source, CAST(clip.n AS BIGINT) AS n,
+           |       CAST(clip_cnt AS BIGINT) AS clip_cnt,
+           |       CAST(total_cnt AS BIGINT) AS total_cnt,
+           |       round(CAST(clip_cnt AS DOUBLE) / total_cnt, 6) AS p_n,
+           |       CAST(sl.cand_tokens AS BIGINT) AS cand_tokens,
+           |       CAST(sl.ref_tokens AS BIGINT) AS ref_tokens,
+           |       round(CAST(sl.cand_tokens AS DOUBLE) / sl.ref_tokens, 6) AS len_ratio
+           |FROM clip JOIN sl USING (source)
+           |ORDER BY source, n""".stripMargin),
+    (s, d) => {
+      val tok = documents(s, d).select(col("doc_id"), col("source"),
+        expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("w"))
+        // tokenization feeds the pairing, both gram passes and the
+        // length table — one materialization, four consumers
+        .persist()
+      val pw = Window.partitionBy("source").orderBy("doc_id")
+      val pr = tok.select(col("source"), col("doc_id").as("cand"),
+          lead(col("doc_id"), 1).over(pw).as("ref"))
+        .filter(col("ref").isNotNull)
+      val g1 = tok.select(col("doc_id"), lit(1).as("n"),
+        explode(col("w")).as("gram"))
+      // guarded clamped-sequence idiom (PLANS.md r9a): sub-2-word docs
+      // yield an empty bigram list, never a descending [1,0] sequence
+      val g2 = tok.select(col("doc_id"), lit(2).as("n"), explode(expr(
+        """transform(slice(sequence(1, greatest(size(w) - 1, 1)), 1, greatest(size(w) - 1, 0)),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))""".stripMargin))
+        .as("gram"))
+      val gc = g1.unionByName(g2)
+        .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val cc = gc.select(col("doc_id").as("cand"), col("n"),
+        col("gram"), col("cnt").as("ccnt"))
+      val rc = gc.select(col("doc_id").as("ref"), col("n"),
+        col("gram"), col("cnt").as("rcnt"))
+      val clip = pr.join(cc, "cand")
+        .join(rc, Seq("ref", "n", "gram"), "left")
+        .groupBy("source", "n")
+        .agg(sum(least(col("ccnt"), coalesce(col("rcnt"), lit(0L)))).as("clip_cnt"),
+          sum(col("ccnt")).as("total_cnt"))
+      val lens = tok.select(col("doc_id"), size(col("w")).as("l"))
+      val sl = pr
+        .join(lens.select(col("doc_id").as("cand"), col("l").as("cl")), "cand")
+        .join(lens.select(col("doc_id").as("ref"), col("l").as("rl")), "ref")
+        .groupBy("source")
+        .agg(sum("cl").as("cand_tokens"), sum("rl").as("ref_tokens"))
+      clip.join(sl, "source")
+        .select(col("source"), lng(col("n")).as("n"),
+          lng(col("clip_cnt")).as("clip_cnt"),
+          lng(col("total_cnt")).as("total_cnt"),
+          round(dbl(col("clip_cnt")) / col("total_cnt"), 6).as("p_n"),
+          lng(col("cand_tokens")).as("cand_tokens"),
+          lng(col("ref_tokens")).as("ref_tokens"),
+          round(dbl(col("cand_tokens")) / col("ref_tokens"), 6).as("len_ratio"))
+        .orderBy("source", "n")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
-    distinctN, distinctNSketch, mediaDecode, fixEncoding)
+    distinctN, distinctNSketch, mediaDecode, fixEncoding, bleu)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.{sf, spark}
+
+/** Brute-force recomputation gate for q_bleu: per-source clipped
+  * modified n-gram precision (n = 1, 2) and the brevity length ratio,
+  * replayed in plain Scala over the collected sf0.001 corpus with the
+  * same next-doc_id-in-source reference pairing. Also pins the metric
+  * laws the hash compare can't express: p_n ≤ 1, clipped ≤ total, and
+  * p_2 ≤ p_1 never being violated is NOT a law (bigram precision can
+  * exceed unigram on adversarial pairs) — so no such assertion.
+  */
+class BleuSpec extends AnyFunSuite {
+
+  private def tokens(text: String): Seq[String] =
+    "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+
+  test("q_bleu equals a plain-Scala replay of clipped n-gram precision") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, _, t) => id -> tokens(t) }.toMap
+    def grams(ws: Seq[String], n: Int): Map[String, Long] =
+      ws.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val pairs = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val ids = ds.map(_._1).sorted
+      ids.zip(ids.drop(1)).map { case (c, r) => (src, c, r) }
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      n <- Seq(1, 2)
+      (src, ps) <- pairs.groupBy(_._1)
+    } yield {
+      var clip = 0L; var tot = 0L
+      ps.foreach { case (_, c, r) =>
+        val cg = grams(toks(c), n); val rg = grams(toks(r), n)
+        cg.foreach { case (g, cnt) =>
+          clip += math.min(cnt, rg.getOrElse(g, 0L)); tot += cnt
+        }
+      }
+      val candT = ps.map(p => toks(p._2).size.toLong).sum
+      val refT = ps.map(p => toks(p._3).size.toLong).sum
+      (src, n.toLong) ->
+        (clip, tot, r6(clip.toDouble / tot), candT, refT,
+          r6(candT.toDouble / refT))
+    }).toMap
+    val got = SparkEntry.queries("q_bleu")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"cell $k") }
+    got.foreach { case ((src, n), (clip, tot, pn, _, _, _)) =>
+      assert(clip <= tot, s"$src n=$n clipped exceeds total")
+      assert(pn >= 0.0 && pn <= 1.0, s"$src n=$n precision out of range")
+    }
+  }
+}

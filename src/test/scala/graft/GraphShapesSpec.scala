@@ -86,4 +86,35 @@ class GraphShapesSpec extends AnyFunSuite {
     assert(small.nonEmpty)
     assert(small == large)
   }
+
+  test("q_hits equals a plain-Scala replay of the integer fixpoint") {
+    val pairs = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.core.Tables.lineitem(spark, sf)
+          .select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), 100000L + r.getLong(1)))
+    // round 1 authority = in-degree, rescaled; round 1 hub; round 2 auth
+    val a1 = pairs.groupBy(_._2).map { case (s, es) => s -> es.length.toLong }
+    val ma1 = a1.values.max
+    val a1n = a1.map { case (s, a) => s -> a * 1000000L / ma1 }
+    val h1 = pairs.groupBy(_._1)
+      .map { case (c, es) => c -> es.map(e => a1n(e._2)).sum }
+    val mh1 = h1.values.max
+    val h1n = h1.map { case (c, h) => c -> h * 1000000L / mh1 }
+    val a2 = pairs.groupBy(_._2)
+      .map { case (s, es) => s -> es.map(e => h1n(e._1)).sum }
+    val ma2 = a2.values.max
+    val a2n = a2.map { case (s, a) => s -> a * 1000000L / ma2 }
+    val want = (h1n.map { case (c, v) => (c, "hub", v) } ++
+      a2n.map { case (s, v) => (s, "auth", v) }).toSet
+    val got = SparkEntry.queries("q_hits")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    // max-normalization: each role's top score is exactly 1e6
+    assert(got.filter(_._2 == "hub").map(_._3).max == 1000000L)
+    assert(got.filter(_._2 == "auth").map(_._3).max == 1000000L)
+  }
 }

@@ -58,4 +58,44 @@ class LayoutShapesSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       "no shuffle join anywhere in a Bloom pre-filter plan")
   }
+
+  test("q_compaction_plan equals a plain-Scala greedy replay and packs soundly") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val assigned: Seq[((String, Long), (Long, Long))] =
+      docs.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+        var csum = 0L
+        fs.sortBy(_._2).toSeq.map { case (_, id, sz) =>
+          csum += sz
+          ((src, (math.max(csum, 1L) - 1) / 65536L), (id, sz))
+        }
+      }
+    val want = assigned.groupBy(_._1).map { case (key, fs) =>
+      val ids = fs.map(_._2._1)
+      key -> (fs.size.toLong, fs.map(_._2._2).sum, ids.min, ids.max)
+    }
+    val got = run("q_compaction_plan").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+    // soundness: bins conserve every file and byte, bins are contiguous
+    // doc ranges, and no bin overflows the target by more than one file
+    // (the cumulative-sum rule's contract)
+    assert(got.values.map(_._1).sum == docs.length)
+    assert(got.values.map(_._2).sum == docs.map(_._3).sum)
+    got.groupBy(_._1._1).foreach { case (src, bins) =>
+      val ordered = bins.toSeq.sortBy(_._1._2).map(_._2)
+      ordered.sliding(2).foreach {
+        case Seq((_, _, _, lastA), (_, _, firstB, _)) =>
+          assert(lastA < firstB, s"$src bins out of order")
+        case _ => ()
+      }
+      ordered.foreach { case (nFiles, bytes, _, _) =>
+        assert(nFiles >= 1)
+        assert(bytes < 65536L + docs.filter(_._1 == src).map(_._3).max,
+          s"$src bin overflows by more than one file")
+      }
+    }
+  }
 }

@@ -184,6 +184,38 @@ class MlEvalShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_f1_macro is consistent with the confusion matrix and its macro row") {
+    val cm = q("q_centroid_confusion").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val labels = cm.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = labels.map { l =>
+      val tp = cm.getOrElse((l, l), 0L)
+      val fp = cm.collect { case ((t, p), n) if p == l && t != l => n }.sum
+      val fn = cm.collect { case ((t, p), n) if t == l && p != l => n }.sum
+      l -> (tp, fp, fn,
+        if (tp + fp == 0) 0.0 else r6(tp.toDouble / (tp + fp)),
+        r6(tp.toDouble / (tp + fn)),
+        r6(2.0 * tp / (2 * tp + fp + fn)))
+    }.toMap
+    val rows = q("q_f1_macro").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    labels.foreach(l => assert(rows(l) == want(l), s"label $l"))
+    // macro row: count sums are exact; metric averages within one grid
+    // step of the plain-double mean of the per-class round-6 values
+    val (mtp, mfp, mfn, mp, mr, mf) = rows(-1L)
+    assert(mtp == want.values.map(_._1).sum)
+    assert(mfp == want.values.map(_._2).sum)
+    assert(mfn == want.values.map(_._3).sum)
+    assert(math.abs(mp - want.values.map(_._4).sum / labels.size) < 1e-6)
+    assert(math.abs(mr - want.values.map(_._5).sum / labels.size) < 1e-6)
+    assert(math.abs(mf - want.values.map(_._6).sum / labels.size) < 1e-6)
+    // all vectors are classified exactly once
+    assert(mtp + mfn == vecs.length)
+  }
+
   test("q_centroid_confusion / q_knn_classify plans broadcast the small side") {
     val s1 = q("q_centroid_confusion").queryExecution.executedPlan.toString
     assert(s1.contains("BroadcastNestedLoopJoin") ||

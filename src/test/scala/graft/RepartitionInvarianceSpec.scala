@@ -34,7 +34,9 @@ class RepartitionInvarianceSpec extends AnyFunSuite {
     // expand-based distinct aggregation, KN term-table joins
     "q_unigram_lm", "q_distinct_n", "q_perplexity_kn",
     // r9: partitioned fact write (file-per-partition layout) + DPP join
-    "q_dpp_join")
+    "q_dpp_join",
+    // r9h: max-normalized integer fixpoint, window-paired clip join
+    "q_hits", "q_bleu")
 
   for (key <- sensitive)
     test(s"$key: result invariant under shuffle-partition count") {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1032,8 +1032,186 @@ object TextAnalysisQueries {
     }
   )
 
+  // ---------------------------------------------------------------- rouge
+
+  private val rougeN = QueryDef(
+    "q_rouge_n",
+    "Corpus-level ROUGE-N components (Lin 2004) — q_bleu's recall " +
+      "complement over the same deterministic next-doc-in-source " +
+      "reference pairing: per (source, n ∈ {1,2}), clipped matched " +
+      "n-grams Σ min(cnt_cand, cnt_ref) over the REFERENCE total " +
+      "(recall — what BLEU's precision direction misses, and the " +
+      "direction summarization evals actually report), plus precision " +
+      "and the rational-identity F1 2·clip/(cand+ref) in single " +
+      "round-6 divisions of exact BIGINT counts (the 2pr/(p+r) chain " +
+      "is banned — its two intermediate roundings diverge across " +
+      "engines). Shape: identical to q_bleu — gram counts reduce " +
+      "map-side, the clip join hash-partitions on the (ref doc, gram) " +
+      "key, output sources × 2 rows.",
+    Some("""WITH tok AS (SELECT doc_id, source, regexp_extract_all(lower(text), '([a-z]+)', 1) AS w
+           |            FROM documents),
+           |pairs AS (SELECT source, doc_id AS cand,
+           |            lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+           |          FROM tok),
+           |pr AS (SELECT source, cand, ref FROM pairs WHERE ref IS NOT NULL),
+           |g1 AS (SELECT doc_id, 1 AS n, unnest(w) AS gram FROM tok),
+           |g2 AS (SELECT doc_id, 2 AS n, w[i] || ' ' || w[i+1] AS gram
+           |       FROM tok, unnest(generate_series(1, greatest(len(w)-1,0))) AS u(i)),
+           |gc AS (SELECT doc_id, n, gram, count(*) AS cnt
+           |       FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) GROUP BY 1, 2, 3),
+           |clip AS (SELECT pr.source, r.n,
+           |           sum(least(coalesce(c.cnt, 0), r.cnt)) AS clip_cnt,
+           |           sum(r.cnt) AS ref_cnt
+           |         FROM pr JOIN gc r ON r.doc_id = pr.ref
+           |         LEFT JOIN gc c ON c.doc_id = pr.cand AND c.n = r.n AND c.gram = r.gram
+           |         GROUP BY 1, 2),
+           |cand_tot AS (SELECT pr.source, c.n, sum(c.cnt) AS cand_cnt
+           |             FROM pr JOIN gc c ON c.doc_id = pr.cand GROUP BY 1, 2)
+           |SELECT clip.source, CAST(clip.n AS BIGINT) AS n,
+           |       CAST(clip_cnt AS BIGINT) AS clip_cnt,
+           |       CAST(ref_cnt AS BIGINT) AS ref_cnt,
+           |       CAST(cand_cnt AS BIGINT) AS cand_cnt,
+           |       round(CAST(clip_cnt AS DOUBLE) / ref_cnt, 6) AS recall,
+           |       round(CAST(clip_cnt AS DOUBLE) / cand_cnt, 6) AS precision,
+           |       round(CAST(2 * clip_cnt AS DOUBLE) / (cand_cnt + ref_cnt), 6) AS f1
+           |FROM clip JOIN cand_tot ON clip.source = cand_tot.source AND clip.n = cand_tot.n
+           |ORDER BY clip.source, clip.n""".stripMargin),
+    (s, d) => {
+      val tok = documents(s, d).select(col("doc_id"), col("source"),
+        expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("w"))
+        .persist()
+      val pw = Window.partitionBy("source").orderBy("doc_id")
+      val pr = tok.select(col("source"), col("doc_id").as("cand"),
+          lead(col("doc_id"), 1).over(pw).as("ref"))
+        .filter(col("ref").isNotNull)
+      val g1 = tok.select(col("doc_id"), lit(1).as("n"),
+        explode(col("w")).as("gram"))
+      // guarded clamped-sequence idiom (PLANS.md r9a): sub-2-word docs
+      // yield an empty bigram list, never a descending [1,0] sequence
+      val g2 = tok.select(col("doc_id"), lit(2).as("n"), explode(expr(
+        """transform(slice(sequence(1, greatest(size(w) - 1, 1)), 1, greatest(size(w) - 1, 0)),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))""".stripMargin))
+        .as("gram"))
+      val gc = g1.unionByName(g2)
+        .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val rc = gc.select(col("doc_id").as("ref"), col("n"),
+        col("gram"), col("cnt").as("rcnt"))
+      val cc = gc.select(col("doc_id").as("cand"), col("n"),
+        col("gram"), col("cnt").as("ccnt"))
+      // recall direction: stream the REFERENCE grams, left-join the
+      // candidate side — the mirror image of q_bleu's clip join
+      val clip = pr.join(rc, "ref")
+        .join(cc, Seq("cand", "n", "gram"), "left")
+        .groupBy("source", "n")
+        .agg(sum(least(coalesce(col("ccnt"), lit(0L)), col("rcnt"))).as("clip_cnt"),
+          sum(col("rcnt")).as("ref_cnt"))
+      val candTot = pr.join(cc, "cand")
+        .groupBy("source", "n").agg(sum(col("ccnt")).as("cand_cnt"))
+      clip.join(candTot, Seq("source", "n"))
+        .select(col("source"), lng(col("n")).as("n"),
+          lng(col("clip_cnt")).as("clip_cnt"),
+          lng(col("ref_cnt")).as("ref_cnt"),
+          lng(col("cand_cnt")).as("cand_cnt"),
+          round(dbl(col("clip_cnt")) / col("ref_cnt"), 6).as("recall"),
+          round(dbl(col("clip_cnt")) / col("cand_cnt"), 6).as("precision"),
+          round(dbl(lit(2) * col("clip_cnt")) / (col("cand_cnt") + col("ref_cnt")), 6).as("f1"))
+        .orderBy("source", "n")
+    }
+  )
+
+  // ------------------------------------------------------------- c4/gopher
+
+  private val c4Gopher = QueryDef(
+    "q_c4_gopher",
+    "Composed quality-filter GATE in the C4/Gopher shape (Raffel et " +
+      "al. 2020; Rae et al. 2021): five per-document rule flags — word " +
+      "count in [30, 90], mean word length in [3, 10], ≥ 2 stopword " +
+      "hits, top-word share ≤ 1/8, type-token ratio ≥ 2/5 — AND-ed " +
+      "into the keep decision, reported as the per-source pass-count " +
+      "matrix + keep rate (the dashboard row a curation run publishes " +
+      "before committing a corpus drop). Thresholds are adapted to " +
+      "this corpus' 10-99-word docs; the per-doc signal providers " +
+      "(q_repetition, q_readability, q_quality_score) stay per-doc — " +
+      "this op is the composed decision. EVERY rule is an exact " +
+      "integer comparison (mean word length as 3·n ≤ chars−(n−1) ≤ " +
+      "10·n — no division anywhere until the final keep-rate round-6), " +
+      "so the flags are engine-identical by construction. Shape: one " +
+      "explode reduced to per-(doc, word) counts with map-side " +
+      "combine, one per-doc rollup (stopword/top/distinct counts fall " +
+      "out of the word-keyed rows), one sources-sized aggregation — " +
+      "linear in corpus tokens, output = one row per source.",
+    Some("""WITH t AS (SELECT doc_id, source, length(text) AS chars,
+           |             string_split(text, ' ') AS ws FROM documents),
+           |m AS (SELECT doc_id, source, chars,
+           |        CAST(len(ws) AS BIGINT) AS n_words,
+           |        CAST(len(list_distinct(ws)) AS BIGINT) AS n_dist,
+           |        CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+           |        (SELECT CAST(max(c) AS BIGINT) FROM
+           |          (SELECT count(*) AS c FROM unnest(ws) AS u(w) GROUP BY w)) AS top_cnt
+           |      FROM t),
+           |f AS (SELECT source,
+           |        n_words BETWEEN 30 AND 90 AS f_wc,
+           |        chars - (n_words - 1) BETWEEN 3 * n_words AND 10 * n_words AS f_mwl,
+           |        n_stop >= 2 AS f_stop,
+           |        top_cnt * 8 <= n_words AS f_rep,
+           |        n_dist * 5 >= n_words * 2 AS f_ttr
+           |      FROM m)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS pass_wc,
+           |       CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS pass_mwl,
+           |       CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+           |       CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep,
+           |       CAST(sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS pass_ttr,
+           |       CAST(sum(CASE WHEN f_wc AND f_mwl AND f_stop AND f_rep AND f_ttr
+           |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |       round(CAST(sum(CASE WHEN f_wc AND f_mwl AND f_stop AND f_rep AND f_ttr
+           |                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+           |FROM f GROUP BY 1 ORDER BY source""".stripMargin),
+    (s, d) => {
+      val ex = documents(s, d).select(col("doc_id"), col("source"),
+        length(col("text")).as("chars"),
+        explode(split(col("text"), " ")).as("w"))
+      // per-(doc, word) counts first: stopword hits, the top-word count
+      // and the distinct-word count all fall out of this one word-keyed
+      // rollup — no second explode, no per-doc sort
+      val wc = ex.groupBy("doc_id", "w")
+        .agg(min("source").as("source"), min("chars").as("chars"),
+          count(lit(1)).as("cnt"))
+      val per = wc.groupBy("doc_id")
+        .agg(min("source").as("source"), lng(min("chars")).as("chars"),
+          lng(sum("cnt")).as("n_words"),
+          lng(count(lit(1))).as("n_dist"),
+          lng(max("cnt")).as("top_cnt"),
+          lng(sum(when(col("w").isin("the", "a"), col("cnt"))
+            .otherwise(0L))).as("n_stop"))
+      val mwlBody = col("chars") - (col("n_words") - 1)
+      val flags = per.select(col("source"),
+        col("n_words").between(30, 90).as("f_wc"),
+        (mwlBody >= col("n_words") * 3 && mwlBody <= col("n_words") * 10).as("f_mwl"),
+        (col("n_stop") >= 2).as("f_stop"),
+        (col("top_cnt") * 8 <= col("n_words")).as("f_rep"),
+        (col("n_dist") * 5 >= col("n_words") * 2).as("f_ttr"))
+      val keep = col("f_wc") && col("f_mwl") && col("f_stop") &&
+        col("f_rep") && col("f_ttr")
+      def passes(c: Column): Column = lng(sum(when(c, 1L).otherwise(0L)))
+      flags.groupBy("source").agg(
+        lng(count(lit(1))).as("n_docs"),
+        passes(col("f_wc")).as("pass_wc"),
+        passes(col("f_mwl")).as("pass_mwl"),
+        passes(col("f_stop")).as("pass_stop"),
+        passes(col("f_rep")).as("pass_rep"),
+        passes(col("f_ttr")).as("pass_ttr"),
+        passes(keep).as("n_keep"),
+        round(dbl(sum(when(keep, 1L).otherwise(0L))) / count(lit(1)), 6)
+          .as("keep_rate"))
+        .orderBy("source")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
-    distinctN, distinctNSketch, mediaDecode, fixEncoding, bleu)
+    distinctN, distinctNSketch, mediaDecode, fixEncoding, bleu, rougeN,
+    c4Gopher)
 }

@@ -59,4 +59,50 @@ class BleuSpec extends AnyFunSuite {
       assert(pn >= 0.0 && pn <= 1.0, s"$src n=$n precision out of range")
     }
   }
+
+  test("q_rouge_n equals a plain-Scala replay of clipped n-gram recall") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, _, t) => id -> tokens(t) }.toMap
+    def grams(ws: Seq[String], n: Int): Map[String, Long] =
+      ws.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val pairs = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val ids = ds.map(_._1).sorted
+      ids.zip(ids.drop(1)).map { case (c, r) => (src, c, r) }
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      n <- Seq(1, 2)
+      (src, ps) <- pairs.groupBy(_._1)
+    } yield {
+      var clip = 0L; var refTot = 0L; var candTot = 0L
+      ps.foreach { case (_, c, r) =>
+        val cg = grams(toks(c), n); val rg = grams(toks(r), n)
+        rg.foreach { case (g, cnt) =>
+          clip += math.min(cg.getOrElse(g, 0L), cnt); refTot += cnt
+        }
+        candTot += cg.values.sum
+      }
+      (src, n.toLong) -> (clip, refTot, candTot,
+        r6(clip.toDouble / refTot), r6(clip.toDouble / candTot),
+        r6(2.0 * clip / (candTot + refTot)))
+    }).toMap
+    val got = SparkEntry.queries("q_rouge_n")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"cell $k") }
+    // the BLEU↔ROUGE consistency law: on the SAME pairing, the clipped
+    // intersection is symmetric — q_bleu's clip_cnt equals q_rouge_n's
+    // (min(cand, ref) summed over the same gram multiset)
+    val bleuClip = SparkEntry.queries("q_bleu")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case (k, (clip, _, _, _, _, _)) =>
+      assert(clip == bleuClip(k), s"clip asymmetry at $k")
+    }
+  }
 }

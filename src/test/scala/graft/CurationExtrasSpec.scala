@@ -628,4 +628,46 @@ class CurationExtrasSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_c4_gopher equals a plain-Scala replay of the five-rule gate") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    case class Agg(var docs: Long = 0, var wc: Long = 0, var mwl: Long = 0,
+      var stop: Long = 0, var rep: Long = 0, var ttr: Long = 0,
+      var keep: Long = 0)
+    val bySrc = scala.collection.mutable.Map.empty[String, Agg]
+    docs.foreach { case (src, text) =>
+      val ws = text.split(" ", -1).toSeq
+      val n = ws.size.toLong
+      val chars = text.length.toLong
+      val counts = ws.groupBy(identity).map { case (_, o) => o.size.toLong }
+      val fWc = n >= 30 && n <= 90
+      val body = chars - (n - 1)
+      val fMwl = body >= 3 * n && body <= 10 * n
+      val fStop = ws.count(w => w == "the" || w == "a") >= 2
+      val fRep = counts.max * 8 <= n
+      val fTtr = counts.size.toLong * 5 >= n * 2
+      val a = bySrc.getOrElseUpdate(src, Agg())
+      a.docs += 1
+      if (fWc) a.wc += 1; if (fMwl) a.mwl += 1; if (fStop) a.stop += 1
+      if (fRep) a.rep += 1; if (fTtr) a.ttr += 1
+      if (fWc && fMwl && fStop && fRep && fTtr) a.keep += 1
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = run("q_c4_gopher").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getDouble(8))).toMap
+    assert(got.keySet == bySrc.keySet.toSet)
+    got.foreach { case (src, (nd, wc, mwl, st, rep, ttr, keep, rate)) =>
+      val a = bySrc(src)
+      assert((nd, wc, mwl, st, rep, ttr, keep) ==
+        ((a.docs, a.wc, a.mwl, a.stop, a.rep, a.ttr, a.keep)), s"source $src")
+      assert(rate == r6(a.keep.toDouble / a.docs), s"rate $src")
+      // the AND gate can never pass more docs than its strictest rule
+      assert(keep <= Seq(wc, mwl, st, rep, ttr).min, s"gate law $src")
+    }
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
 }

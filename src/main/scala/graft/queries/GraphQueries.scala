@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -504,6 +505,78 @@ object GraphQueries {
     }
   )
 
+  // ------------------------------------------------------------ label prop
+
+  private val labelProp = QueryDef(
+    "q_label_prop",
+    "Community DETECTION by synchronous label propagation (Raghavan et " +
+      "al. 2007) over the undirected trade graph — the missing piece " +
+      "next to q_modularity (which SCORES a given partition) and the " +
+      "CC operator (which finds connectivity, not density): two " +
+      "synchronous rounds, each node adopting its neighbors' most " +
+      "frequent label with the deterministic (count desc, label asc) " +
+      "tie-break that replaces the textbook's random choice (SURVEY " +
+      "§7.5 — synchronous + total tie order ⇒ partitioning- and " +
+      "engine-independent). Round 1 degenerates to min-neighbor-id " +
+      "(all initial labels are distinct); round 2 propagates real " +
+      "frequencies. Output: per-community size and id range. Shape: " +
+      "per round, ONE co-partitioned join of the node-sized label " +
+      "table onto the edge list (no broadcast of a node-sized table " +
+      "at 100 TB), a map-side-combined (node, label) count, and a " +
+      "per-node window argmax — O(E) per round, O(log) rounds in " +
+      "production use, fixed 2 here for a bounded oracle.",
+    Some("""WITH e AS (SELECT DISTINCT o_custkey AS c, 100000 + l_suppkey AS sup
+           |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |und AS (SELECT c AS src, sup AS dst FROM e
+           |        UNION ALL SELECT sup, c FROM e),
+           |n1 AS (SELECT dst AS id, src AS lbl, count(*) AS n FROM und GROUP BY 1, 2),
+           |l1 AS (SELECT id, lbl FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY n DESC, lbl) AS rn
+           |  FROM n1) WHERE rn = 1),
+           |n2 AS (SELECT u.dst AS id, l.lbl, count(*) AS n
+           |       FROM und u JOIN l1 l ON u.src = l.id GROUP BY 1, 2),
+           |l2 AS (SELECT id, lbl FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY n DESC, lbl) AS rn
+           |  FROM n2) WHERE rn = 1)
+           |SELECT CAST(lbl AS BIGINT) AS community,
+           |       CAST(count(*) AS BIGINT) AS n_members,
+           |       CAST(min(id) AS BIGINT) AS min_id,
+           |       CAST(max(id) AS BIGINT) AS max_id
+           |FROM l2 GROUP BY 1 ORDER BY community""".stripMargin),
+    (s, d) => {
+      val e = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 100000L).as("sup"))
+        .distinct()
+      // symmetric closure once, reused by both rounds
+      val und = e.select(col("c").as("src"), col("sup").as("dst"))
+        .unionByName(e.select(col("sup").as("src"), col("c").as("dst")))
+        .persist()
+      val aw = Window.partitionBy("id").orderBy(col("n").desc, col("lbl"))
+      def argmax(counts: DataFrame): DataFrame = counts
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1).select(col("id"), col("lbl"))
+      // round 1: initial labels are the node ids themselves, so the
+      // neighbor-label counts ARE the edge rows — no join needed
+      val l1 = argmax(und.groupBy(col("dst").as("id"), col("src").as("lbl"))
+        .agg(count(lit(1)).as("n")))
+        .persist()
+      // round 2: node-sized label table joins co-partitioned on src
+      val l2 = argmax(und.join(l1.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("n")))
+      l2.groupBy(col("lbl").as("community"))
+        .agg(lng(count(lit(1))).as("n_members"),
+          lng(min(col("id"))).as("min_id"),
+          lng(max(col("id"))).as("max_id"))
+        .select(lng(col("community")).as("community"), col("n_members"),
+          col("min_id"), col("max_id"))
+        .orderBy("community")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard,
-    modularity, hits)
+    modularity, hits, labelProp)
 }

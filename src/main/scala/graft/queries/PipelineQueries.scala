@@ -216,6 +216,71 @@ object PipelineQueries {
     }
   )
 
+  /** Rendezvous (highest-random-weight) hashing, Thaler & Ravishankar
+    * 1996: shard(doc) = argmax over shards of hash(doc, shard). The
+    * defining property — adding shard N+1 moves ONLY the docs whose new
+    * hash wins, each moving TO the new shard and nowhere else (expected
+    * 1/(N+1) of the corpus) — is what `hk % N` (q_shuffle_shards)
+    * cannot give: a modulus change remaps ~everything. The whole
+    * readout reduces through the ≤ 9·9-row (shard8, shard9) transition
+    * matrix, so nothing doc-sized is ever shuffled: the 9 hashes and
+    * both argmaxes are scan-stage projections (no explode — the
+    * candidate-shard loop is an array expression) feeding one
+    * map-side-combined count.
+    */
+  private val rendezvous = QueryDef(
+    "q_rendezvous",
+    "Rendezvous-hash shard assignment and the 8→9 elastic-reshard " +
+      "audit: per-shard doc counts under 8 and 9 shards and the moved-" +
+      "out count — rendezvous moves only argmax winners to the NEW " +
+      "shard (~1/9 of docs), where a modulus remap moves ~8/9.",
+    Some("""WITH h AS (
+           |  SELECT doc_id, list_transform(generate_series(0, 8),
+           |    s -> CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)), 1, 12)) AS BIGINT)) AS hs
+           |  FROM documents),
+           |a AS (SELECT doc_id,
+           |        list_position(hs[1:8], list_max(hs[1:8])) - 1 AS shard8,
+           |        list_position(hs, list_max(hs)) - 1 AS shard9
+           |      FROM h),
+           |m AS (SELECT shard8, shard9, count(*) AS n FROM a GROUP BY 1, 2),
+           |a8 AS (SELECT shard8 AS shard, sum(n) AS n8,
+           |         sum(CASE WHEN shard9 <> shard8 THEN n ELSE 0 END) AS moved
+           |       FROM m GROUP BY 1),
+           |a9 AS (SELECT shard9 AS shard, sum(n) AS n9 FROM m GROUP BY 1)
+           |SELECT CAST(a9.shard AS BIGINT) AS shard,
+           |       CAST(coalesce(a8.n8, 0) AS BIGINT) AS n_shard8,
+           |       CAST(a9.n9 AS BIGINT) AS n_shard9,
+           |       CAST(coalesce(a8.moved, 0) AS BIGINT) AS n_moved_out,
+           |       round(CASE WHEN coalesce(a8.n8, 0) = 0 THEN 0.0
+           |             ELSE CAST(a8.moved AS DOUBLE) / a8.n8 END, 6) AS moved_frac
+           |FROM a9 LEFT JOIN a8 ON a9.shard = a8.shard
+           |ORDER BY shard""".stripMargin),
+    (s, d) => {
+      val a = documents(s, d).select(col("doc_id"), expr(
+        """transform(sequence(0, 8),
+          |  s -> CAST(conv(substr(md5(concat(cast(doc_id as string), '#', cast(s as string))), 1, 12), 16, 10) AS BIGINT))""".stripMargin)
+        .as("hs"))
+        .select(col("doc_id"),
+          (expr("array_position(slice(hs, 1, 8), array_max(slice(hs, 1, 8)))") - 1).as("shard8"),
+          (expr("array_position(hs, array_max(hs))") - 1).as("shard9"))
+      val m = a.groupBy("shard8", "shard9").agg(count(lit(1)).as("n"))
+        .persist()
+      val a8 = m.groupBy(col("shard8").as("shard"))
+        .agg(sum("n").as("n8"),
+          sum(when(col("shard9") =!= col("shard8"), col("n")).otherwise(0L))
+            .as("moved"))
+      val a9 = m.groupBy(col("shard9").as("shard")).agg(sum("n").as("n9"))
+      a9.join(a8, Seq("shard"), "left")
+        .select(lng(col("shard")).as("shard"),
+          lng(coalesce(col("n8"), lit(0L))).as("n_shard8"),
+          lng(col("n9")).as("n_shard9"),
+          lng(coalesce(col("moved"), lit(0L))).as("n_moved_out"),
+          round(when(coalesce(col("n8"), lit(0L)) === 0, lit(0.0))
+            .otherwise(dbl(col("moved")) / col("n8")), 6).as("moved_frac"))
+        .orderBy("shard")
+    }
+  )
+
   /** Auto-generated dataset card — the one-row summary a curation run
     * publishes with a released corpus (docs, tokens, type/lang
     * cardinalities, length extremes, exact-dup groups, mean length).
@@ -350,6 +415,6 @@ object PipelineQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences, shuffleShards,
+  val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences, shuffleShards, rendezvous,
     datasetCard, dsir)
 }

@@ -117,4 +117,35 @@ class GraphShapesSpec extends AnyFunSuite {
     assert(got.filter(_._2 == "hub").map(_._3).max == 1000000L)
     assert(got.filter(_._2 == "auth").map(_._3).max == 1000000L)
   }
+
+  test("q_label_prop equals a plain-Scala replay of two synchronous rounds") {
+    val pairs = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.core.Tables.lineitem(spark, sf)
+          .select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), 100000L + r.getLong(1)))
+    val und = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val nbrs = und.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+    def step(lbl: Map[Long, Long]): Map[Long, Long] = nbrs.map {
+      case (v, ns) =>
+        val counts = ns.map(lbl).groupBy(identity)
+          .map { case (l, o) => l -> o.size }
+        // (count desc, label asc) tie-break — the declared total order
+        v -> counts.toSeq.map { case (l, n) => (-n, l) }.min._2
+    }
+    val l0 = nbrs.keys.map(v => v -> v).toMap
+    val l2 = step(step(l0))
+    val want = l2.groupBy(_._2).map { case (c, ms) =>
+      c -> (ms.size.toLong, ms.keys.min, ms.keys.max)
+    }
+    val got = SparkEntry.queries("q_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    // the label partition covers every node exactly once
+    assert(got.values.map(_._1).sum == nbrs.size.toLong)
+  }
 }

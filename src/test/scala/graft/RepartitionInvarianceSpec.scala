@@ -36,7 +36,10 @@ class RepartitionInvarianceSpec extends AnyFunSuite {
     // r9: partitioned fact write (file-per-partition layout) + DPP join
     "q_dpp_join",
     // r9h: max-normalized integer fixpoint, window-paired clip join
-    "q_hits", "q_bleu")
+    "q_hits", "q_bleu",
+    // r9i: synchronous argmax rounds (tie order must decide, not
+    // partition order), transition-matrix reshard audit
+    "q_label_prop", "q_rendezvous")
 
   for (key <- sensitive)
     test(s"$key: result invariant under shuffle-partition count") {

@@ -337,8 +337,18 @@ object GraphQueries {
       val pd = e.groupBy("p").agg(count(lit(1)).as("pdeg"))
       val es = e.join(pd.filter(col("pdeg") <= 32), "p").select("s", "p")
       val sd = es.groupBy("s").agg(count(lit(1)).as("sdeg"))
-      val inter = es.select(col("s").as("s1"), col("p"))
-        .join(es.select(col("s").as("s2"), col("p")), Seq("p"))
+      // the co-part self-join is quadratic in per-part degree —
+      // compute-heavy but byte-light, so AQE's size-based coalescing
+      // would fold the exchange to ~1 partition and run the pair
+      // explosion single-threaded (profiled: one 3.2 s task at sf0.1).
+      // An explicit fixed-count repartition on the join key is exempt
+      // from AQE coalescing and both self-join sides reuse the one
+      // exchange, so this pins the declared parallelism at no extra
+      // shuffle.
+      val esp = es.repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("p"))
+      val inter = esp.select(col("s").as("s1"), col("p"))
+        .join(esp.select(col("s").as("s2"), col("p")), Seq("p"))
         .filter(col("s1") < col("s2"))
         .groupBy("s1", "s2")
         .agg(lng(count(lit(1))).as("shared"))
@@ -398,8 +408,12 @@ object GraphQueries {
         .distinct()
       val pd = e.groupBy("p").agg(count(lit(1)).as("pdeg"))
       val es = e.join(pd.filter(col("pdeg") <= 32), "p").select("s", "p")
-      val pairs = es.select(col("s").as("s1"), col("p"))
-        .join(es.select(col("s").as("s2"), col("p")), Seq("p"))
+      // same compute-heavy self-join as q_link_jaccard: pin the
+      // declared parallelism against AQE's byte-based coalescing
+      val esp = es.repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("p"))
+      val pairs = esp.select(col("s").as("s1"), col("p"))
+        .join(esp.select(col("s").as("s2"), col("p")), Seq("p"))
         .filter(col("s1") < col("s2"))
         .select("s1", "s2").distinct()
       val com = supplier(s, d)

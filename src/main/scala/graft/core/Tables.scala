@@ -42,6 +42,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+
+  /** [[documents]] with the map-side parallelism pinned to the session
+    * shuffle-partition count. Input-split parallelism is BYTE-based
+    * (like AQE coalescing — SURVEY §4.2 r9 trap), and the corpus
+    * parquet is byte-small while tokenize/gram/hash map work is
+    * row-heavy: at bench scale the whole file is ONE split, so without
+    * this every explode+md5 chain runs single-task (profiled up to
+    * 1.9 s serialized per scan). The repartition shuffles under a MB
+    * here; at 100 TB the natural split count makes its cost vanish
+    * into the first real exchange. The pin is a TRADE, not a free win
+    * — apply it only where an A/B bench shows the spread beating the
+    * extra exchange (SURVEY §4.2); plain scans and filter/projection
+    * queries keep the pushdown-clean [[documents]].
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      // hash on doc_id, NOT round-robin: round-robin repartition
+      // local-sorts every full row first (sortBeforeRepartition, for
+      // retry determinism) — on text-heavy rows that sort costs more
+      // than the skew it prevents; doc_id hash is deterministic by
+      // construction and spreads a unique key uniformly
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   /** `events.ts` is nanosecond-precision parquet; Spark's TimestampType

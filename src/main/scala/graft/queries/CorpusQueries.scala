@@ -380,7 +380,7 @@ object CorpusQueries {
     * unigram-LM loop, mirroring [[bpeWords]].
     */
   private def uniWords(s: org.apache.spark.sql.SparkSession, d: String) =
-    documents(s, d)
+    documentsSpread(s, d)
       .select(explode(expr(toks)).as("w"))
       .groupBy("w").agg(lng(count(lit(1))).as("freq"))
 

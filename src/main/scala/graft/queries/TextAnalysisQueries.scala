@@ -45,7 +45,7 @@ object TextAnalysisQueries {
       // and the classification join; uncached, the scan + split +
       // explode would run once per consumer (plus the final sort's
       // sampling pass)
-      val ex = documents(s, d)
+      val ex = documentsSpread(s, d)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
         .persist()
       val prof = ex.groupBy(col("lang").as("plang"), col("w"))
@@ -789,12 +789,26 @@ object TextAnalysisQueries {
     */
   private def distinctNGramRollup(s: SparkSession, d: String): DataFrame =
     distinctNGramHashes(s, d)
+      // the rollup reduce combines the full occurrence stream into the
+      // gram-type residue — byte-light (8-byte keys) but row-heavy, so
+      // AQE's size-based coalescing folds it to ~1 task (SURVEY §4.2
+      // r9 trap). An explicit fixed-count repartition on the grouping
+      // keys pins the parallelism; the aggregate then runs complete
+      // per-partition with no second exchange. Map-side combine is
+      // forfeited, but 3-gram types are near-unique so it bought
+      // little.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("source"), col("n"), col("gh"))
       .groupBy("source", "n", "gh").agg(lng(count(lit(1))).as("c"))
       .persist()
 
-  /** The lazily-exploded (source, n, gram-hash) occurrence stream. */
+  /** The lazily-exploded (source, n, gram-hash) occurrence stream —
+    * over [[graft.core.Tables.documentsSpread]]: 3 gram levels × md5
+    * per gram is exactly the row-heavy map work the single-split scan
+    * would serialize (profiled 1.9 s single-task at bench scale).
+    */
   private def distinctNGramHashes(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    documentsSpread(s, d)
       .select(col("source"),
         expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("w"))
       .select(col("source"), explode(expr(

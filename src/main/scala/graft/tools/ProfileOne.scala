@@ -3,8 +3,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import graft.SparkEntry
 
-/** Scratch profiler: times one query key, printing per-stage wall time.
-  * Dev tool, not part of the driver contract. */
+/** Scratch profiler: times one query key, printing per-stage wall time
+  * and lineage. Dev tool, not part of the driver contract. */
 object ProfileOne {
   def main(args: Array[String]): Unit = {
     val key = args(0)
@@ -22,8 +22,9 @@ object ProfileOne {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
-        if (dur > 0.3)
-          println(f"[stage] id=${si.stageId} tasks=${si.numTasks} ${dur}%.2f s  ${si.name.take(80)}")
+        val rdds = si.rddInfos.map(_.name).distinct.mkString(",")
+        if (dur > 0.10)
+          println(f"[stage] id=${si.stageId} parents=${si.parentIds.mkString("/")} tasks=${si.numTasks} ${dur}%.2f s rdds=$rdds")
       }
     })
     val t0 = System.nanoTime()

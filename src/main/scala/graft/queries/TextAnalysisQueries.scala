@@ -1134,6 +1134,88 @@ object TextAnalysisQueries {
     }
   )
 
+  // ----------------------------------------------------------------- chrf
+
+  private val chrf = QueryDef(
+    "q_chrf",
+    "Corpus-level chrF components (Popović 2015) — the CHARACTER-level " +
+      "eval completing the n-gram battery (q_bleu word precision, " +
+      "q_rouge_n word recall): char-3-gram clipped overlap against the " +
+      "same next-doc-in-source reference pairing, tolerant of " +
+      "morphological variation word grams miss. Per source: clipped " +
+      "matched 3-grams, candidate and reference totals, precision, " +
+      "recall, and chrF2 via the rational identity 5·clip/(4·ref + " +
+      "cand) — the (1+β²)PR/(β²P+R) chain algebraically reduced to ONE " +
+      "division of exact BIGINTs (the multi-division form rounds " +
+      "differently across engines). Grams are substrings of the raw " +
+      "lowercased text, spaces included (the tokenization-free property " +
+      "that makes chrF robust). Shape: the char-gram explode is the " +
+      "only heavy stage — linear in corpus characters, reduced " +
+      "map-side per (doc, gram) before the hash-partitioned clip join; " +
+      "output is sources-sized.",
+    Some("""WITH t AS (SELECT doc_id, source, lower(text) AS c FROM documents),
+           |pairs AS (SELECT source, doc_id AS cand,
+           |            lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+           |          FROM t),
+           |pr AS (SELECT source, cand, ref FROM pairs WHERE ref IS NOT NULL),
+           |g AS (SELECT doc_id, substr(c, i, 3) AS gram, count(*) AS cnt
+           |      FROM t, unnest(generate_series(1, greatest(length(c) - 2, 0))) AS u(i)
+           |      GROUP BY 1, 2),
+           |clip AS (SELECT pr.source,
+           |           sum(least(c.cnt, coalesce(r.cnt, 0))) AS clip_cnt,
+           |           sum(c.cnt) AS cand_cnt
+           |         FROM pr JOIN g c ON c.doc_id = pr.cand
+           |         LEFT JOIN g r ON r.doc_id = pr.ref AND r.gram = c.gram
+           |         GROUP BY 1),
+           |rtot AS (SELECT pr.source, sum(r.cnt) AS ref_cnt
+           |         FROM pr JOIN g r ON r.doc_id = pr.ref GROUP BY 1)
+           |SELECT clip.source, CAST(clip_cnt AS BIGINT) AS clip_cnt,
+           |       CAST(cand_cnt AS BIGINT) AS cand_cnt,
+           |       CAST(ref_cnt AS BIGINT) AS ref_cnt,
+           |       round(CAST(clip_cnt AS DOUBLE) / cand_cnt, 6) AS chr_p,
+           |       round(CAST(clip_cnt AS DOUBLE) / ref_cnt, 6) AS chr_r,
+           |       round(CAST(5 * clip_cnt AS DOUBLE) / (4 * ref_cnt + cand_cnt), 6) AS chrf2
+           |FROM clip JOIN rtot ON clip.source = rtot.source
+           |ORDER BY clip.source""".stripMargin),
+    (s, d) => {
+      // documentsSpread: the char-gram explode (one row per CHARACTER)
+      // is the heaviest map chain in the eval battery — the A/B-gated
+      // spread case (SURVEY §4.2 r9 trap)
+      val t = documentsSpread(s, d)
+        .select(col("doc_id"), col("source"), lower(col("text")).as("c"))
+        .persist()
+      val pw = Window.partitionBy("source").orderBy("doc_id")
+      val pr = t.select(col("source"), col("doc_id").as("cand"),
+          lead(col("doc_id"), 1).over(pw).as("ref"))
+        .filter(col("ref").isNotNull)
+      // guarded clamped-sequence idiom: sub-3-char docs yield an empty
+      // gram list, never a descending sequence
+      val g = t.select(col("doc_id"), explode(expr(
+        """transform(slice(sequence(1, greatest(length(c) - 2, 1)), 1, greatest(length(c) - 2, 0)),
+          |  i -> substring(c, i, 3))""".stripMargin)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val cc = g.select(col("doc_id").as("cand"), col("gram"), col("cnt").as("ccnt"))
+      val rc = g.select(col("doc_id").as("ref"), col("gram"), col("cnt").as("rcnt"))
+      val clip = pr.join(cc, "cand")
+        .join(rc, Seq("ref", "gram"), "left")
+        .groupBy("source")
+        .agg(sum(least(col("ccnt"), coalesce(col("rcnt"), lit(0L)))).as("clip_cnt"),
+          sum(col("ccnt")).as("cand_cnt"))
+      val rtot = pr.join(rc, "ref")
+        .groupBy("source").agg(sum(col("rcnt")).as("ref_cnt"))
+      clip.join(rtot, "source")
+        .select(col("source"), lng(col("clip_cnt")).as("clip_cnt"),
+          lng(col("cand_cnt")).as("cand_cnt"),
+          lng(col("ref_cnt")).as("ref_cnt"),
+          round(dbl(col("clip_cnt")) / col("cand_cnt"), 6).as("chr_p"),
+          round(dbl(col("clip_cnt")) / col("ref_cnt"), 6).as("chr_r"),
+          round(dbl(lit(5) * col("clip_cnt")) / (lit(4) * col("ref_cnt") + col("cand_cnt")), 6)
+            .as("chrf2"))
+        .orderBy("source")
+    }
+  )
+
   // ------------------------------------------------------------- c4/gopher
 
   private val c4Gopher = QueryDef(
@@ -1227,5 +1309,5 @@ object TextAnalysisQueries {
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
     distinctN, distinctNSketch, mediaDecode, fixEncoding, bleu, rougeN,
-    c4Gopher)
+    chrf, c4Gopher)
 }

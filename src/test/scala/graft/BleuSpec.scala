@@ -105,4 +105,43 @@ class BleuSpec extends AnyFunSuite {
       assert(clip == bleuClip(k), s"clip asymmetry at $k")
     }
   }
+
+  test("q_chrf equals a plain-Scala replay of char-3-gram clipped overlap") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).toLowerCase))
+    def grams(c: String): Map[String, Long] =
+      (if (c.length < 3) Seq.empty[String]
+       else (0 to c.length - 3).map(i => c.substring(i, i + 3)))
+        .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    val pairs = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val ids = ds.map(_._1).sorted
+      ids.zip(ids.drop(1)).map { case (c, r) => (src, c, r) }
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = pairs.groupBy(_._1).map { case (src, ps) =>
+      var clip = 0L; var cand = 0L; var ref = 0L
+      ps.foreach { case (_, c, r) =>
+        val cg = grams(byId(c)); val rg = grams(byId(r))
+        cg.foreach { case (g, n) =>
+          clip += math.min(n, rg.getOrElse(g, 0L)); cand += n
+        }
+        ref += rg.values.sum
+      }
+      src -> (clip, cand, ref, r6(clip.toDouble / cand),
+        r6(clip.toDouble / ref), r6(5.0 * clip / (4L * ref + cand)))
+    }
+    val got = SparkEntry.queries("q_chrf")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"source $k") }
+    // chrF2 is a weighted harmonic mean: it sits between P and R
+    got.foreach { case (k, (_, _, _, p, r, f)) =>
+      assert(f >= math.min(p, r) - 1e-6 && f <= math.max(p, r) + 1e-6,
+        s"$k: chrF2 $f outside [$p, $r]")
+    }
+  }
 }

@@ -47,8 +47,16 @@ class StreamingSoakSpec extends AnyFunSuite {
           val h = 10 + b
           f"""{"ts":"2024-01-01 $h%02d:${(u * 3 + i) % 60}%02d:00","user_id":$u,"amount":1.0}"""
         }
-        Files.write(Paths.get(in, f"batch_$b%02d.json"),
-          rows.mkString("", "\n", "\n").getBytes)
+        val f = Paths.get(in, f"batch_$b%02d.json")
+        Files.write(f, rows.mkString("", "\n", "\n").getBytes)
+        // FileStreamSource drains oldest-mtime-first; files written
+        // within the same clock tick tie and the tiebreak is listing
+        // order, so a later-hour file can jump ahead, advance the
+        // watermark, and make the earlier hours "late" (observed once
+        // in a full-suite run: hour 11 dropped entirely). Explicit
+        // strictly-increasing mtimes pin the intended arrival order.
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
       }
       (0 until 8).foreach(writeBatch)
 

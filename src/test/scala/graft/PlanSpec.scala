@@ -206,4 +206,19 @@ class PlanSpec extends AnyFunSuite {
     assert(shingleLine.get.contains("*("),
       "shingle_hashes project not codegen'd: " + shingleLine.get)
   }
+
+  test("byte-based parallelism pins survive: REPARTITION_BY_NUM in the trap plans") {
+    // SURVEY §4.2 r9: AQE coalescing and input-split parallelism are
+    // both byte-based and both fold compute-heavy, byte-light stages
+    // to ~1 task. The fixes are explicit fixed-count repartitions
+    // (exempt from coalescing); this gate pins their presence so a
+    // refactor can't silently drop them. q_link_jaccard: the
+    // common-neighbor self-join pin; q_distinct_n_sketch: the
+    // documentsSpread scan pin + the gram-rollup reduce pin.
+    Seq("q_link_jaccard", "q_distinct_n_sketch", "q_chrf").foreach { k =>
+      val s = planString(k)
+      assert(s.contains("REPARTITION_BY_NUM"),
+        s"$k lost its fixed-count repartition pin:\n" + s.take(2000))
+    }
+  }
 }

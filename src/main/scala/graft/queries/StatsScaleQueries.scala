@@ -102,7 +102,13 @@ object StatsScaleQueries {
            |       round(quantile_cont(mean_r, 0.95), 6) AS ci_hi
            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, d) => {
+      // fixed-count repartition on event_id: the x20 explode + 4 md5 +
+      // ln per event is the heaviest per-row chain on the events table,
+      // and the single-split scan would serialize it (SURVEY §4.2 r9
+      // byte-based-parallelism trap; profiled 6.7 s in ONE task)
       val reps = events(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("event_id"))
         .selectExpr("event_type", "value",
           """concat(md5(concat(CAST(event_id AS STRING), '_0')),
             |       md5(concat(CAST(event_id AS STRING), '_1')),

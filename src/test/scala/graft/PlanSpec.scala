@@ -215,7 +215,8 @@ class PlanSpec extends AnyFunSuite {
     // refactor can't silently drop them. q_link_jaccard: the
     // common-neighbor self-join pin; q_distinct_n_sketch: the
     // documentsSpread scan pin + the gram-rollup reduce pin.
-    Seq("q_link_jaccard", "q_distinct_n_sketch", "q_chrf").foreach { k =>
+    Seq("q_link_jaccard", "q_distinct_n_sketch", "q_chrf",
+        "q_bootstrap_ci").foreach { k =>
       val s = planString(k)
       assert(s.contains("REPARTITION_BY_NUM"),
         s"$k lost its fixed-count repartition pin:\n" + s.take(2000))

@@ -1065,7 +1065,10 @@ object DedupQueries {
            |       round(1.0 - CAST(n_flagged AS DOUBLE)/n_shingles, 6) AS retained
            |FROM fl ORDER BY doc_id""".stripMargin),
     (s, d) => {
-      val sh = documents(s, d)
+      // documentsSpread: 8-word shingle + md5 per position, built
+      // lazily TWICE — the heaviest repeated map chain in the dedup
+      // family, serialized by the single input split (§4.2 r9 trap)
+      val sh = documentsSpread(s, d)
         .select(col("doc_id"),
           expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").as("w"))
         .select(col("doc_id"), explode(expr(

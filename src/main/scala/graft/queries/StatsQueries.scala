@@ -75,7 +75,13 @@ object StatsQueries {
            |FROM orders
            |ORDER BY col_name""".stripMargin),
     (s, d) => {
+      // fixed-count repartition: the 6-way multi-distinct Expand
+      // multiplies every row x7 before aggregating — the heaviest
+      // per-row chain on orders, serialized by the single input split
+      // at bench scale (SURVEY §4.2 r9 trap; profiled 2.8 s one-task)
       val o = orders(s, d)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("o_orderkey"))
       def longRepr(c: String)  = (min(col(c)).cast("string"), max(col(c)).cast("string"))
       def strRepr(c: String)   = (min(col(c)), max(col(c)))
       def moneyRepr(c: String) = (min(money(col(c))).cast("string"), max(money(col(c))).cast("string"))

@@ -681,7 +681,10 @@ object DedupQueries {
            |  GROUP BY 1, 2)
            |SELECT * FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => {
-      val wins = documents(s, d)
+      // documentsSpread: one md5 anchor test per CHARACTER position —
+      // the per-row chain a single-split scan serializes (§4.2 r9
+      // trap; profiled 2.1 s one-task)
+      val wins = documentsSpread(s, d)
         .filter(length(col("text")) >= 64)
         .select(col("doc_id"), col("text"),
           explode(expr("sequence(1, length(text) - 63)")).as("p"))

@@ -216,7 +216,8 @@ class PlanSpec extends AnyFunSuite {
     // common-neighbor self-join pin; q_distinct_n_sketch: the
     // documentsSpread scan pin + the gram-rollup reduce pin.
     Seq("q_link_jaccard", "q_distinct_n_sketch", "q_chrf",
-        "q_bootstrap_ci", "q_profile", "q_boilerplate").foreach { k =>
+        "q_bootstrap_ci", "q_profile", "q_boilerplate",
+        "q_dedup_substring").foreach { k =>
       val s = planString(k)
       assert(s.contains("REPARTITION_BY_NUM"),
         s"$k lost its fixed-count repartition pin:\n" + s.take(2000))

@@ -553,6 +553,87 @@ object MlEvalQueries {
     }
   )
 
+  /** Chance-corrected agreement metrics over the nearest-centroid
+    * confusion matrix: Cohen's kappa and the multiclass Matthews
+    * correlation coefficient (the R_K statistic, Gorodkin 2004) — the
+    * two single-number summaries that stay honest under the class
+    * imbalance q_class_weights measures (accuracy and even macro-F1
+    * reward majority-class collapse; kappa/MCC go to 0 for it).
+    *
+    * Determinism: every input is an exact BIGINT count from the shared
+    * integer-exact centroid fold; kappa and MCC are then ONE double
+    * expression each over those exact ints (products ≤ ~6e10 « 2^53,
+    * so the int→double conversions are exact; sqrt is correctly
+    * rounded IEEE in both engines), rounded once to 6 decimals.
+    *
+    * Shape: derives entirely from the ≤ K² confusion-matrix aggregate
+    * — the corpus is touched once by the centroid fold; the marginal
+    * sums and the final scalar row are broadcast-trivial.
+    */
+  private val mccKappa = QueryDef(
+    "q_mcc_kappa",
+    "Cohen's kappa + multiclass Matthews correlation (R_K) for the " +
+      "nearest-centroid classifier, computed from exact BIGINT " +
+      "confusion-matrix marginals: kappa = (c·s − Σ t_k·p_k) / " +
+      "(s² − Σ t_k·p_k), MCC = (c·s − Σ t_k·p_k) / " +
+      "√((s² − Σ p_k²)(s² − Σ t_k²)) — each ONE rounded double " +
+      "expression over exact integers.",
+    Some(s"""WITH cent AS ($CentroidSql),
+            |el AS (SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS dim,
+            |              unnest(embedding) AS v
+            |       FROM embeddings),
+            |dist AS (SELECT el.vec_id, el.label AS true_label, cent.clabel,
+            |           sum($DistTermSql) AS d2
+            |         FROM el JOIN cent USING (dim) GROUP BY 1, 2, 3),
+            |pred AS (SELECT vec_id, true_label, clabel,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+            |         FROM dist),
+            |cm AS (SELECT true_label AS t, clabel AS p, count(*) AS n
+            |       FROM pred WHERE rn = 1 GROUP BY 1, 2),
+            |lbl AS (SELECT t AS label, sum(n) AS tk FROM cm GROUP BY 1),
+            |ptot AS (SELECT p AS label, sum(n) AS pk FROM cm GROUP BY 1),
+            |sc AS (SELECT CAST(sum(n) AS BIGINT) AS s,
+            |              CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS c
+            |       FROM cm),
+            |marg AS (SELECT CAST(sum(tk * pk) AS BIGINT) AS tp_dot,
+            |                CAST(sum(pk * pk) AS BIGINT) AS p2,
+            |                CAST(sum(tk * tk) AS BIGINT) AS t2
+            |         FROM lbl JOIN ptot USING (label))
+            |SELECT s AS n, c AS n_correct,
+            |       round(CAST(c AS DOUBLE) / s, 6) AS accuracy,
+            |       round(CAST(c * s - tp_dot AS DOUBLE) / (s * s - tp_dot), 6) AS kappa,
+            |       round(CAST(c * s - tp_dot AS DOUBLE)
+            |             / sqrt(CAST(s * s - p2 AS DOUBLE) * CAST(s * s - t2 AS DOUBLE)), 6) AS mcc
+            |FROM sc CROSS JOIN marg""".stripMargin),
+    (s, d) => {
+      val dist = centroidDistances(s, d)
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+      val cm = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("true_label").as("t"), col("clabel").as("p"))
+        .agg(count(lit(1)).as("n"))
+        // ≤ K² rows; persist so the marginal re-aggregations below do
+        // not re-run the centroid fold (q_f1_macro discipline)
+        .persist()
+      val lbl = cm.groupBy(col("t").as("label")).agg(sum("n").as("tk"))
+      val ptot = cm.groupBy(col("p").as("label")).agg(sum("n").as("pk"))
+      val sc = cm.agg(lng(sum("n")).as("s"),
+        lng(sum(when(col("t") === col("p"), col("n")).otherwise(0L))).as("c"))
+      val marg = lbl.join(ptot, "label")
+        .agg(lng(sum(col("tk") * col("pk"))).as("tp_dot"),
+          lng(sum(col("pk") * col("pk"))).as("p2"),
+          lng(sum(col("tk") * col("tk"))).as("t2"))
+      sc.crossJoin(broadcast(marg))
+        .select(col("s").as("n"), col("c").as("n_correct"),
+          round(dbl(col("c")) / col("s"), 6).as("accuracy"),
+          round(dbl(col("c") * col("s") - col("tp_dot"))
+            / (col("s") * col("s") - col("tp_dot")), 6).as("kappa"),
+          round(dbl(col("c") * col("s") - col("tp_dot"))
+            / sqrt(dbl(col("s") * col("s") - col("p2"))
+              * dbl(col("s") * col("s") - col("t2"))), 6).as("mcc"))
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
-    silhouette, powerlaw, mutualInfo, ndcg, f1Macro)
+    silhouette, powerlaw, mutualInfo, ndcg, f1Macro, mccKappa)
 }

@@ -405,6 +405,108 @@ object OpsQueries {
     }
   )
 
+  // -------------------------------------------------------------------- stl
+
+  /** Classical seasonal decomposition (the STL-shaped additive
+    * trend/seasonal/residual split) of the gap-filled hourly event
+    * series per type, with the top anomalies by residual — the
+    * decomposition q_seasonality (profile only), q_holt (level/trend
+    * only) and q_changepoint (mean shifts only) each cover one third
+    * of.
+    *
+    * All-integer pipeline: the 25-point centered moving average ×1000
+    * is sum×40 EXACTLY (25·40 = 1000), so trend is an exact BIGINT
+    * millicount; detrended = 1000·cnt − trend is exact; the per
+    * (type, hour-of-day) seasonal mean and its centering both use
+    * integer division (truncating toward zero in BOTH engines — holt
+    * precedent), so every component and residual is engine-exact with
+    * no float anywhere.
+    *
+    * Scale: the gap-filled grid is (hours × types) — time-range
+    * bounded, not corpus bounded; all windows partition by event_type;
+    * the seasonal table is ≤ types×24 rows joined back by broadcast.
+    * At 100 TB the only thing that grows is the one map-side-combined
+    * count feeding the grid.
+    */
+  private val stl = QueryDef(
+    "q_stl",
+    "Additive seasonal decomposition of gap-filled hourly event " +
+      "counts per type: trend = exact 25-point centered MA " +
+      "(millicounts), seasonal = centered per-hour-of-day mean of the " +
+      "detrended interior, residual = detrended − seasonal; emits the " +
+      "top-20 anomalies by |residual| — all-integer, engine-exact.",
+    Some("""WITH e AS (SELECT event_type,
+           |                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+           |b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM e),
+           |hours AS (SELECT unnest(generate_series(hmin, hmax)) AS h FROM b),
+           |types AS (SELECT DISTINCT event_type FROM e),
+           |grid AS (SELECT event_type, h FROM hours CROSS JOIN types),
+           |c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+           |s AS (SELECT g.event_type, g.h, coalesce(c.n, 0) AS cnt
+           |      FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h),
+           |idx AS (SELECT event_type, h, cnt,
+           |          row_number() OVER (PARTITION BY event_type ORDER BY h) AS i,
+           |          count(*) OVER (PARTITION BY event_type) AS nt,
+           |          sum(cnt) OVER (PARTITION BY event_type ORDER BY h
+           |                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) * 40 AS trend
+           |        FROM s),
+           |interior AS (SELECT event_type, h, h % 24 AS hod, cnt, trend,
+           |               1000 * cnt - trend AS det
+           |             FROM idx WHERE i > 12 AND i <= nt - 12),
+           |s0 AS (SELECT event_type, hod, sum(det) // count(*) AS s0
+           |       FROM interior GROUP BY 1, 2),
+           |ms AS (SELECT event_type, sum(s0) // 24 AS m FROM s0 GROUP BY 1),
+           |seas AS (SELECT s0.event_type, s0.hod, s0.s0 - ms.m AS seasonal
+           |         FROM s0 JOIN ms ON s0.event_type = ms.event_type)
+           |SELECT i.event_type, CAST(i.h AS BIGINT) AS h,
+           |       CAST(i.hod AS BIGINT) AS hod, CAST(i.cnt AS BIGINT) AS cnt,
+           |       CAST(i.trend AS BIGINT) AS trend_milli,
+           |       CAST(seas.seasonal AS BIGINT) AS seasonal_milli,
+           |       CAST(i.det - seas.seasonal AS BIGINT) AS resid_milli
+           |FROM interior i JOIN seas ON i.event_type = seas.event_type AND i.hod = seas.hod
+           |ORDER BY abs(i.det - seas.seasonal) DESC, i.event_type, i.h
+           |LIMIT 20""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("h")).persist()
+      val hours = e.agg(min("h").as("hmin"), max("h").as("hmax"))
+        .select(explode(sequence(col("hmin"), col("hmax"))).as("h"))
+      val types = e.select("event_type").distinct()
+      val counts = e.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+      val grid = hours.crossJoin(broadcast(types))
+        .join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("cnt"))
+      val wOrd = Window.partitionBy("event_type").orderBy("h")
+      val wMa = wOrd.rowsBetween(-12, 12)
+      val wAll = Window.partitionBy("event_type")
+      val interior = grid
+        .withColumn("i", row_number().over(wOrd))
+        .withColumn("nt", count(lit(1)).over(wAll))
+        .withColumn("trend", sum("cnt").over(wMa) * 40)
+        .filter(col("i") > 12 && col("i") <= col("nt") - 12)
+        .select(col("event_type"), col("h"), (col("h") % 24).as("hod"),
+          col("cnt"), col("trend"),
+          (lit(1000) * col("cnt") - col("trend")).as("det"))
+        .persist()
+      val s0 = interior.groupBy("event_type", "hod")
+        .agg(expr("sum(det) DIV count(*)").as("s0"))
+      val ms = s0.groupBy("event_type")
+        .agg(expr("sum(s0) DIV 24").as("m"))
+      val seas = s0.join(broadcast(ms), "event_type")
+        .select(col("event_type"), col("hod"), (col("s0") - col("m")).as("seasonal"))
+      interior.join(broadcast(seas), Seq("event_type", "hod"))
+        .select(col("event_type"), lng(col("h")).as("h"), lng(col("hod")).as("hod"),
+          lng(col("cnt")).as("cnt"), lng(col("trend")).as("trend_milli"),
+          lng(col("seasonal")).as("seasonal_milli"),
+          lng(col("det") - col("seasonal")).as("resid_milli"))
+        .orderBy(abs(col("resid_milli")).desc, col("event_type"), col("h"))
+        .limit(20)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(skewReport, integrity, holt, changepoint,
-    readability, snapshotDiff, filterFunnel)
+    readability, snapshotDiff, filterFunnel, stl)
 }

@@ -445,6 +445,87 @@ object StatsQueries {
     }
   )
 
+  /** Rank-correlation battery — Spearman's ρ and Kendall's τ between
+    * two rankings of the same top-100 part set (by revenue vs by
+    * shipped quantity). The go-to diagnostic when two scoring
+    * functions (two rankers, two quality signals, two epochs of the
+    * same model) must be compared as ORDERINGS rather than values —
+    * complements q_corr (Pearson on raw values) and q_rank_fusion
+    * (which merges rankings instead of comparing them).
+    *
+    * Determinism: both metrics rank on the exact DECIMAL aggregates
+    * with partkey tie-breaks (row_number, so no tie-handling variants
+    * across engines); d², concordant and discordant counts are exact
+    * BIGINTs; each coefficient is ONE rounded double expression.
+    *
+    * Scale: the fact is aggregated once per partkey (map-side
+    * combine); the top-100 selection is a TakeOrdered; every ranking
+    * window and the τ pair join run on the persisted 100-row table —
+    * the windows are single-partition but over a CONSTANT-bounded
+    * set, and the pair join is 100×100 broadcast-nested-loop, both
+    * invariant to corpus size.
+    */
+  private val rankCorr = QueryDef(
+    "q_rank_corr",
+    "Spearman ρ + Kendall τ between the revenue ranking and the " +
+      "quantity ranking of the top-100 revenue parts: ρ = 1 − " +
+      "6Σd²/(n(n²−1)) from exact integer rank differences, τ-a = " +
+      "(C−D)/(n(n−1)/2) from the bounded pairwise comparison.",
+    Some("""WITH pp AS (
+           |  SELECT l_partkey,
+           |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev,
+           |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+           |  FROM lineitem GROUP BY 1),
+           |top AS (SELECT * FROM pp ORDER BY rev DESC, l_partkey LIMIT 100),
+           |r AS (SELECT l_partkey,
+           |        row_number() OVER (ORDER BY rev DESC, l_partkey) AS r_rev,
+           |        row_number() OVER (ORDER BY qty DESC, l_partkey) AS r_qty
+           |      FROM top),
+           |sp AS (SELECT count(*) AS n,
+           |              sum((r_rev - r_qty) * (r_rev - r_qty)) AS d2
+           |       FROM r),
+           |kp AS (SELECT sum(CASE WHEN (a.r_rev - b.r_rev) * (a.r_qty - b.r_qty) > 0 THEN 1 ELSE 0 END) AS conc,
+           |              sum(CASE WHEN (a.r_rev - b.r_rev) * (a.r_qty - b.r_qty) < 0 THEN 1 ELSE 0 END) AS disc
+           |       FROM r a JOIN r b ON a.l_partkey < b.l_partkey)
+           |SELECT CAST(n AS BIGINT) AS n,
+           |       CAST(conc AS BIGINT) AS concordant,
+           |       CAST(disc AS BIGINT) AS discordant,
+           |       round(1 - 6.0 * d2 / (n * (n * n - 1)), 6) AS spearman_rho,
+           |       round(CAST(conc - disc AS DOUBLE) / (n * (n - 1) // 2), 6) AS kendall_tau
+           |FROM sp CROSS JOIN kp""".stripMargin),
+    (s, d) => {
+      val pp = lineitem(s, d).groupBy("l_partkey")
+        .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")).as("rev"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("qty"))
+      val top = pp.orderBy(col("rev").desc, col("l_partkey")).limit(100).persist()
+      val r = top
+        .withColumn("r_rev", row_number().over(
+          Window.orderBy(col("rev").desc, col("l_partkey"))))
+        .withColumn("r_qty", row_number().over(
+          Window.orderBy(col("qty").desc, col("l_partkey"))))
+        .select("l_partkey", "r_rev", "r_qty")
+        .persist()
+      val sp = r.agg(count(lit(1)).as("n"),
+        sum((col("r_rev") - col("r_qty")) * (col("r_rev") - col("r_qty"))).as("d2"))
+      val a = r.select(col("l_partkey").as("ak"), col("r_rev").as("ar"),
+        col("r_qty").as("aq"))
+      val b = r.select(col("l_partkey").as("bk"), col("r_rev").as("br"),
+        col("r_qty").as("bq"))
+      val sgn = (col("ar") - col("br")) * (col("aq") - col("bq"))
+      val kp = a.join(broadcast(b), col("ak") < col("bk"))
+        .agg(sum(when(sgn > 0, 1L).otherwise(0L)).as("conc"),
+          sum(when(sgn < 0, 1L).otherwise(0L)).as("disc"))
+      sp.crossJoin(broadcast(kp))
+        .select(lng(col("n")).as("n"), lng(col("conc")).as("concordant"),
+          lng(col("disc")).as("discordant"),
+          round(lit(1) - lit(6.0) * col("d2") / (col("n") * (col("n") * col("n") - 1)), 6)
+            .as("spearman_rho"),
+          round(dbl(col("conc") - col("disc"))
+            / (col("n") * (col("n") - 1) / 2), 6).as("kendall_tau"))
+    }
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(profile, chisq, autocorr, winsorize, skyline, madOutliers, crossCorr)
+    Seq(profile, chisq, autocorr, winsorize, skyline, madOutliers, crossCorr,
+      rankCorr)
 }

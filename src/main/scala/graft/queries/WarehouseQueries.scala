@@ -190,6 +190,65 @@ object WarehouseQueries {
       .orderBy("c_nationkey", "c_mktsegment")
   )
 
+  /** l-diversity audit — the companion check to [[kAnon]]: k-anonymity
+    * bounds group SIZE, but a group can be large and still leak if
+    * every member shares the same sensitive value. Distinct-l and
+    * entropy-l per quasi-identifier group are the two standard
+    * readouts (Machanavajjhala et al. 2007).
+    *
+    * Determinism: counts are exact BIGINTs; the acctbal bucket
+    * thresholds compare 2-decimal money values (no float ambiguity);
+    * entropy follows the q_entropy discipline (per-cell −p·log2 p
+    * rounded to 9 decimals, summed as exact DECIMAL, final round-6).
+    *
+    * Scale: one fact aggregation to ≤ QI×senses cells, then a tiny
+    * rollup — the same two-level shape as q_entropy; nothing row-level
+    * survives the first groupBy.
+    */
+  private val lDiversity = QueryDef(
+    "q_l_diversity",
+    "l-diversity audit over the (nationkey, acctbal-bucket) " +
+      "quasi-identifier: group size, distinct-l (count of distinct " +
+      "mktsegment values), entropy-l (Shannon entropy bits of the " +
+      "sensitive distribution), and the at-risk flag for groups with " +
+      "distinct-l < 3 — the release gate run after q_k_anon.",
+    Some("""WITH cells AS (
+           |  SELECT c_nationkey,
+           |         CASE WHEN c_acctbal < 0 THEN 'neg'
+           |              WHEN c_acctbal < 5000 THEN 'mid'
+           |              ELSE 'high' END AS bal_bucket,
+           |         c_mktsegment, count(*) AS c
+           |  FROM customer GROUP BY 1, 2, 3),
+           |tot AS (SELECT c_nationkey, bal_bucket, sum(c) AS n FROM cells GROUP BY 1, 2)
+           |SELECT cells.c_nationkey, cells.bal_bucket,
+           |       CAST(tot.n AS BIGINT) AS n,
+           |       CAST(count(*) AS BIGINT) AS l_distinct,
+           |       round(CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy_l,
+           |       (count(*) < 3) AS at_risk
+           |FROM cells JOIN tot USING (c_nationkey, bal_bucket)
+           |GROUP BY cells.c_nationkey, cells.bal_bucket, tot.n
+           |ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val bucket = when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "mid").otherwise("high")
+      val cells = customer(s, d)
+        .groupBy(col("c_nationkey"), bucket.as("bal_bucket"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cells.groupBy("c_nationkey", "bal_bucket").agg(sum("c").as("n"))
+      val contrib = round(-(dbl(col("c")) / col("n")) *
+          log2(dbl(col("c")) / col("n")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+      cells.join(broadcast(tot), Seq("c_nationkey", "bal_bucket"))
+        .groupBy(col("c_nationkey"), col("bal_bucket"), col("n"))
+        .agg(lng(count(lit(1))).as("l_distinct"),
+          round(dbl(sum(contrib)), 6).as("entropy_l"),
+          (count(lit(1)) < 3).as("at_risk"))
+        .select(col("c_nationkey"), col("bal_bucket"), lng(col("n")).as("n"),
+          col("l_distinct"), col("entropy_l"), col("at_risk"))
+        .orderBy("c_nationkey", "bal_bucket")
+    }
+  )
+
   private val sampleWeighted = QueryDef(
     "q_sample_weighted",
     "Deterministic WEIGHTED Bernoulli sample: inclusion probability " +
@@ -567,6 +626,6 @@ object WarehouseQueries {
   )
 
   val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket,
-    unpivot, kAnon, sampleWeighted, incrAgg, cdcApply, joinInterval,
+    unpivot, kAnon, lDiversity, sampleWeighted, incrAgg, cdcApply, joinInterval,
     popRevenue, paretoShare, joinBucketed, mixTemperature, joinSkewAqe)
 }

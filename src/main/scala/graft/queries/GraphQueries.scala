@@ -591,6 +591,236 @@ object GraphQueries {
     }
   )
 
+  // ------------------------------------------------------------------ kcore
+
+  /** k-core peeling over the part co-purchase graph (parts are
+    * adjacent when some order contains both): 4 synchronous peel
+    * rounds at threshold k = the exact 10th-percentile initial degree
+    * — the degeneracy-ordering primitive behind dense-subgraph mining
+    * and graph-cleaning (peel crawl spam before training on link
+    * structure). Data-derived k keeps the cascade meaningful at every
+    * scale (a fixed constant would peel nothing at sf0.001 and
+    * everything at sf0.1); the percentile is computed EXACTLY from the
+    * degree histogram, never a sketch.
+    *
+    * Determinism: degrees, histogram cumsum and the percentile pick
+    * are all exact integer operations; each round's peel set is a pure
+    * function of the previous round — no randomness, no float.
+    *
+    * Scale: the pair generation self-joins the distinct (order, part)
+    * set on orderkey, so each order contributes C(parts-in-order, 2)
+    * pairs — basket-bounded like q_copurchase, never quadratic in part
+    * popularity. Each round is one map-side-combined degree count +
+    * two key-partitioned anti joins on a SHRINKING edge list; the
+    * histogram cumsum window runs on ≤ distinct-degree-values rows.
+    * Fixed 4 rounds = fixed 4 passes (pagerank discipline).
+    */
+  private val kcore = QueryDef(
+    "q_kcore",
+    "4-round k-core peeling of the part co-purchase graph at k = the " +
+      "exact p10 initial degree: per part, the round it was peeled " +
+      "(0 = still in the core after round 4), its initial degree, and " +
+      "its residual in-core degree — all-integer, engine-exact.",
+    Some("""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+           |      FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+           |d0 AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM d0),
+           |hist AS (SELECT deg, count(*) AS c FROM d0 GROUP BY 1),
+           |cum AS (SELECT deg, sum(c) OVER (ORDER BY deg) AS cum FROM hist),
+           |kk AS (SELECT min(deg) AS k FROM cum CROSS JOIN nn
+           |       WHERE cum >= (n + 9) // 10),
+           |p1 AS MATERIALIZED (SELECT d0.id FROM d0 CROSS JOIN kk WHERE d0.deg < k),
+           |e1 AS MATERIALIZED (SELECT c.src, c.dst FROM e c
+           |       ANTI JOIN p1 a ON c.src = a.id ANTI JOIN p1 b ON c.dst = b.id),
+           |s1 AS MATERIALIZED (SELECT d0.id FROM d0 ANTI JOIN p1 ON d0.id = p1.id),
+           |d1 AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e1 GROUP BY 1),
+           |p2 AS MATERIALIZED (SELECT s1.id FROM s1 LEFT JOIN d1 ON s1.id = d1.id
+           |       CROSS JOIN kk WHERE coalesce(d1.deg, 0) < k),
+           |e2 AS MATERIALIZED (SELECT c.src, c.dst FROM e1 c
+           |       ANTI JOIN p2 a ON c.src = a.id ANTI JOIN p2 b ON c.dst = b.id),
+           |s2 AS MATERIALIZED (SELECT s1.id FROM s1 ANTI JOIN p2 ON s1.id = p2.id),
+           |d2 AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e2 GROUP BY 1),
+           |p3 AS MATERIALIZED (SELECT s2.id FROM s2 LEFT JOIN d2 ON s2.id = d2.id
+           |       CROSS JOIN kk WHERE coalesce(d2.deg, 0) < k),
+           |e3 AS MATERIALIZED (SELECT c.src, c.dst FROM e2 c
+           |       ANTI JOIN p3 a ON c.src = a.id ANTI JOIN p3 b ON c.dst = b.id),
+           |s3 AS MATERIALIZED (SELECT s2.id FROM s2 ANTI JOIN p3 ON s2.id = p3.id),
+           |d3 AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e3 GROUP BY 1),
+           |p4 AS MATERIALIZED (SELECT s3.id FROM s3 LEFT JOIN d3 ON s3.id = d3.id
+           |       CROSS JOIN kk WHERE coalesce(d3.deg, 0) < k),
+           |e4 AS MATERIALIZED (SELECT c.src, c.dst FROM e3 c
+           |       ANTI JOIN p4 a ON c.src = a.id ANTI JOIN p4 b ON c.dst = b.id),
+           |s4 AS MATERIALIZED (SELECT s3.id FROM s3 ANTI JOIN p4 ON s3.id = p4.id),
+           |d4 AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e4 GROUP BY 1),
+           |out AS (
+           |  SELECT id, 1 AS peel_round, CAST(0 AS BIGINT) AS core_deg FROM p1
+           |  UNION ALL SELECT id, 2, 0 FROM p2
+           |  UNION ALL SELECT id, 3, 0 FROM p3
+           |  UNION ALL SELECT id, 4, 0 FROM p4
+           |  UNION ALL SELECT s4.id, 0, coalesce(d4.deg, 0)
+           |            FROM s4 LEFT JOIN d4 ON s4.id = d4.id)
+           |SELECT CAST(out.id AS BIGINT) AS id,
+           |       CAST(out.peel_round AS BIGINT) AS peel_round,
+           |       CAST(d0.deg AS BIGINT) AS deg0,
+           |       CAST(out.core_deg AS BIGINT) AS core_deg,
+           |       CAST(kk.k AS BIGINT) AS k
+           |FROM out JOIN d0 ON out.id = d0.id CROSS JOIN kk
+           |ORDER BY id""".stripMargin),
+    (s, d) => {
+      val op = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+        .distinct()
+        .persist()
+      val d0 = e0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .persist()
+      // exact p10 degree from the bounded degree histogram; the cumsum
+      // window covers ≤ distinct-degree-values rows. ONE bounded
+      // driver collect (coreset discipline) so the threshold feeds the
+      // four per-round filters as a literal.
+      val n = d0.count()
+      val hist = d0.groupBy("deg").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy("deg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val k = hist.withColumn("cum", sum("c").over(wCum))
+        .filter(col("cum") >= (n + 9) / 10)
+        .agg(min("deg")).head().getLong(0)
+      var surv = d0.select("id")
+      var cur = e0
+      var deg = d0
+      val peels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (round <- 1 to 4) {
+        // localCheckpoint, not persist: each round references the
+        // previous round's frames several times, so without lineage
+        // truncation the logical plan grows exponentially and Catalyst
+        // ANALYSIS (not execution — no stage exceeds 0.4 s) dominates
+        // wall time (profiled: 135 s at sf0.001 with persist-only).
+        // The ConnectedComponents scaladoc documents the same trap.
+        val peel = surv.join(deg, Seq("id"), "left")
+          .filter(coalesce(col("deg"), lit(0L)) < k)
+          .select("id").localCheckpoint(true)
+        peels += peel.withColumn("peel_round", lit(round.toLong))
+        // surv is also checkpointed: leaving it as an anti-join chain
+        // was A/B-profiled (9.0 -> 11.7 s at sf0.1) — the re-executed
+        // chain schedules more stages than the one eager job it saves
+        surv = surv.join(peel, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        cur = cur
+          .join(peel.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(peel.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+          .select("src", "dst").localCheckpoint(true)
+        deg = cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      }
+      val core = surv.join(deg, Seq("id"), "left")
+        .select(col("id"), lit(0L).as("peel_round"),
+          coalesce(col("deg"), lit(0L)).as("core_deg"))
+      val out = peels.map(_.select(col("id"), col("peel_round"),
+          lit(0L).as("core_deg")))
+        .reduce(_ unionByName _)
+        .unionByName(core)
+      out.join(d0.withColumnRenamed("deg", "deg0"), "id")
+        .select(lng(col("id")).as("id"), lng(col("peel_round")).as("peel_round"),
+          lng(col("deg0")).as("deg0"), lng(col("core_deg")).as("core_deg"),
+          lit(k).as("k"))
+        .orderBy("id")
+    }
+  )
+
+  // ------------------------------------------------------------ random walk
+
+  /** Deterministic hash-seeded graph walks — the distributed analogue
+    * of the random-walk corpus generators behind DeepWalk/node2vec
+    * (walk sampling for embedding training, negative sampling,
+    * neighborhood feature extraction). Randomness is replaced by the
+    * repo's portable 48-bit md5 idiom: from node u at step t every
+    * walker moves to argmin over neighbors v of h(u, t, v), so the
+    * walk corpus is a pure function of the graph — identical across
+    * runs, partitionings and engines, which is exactly what a
+    * reproducible training-data pipeline wants from its walk sampler.
+    *
+    * Scale: all three transition functions are computed in ONE pass —
+    * the edge list explodes ×3 (one row per step), the argmin is a
+    * src-partitioned window (degree-bounded partitions), and the walk
+    * itself is 3 broadcast-joinable hops of the node-sized frontier.
+    * Nothing quadratic; the walk length is the only multiplier.
+    */
+  private val randomWalk = QueryDef(
+    "q_random_walk",
+    "Deterministic hash-greedy walks on the trade graph: every " +
+      "customer walks 3 steps, step t moving from u to the neighbor " +
+      "minimizing the portable 48-bit md5 of (u, t, v); emits per " +
+      "(step, node) visit counts — the reproducible walk-sampling " +
+      "primitive for embedding/negative-sampling corpora.",
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, 100000 + l_suppkey AS sup
+           |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS (SELECT c AS src, sup AS dst FROM pairs
+           |      UNION ALL SELECT sup, c FROM pairs),
+           |h AS (SELECT t, src, dst,
+           |        CAST(concat('0x', substr(md5(src || ',' || t || ',' || dst), 1, 12)) AS BIGINT) AS hv
+           |      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS t)),
+           |trans AS (SELECT t, src, dst FROM (
+           |            SELECT t, src, dst,
+           |              row_number() OVER (PARTITION BY t, src ORDER BY hv, dst) AS rn
+           |            FROM h) WHERE rn = 1),
+           |w0 AS (SELECT DISTINCT c AS cur FROM pairs),
+           |w1 AS (SELECT trans.dst AS cur FROM w0 JOIN trans
+           |       ON trans.t = 1 AND trans.src = w0.cur),
+           |w2 AS (SELECT trans.dst AS cur FROM w1 JOIN trans
+           |       ON trans.t = 2 AND trans.src = w1.cur),
+           |w3 AS (SELECT trans.dst AS cur FROM w2 JOIN trans
+           |       ON trans.t = 3 AND trans.src = w2.cur),
+           |visits AS (SELECT 1 AS step, cur FROM w1
+           |           UNION ALL SELECT 2, cur FROM w2
+           |           UNION ALL SELECT 3, cur FROM w3)
+           |SELECT CAST(step AS BIGINT) AS step, CAST(cur AS BIGINT) AS node,
+           |       CAST(count(*) AS BIGINT) AS n_visits
+           |FROM visits GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val e = edges(s, d)
+      // fixed-count repartition on the window keys BEFORE the md5 is
+      // computed: the exploded edge stream is byte-small but md5-heavy,
+      // and AQE's byte-based coalescing folds it to a handful of tasks
+      // (SURVEY §4.2 r9 trap; profiled 2.0 s single-stage at sf0.1).
+      // Hashing after the exchange puts the md5 work on all tasks, and
+      // the argmin window reuses the exchange — no extra shuffle.
+      val h = e.select(explode(sequence(lit(1), lit(3))).as("t"),
+          col("src"), col("dst"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("t"), col("src"))
+        .withColumn("hv", expr(
+          "CAST(conv(substr(md5(concat_ws(',', src, t, dst)), 1, 12), 16, 10) AS BIGINT)"))
+      val wArg = Window.partitionBy("t", "src").orderBy(col("hv"), col("dst"))
+      val trans = h.withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("t"), col("src"), col("dst"))
+        .persist()
+      def hop(frontier: DataFrame, t: Int): DataFrame =
+        frontier.join(trans.filter(col("t") === t)
+            .withColumnRenamed("src", "cur"), Seq("cur"))
+          .select(col("dst").as("cur"))
+      // start set from the persisted transition table, not from a
+      // second edges() build (every customer appears as a src — the
+      // edge list is symmetric, so rebuilding pairs would re-run the
+      // orders⋈lineitem distinct: profiled as 2 extra scan stages)
+      val w0 = trans.filter(col("t") === 1 && col("src") < 100000L)
+        .select(col("src").as("cur"))
+      val w1 = hop(w0, 1).persist()
+      val w2 = hop(w1, 2).persist()
+      val w3 = hop(w2, 3)
+      val visits = w1.select(lit(1L).as("step"), col("cur"))
+        .unionByName(w2.select(lit(2L).as("step"), col("cur")))
+        .unionByName(w3.select(lit(3L).as("step"), col("cur")))
+      visits.groupBy("step", "cur")
+        .agg(lng(count(lit(1))).as("n_visits"))
+        .select(col("step"), lng(col("cur")).as("node"), col("n_visits"))
+        .orderBy("step", "node")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard,
-    modularity, hits, labelProp)
+    modularity, hits, labelProp, kcore, randomWalk)
 }

@@ -220,6 +220,47 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Sample readout of decoded PCM audio. */
+  final case class PcmReadout(media_id: Long, sample_rate: Long,
+                              n_channels: Long, n_samples: Long,
+                              sum_samples: Long, sum_abs: Long,
+                              peak_abs: Long, checksum: Long)
+
+  /** Decode + sample-sum readout for PCM audio payloads (the audio
+    * twin of [[decodeRgbReadout]]; `decode` is e.g. [[Wav.decodePcm16]]
+    * — the real-container path through this seam). Exact integer
+    * outputs: header metadata, signed sample sum, absolute sum, peak
+    * amplitude, and the POSITION-WEIGHTED checksum Σ (i+1)·sample(i)
+    * over interleave order — a decoder mistake that keeps the sample
+    * multiset but reorders it (endianness slip, channel deinterleave
+    * bug, chunk-offset error) changes the checksum, which the
+    * closed-form oracle twin compares against. One mapPartitions
+    * batch pass; payloads never leave the scan.
+    */
+  def decodePcmReadout(media: Dataset[MediaRow],
+                       decode: Array[Byte] => Wav.Parsed)
+                      (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val p = decode(m.payload)
+        var sumS = 0L; var sumA = 0L; var peak = 0L; var ck = 0L
+        var i = 0
+        while (i < p.samples.length) {
+          val v = p.samples(i).toLong
+          sumS += v
+          val a = math.abs(v)
+          sumA += a
+          if (a > peak) peak = a
+          ck += (i + 1) * v
+          i += 1
+        }
+        PcmReadout(m.media_id, p.sampleRate.toLong, p.channels.toLong,
+          p.samples.length.toLong, sumS, sumA, peak, ck)
+      }
+    }.toDF()
+  }
+
   /** Polynomial byte hash — same fold as TextAnalysis (portable). */
   private def byteHash(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % TextAnalysis.P)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
-import graft.ops.{Bmp, Multimodal}
+import graft.ops.{Bmp, Multimodal, Wav}
 import graft.util.Det._
 
 /** Text-analysis + multimodal inventory (north-star: language-ID,
@@ -430,6 +430,58 @@ object TextAnalysisQueries {
         Multimodal.MediaRow(id, "image", payload, payload.length.toLong)
       }
       Multimodal.decodeRgbReadout(media, Bmp.RowDecoder())
+        .orderBy("media_id")
+    }
+  )
+
+  /** Real RIFF/WAVE decode through the multimodal seam — the audio
+    * twin of [[mediaDecode]] (q_media_decode proved the image path
+    * with BMP; this proves the audio path with the other canonical
+    * uncompressed public container). Each document synthesizes an
+    * 80-sample mono PCM16 waveform from a planted integer sample
+    * function, encodes it with the dependency-free writer (RIFF
+    * header, fmt chunk, data chunk, even-byte chunk alignment), and
+    * the parser walks the chunk list back to samples. The readout is
+    * all exact integers — header metadata, signed/absolute sample
+    * sums, peak amplitude, and the position-weighted checksum that
+    * catches any reorder (endianness slip, chunk-offset error) — and
+    * the oracle recomputes everything in closed form from the sample
+    * function, so a decoder bug cannot hash-match. Encode/decode
+    * round-trip blind spots are killed separately by WavSpec's golden
+    * bytes and foreign-chunk fixtures.
+    *
+    * Scale: identical altitude to q_media_decode — one mapPartitions
+    * batch pass, payloads never leave the scan stage.
+    */
+  private val wavDecode = QueryDef(
+    "q_wav_decode",
+    "Real RIFF/WAVE PCM16 decode through the multimodal seam: " +
+      "per-document synthesized waveforms (planted sample function) " +
+      "parsed by the dependency-free chunk-walking decoder; header " +
+      "metadata, exact sample sums, peak and a position-weighted " +
+      "checksum out — the oracle recomputes all of it in closed form.",
+    Some("""WITH sm AS (
+           |  SELECT doc_id, i,
+           |    (doc_id * 37 + i * 13) % 4001 - 2000 AS v
+           |  FROM documents, unnest(generate_series(0, 79)) AS ii(i))
+           |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+           |       CAST(1 AS BIGINT) AS n_channels, CAST(80 AS BIGINT) AS n_samples,
+           |       CAST(sum(v) AS BIGINT) AS sum_samples,
+           |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           |       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+           |       CAST(sum((i + 1) * v) AS BIGINT) AS checksum
+           |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin),
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val samples = Array.tabulate(80) { i =>
+          (((id * 37 + i * 13) % 4001) - 2000).toShort
+        }
+        val payload = Wav.encodePcm16(8000, 1, samples)
+        Multimodal.MediaRow(id, "audio", payload, payload.length.toLong)
+      }
+      Multimodal.decodePcmReadout(media, Wav.decodePcm16)
         .orderBy("media_id")
     }
   )
@@ -1308,6 +1360,6 @@ object TextAnalysisQueries {
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
-    distinctN, distinctNSketch, mediaDecode, fixEncoding, bleu, rougeN,
-    chrf, c4Gopher)
+    distinctN, distinctNSketch, mediaDecode, wavDecode, fixEncoding,
+    bleu, rougeN, chrf, c4Gopher)
 }

@@ -673,6 +673,134 @@ object CorpusQueries {
     }
   )
 
+  // -------------------------------------------------------------- wordpiece
+
+  /** DuckDB twin of the WordPiece greedy encoder. Reuses the unigram
+    * chain's seed CTEs (words / singles / multis — the vocab is the
+    * same chars + top-[[UniTopSubs]] substrings, which makes the
+    * greedy-vs-Viterbi comparison across q_wordpiece / q_unigram_apply
+    * an apples-to-apples one), then: per (word, position) the longest
+    * vocab match is a join + max — OUTSIDE any lambda — and the greedy
+    * walk is a list_reduce whose lambda reads only its parameters
+    * (the per-position {ml, piece} table is packed into every reduced
+    * element by an outer list_transform — the uniDuckChain
+    * chunk-safety rules, learned from the DuckDB 1.0 list_reduce
+    * outer-column hazard documented there).
+    */
+  private val wordpieceDuck: String =
+    s"""WITH words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(regexp_extract_all(lower(text),'([a-z]+)',1)) AS w FROM documents) s GROUP BY w),
+       |singles AS (SELECT DISTINCT piece FROM (
+       |  SELECT unnest(list_transform(generate_series(1, len(w)), i -> substr(w, CAST(i AS INT), 1))) AS piece
+       |  FROM words) s),
+       |multis AS (SELECT piece FROM (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+       |    SELECT unnest(flatten(list_transform(generate_series(1, len(w)), i ->
+       |      list_filter(list_transform([2,3,4], l -> CASE WHEN i + l - 1 <= len(w) THEN substr(w, CAST(i AS INT), CAST(l AS INT)) END),
+       |        x -> x IS NOT NULL)))) AS piece, freq
+       |    FROM words) s GROUP BY piece ORDER BY c DESC, piece LIMIT $UniTopSubs) t),
+       |vocab AS (SELECT piece FROM singles UNION SELECT piece FROM multis),
+       |cand AS (SELECT s.w, s.i, max(s.l) AS ml FROM (
+       |  SELECT w, u.i AS i, v.l AS l,
+       |         substr(w, CAST(u.i AS INT), CAST(v.l AS INT)) AS piece
+       |  FROM words, unnest(generate_series(1, len(w))) AS u(i), unnest([1,2,3,4]) AS v(l)
+       |  WHERE u.i + v.l - 1 <= len(w)) s
+       |  JOIN vocab USING (piece) GROUP BY s.w, s.i),
+       |plist AS (SELECT w, freq,
+       |  list_transform(list_sort(list({'i': i, 'ml': ml})), e ->
+       |    {'pos': CAST(e.ml AS BIGINT),
+       |     'piece': substr(w, CAST(e.i AS INT), CAST(e.ml AS INT))}) AS ps
+       |  FROM cand JOIN words USING (w) GROUP BY w, freq),
+       |walk AS (SELECT w, freq,
+       |  list_reduce(
+       |    list_prepend([{'pos': CAST(1 AS BIGINT), 'piece': ''}],
+       |      list_transform(generate_series(CAST(1 AS BIGINT), CAST(len(w) AS BIGINT)), i -> ps)),
+       |    (st, x) -> list_append(st,
+       |      {'pos': CASE WHEN st[len(st)].pos > len(x) THEN st[len(st)].pos
+       |              ELSE st[len(st)].pos + x[CAST(st[len(st)].pos AS INT)].pos END,
+       |       'piece': CASE WHEN st[len(st)].pos > len(x) THEN ''
+       |                WHEN st[len(st)].pos > 1 THEN '##' || x[CAST(st[len(st)].pos AS INT)].piece
+       |                ELSE x[CAST(st[len(st)].pos AS INT)].piece END})) AS st
+       |  FROM plist),
+       |toks AS (SELECT freq,
+       |  unnest(list_filter(list_transform(st, e -> e.piece), p -> p <> '')) AS token
+       |  FROM walk)
+       |SELECT token,
+       |  CAST(CASE WHEN token LIKE '##%' THEN len(token) - 2 ELSE len(token) END AS BIGINT) AS tok_len,
+       |  CAST(sum(freq) AS BIGINT) AS n
+       |FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin
+
+  /** WordPiece-style greedy encoder — the third tokenizer family next
+    * to BPE (ordered merges, q_bpe_apply) and unigram-LM (Viterbi
+    * min-cost, q_unigram_apply): longest-match-first left-to-right
+    * segmentation against a subword vocabulary, interior pieces marked
+    * with the `##` continuation prefix (the BERT convention). The
+    * vocabulary is the SAME seed as the unigram tokenizer (all single
+    * chars + the top-[[UniTopSubs]] length-2–4 substrings by
+    * freq-weighted count), so the three applications differ only in
+    * segmentation algorithm — the comparison a tokenizer bake-off
+    * actually wants.
+    *
+    * Determinism: vocab selection ties break lexicographically; the
+    * greedy walk is a pure function of (word, vocab); single chars are
+    * always in the vocab, so every word segments.
+    *
+    * Scale (the q_unigram_apply altitude): ONE corpus pass builds the
+    * distinct-word rollup; the vocab is two bounded collects (alphabet
+    * + [[UniTopSubs]] rows); the greedy scan is a per-row integer loop
+    * in one mapPartitions batch over the word rollup — corpus-sized
+    * work never touches the vocab machinery.
+    */
+  private val wordpiece = QueryDef(
+    "q_wordpiece",
+    "WordPiece greedy tokenizer: longest-match-first segmentation of " +
+      "the distinct-word vocabulary against the chars + top-" +
+      s"$UniTopSubs-substring vocab, interior pieces ##-prefixed; " +
+      "top-30 resulting tokens by frequency-weighted corpus count.",
+    Some(wordpieceDuck),
+    (s, d) => {
+      import s.implicits._
+      val words = uniWords(s, d).persist()
+      // bounded collects: alphabet-sized + UniTopSubs rows (the
+      // trainUnigram seed discipline)
+      val singles = words.select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as("piece"))
+        .distinct().collect().map(_.getString(0))
+      val multis = words.select(explode(expr(
+        """flatten(transform(sequence(1, length(w)), i ->
+          |  filter(transform(sequence(2, 4), l ->
+          |    CASE WHEN i + l - 1 <= length(w) THEN substring(w, i, l) END),
+          |    x -> x IS NOT NULL)))""".stripMargin)).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("piece")).limit(UniTopSubs)
+        .collect().map(_.getString(0))
+      val bc = s.sparkContext.broadcast((singles ++ multis).toSet)
+      val toks = words.select(col("w"), col("freq")).as[(String, Long)]
+        .mapPartitions { it =>
+          val v = bc.value
+          it.flatMap { case (w, freq) =>
+            val out = List.newBuilder[(String, Long, Long)]
+            var pos = 0
+            val L = w.length
+            while (pos < L) {
+              var l = math.min(4, L - pos)
+              while (l > 1 && !v.contains(w.substring(pos, pos + l))) l -= 1
+              val raw = w.substring(pos, pos + l)
+              out += ((if (pos > 0) "##" + raw else raw, l.toLong, freq))
+              pos += l
+            }
+            out.result()
+          }
+        }.toDF("token", "tok_len", "freq")
+      toks.groupBy("token", "tok_len")
+        .agg(lng(sum("freq")).as("n"))
+        .select(col("token"), lng(col("tok_len")).as("tok_len"), col("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(keywords, sentences, featureHash, bpePairs,
-    bpeTrain, bpeApply, unigramLm, unigramApply)
+    bpeTrain, bpeApply, unigramLm, unigramApply, wordpiece)
 }

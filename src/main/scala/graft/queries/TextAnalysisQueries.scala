@@ -1270,6 +1270,79 @@ object TextAnalysisQueries {
 
   // ------------------------------------------------------------- c4/gopher
 
+  /** Character error rate (CER) — the edit-distance eval completing
+    * the n-gram battery's fourth corner: q_bleu measures word
+    * precision, q_rouge_n word recall, q_chrf char-gram F; CER is the
+    * ALIGNMENT-sensitive metric (ASR/OCR's standard readout) that
+    * n-gram overlap cannot express — transposed spans cost edits even
+    * when every gram matches. Uses the shared next-doc-in-source
+    * pairing and the q_text_clean normalization (lowercase, [a-z ]
+    * only, collapsed whitespace), micro-averaged per source.
+    *
+    * Determinism: the normalized strings are ASCII by construction,
+    * where byte-Levenshtein (DuckDB) and char-Levenshtein (Spark) are
+    * the SAME classic unit-cost DP — exact integer distances in both
+    * engines (this is the load-bearing reason for the [a-z ] alphabet:
+    * DuckDB's levenshtein is byte-based, so any multi-byte character
+    * would desynchronize the engines). Micro CER = one round-6
+    * division of exact BIGINT sums.
+    *
+    * Scale: the DP is O(len²) per pair but embarrassingly parallel
+    * across pairs (one codegen'd levenshtein per joined row); the
+    * pairing window sorts only the skinny (source, doc_id) projection;
+    * output is sources-sized.
+    */
+  private val cer = QueryDef(
+    "q_cer",
+    "Character error rate over the next-doc-in-source pairing: " +
+      "levenshtein distance between q_text_clean-normalized texts " +
+      "(ASCII-only by construction, so both engines run the identical " +
+      "unit-cost DP), micro-averaged per source as Σedits / Σref-chars.",
+    Some("""WITH cl AS (SELECT doc_id, source,
+           |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS s
+           |       FROM documents),
+           |pairs AS (SELECT source, doc_id AS cand,
+           |            lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+           |          FROM cl),
+           |pr AS (SELECT source, cand, ref FROM pairs WHERE ref IS NOT NULL),
+           |pd AS (SELECT pr.source, levenshtein(c.s, r.s) AS dist, len(r.s) AS rl
+           |       FROM pr JOIN cl c ON c.doc_id = pr.cand
+           |               JOIN cl r ON r.doc_id = pr.ref)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+           |       CAST(sum(dist) AS BIGINT) AS edit_chars,
+           |       CAST(sum(rl) AS BIGINT) AS ref_chars,
+           |       round(CAST(sum(dist) AS DOUBLE) / sum(rl), 6) AS cer
+           |FROM pd GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      val cl = documents(s, d).select(col("doc_id"), col("source"),
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z ]", ""),
+            " +", " ")).as("s"))
+        .persist()
+      val pw = Window.partitionBy("source").orderBy("doc_id")
+      val pr = cl.select(col("source"), col("doc_id").as("cand"),
+          lead(col("doc_id"), 1).over(pw).as("ref"))
+        .filter(col("ref").isNotNull)
+      // fixed-count repartition on the pair key BEFORE the DP runs:
+      // the paired strings are byte-small but the levenshtein is
+      // O(len²)-heavy, and AQE's byte-based coalescing folds the join
+      // output to ONE task (profiled: two 3.2 s single-task stages at
+      // sf0.1 — the SURVEY §4.2 trap, walk-sampling edition)
+      val pd = pr
+        .join(cl.select(col("doc_id").as("cand"), col("s").as("cs")), "cand")
+        .join(cl.select(col("doc_id").as("ref"), col("s").as("rs")), "ref")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("cand"))
+        .select(col("source"), levenshtein(col("cs"), col("rs")).as("dist"),
+          length(col("rs")).as("rl"))
+      pd.groupBy("source")
+        .agg(lng(count(lit(1))).as("n_pairs"),
+          lng(sum("dist")).as("edit_chars"),
+          lng(sum("rl")).as("ref_chars"),
+          round(dbl(sum("dist")) / sum("rl"), 6).as("cer"))
+        .orderBy("source")
+    }
+  )
+
   private val c4Gopher = QueryDef(
     "q_c4_gopher",
     "Composed quality-filter GATE in the C4/Gopher shape (Raffel et " +
@@ -1361,5 +1434,5 @@ object TextAnalysisQueries {
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
     distinctN, distinctNSketch, mediaDecode, wavDecode, fixEncoding,
-    bleu, rougeN, chrf, c4Gopher)
+    bleu, rougeN, chrf, cer, c4Gopher)
 }

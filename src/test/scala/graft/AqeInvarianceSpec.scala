@@ -26,7 +26,10 @@ class AqeInvarianceSpec extends AnyFunSuite {
     // r8: EM loop with per-round collects, expand-distinct, KN joins
     "q_unigram_lm", "q_distinct_n", "q_perplexity_kn",
     // r9: DPP re-plans under AQE; partitioned write+prune round trip
-    "q_dpp_join", "q_scan_partitioned")
+    "q_dpp_join", "q_scan_partitioned",
+    // r10: shrinking-edge-list peel rounds (AQE re-plans every round),
+    // the pinned argmin-walk exchange, bounded-set rank windows
+    "q_kcore", "q_random_walk", "q_rank_corr")
 
   for (key <- sensitive)
     test(s"$key: result invariant under AQE on/off") {

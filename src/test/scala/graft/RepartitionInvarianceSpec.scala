@@ -39,7 +39,13 @@ class RepartitionInvarianceSpec extends AnyFunSuite {
     "q_hits", "q_bleu",
     // r9i: synchronous argmax rounds (tie order must decide, not
     // partition order), transition-matrix reshard audit
-    "q_label_prop", "q_rendezvous")
+    "q_label_prop", "q_rendezvous",
+    // r10: checkpointed peel rounds, hash-argmin walk windows (whose
+    // fixed-count pin FOLLOWS the toggled setting), greedy segmentation
+    // over bounded vocab collects, all-integer seasonal split
+    "q_kcore", "q_random_walk", "q_wordpiece", "q_stl",
+    // r10b: pair-keyed DP repartition pin follows the toggled setting
+    "q_cer")
 
   for (key <- sensitive)
     test(s"$key: result invariant under shuffle-partition count") {

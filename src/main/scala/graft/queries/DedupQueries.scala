@@ -1160,8 +1160,117 @@ object DedupQueries {
     }
   )
 
+  // ------------------------------------------------------- entity resolution
+
+  /** Record-level entity resolution — the RELATIONAL sibling of the
+    * document dedup family: near-dup dedup asks "same content?",
+    * ER asks "same real-world entity behind two dirty records?" (the
+    * customer-deduplication / master-data step every warehouse runs
+    * before counting entities). Planted-twin discipline (q_fix_encoding
+    * precedent): each customer gets a 10-char registry string from the
+    * portable md5-48 idiom, and every third customer also a corrupted
+    * variant with one interior char deleted — the classic typo model.
+    *
+    * The pipeline is the canonical three-stage ER shape:
+    *  1. MULTI-PASS BLOCKING — prefix-4 and suffix-4 keys, tagged so a
+    *     prefix can never accidentally match a suffix. An interior
+    *     deletion (positions 2–9 of 10) leaves at least one of the two
+    *     keys intact, so every true pair survives blocking BY
+    *     CONSTRUCTION — the recall argument a production blocking
+    *     scheme must make on paper, made literal here.
+    *  2. VERIFY — length lower bound, then thresholded levenshtein
+    *     (banded O(len·k) DP, the q_dedup_edit discipline) at k = 2 on
+    *     the blocked candidates only. ASCII-only strings (chars a–z),
+    *     so byte-based DuckDB and char-based Spark agree exactly.
+    *  3. CLUSTER — connected components over verified matches
+    *     (pointer-doubling op), entity id = min record id.
+    *
+    * Scale: blocking bounds candidates by block sizes (keys are 4 of
+    * 26⁴ values — uniform by md5), the verify runs only on candidates,
+    * and CC is O(log diameter) rounds; nothing is all-pairs anywhere.
+    */
+  private val entityResolution = QueryDef(
+    "q_entity_resolution",
+    "Entity resolution over a planted dirty registry: per customer a " +
+      "10-char md5-derived string plus (every 3rd customer) a one-" +
+      "char-deleted corrupted variant; tagged prefix/suffix multi-pass " +
+      "blocking (deletion-proof by construction), banded levenshtein " +
+      "verify at k=2, connected-component clustering; emits resolved " +
+      "entities (clusters of ≥ 2 records) with record and customer " +
+      "counts.",
+    Some("""WITH chars AS (
+           |  SELECT c_custkey AS ck, i,
+           |         chr(CAST(97 + CAST(concat('0x', substr(md5(c_custkey || ':' || i), 1, 12)) AS BIGINT) % 26 AS INT)) AS ch
+           |  FROM customer, unnest(generate_series(1, 10)) AS u(i)),
+           |canon AS (SELECT ck, string_agg(ch, '' ORDER BY i) AS s FROM chars GROUP BY ck),
+           |recs AS MATERIALIZED (
+           |  SELECT 2 * ck AS rec, s FROM canon
+           |  UNION ALL
+           |  SELECT 2 * ck + 1, substr(s, 1, ck % 8 + 1) || substr(s, ck % 8 + 3)
+           |  FROM canon WHERE ck % 3 = 0),
+           |keys AS (SELECT rec, s, 'p' AS tag, substr(s, 1, 4) AS k FROM recs
+           |         UNION ALL
+           |         SELECT rec, s, 's', substr(s, len(s) - 3, 4) FROM recs),
+           |cand AS (SELECT DISTINCT a.rec AS ra, b.rec AS rb, a.s AS sa, b.s AS sb
+           |         FROM keys a JOIN keys b
+           |           ON a.tag = b.tag AND a.k = b.k AND a.rec < b.rec),
+           |ver AS MATERIALIZED (
+           |  SELECT ra, rb FROM cand
+           |  WHERE abs(len(sa) - len(sb)) <= 2 AND levenshtein(sa, sb) <= 2),
+           |edges AS (SELECT ra AS a, rb AS b FROM ver
+           |          UNION ALL SELECT rb, ra FROM ver),
+           |walk AS (
+           |  WITH RECURSIVE r(node, reach) AS (
+           |    SELECT rec, rec FROM recs
+           |    UNION
+           |    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach)
+           |  SELECT node, min(reach) AS eid FROM r GROUP BY node)
+           |SELECT CAST(eid AS BIGINT) AS entity_id,
+           |       CAST(count(*) AS BIGINT) AS n_recs,
+           |       CAST(count(DISTINCT node // 2) AS BIGINT) AS n_custkeys
+           |FROM walk GROUP BY eid HAVING count(*) >= 2
+           |ORDER BY entity_id""".stripMargin),
+    (s, d) => {
+      val canon = customer(s, d).select(col("c_custkey").as("ck"))
+        .withColumn("s", expr(
+          """array_join(transform(sequence(1, 10), i ->
+            |  char(97 + CAST(conv(substr(md5(concat(ck, ':', i)), 1, 12), 16, 10) AS BIGINT) % 26)), '')"""
+            .stripMargin))
+      val recs = canon.select((col("ck") * 2).as("rec"), col("s"))
+        .unionAll(canon.filter(col("ck") % 3 === 0)
+          .select((col("ck") * 2 + 1).as("rec"), expr(
+            "concat(substring(s, 1, ck % 8 + 1), substring(s, ck % 8 + 3))")
+            .as("s")))
+        .persist()
+      val keys = recs.select(col("rec"), col("s"), lit("p").as("tag"),
+          expr("substring(s, 1, 4)").as("k"))
+        .unionAll(recs.select(col("rec"), col("s"), lit("s").as("tag"),
+          expr("substring(s, length(s) - 3, 4)").as("k")))
+      val cand = keys.select(col("tag"), col("k"), col("rec").as("ra"), col("s").as("sa"))
+        .join(keys.select(col("tag"), col("k"), col("rec").as("rb"), col("s").as("sb")),
+          Seq("tag", "k"))
+        .filter(col("ra") < col("rb"))
+        .select("ra", "rb", "sa", "sb").distinct()
+      val ver = cand
+        .filter(abs(length(col("sa")) - length(col("sb"))) <= 2)
+        .filter(levenshtein(col("sa"), col("sb"), 2) >= 0)
+        .select("ra", "rb").persist()
+      val edges = ver.unionAll(ver.select(col("rb").as("ra"), col("ra").as("rb")))
+        .toDF("ea", "eb")
+      val (labels, _) = graft.ops.ConnectedComponents.run(
+        recs.select(col("rec").as("node")), edges)
+      labels.groupBy(col("label").as("entity_id"))
+        .agg(lng(count(lit(1))).as("n_recs"),
+          lng(countDistinct(expr("node DIV 2"))).as("n_custkeys"))
+        .filter(col("n_recs") >= 2)
+        .select(lng(col("entity_id")).as("entity_id"), col("n_recs"),
+          col("n_custkeys"))
+        .orderBy("entity_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(boilerplate, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
     dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
     dedupContain, dedupSubstring, minhashEst, dedupSweep, dedupSemantic,
-    dedupPhash)
+    dedupPhash, entityResolution)
 }

@@ -267,5 +267,122 @@ object RecsysQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(itemRecs, sax, assortativity, sourceTerms)
+  // ----------------------------------------------------------------- mf step
+
+  /** One matrix-factorization gradient step — the latent-factor model
+    * family (ALS/SGD recommenders, the other half of recsys next to
+    * the neighborhood method q_item_recs): rank-4 user/item factors
+    * over the implicit (user, event_type) count matrix, one full SGD
+    * step on every user vector, with the sum-of-squared-errors before
+    * and after so the step's effect is auditable.
+    *
+    * ALL-INTEGER by construction: initial factors are small-integer
+    * formulas of (id, k); predictions, residuals and gradient sums are
+    * exact BIGINT products; the learning rate 1/1000 is absorbed by
+    * carrying updated factors in MILLI-units (u′_milli = 1000·u +
+    * Σ e·v — exact), and the after-loss accumulates 1e-6-unit squares
+    * as exact BIGINTs. No float exists anywhere in the query, so no
+    * accumulation-order or engine surface at all (stricter than the
+    * ln-grid queries: nothing to round).
+    *
+    * Scale: the ONLY data-sized shuffle is the ratings groupBy
+    * (map-side combined). Factors are FORMULAS, not tables — the k
+    * explode is ×4 on the users×types ratings residue and every
+    * reduction keys on user, so the step is one linear pass however
+    * large the user base; a real trained-factor variant would swap the
+    * formulas for a broadcast item table without changing the plan.
+    */
+  private val mfStep = QueryDef(
+    "q_mf_step",
+    "One rank-4 SGD matrix-factorization step over the (user, " +
+      "event_type) count matrix: formula-seeded integer factors, " +
+      "exact-BIGINT residuals and gradients, updated user vectors in " +
+      "milli-units plus SSE before/after — zero float operations.",
+    Some("""WITH ti AS (SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS t
+           |            FROM (SELECT DISTINCT event_type FROM events)),
+           |r AS (SELECT e.user_id AS u, ti.t, count(*) AS r
+           |      FROM events e JOIN ti USING (event_type) GROUP BY 1, 2),
+           |pred AS (SELECT u, t, r,
+           |           (SELECT sum(((u * 31 + k * 17) % 7 - 3) * ((t * 13 + k * 5) % 5 - 2))
+           |            FROM unnest(generate_series(0, 3)) AS kk(k)) AS p
+           |         FROM r),
+           |err AS (SELECT u, t, r, r - p AS e FROM pred),
+           |upd AS (SELECT err.u, kk.k,
+           |          1000 * ((err.u * 31 + kk.k * 17) % 7 - 3)
+           |            + sum(err.e * ((err.t * 13 + kk.k * 5) % 5 - 2)) AS um
+           |        FROM err, unnest(generate_series(0, 3)) AS kk(k)
+           |        GROUP BY err.u, kk.k),
+           |pred2 AS (SELECT err.u, err.t, err.r,
+           |            sum(upd.um * ((err.t * 13 + upd.k * 5) % 5 - 2)) AS pm
+           |          FROM err JOIN upd ON upd.u = err.u
+           |          GROUP BY err.u, err.t, err.r),
+           |sse AS (SELECT u, sum(e * e) AS sse_before FROM err GROUP BY u),
+           |sse2 AS (SELECT u, sum((1000 * r - pm) * (1000 * r - pm)) AS sse_after_e6
+           |         FROM pred2 GROUP BY u),
+           |uf AS (SELECT u,
+           |         sum(CASE WHEN k = 0 THEN um END) AS u0_milli,
+           |         sum(CASE WHEN k = 1 THEN um END) AS u1_milli,
+           |         sum(CASE WHEN k = 2 THEN um END) AS u2_milli,
+           |         sum(CASE WHEN k = 3 THEN um END) AS u3_milli
+           |       FROM upd GROUP BY u)
+           |SELECT CAST(uf.u AS BIGINT) AS user_id,
+           |       CAST(u0_milli AS BIGINT) AS u0_milli,
+           |       CAST(u1_milli AS BIGINT) AS u1_milli,
+           |       CAST(u2_milli AS BIGINT) AS u2_milli,
+           |       CAST(u3_milli AS BIGINT) AS u3_milli,
+           |       CAST(sse.sse_before AS BIGINT) AS sse_before,
+           |       CAST(sse2.sse_after_e6 AS BIGINT) AS sse_after_e6
+           |FROM uf JOIN sse ON sse.u = uf.u JOIN sse2 ON sse2.u = uf.u
+           |ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d).select("user_id", "event_type")
+      val ti = ev.select("event_type").distinct()
+        .withColumn("t", row_number().over(
+          Window.orderBy("event_type")).cast("long"))
+      val r = ev.join(broadcast(ti), "event_type")
+        .groupBy(col("user_id").as("u"), col("t"))
+        .agg(count(lit(1)).as("r"))
+      def uf(u: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+        (u * 31 + k * 17) % 7 - 3
+      def vf(t: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+        (t * 13 + k * 5) % 5 - 2
+      val ks = explode(sequence(lit(0L), lit(3L))).as("k")
+      val err = r.select(col("u"), col("t"), col("r"), ks)
+        .groupBy("u", "t", "r")
+        .agg(sum(uf(col("u"), col("k")) * vf(col("t"), col("k"))).as("p"))
+        .withColumn("e", col("r") - col("p"))
+        // e feeds the gradient, the before-loss and the after-loss —
+        // three consumers of a users×types frame
+        .persist()
+      val upd = err.select(col("u"), col("t"), col("e"), ks)
+        .groupBy("u", "k")
+        .agg(sum(col("e") * vf(col("t"), col("k"))).as("g"))
+        .withColumn("um", lit(1000) * uf(col("u"), col("k")) + col("g"))
+        .select("u", "k", "um")
+        .persist()
+      val pred2 = err.select(col("u"), col("t"), col("r"))
+        .join(upd, "u")
+        .groupBy("u", "t", "r")
+        .agg(sum(col("um") * vf(col("t"), col("k"))).as("pm"))
+      val sseAfter = pred2.groupBy("u")
+        .agg(sum((lit(1000) * col("r") - col("pm")) *
+          (lit(1000) * col("r") - col("pm"))).as("sse_after_e6"))
+      val sseBefore = err.groupBy("u").agg(sum(col("e") * col("e")).as("sse_before"))
+      val ufWide = upd.groupBy("u")
+        .agg(sum(when(col("k") === 0, col("um"))).as("u0_milli"),
+          sum(when(col("k") === 1, col("um"))).as("u1_milli"),
+          sum(when(col("k") === 2, col("um"))).as("u2_milli"),
+          sum(when(col("k") === 3, col("um"))).as("u3_milli"))
+      ufWide.join(sseBefore, "u").join(sseAfter, "u")
+        .select(lng(col("u")).as("user_id"),
+          lng(col("u0_milli")).as("u0_milli"), lng(col("u1_milli")).as("u1_milli"),
+          lng(col("u2_milli")).as("u2_milli"), lng(col("u3_milli")).as("u3_milli"),
+          lng(col("sse_before")).as("sse_before"),
+          lng(col("sse_after_e6")).as("sse_after_e6"))
+        .orderBy("user_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(itemRecs, sax, assortativity, sourceTerms,
+    mfStep)
 }

@@ -45,7 +45,9 @@ class RepartitionInvarianceSpec extends AnyFunSuite {
     // over bounded vocab collects, all-integer seasonal split
     "q_kcore", "q_random_walk", "q_wordpiece", "q_stl",
     // r10b: pair-keyed DP repartition pin follows the toggled setting
-    "q_cer")
+    "q_cer",
+    // r10c: CC fixpoint over blocked candidates; k-exploded integer SGD
+    "q_entity_resolution", "q_mf_step")
 
   for (key <- sensitive)
     test(s"$key: result invariant under shuffle-partition count") {

@@ -261,6 +261,21 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Magic-byte container sniffing — the triage pass a multimodal
+    * catalog runs BEFORE any decode is attempted (route to the right
+    * decoder, quarantine the rest). Detection reads only the fixed
+    * header prefix; payloads are never parsed here.
+    */
+  def detectFormat(payload: Array[Byte]): String = {
+    def at(i: Int, c: Char): Boolean =
+      i < payload.length && payload(i) == c.toByte
+    if (at(0, 'B') && at(1, 'M')) "image/bmp"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+      at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio/wav"
+    else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"
+    else "unknown"
+  }
+
   /** Polynomial byte hash — same fold as TextAnalysis (portable). */
   private def byteHash(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % TextAnalysis.P)

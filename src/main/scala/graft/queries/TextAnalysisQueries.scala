@@ -486,6 +486,65 @@ object TextAnalysisQueries {
     }
   )
 
+  /** Magic-byte container triage over a mixed media landing zone —
+    * the routing pass that runs BEFORE q_media_decode/q_wav_decode
+    * ever see a payload: real BMP and WAV payloads (the same two
+    * encoders the decode queries exercise), %PDF-stamped blobs, and
+    * junk, interleaved by doc_id, sniffed from fixed header prefixes
+    * only and counted per (source, detected format). The planted-twin
+    * oracle recomputes the routing in closed form from the plant, so
+    * a sniffer that misroutes (or a byte-length drift in either real
+    * encoder) breaks the hash. The junk payloads use CONSECUTIVE byte
+    * values, which no supported magic contains — they cannot
+    * accidentally match.
+    *
+    * Scale: sniffing reads ≤ 12 header bytes per payload in one
+    * mapPartitions pass; payloads never leave the scan stage.
+    */
+  private val mediaSniff = QueryDef(
+    "q_media_sniff",
+    "Magic-byte format detection over a planted mixed media column " +
+      "(real BMP, real WAV, %PDF blob, junk by doc_id mod 4): per " +
+      "(source, detected format) counts and byte totals, sniffed from " +
+      "header prefixes only — the catalog triage before any decode.",
+    Some("""SELECT source,
+           |       CASE doc_id % 4 WHEN 0 THEN 'image/bmp'
+           |                       WHEN 1 THEN 'audio/wav'
+           |                       WHEN 2 THEN 'application/pdf'
+           |                       ELSE 'unknown' END AS format,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CASE doc_id % 4 WHEN 0 THEN 78
+           |                                WHEN 1 THEN 64
+           |                                WHEN 2 THEN 9 + doc_id % 32
+           |                                ELSE 16 END) AS BIGINT) AS total_bytes
+           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id"), col("source"))
+        .as[(Long, String)].map { case (id, src) =>
+          val payload: Array[Byte] = (id % 4) match {
+            case 0 => Bmp.encode24(4, 2, (x, y) => (
+              ((id + x) % 256).toInt, ((id + y) % 256).toInt, (id % 256).toInt))
+            case 1 => Wav.encodePcm16(8000, 1,
+              Array.tabulate(10)(i => ((id * 7 + i) % 100).toShort))
+            case 2 => "%PDF-1.4\n".getBytes("US-ASCII") ++
+              Array.tabulate((id % 32).toInt)(i => ((id + i) % 251).toByte)
+            case _ => Array.tabulate(16)(i => ((id + i) % 251).toByte)
+          }
+          (id, src, payload)
+        }
+      media.mapPartitions { it =>
+        it.map { case (_, src, payload) =>
+          (src, Multimodal.detectFormat(payload), payload.length.toLong)
+        }
+      }.toDF("source", "format", "bytes")
+        .groupBy("source", "format")
+        .agg(lng(count(lit(1))).as("n"), lng(sum("bytes")).as("total_bytes"))
+        .orderBy("source", "format")
+    }
+  )
+
   /** Tokenizer fertility by language — tokens-per-word, the standard
     * multilingual tokenizer-quality metric (high fertility = the
     * tokenizer fragments that language, inflating training cost and
@@ -1433,6 +1492,6 @@ object TextAnalysisQueries {
   val defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount,
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
-    distinctN, distinctNSketch, mediaDecode, wavDecode, fixEncoding,
-    bleu, rougeN, chrf, cer, c4Gopher)
+    distinctN, distinctNSketch, mediaDecode, wavDecode, mediaSniff,
+    fixEncoding, bleu, rougeN, chrf, cer, c4Gopher)
 }

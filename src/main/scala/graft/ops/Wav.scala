@@ -29,8 +29,10 @@ object Wav {
                   samples: Array[Short]): Array[Byte] = {
     require(sampleRate > 0 && channels > 0)
     require(samples.length % channels == 0, "ragged final frame")
+    // PCM16 data chunks are always even-length (2 bytes/sample), so
+    // the spec's odd-chunk pad byte is structurally unreachable here
     val dataLen = samples.length * 2
-    val size = 12 + 8 + 16 + 8 + dataLen + (dataLen & 1)
+    val size = 12 + 8 + 16 + 8 + dataLen
     val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII"))
     buf.putInt(size - 8)
@@ -46,7 +48,6 @@ object Wav {
     buf.put("data".getBytes("US-ASCII"))
     buf.putInt(dataLen)
     samples.foreach(buf.putShort)
-    if ((dataLen & 1) == 1) buf.put(0.toByte) // chunk payloads pad to even
     buf.array()
   }
 
@@ -93,6 +94,13 @@ object Wav {
     }
     require(sawFmt, "missing fmt chunk")
     require(samples != null, "missing data chunk")
+    // re-establish the encoder's invariants (review r10): a channels=0
+    // fmt or a ragged final frame would otherwise flow silently into
+    // consumers that divide by the channel count
+    require(channels > 0, s"bad channel count $channels")
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    require(samples.length % channels == 0,
+      s"ragged PCM data: ${samples.length} samples over $channels channels")
     Parsed(sampleRate, channels, samples)
   }
 }

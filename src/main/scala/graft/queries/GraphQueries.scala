@@ -805,7 +805,14 @@ object GraphQueries {
       // start set from the persisted transition table, not from a
       // second edges() build (every customer appears as a src — the
       // edge list is symmetric, so rebuilding pairs would re-run the
-      // orders⋈lineitem distinct: profiled as 2 extra scan stages)
+      // orders⋈lineitem distinct: profiled as 2 extra scan stages).
+      // src < 100000 is the node-NAMESPACE split, not a heuristic:
+      // the shared edges() encoding maps suppliers to 100000+suppkey,
+      // which is only injective while custkey < 100000 — the same
+      // testdata invariant q_pagerank/q_hits already rely on (at a
+      // scale that broke it, the graph encoding itself would collide
+      // before this filter could diverge from the oracle's
+      // DISTINCT-c-from-pairs form)
       val w0 = trans.filter(col("t") === 1 && col("src") < 100000L)
         .select(col("src").as("cur"))
       val w1 = hop(w0, 1).persist()

@@ -595,10 +595,11 @@ object MlEvalQueries {
             |sc AS (SELECT CAST(sum(n) AS BIGINT) AS s,
             |              CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS c
             |       FROM cm),
-            |marg AS (SELECT CAST(sum(tk * pk) AS BIGINT) AS tp_dot,
-            |                CAST(sum(pk * pk) AS BIGINT) AS p2,
-            |                CAST(sum(tk * tk) AS BIGINT) AS t2
-            |         FROM lbl JOIN ptot USING (label))
+            |marg AS (SELECT
+            |           (SELECT CAST(sum(lbl.tk * coalesce(ptot.pk, 0)) AS BIGINT)
+            |            FROM lbl LEFT JOIN ptot USING (label)) AS tp_dot,
+            |           (SELECT CAST(sum(pk * pk) AS BIGINT) FROM ptot) AS p2,
+            |           (SELECT CAST(sum(tk * tk) AS BIGINT) FROM lbl) AS t2)
             |SELECT s AS n, c AS n_correct,
             |       round(CAST(c AS DOUBLE) / s, 6) AS accuracy,
             |       round(CAST(c * s - tp_dot AS DOUBLE) / (s * s - tp_dot), 6) AS kappa,
@@ -619,10 +620,15 @@ object MlEvalQueries {
       val ptot = cm.groupBy(col("p").as("label")).agg(sum("n").as("pk"))
       val sc = cm.agg(lng(sum("n")).as("s"),
         lng(sum(when(col("t") === col("p"), col("n")).otherwise(0L))).as("c"))
-      val marg = lbl.join(ptot, "label")
-        .agg(lng(sum(col("tk") * col("pk"))).as("tp_dot"),
-          lng(sum(col("pk") * col("pk"))).as("p2"),
-          lng(sum(col("tk") * col("tk"))).as("t2"))
+      // marginal sums computed from EACH side alone (t2 from lbl, p2
+      // from ptot) — an inner join would drop never-predicted classes
+      // from Σt_k² and understate the R_K denominator (review r10);
+      // tp_dot tolerates the left join since a missing side is a 0 term
+      val tpDot = lbl.join(ptot, Seq("label"), "left")
+        .agg(lng(sum(col("tk") * coalesce(col("pk"), lit(0L)))).as("tp_dot"))
+      val marg = tpDot
+        .crossJoin(broadcast(ptot.agg(lng(sum(col("pk") * col("pk"))).as("p2"))))
+        .crossJoin(broadcast(lbl.agg(lng(sum(col("tk") * col("tk"))).as("t2"))))
       sc.crossJoin(broadcast(marg))
         .select(col("s").as("n"), col("c").as("n_correct"),
           round(dbl(col("c")) / col("s"), 6).as("accuracy"),

@@ -455,7 +455,7 @@ object OpsQueries {
            |             FROM idx WHERE i > 12 AND i <= nt - 12),
            |s0 AS (SELECT event_type, hod, sum(det) // count(*) AS s0
            |       FROM interior GROUP BY 1, 2),
-           |ms AS (SELECT event_type, sum(s0) // 24 AS m FROM s0 GROUP BY 1),
+           |ms AS (SELECT event_type, sum(s0) // count(*) AS m FROM s0 GROUP BY 1),
            |seas AS (SELECT s0.event_type, s0.hod, s0.s0 - ms.m AS seasonal
            |         FROM s0 JOIN ms ON s0.event_type = ms.event_type)
            |SELECT i.event_type, CAST(i.h AS BIGINT) AS h,
@@ -493,8 +493,11 @@ object OpsQueries {
         .persist()
       val s0 = interior.groupBy("event_type", "hod")
         .agg(expr("sum(det) DIV count(*)").as("s0"))
+      // center over the hod groups actually PRESENT (= 24 once the
+      // interior spans a full day, but a short-range events table has
+      // fewer — dividing by a literal 24 would mis-center; review r10)
       val ms = s0.groupBy("event_type")
-        .agg(expr("sum(s0) DIV 24").as("m"))
+        .agg(expr("sum(s0) DIV count(*)").as("m"))
       val seas = s0.join(broadcast(ms), "event_type")
         .select(col("event_type"), col("hod"), (col("s0") - col("m")).as("seasonal"))
       interior.join(broadcast(seas), Seq("event_type", "hod"))

@@ -1335,8 +1335,11 @@ object TextAnalysisQueries {
     * ALIGNMENT-sensitive metric (ASR/OCR's standard readout) that
     * n-gram overlap cannot express — transposed spans cost edits even
     * when every gram matches. Uses the shared next-doc-in-source
-    * pairing and the q_text_clean normalization (lowercase, [a-z ]
-    * only, collapsed whitespace), micro-averaged per source.
+    * pairing and a q_text_clean-SHAPED normalization that is
+    * deliberately stricter: lowercase, [a-z ] ONLY (q_text_clean
+    * keeps digits; here every non-letter drops so the alphabet is
+    * exactly the [a-z]+ token alphabet the word evals use), collapsed
+    * whitespace — micro-averaged per source.
     *
     * Determinism: the normalized strings are ASCII by construction,
     * where byte-Levenshtein (DuckDB) and char-Levenshtein (Spark) are
@@ -1354,9 +1357,10 @@ object TextAnalysisQueries {
   private val cer = QueryDef(
     "q_cer",
     "Character error rate over the next-doc-in-source pairing: " +
-      "levenshtein distance between q_text_clean-normalized texts " +
-      "(ASCII-only by construction, so both engines run the identical " +
-      "unit-cost DP), micro-averaged per source as Σedits / Σref-chars.",
+      "levenshtein distance between letters-and-spaces-normalized " +
+      "texts (ASCII-only by construction, so both engines run the " +
+      "identical unit-cost DP), micro-averaged per source as " +
+      "Σedits / Σref-chars.",
     Some("""WITH cl AS (SELECT doc_id, source,
            |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS s
            |       FROM documents),

@@ -75,4 +75,12 @@ class WavSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Wav.decodePcm16(bad2))
     intercept[IllegalArgumentException](Wav.decodePcm16(golden.take(40)))
   }
+
+  test("decoder re-establishes the encoder invariants on corrupt fmt") {
+    val zeroCh = golden.clone(); zeroCh(22) = 0 // channels 1 -> 0
+    intercept[IllegalArgumentException](Wav.decodePcm16(zeroCh))
+    // 2 channels over 3 samples: ragged final frame must be rejected
+    val ragged = golden.clone(); ragged(22) = 2
+    intercept[IllegalArgumentException](Wav.decodePcm16(ragged))
+  }
 }

@@ -132,6 +132,30 @@ object StreamingQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSession,
+  private val streamTopK = QueryDef(
+    "q_stream_topk",
+    "Per-window top-3 events by value batch twin: tumbling 1h windows " +
+      "reduced through the partial-aggregating TopKByScore Aggregator " +
+      "— per open window the streaming state is k buffer rows, never " +
+      "the window's events (a window row_number would buffer them " +
+      "all); (value DESC, event_id ASC) tiebreak; incremental " +
+      "equivalence proven in StreamingSpec.",
+    Some(s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS e_us,
+            |                  event_id, event_type, value FROM events),
+            |r AS (SELECT (e_us // $HourUs) * $HourUs AS ws_us,
+            |             (e_us // $HourUs) * $HourUs + $HourUs AS we_us,
+            |             event_id, event_type, value,
+            |             row_number() OVER (PARTITION BY e_us // $HourUs
+            |                                ORDER BY value DESC, event_id) AS rank
+            |      FROM e)
+            |SELECT ws_us, we_us, CAST(rank AS BIGINT) AS rank,
+            |       event_id, event_type, value
+            |FROM r WHERE rank <= 3 ORDER BY ws_us, rank""".stripMargin),
+    (s, d) => StreamingOps.topKToRows(
+      StreamingOps.windowedTopK(events(s, d)))
+      .orderBy("ws_us", "rank")
+  )
+
+  val defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSession, streamTopK,
     streamDedup, streamJoin)
 }

@@ -59,6 +59,34 @@ object StreamingOps {
   def dedupBounded(events: DataFrame): DataFrame =
     events.dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-window top-k events by value ("top transactions this hour")
+    * — the stateful RANKED readout the plain windowed aggregations
+    * cannot give. Built on the partial-aggregating TopKByScore
+    * Aggregator, which is the property that makes this streamable at
+    * scale: per open window the state store holds k rows (the
+    * aggregation buffer), never the window's events — a window
+    * row_number would need every event buffered. Deterministic
+    * (value DESC, event_id ASC) tiebreak, same as every ranked query
+    * in the inventory. Works identically on batch frames (the graded
+    * batch twin).
+    */
+  def windowedTopK(events: DataFrame, k: Int = 3,
+                   width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"))
+      .agg(graft.functions.TopKByScore.topK(k)(
+        col("event_id"), col("event_type"), col("value")).as("top"))
+
+  /** Project a [[windowedTopK]] result to the deterministic flat shape
+    * the oracle compares (one row per ranked event).
+    */
+  def topKToRows(df: DataFrame): DataFrame =
+    df.select(epochUs(col("w.start")).as("ws_us"),
+        epochUs(col("w.end")).as("we_us"),
+        posexplode(col("top")).as(Seq("i", "c")))
+      .select(col("ws_us"), col("we_us"), lng(col("i") + 1).as("rank"),
+        col("c.cand_id").as("event_id"), col("c.label").as("event_type"),
+        col("c.score").as("value"))
+
   /** Project a windowed result to the deterministic epoch-µs shape the
     * oracle compares (window struct → start/end BIGINT).
     */

@@ -165,4 +165,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream === Set((20L, 10L), (20L, 11L)))
     } finally q.stop()
   }
+
+  test("windowed top-k: bounded-state ranked readout, incremental == batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val evs = Seq(
+      Ev(1, t(5), 1, "click", 5.0), Ev(2, t(10), 1, "view", 9.0),
+      Ev(3, t(20), 2, "click", 9.0), Ev(4, t(30), 2, "view", 1.0))
+    val agg = StreamingOps.windowedTopK(
+      mem.toDF().withWatermark("ts", "10 minutes"), k = 2)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wtopk").start()
+    try {
+      mem.addData(evs: _*)
+      drain(q)
+      mem.addData(Ev(9, t(240), 3, "view", 1.0)) // watermark past hour 10
+      drain(q)
+      val stream = StreamingOps.topKToRows(spark.table("wtopk")
+          .filter(col("w.start").cast("string") === "2024-01-01 10:00:00"))
+        .select("rank", "event_id", "value")
+        .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+      // value tie at 9.0 between ids 2 and 3 → lower id first; k=2
+      // cuts the 5.0 and 1.0 rows
+      assert(stream == List((1L, 2L, 9.0), (2L, 3L, 9.0)))
+      // identical builder on a batch frame must agree row-for-row
+      val batch = StreamingOps.topKToRows(
+          StreamingOps.windowedTopK(evs.toDF(), k = 2))
+        .select("rank", "event_id", "value")
+        .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+      assert(batch == stream)
+    } finally q.stop()
+  }
 }

@@ -303,17 +303,17 @@ object RecsysQueries {
            |r AS (SELECT e.user_id AS u, ti.t, count(*) AS r
            |      FROM events e JOIN ti USING (event_type) GROUP BY 1, 2),
            |pred AS (SELECT u, t, r,
-           |           (SELECT sum(((u * 31 + k * 17) % 7 - 3) * ((t * 13 + k * 5) % 5 - 2))
+           |           (SELECT sum(((u * 31 + k * 17) % 7 - 3) * ((t * 13 + k * 3) % 5 - 2))
            |            FROM unnest(generate_series(0, 3)) AS kk(k)) AS p
            |         FROM r),
            |err AS (SELECT u, t, r, r - p AS e FROM pred),
            |upd AS (SELECT err.u, kk.k,
            |          1000 * ((err.u * 31 + kk.k * 17) % 7 - 3)
-           |            + sum(err.e * ((err.t * 13 + kk.k * 5) % 5 - 2)) AS um
+           |            + sum(err.e * ((err.t * 13 + kk.k * 3) % 5 - 2)) AS um
            |        FROM err, unnest(generate_series(0, 3)) AS kk(k)
            |        GROUP BY err.u, kk.k),
            |pred2 AS (SELECT err.u, err.t, err.r,
-           |            sum(upd.um * ((err.t * 13 + upd.k * 5) % 5 - 2)) AS pm
+           |            sum(upd.um * ((err.t * 13 + upd.k * 3) % 5 - 2)) AS pm
            |          FROM err JOIN upd ON upd.u = err.u
            |          GROUP BY err.u, err.t, err.r),
            |sse AS (SELECT u, sum(e * e) AS sse_before FROM err GROUP BY u),
@@ -345,7 +345,7 @@ object RecsysQueries {
       def uf(u: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
         (u * 31 + k * 17) % 7 - 3
       def vf(t: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
-        (t * 13 + k * 5) % 5 - 2
+        (t * 13 + k * 3) % 5 - 2
       val ks = explode(sequence(lit(0L), lit(3L))).as("k")
       val err = r.select(col("u"), col("t"), col("r"), ks)
         .groupBy("u", "t", "r")
@@ -383,6 +383,86 @@ object RecsysQueries {
     }
   )
 
+  // --------------------------------------------------------------- als solve
+
+  /** One exact ALS half-step — the alternating-least-squares
+    * counterpart to [[mfStep]]'s SGD (the two ways production
+    * recommenders actually train): with item factors held fixed, each
+    * user's optimal rank-2 vector is the ridge normal-equation solve
+    * u* = (VᵤᵀVᵤ + λI)⁻¹ Vᵤᵀ rᵤ over that user's rated items. For
+    * rank 2 the inverse is closed-form (adjugate over determinant), so
+    * the solve stays EXACT RATIONAL: A entries, b entries, det and the
+    * adjugate-product numerators are all exact BIGINTs; the only
+    * division is the final milli-unit readout (truncating integer
+    * division, engine-identical for negative numerators too). λ = 1
+    * keeps A positive definite, so det > 0 always.
+    *
+    * Item factors are the SAME formulas q_mf_step seeds from (k = 0,
+    * 1), which makes the SGD-step/ALS-solve comparison a controlled
+    * one.
+    *
+    * Scale: the canonical distributed-ALS inner loop with the linear
+    * algebra unrolled — ONE map-side-combined ratings groupBy, then
+    * five integer sums per user and a closed-form expression; the
+    * item dimension never materializes as a table (a trained variant
+    * would broadcast it). Nothing beyond the ratings pass touches
+    * data-sized rows.
+    */
+  private val alsSolve = QueryDef(
+    "q_als_solve",
+    "Exact rank-2 ridge ALS user solve over the (user, event_type) " +
+      "count matrix: per-user normal equations with the 2×2 adjugate " +
+      "inverse kept in exact BIGINT rationals (numerators + positive " +
+      "determinant), milli-unit factor readout via truncating " +
+      "division — zero float operations.",
+    Some("""WITH ti AS (SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS t
+           |            FROM (SELECT DISTINCT event_type FROM events)),
+           |r AS (SELECT e.user_id AS u, ti.t, count(*) AS r
+           |      FROM events e JOIN ti USING (event_type) GROUP BY 1, 2),
+           |sums AS (SELECT u,
+           |           1 + sum(((t * 13) % 5 - 2) * ((t * 13) % 5 - 2)) AS a11,
+           |           sum(((t * 13) % 5 - 2) * ((t * 13 + 3) % 5 - 2)) AS a12,
+           |           1 + sum(((t * 13 + 3) % 5 - 2) * ((t * 13 + 3) % 5 - 2)) AS a22,
+           |           sum(r * ((t * 13) % 5 - 2)) AS b0,
+           |           sum(r * ((t * 13 + 3) % 5 - 2)) AS b1
+           |         FROM r GROUP BY u)
+           |SELECT CAST(u AS BIGINT) AS user_id,
+           |       CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det,
+           |       CAST(a22 * b0 - a12 * b1 AS BIGINT) AS u0_num,
+           |       CAST(a11 * b1 - a12 * b0 AS BIGINT) AS u1_num,
+           |       CAST((1000 * (a22 * b0 - a12 * b1)) // (a11 * a22 - a12 * a12) AS BIGINT) AS u0_milli,
+           |       CAST((1000 * (a11 * b1 - a12 * b0)) // (a11 * a22 - a12 * a12) AS BIGINT) AS u1_milli
+           |FROM sums ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d).select("user_id", "event_type")
+      val ti = ev.select("event_type").distinct()
+        .withColumn("t", row_number().over(
+          Window.orderBy("event_type")).cast("long"))
+      val r = ev.join(broadcast(ti), "event_type")
+        .groupBy(col("user_id").as("u"), col("t"))
+        .agg(count(lit(1)).as("r"))
+      // item factor formulas shared with q_mf_step (k = 0 and k = 1)
+      val v0 = (col("t") * 13) % 5 - 2
+      val v1 = (col("t") * 13 + 3) % 5 - 2
+      val sums = r.groupBy("u")
+        .agg(sum(v0 * v0).as("s00"), sum(v0 * v1).as("s01"),
+          sum(v1 * v1).as("s11"),
+          sum(col("r") * v0).as("b0"), sum(col("r") * v1).as("b1"))
+        .select(col("u"), (col("s00") + 1).as("a11"), col("s01").as("a12"),
+          (col("s11") + 1).as("a22"), col("b0"), col("b1"))
+      val det = col("a11") * col("a22") - col("a12") * col("a12")
+      val u0n = col("a22") * col("b0") - col("a12") * col("b1")
+      val u1n = col("a11") * col("b1") - col("a12") * col("b0")
+      sums.select(lng(col("u")).as("user_id"),
+          lng(det).as("det"), lng(u0n).as("u0_num"), lng(u1n).as("u1_num"),
+          expr("CAST((1000 * (a22 * b0 - a12 * b1)) DIV (a11 * a22 - a12 * a12) AS BIGINT)")
+            .as("u0_milli"),
+          expr("CAST((1000 * (a11 * b1 - a12 * b0)) DIV (a11 * a22 - a12 * a12) AS BIGINT)")
+            .as("u1_milli"))
+        .orderBy("user_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(itemRecs, sax, assortativity, sourceTerms,
-    mfStep)
+    mfStep, alsSolve)
 }

@@ -267,6 +267,23 @@ object RecsysQueries {
     }
   )
 
+  /** Event-type index 1..T shared by the factorization pair. The item
+    * dimension is catalog-tiny (a handful of event types), so the
+    * index is ONE bounded driver collect (coreset discipline) instead
+    * of an unpartitioned row_number window — the single-partition-sort
+    * anti-pattern PlanSpec bans repo-wide. Values identical to the
+    * oracle's row_number-over-ORDER BY form.
+    */
+  private def typeIndex(s: org.apache.spark.sql.SparkSession,
+                        ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    ev.select("event_type").distinct().orderBy("event_type")
+      .as[String].collect()
+      .zipWithIndex.map { case (et, i) => (et, (i + 1).toLong) }
+      .toSeq.toDF("event_type", "t")
+  }
+
   // ----------------------------------------------------------------- mf step
 
   /** One matrix-factorization gradient step — the latent-factor model
@@ -336,9 +353,7 @@ object RecsysQueries {
            |ORDER BY user_id""".stripMargin),
     (s, d) => {
       val ev = events(s, d).select("user_id", "event_type")
-      val ti = ev.select("event_type").distinct()
-        .withColumn("t", row_number().over(
-          Window.orderBy("event_type")).cast("long"))
+      val ti = typeIndex(s, ev)
       val r = ev.join(broadcast(ti), "event_type")
         .groupBy(col("user_id").as("u"), col("t"))
         .agg(count(lit(1)).as("r"))
@@ -435,9 +450,7 @@ object RecsysQueries {
            |FROM sums ORDER BY user_id""".stripMargin),
     (s, d) => {
       val ev = events(s, d).select("user_id", "event_type")
-      val ti = ev.select("event_type").distinct()
-        .withColumn("t", row_number().over(
-          Window.orderBy("event_type")).cast("long"))
+      val ti = typeIndex(s, ev)
       val r = ev.join(broadcast(ti), "event_type")
         .groupBy(col("user_id").as("u"), col("t"))
         .agg(count(lit(1)).as("r"))

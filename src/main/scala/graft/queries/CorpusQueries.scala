@@ -536,6 +536,13 @@ object CorpusQueries {
     * the reduced list's elements by an outer list_transform, which IS
     * chunk-safe), the accumulator is a flat list of structs, and every
     * step unconditionally list_appends (freeze via per-field CASE).
+    * r10 addendum (q_hmm_viterbi): a plain STRUCT accumulator is
+    * ALSO unsafe — a parameter-only min-plus lambda over a struct
+    * {a, b} accumulator returned different cost tables across
+    * sessions on identical input; flattening the accumulator to a
+    * BIGINT list (emissions precomputed per element by the outer
+    * transform) restored determinism. The rule stands: list
+    * accumulators only.
     */
   private def uniDuckChain(extraSegLayer: Boolean): String = {
     // acc entries: {'c': best cost, 'l': piece len, 'piece': piece};

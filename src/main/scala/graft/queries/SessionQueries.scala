@@ -207,6 +207,96 @@ object SessionQueries {
     }
   )
 
+  // ------------------------------------------------------------ hmm viterbi
+
+  /** 2-state HMM Viterbi DECODING of each user's event sequence —
+    * the inference half of the sequence-model family (q_markov
+    * ESTIMATES a transition matrix; this decodes the most likely
+    * hidden-state path under one): browse vs buy-intent states with
+    * fixed integer micronat costs (transitions sticky, intent favoring
+    * purchase/cart emissions). Emitted readout is the FORWARD Viterbi
+    * cost table — per user the min path cost ending in each state and
+    * the argmin final state — which needs no backtrack state at all:
+    * the fold carries exactly two BIGINTs per user however long the
+    * sequence.
+    *
+    * Determinism: all costs are planted integer constants; the fold is
+    * min/plus integer arithmetic in event-time order with an
+    * (epoch µs, event_id) total-order tiebreak on the sort, so
+    * partitioning and engine cannot move a bit (the q_holt recurrence
+    * discipline; like holt, the 2-state constant-work-per-step fold is
+    * the simple-fold carve-out where the interpreted HOF is fine —
+    * the r8 HOF trap is about O(L²) reference blowups, not linear
+    * folds).
+    *
+    * Scale: keys (users) scale out, per-key series are bounded by the
+    * time range; one map-side-combined collect per user, then a
+    * per-row linear fold. No window, no shuffle beyond the groupBy.
+    */
+  private val hmmViterbi = QueryDef(
+    "q_hmm_viterbi",
+    "2-state HMM Viterbi forward costs per user event sequence: " +
+      "sticky browse/buy-intent states, planted integer micronat " +
+      "transition + emission costs, min-plus fold in event-time " +
+      "order; per user the cost ending in each state, the best cost " +
+      "and the argmin final state — all exact BIGINTs.",
+    // uniDuckChain hazard, new instance found here: DuckDB 1.0's
+    // list_reduce with a STRUCT accumulator computes nondeterministic
+    // results across sessions even when the lambda references only its
+    // parameters (struct-acc folds were measured returning three
+    // different cost tables for identical input). The rules hold: the
+    // accumulator must be a FLAT LIST, so the emission costs are
+    // precomputed per element by the (chunk-safe) outer list_transform
+    // and the lambda is pure [BIGINT] min-plus arithmetic.
+    Some("""WITH e AS (SELECT user_id, event_type,
+           |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+           |           FROM events),
+           |seqs AS (SELECT user_id,
+           |  list_transform(list_sort(list({'us': us, 'eid': event_id, 'et': event_type})),
+           |    t -> [CASE t.et WHEN 'view' THEN 500 WHEN 'click' THEN 600
+           |                    WHEN 'search' THEN 900 WHEN 'cart' THEN 1800
+           |                    WHEN 'purchase' THEN 2500 ELSE 2000 END,
+           |          CASE t.et WHEN 'purchase' THEN 200 WHEN 'cart' THEN 400
+           |                    WHEN 'search' THEN 1200 WHEN 'click' THEN 1500
+           |                    WHEN 'view' THEN 1600 ELSE 2000 END]) AS em
+           |  FROM e GROUP BY user_id),
+           |dp AS (SELECT user_id, CAST(len(em) AS BIGINT) AS n_events,
+           |         list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)], em),
+           |           (acc, x) -> [least(acc[1] + 100, acc[2] + 900) + x[1],
+           |                        least(acc[1] + 1200, acc[2] + 300) + x[2]]) AS st
+           |       FROM seqs)
+           |SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
+           |       CAST(st[1] AS BIGINT) AS cost_browse,
+           |       CAST(st[2] AS BIGINT) AS cost_intent,
+           |       CAST(least(st[1], st[2]) AS BIGINT) AS best_cost,
+           |       CASE WHEN st[1] <= st[2] THEN 'browse' ELSE 'intent' END AS best_state
+           |FROM dp ORDER BY user_id""".stripMargin),
+    (s, d) => events(s, d)
+      .groupBy("user_id")
+      .agg(expr(
+        """aggregate(
+          |  transform(sort_array(collect_list(struct(unix_micros(ts) AS us, event_id AS eid, event_type AS et))),
+          |            t -> t.et),
+          |  named_struct('a', 0L, 'b', 0L),
+          |  (acc, et) -> named_struct(
+          |    'a', least(acc.a + 100L, acc.b + 900L)
+          |         + CASE et WHEN 'view' THEN 500L WHEN 'click' THEN 600L
+          |                   WHEN 'search' THEN 900L WHEN 'cart' THEN 1800L
+          |                   WHEN 'purchase' THEN 2500L ELSE 2000L END,
+          |    'b', least(acc.a + 1200L, acc.b + 300L)
+          |         + CASE et WHEN 'purchase' THEN 200L WHEN 'cart' THEN 400L
+          |                   WHEN 'search' THEN 1200L WHEN 'click' THEN 1500L
+          |                   WHEN 'view' THEN 1600L ELSE 2000L END))""".stripMargin)
+        .as("st"),
+        lng(count(lit(1))).as("n_events"))
+      .select(lng(col("user_id")).as("user_id"), col("n_events"),
+        lng(col("st.a")).as("cost_browse"), lng(col("st.b")).as("cost_intent"),
+        lng(least(col("st.a"), col("st.b"))).as("best_cost"),
+        when(col("st.a") <= col("st.b"), "browse").otherwise("intent")
+          .as("best_state"))
+      .orderBy("user_id")
+  )
+
   val defs: Seq[QueryDef] = Seq(sessionize, retention, markov, movingAvg,
-    zscore, minmaxNorm)
+    zscore, minmaxNorm, hmmViterbi)
 }

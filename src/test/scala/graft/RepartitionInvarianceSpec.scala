@@ -47,7 +47,9 @@ class RepartitionInvarianceSpec extends AnyFunSuite {
     // r10b: pair-keyed DP repartition pin follows the toggled setting
     "q_cer",
     // r10c: CC fixpoint over blocked candidates; k-exploded integer SGD
-    "q_entity_resolution", "q_mf_step")
+    "q_entity_resolution", "q_mf_step",
+    // r10e: per-user min-plus fold over collected event-time series
+    "q_hmm_viterbi")
 
   for (key <- sensitive)
     test(s"$key: result invariant under shuffle-partition count") {

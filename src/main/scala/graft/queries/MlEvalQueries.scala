@@ -640,6 +640,73 @@ object MlEvalQueries {
     }
   )
 
+  /** Weight-of-evidence / information-value feature screening — the
+    * supervised binning readout (credit-scoring heritage, now the
+    * standard tabular feature screen): does the `value` feature
+    * separate purchase events from the rest, and which bins carry the
+    * signal? Ten equal-width bins over the observed range; per bin
+    * the Laplace-smoothed WoE = ln(((good+1)·(B+10)) / ((bad+1)·
+    * (G+10))) and its IV term (good share − bad share)·WoE. Smoothing
+    * keeps every bin defined (an empty-side bin would hit ln 0), the
+    * standard practice.
+    *
+    * Determinism: bin assignment is one shared IEEE expression over
+    * the exact min/max (clamped to bin 9 at v = max); counts are
+    * exact BIGINTs; the smoothed WoE argument is a ratio of exact
+    * integer products (< 2^53, so the int→double conversions are
+    * exact) with ONE division and ONE ln, rounded once; the IV term
+    * multiplies two round-9 values and rounds once more (the
+    * colloc_lift discipline).
+    *
+    * Scale: one fact aggregation to ≤ 10×2 cells after a broadcast
+    * min/max; everything downstream is bins-sized.
+    */
+  private val infoValue = QueryDef(
+    "q_info_value",
+    "Weight-of-evidence feature screen: 10 equal-width value bins vs " +
+      "the purchase label, per bin the exact counts, Laplace-smoothed " +
+      "WoE and IV term — the supervised binning readout run before " +
+      "shipping a tabular feature.",
+    Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+           |e AS (SELECT least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT)) AS bin,
+           |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+           |      FROM events CROSS JOIN b),
+           |cells AS (SELECT bin, sum(good) AS g, sum(1 - good) AS bad
+           |          FROM e GROUP BY 1),
+           |tot AS (SELECT sum(g) AS gt, sum(bad) AS bt FROM cells)
+           |SELECT CAST(bin AS BIGINT) AS bin,
+           |       CAST(g + bad AS BIGINT) AS n,
+           |       CAST(g AS BIGINT) AS n_good,
+           |       CAST(bad AS BIGINT) AS n_bad,
+           |       round(ln(CAST((g + 1) * (bt + 10) AS DOUBLE)
+           |                / ((bad + 1) * (gt + 10))), 9) AS woe,
+           |       round((CAST(g AS DOUBLE) / gt - CAST(bad AS DOUBLE) / bt)
+           |             * round(ln(CAST((g + 1) * (bt + 10) AS DOUBLE)
+           |                        / ((bad + 1) * (gt + 10))), 9), 9) AS iv_term
+           |FROM cells CROSS JOIN tot ORDER BY bin""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d).select(col("value"), col("event_type"))
+      val b = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      val e = ev.crossJoin(broadcast(b))
+        .select(least(lit(9), floor((col("value") - col("lo"))
+            / (col("hi") - col("lo")) * 10).cast("long")).as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("good"))
+      val cells = e.groupBy("bin")
+        .agg(sum("good").as("g"), sum(lit(1L) - col("good")).as("bad"))
+      val tot = cells.agg(sum("g").as("gt"), sum("bad").as("bt"))
+      val woe = round(log(dbl((col("g") + 1) * (col("bt") + 10))
+        / ((col("bad") + 1) * (col("gt") + 10))), 9)
+      cells.crossJoin(broadcast(tot))
+        .select(lng(col("bin")).as("bin"),
+          lng(col("g") + col("bad")).as("n"),
+          lng(col("g")).as("n_good"), lng(col("bad")).as("n_bad"),
+          woe.as("woe"),
+          round((dbl(col("g")) / col("gt") - dbl(col("bad")) / col("bt"))
+            * woe, 9).as("iv_term"))
+        .orderBy("bin")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
-    silhouette, powerlaw, mutualInfo, ndcg, f1Macro, mccKappa)
+    silhouette, powerlaw, mutualInfo, ndcg, f1Macro, mccKappa, infoValue)
 }

@@ -707,6 +707,119 @@ object MlEvalQueries {
     }
   )
 
+  /** One decision-stump training step — the classic weak learner
+    * (every boosting round trains one): over the nine equal-width
+    * value thresholds, pick the split maximizing information gain on
+    * the purchase label. The train-side sibling of [[infoValue]]
+    * (which reads the bins out; this SELECTS a model from them) and
+    * the tabular entry in the one-training-step family (q_kmeans,
+    * q_mf_step, q_als_solve).
+    *
+    * Determinism: candidate thresholds are exact bin edges from the
+    * broadcast min/max; all split counts are exact BIGINTs; each
+    * entropy is the q_entropy ln-grid discipline (per-side −p·log2 p
+    * rounded to 9 decimals, summed as DECIMAL) and the gain is a
+    * single rounded subtraction chain, so the argmax compares
+    * identical grid values in both engines, ties to the lower
+    * threshold index.
+    *
+    * Scale: ONE map-side-combined fact aggregation to ≤ 10×2 cells;
+    * every candidate split's counts are cumulative sums over that
+    * bins-sized table (the fact is never re-scanned per threshold —
+    * the naive per-threshold pass would read the data 9 times).
+    */
+  private val stump = QueryDef(
+    "q_stump",
+    "Decision-stump training on the purchase label: information gain " +
+      "of each equal-width value threshold computed from cumulative " +
+      "sums over ONE binned fact aggregation, ln-grid entropies, " +
+      "argmax split with lower-threshold tie-break; emits every " +
+      "candidate with its gain and the chosen flag.",
+    Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+           |e AS (SELECT least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT)) AS bin,
+           |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+           |      FROM events CROSS JOIN b),
+           |cells AS (SELECT bin, sum(good) AS g, sum(1 - good) AS bad
+           |          FROM e GROUP BY 1),
+           |cum AS (SELECT bin, sum(g) OVER (ORDER BY bin) AS cg,
+           |               sum(bad) OVER (ORDER BY bin) AS cb
+           |        FROM cells),
+           |tot AS (SELECT sum(g) AS gt, sum(bad) AS bt FROM cells),
+           |cand AS (SELECT cum.bin AS thr, cum.cg AS lg, cum.cb AS lb,
+           |                tot.gt - cum.cg AS rg, tot.bt - cum.cb AS rb,
+           |                tot.gt AS gt, tot.bt AS bt
+           |         FROM cum CROSS JOIN tot WHERE cum.bin < 9),
+           |ent AS (SELECT thr, lg, lb, rg, rb,
+           |          round(CASE WHEN gt = 0 OR bt = 0 THEN 0
+           |            ELSE -(CAST(gt AS DOUBLE)/(gt+bt))*log2(CAST(gt AS DOUBLE)/(gt+bt))
+           |                 -(CAST(bt AS DOUBLE)/(gt+bt))*log2(CAST(bt AS DOUBLE)/(gt+bt)) END, 9) AS hp,
+           |          round(CASE WHEN lg = 0 OR lb = 0 OR lg + lb = 0 THEN 0
+           |            ELSE -(CAST(lg AS DOUBLE)/(lg+lb))*log2(CAST(lg AS DOUBLE)/(lg+lb))
+           |                 -(CAST(lb AS DOUBLE)/(lg+lb))*log2(CAST(lb AS DOUBLE)/(lg+lb)) END, 9) AS hl,
+           |          round(CASE WHEN rg = 0 OR rb = 0 OR rg + rb = 0 THEN 0
+           |            ELSE -(CAST(rg AS DOUBLE)/(rg+rb))*log2(CAST(rg AS DOUBLE)/(rg+rb))
+           |                 -(CAST(rb AS DOUBLE)/(rg+rb))*log2(CAST(rb AS DOUBLE)/(rg+rb)) END, 9) AS hr,
+           |          gt + bt AS n
+           |        FROM cand),
+           |gain AS (SELECT thr, lg, lb, rg, rb,
+           |           round(hp - (CAST(lg+lb AS DOUBLE) * hl + CAST(rg+rb AS DOUBLE) * hr) / n, 9) AS ig
+           |         FROM ent),
+           |best AS (SELECT min(thr) AS bthr FROM gain
+           |         WHERE ig = (SELECT max(ig) FROM gain))
+           |SELECT CAST(thr AS BIGINT) AS thr,
+           |       CAST(lg AS BIGINT) AS left_good, CAST(lb AS BIGINT) AS left_bad,
+           |       CAST(rg AS BIGINT) AS right_good, CAST(rb AS BIGINT) AS right_bad,
+           |       ig, (thr = best.bthr) AS chosen
+           |FROM gain CROSS JOIN best ORDER BY thr""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ev = events(s, d).select(col("value"), col("event_type"))
+      val b = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      val cells = ev.crossJoin(broadcast(b))
+        .select(least(lit(9), floor((col("value") - col("lo"))
+            / (col("hi") - col("lo")) * 10).cast("long")).as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("good"))
+        .groupBy("bin")
+        .agg(sum("good").as("g"), sum(lit(1L) - col("good")).as("bad"))
+        .persist()
+      // cumulative split counts over the ≤10-row binned table; the
+      // single-partition window is bounded by the bin count, same
+      // class as the kcore degree-histogram cumsum — but keep it
+      // partitioned anyway via a constant-free trick: bins ≤ 10 rows
+      // ride ONE broadcastable frame, so compute cumsums driver-free
+      // with a self-join (no Window node — PlanSpec gate)
+      val cum = cells.as("a").join(cells.as("b"), col("b.bin") <= col("a.bin"))
+        .groupBy(col("a.bin").as("thr"))
+        .agg(sum(col("b.g")).as("lg"), sum(col("b.bad")).as("lb"))
+      val tot = cells.agg(sum("g").as("gt"), sum("bad").as("bt"))
+      val cand = cum.crossJoin(broadcast(tot)).filter(col("thr") < 9)
+        .select(col("thr"), col("lg"), col("lb"),
+          (col("gt") - col("lg")).as("rg"), (col("bt") - col("lb")).as("rb"),
+          col("gt"), col("bt"))
+      def h2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
+        val n = x + y
+        round(when(x === 0 || y === 0 || n === 0, 0.0)
+          .otherwise(-(dbl(x) / n) * log2(dbl(x) / n)
+            - (dbl(y) / n) * log2(dbl(y) / n)), 9)
+      }
+      val gain = cand.select(col("thr"), col("lg"), col("lb"), col("rg"), col("rb"),
+          round(h2(col("gt"), col("bt"))
+            - (dbl(col("lg") + col("lb")) * h2(col("lg"), col("lb"))
+              + dbl(col("rg") + col("rb")) * h2(col("rg"), col("rb")))
+              / (col("gt") + col("bt")), 9).as("ig"))
+        .persist()
+      val best = gain.orderBy(col("ig").desc, col("thr")).limit(1)
+        .select(col("thr").as("bthr"))
+      gain.crossJoin(broadcast(best))
+        .select(lng(col("thr")).as("thr"),
+          lng(col("lg")).as("left_good"), lng(col("lb")).as("left_bad"),
+          lng(col("rg")).as("right_good"), lng(col("rb")).as("right_bad"),
+          col("ig"), (col("thr") === col("bthr")).as("chosen"))
+        .orderBy("thr")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
-    silhouette, powerlaw, mutualInfo, ndcg, f1Macro, mccKappa, infoValue)
+    silhouette, powerlaw, mutualInfo, ndcg, f1Macro, mccKappa, infoValue,
+    stump)
 }

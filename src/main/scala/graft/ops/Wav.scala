@@ -69,7 +69,11 @@ object Wav {
     while (off + 8 <= bytes.length && (samples == null || !sawFmt)) {
       val id = fourCC(off)
       val len = buf.getInt(off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk $id")
+      // Long arithmetic: off + 8 + len overflows Int for an adversarial
+      // chunk length near Int.MaxValue, which would pass this require and
+      // crash later with an unrelated exception (ADVICE r10)
+      require(len >= 0 && off.toLong + 8 + len <= bytes.length,
+        s"truncated chunk $id")
       id match {
         case "fmt " =>
           require(len >= 16, "short fmt chunk")

@@ -108,7 +108,15 @@ object GraphQueries {
     val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"),
+      // the 100000+suppkey encoding is only injective while custkey <
+      // 100000 (TPC-H sf >= ~0.7 breaks it). Enforce the invariant in
+      // the data path — a per-row codegen'd branch, so a scale that
+      // breaks the encoding fails loudly instead of producing a
+      // wrong-but-plausible graph (ADVICE r10); every consumer
+      // (pagerank/hits/random_walk/...) shares this guard
+      .select(when(col("o_custkey") < 100000L, col("o_custkey"))
+        .otherwise(raise_error(lit(
+          "graph node namespace collision: o_custkey >= 100000"))).as("c"),
         (col("l_suppkey") + 100000L).as("sup"))
       .distinct()
     pairs.select(col("c").as("src"), col("sup").as("dst"))

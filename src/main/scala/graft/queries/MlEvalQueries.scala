@@ -602,9 +602,9 @@ object MlEvalQueries {
             |           (SELECT CAST(sum(tk * tk) AS BIGINT) FROM lbl) AS t2)
             |SELECT s AS n, c AS n_correct,
             |       round(CAST(c AS DOUBLE) / s, 6) AS accuracy,
-            |       round(CAST(c * s - tp_dot AS DOUBLE) / (s * s - tp_dot), 6) AS kappa,
+            |       round(CAST(c * s - tp_dot AS DOUBLE) / nullif(s * s - tp_dot, 0), 6) AS kappa,
             |       round(CAST(c * s - tp_dot AS DOUBLE)
-            |             / sqrt(CAST(s * s - p2 AS DOUBLE) * CAST(s * s - t2 AS DOUBLE)), 6) AS mcc
+            |             / nullif(sqrt(CAST(s * s - p2 AS DOUBLE) * CAST(s * s - t2 AS DOUBLE)), 0), 6) AS mcc
             |FROM sc CROSS JOIN marg""".stripMargin),
     (s, d) => {
       val dist = centroidDistances(s, d)
@@ -632,11 +632,15 @@ object MlEvalQueries {
       sc.crossJoin(broadcast(marg))
         .select(col("s").as("n"), col("c").as("n_correct"),
           round(dbl(col("c")) / col("s"), 6).as("accuracy"),
+          // nullif on both denominators: single-class collapse makes
+          // s^2 = tp_dot (kappa) or p2/t2 = s^2 (MCC sqrt) exactly 0,
+          // where Spark NULL and DuckDB inf diverge (ADVICE r10); the
+          // guarded form yields NULL identically in both engines
           round(dbl(col("c") * col("s") - col("tp_dot"))
-            / (col("s") * col("s") - col("tp_dot")), 6).as("kappa"),
+            / nullif(col("s") * col("s") - col("tp_dot"), lit(0L)), 6).as("kappa"),
           round(dbl(col("c") * col("s") - col("tp_dot"))
-            / sqrt(dbl(col("s") * col("s") - col("p2"))
-              * dbl(col("s") * col("s") - col("t2"))), 6).as("mcc"))
+            / nullif(sqrt(dbl(col("s") * col("s") - col("p2"))
+              * dbl(col("s") * col("s") - col("t2"))), lit(0.0)), 6).as("mcc"))
     }
   )
 
@@ -668,7 +672,8 @@ object MlEvalQueries {
       "WoE and IV term — the supervised binning readout run before " +
       "shipping a tabular feature.",
     Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
-           |e AS (SELECT least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT)) AS bin,
+           |e AS (SELECT CASE WHEN hi = lo THEN 0
+           |             ELSE least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT)) END AS bin,
            |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
            |      FROM events CROSS JOIN b),
            |cells AS (SELECT bin, sum(good) AS g, sum(1 - good) AS bad
@@ -680,7 +685,7 @@ object MlEvalQueries {
            |       CAST(bad AS BIGINT) AS n_bad,
            |       round(ln(CAST((g + 1) * (bt + 10) AS DOUBLE)
            |                / ((bad + 1) * (gt + 10))), 9) AS woe,
-           |       round((CAST(g AS DOUBLE) / gt - CAST(bad AS DOUBLE) / bt)
+           |       round((CAST(g AS DOUBLE) / nullif(gt, 0) - CAST(bad AS DOUBLE) / nullif(bt, 0))
            |             * round(ln(CAST((g + 1) * (bt + 10) AS DOUBLE)
            |                        / ((bad + 1) * (gt + 10))), 9), 9) AS iv_term
            |FROM cells CROSS JOIN tot ORDER BY bin""".stripMargin),
@@ -688,8 +693,9 @@ object MlEvalQueries {
       val ev = events(s, d).select(col("value"), col("event_type"))
       val b = ev.agg(min("value").as("lo"), max("value").as("hi"))
       val e = ev.crossJoin(broadcast(b))
-        .select(least(lit(9), floor((col("value") - col("lo"))
-            / (col("hi") - col("lo")) * 10).cast("long")).as("bin"),
+        .select(when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit(9), floor((col("value") - col("lo"))
+              / (col("hi") - col("lo")) * 10).cast("long"))).as("bin"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("good"))
       val cells = e.groupBy("bin")
         .agg(sum("good").as("g"), sum(lit(1L) - col("good")).as("bad"))
@@ -701,7 +707,11 @@ object MlEvalQueries {
           lng(col("g") + col("bad")).as("n"),
           lng(col("g")).as("n_good"), lng(col("bad")).as("n_bad"),
           woe.as("woe"),
-          round((dbl(col("g")) / col("gt") - dbl(col("bad")) / col("bt"))
+          // hi==lo -> everything in bin 0, and nullif on the class
+          // totals: a class-empty corpus gives gt/bt = 0 where Spark
+          // NULL and DuckDB inf diverge (ADVICE r10)
+          round((dbl(col("g")) / nullif(col("gt"), lit(0L))
+            - dbl(col("bad")) / nullif(col("bt"), lit(0L)))
             * woe, 9).as("iv_term"))
         .orderBy("bin")
     }
@@ -736,7 +746,8 @@ object MlEvalQueries {
       "argmax split with lower-threshold tie-break; emits every " +
       "candidate with its gain and the chosen flag.",
     Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
-           |e AS (SELECT least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT)) AS bin,
+           |e AS (SELECT CASE WHEN hi = lo THEN 0
+           |             ELSE least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT)) END AS bin,
            |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
            |      FROM events CROSS JOIN b),
            |cells AS (SELECT bin, sum(good) AS g, sum(1 - good) AS bad
@@ -776,8 +787,9 @@ object MlEvalQueries {
       val ev = events(s, d).select(col("value"), col("event_type"))
       val b = ev.agg(min("value").as("lo"), max("value").as("hi"))
       val cells = ev.crossJoin(broadcast(b))
-        .select(least(lit(9), floor((col("value") - col("lo"))
-            / (col("hi") - col("lo")) * 10).cast("long")).as("bin"),
+        .select(when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit(9), floor((col("value") - col("lo"))
+              / (col("hi") - col("lo")) * 10).cast("long"))).as("bin"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("good"))
         .groupBy("bin")
         .agg(sum("good").as("g"), sum(lit(1L) - col("good")).as("bad"))

@@ -1374,7 +1374,7 @@ object TextAnalysisQueries {
            |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
            |       CAST(sum(dist) AS BIGINT) AS edit_chars,
            |       CAST(sum(rl) AS BIGINT) AS ref_chars,
-           |       round(CAST(sum(dist) AS DOUBLE) / sum(rl), 6) AS cer
+           |       round(CAST(sum(dist) AS DOUBLE) / nullif(sum(rl), 0), 6) AS cer
            |FROM pd GROUP BY source ORDER BY source""".stripMargin),
     (s, d) => {
       val cl = documents(s, d).select(col("doc_id"), col("source"),
@@ -1401,7 +1401,9 @@ object TextAnalysisQueries {
         .agg(lng(count(lit(1))).as("n_pairs"),
           lng(sum("dist")).as("edit_chars"),
           lng(sum("rl")).as("ref_chars"),
-          round(dbl(sum("dist")) / sum("rl"), 6).as("cer"))
+          // nullif: all-empty reference texts give ref_chars = 0, where
+          // Spark NULL-on-div-0 and DuckDB inf diverge (ADVICE r10)
+          round(dbl(sum("dist")) / nullif(sum(col("rl")), lit(0)), 6).as("cer"))
         .orderBy("source")
     }
   )

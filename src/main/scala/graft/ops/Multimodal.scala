@@ -269,9 +269,14 @@ object Multimodal {
   def detectFormat(payload: Array[Byte]): String = {
     def at(i: Int, c: Char): Boolean =
       i < payload.length && payload(i) == c.toByte
+    def byteAt(i: Int, v: Int): Boolean =
+      i < payload.length && payload(i) == v.toByte
     if (at(0, 'B') && at(1, 'M')) "image/bmp"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
       at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio/wav"
+    else if (byteAt(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G') &&
+      byteAt(4, 0x0d) && byteAt(5, 0x0a) && byteAt(6, 0x1a) && byteAt(7, 0x0a))
+      "image/png"
     else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"
     else "unknown"
   }

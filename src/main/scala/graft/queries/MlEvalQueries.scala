@@ -831,7 +831,86 @@ object MlEvalQueries {
     }
   )
 
+  /** One logistic-regression gradient step — the linear member of the
+    * one-training-step family (q_stump = tree, q_kmeans = clusters,
+    * q_mf_step/q_als_solve = factors; VERDICT r10 #5): the
+    * quality-classifier shape (fasttext-style) every curation stack
+    * trains over document features. Model p(purchase | value) =
+    * σ(w0 + w1·(value / vmax)); one full-batch step from w = 0 with
+    * η = 1/2.
+    *
+    * Determinism: at w = 0, σ(z) = 1/2 EXACTLY, so the gradient
+    * numerators are exact — Σ(1/2 − y) is a BIGINT affair and
+    * Σ(1/2 − y)·value sums exact DECIMAL(19,3) (±0.5 × a 2-decimal
+    * value; the vmax normalizer factors out of the sum). Each new
+    * weight is then ONE double expression over those exact aggregates,
+    * rounded to the 9-decimal grid. The after-step loss feeds each
+    * row's z through the identical IEEE chain (two products, one
+    * division by the exact vmax), rounds the ln(1+exp(z)) − y·z term
+    * to the 9-grid per row and sums as exact DECIMAL — the ln-grid
+    * discipline, so no float accumulation order exists. Before-step
+    * loss is the closed form ln 2. Guards: nullif(vmax) for an
+    * all-zero feature; n = 0 cannot reach the division (no rows → no
+    * output).
+    *
+    * Scale: two passes over the fact (one 4-aggregate rollup, one
+    * broadcast-weight scoring pass reduced map-side) — no shuffle
+    * wider than a single row; the model is 2 numbers.
+    */
+  private val logregStep = QueryDef(
+    "q_logreg_step",
+    "One full-batch logistic-regression gradient step (eta = 1/2, " +
+      "w = 0 start, max-normalized value feature) on the purchase " +
+      "label: exact-decimal gradient numerators, 9-grid weights, and " +
+      "the mean log-loss before (closed-form ln 2) and after the step " +
+      "via per-row ln-grid terms — loss must not increase.",
+    Some("""WITH s AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           |         sum(CAST(CASE WHEN event_type = 'purchase' THEN -0.5 ELSE 0.5 END AS DECIMAL(2,1))
+           |             * CAST(value AS DECIMAL(18,2))) AS s1,
+           |         CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax
+           |  FROM events),
+           |w AS (SELECT n, np, vmax,
+           |        round(-0.5 * (0.5 - CAST(np AS DOUBLE) / n), 9) AS w0,
+           |        round(-0.5 * (CAST(s1 AS DOUBLE) / n / nullif(vmax, 0)), 9) AS w1
+           |      FROM s),
+           |l AS (SELECT round(ln(1 + exp(w.w0 + w.w1 * (CAST(value AS DOUBLE) / w.vmax)))
+           |               - (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |                 * (w.w0 + w.w1 * (CAST(value AS DOUBLE) / w.vmax)), 9) AS t
+           |      FROM events CROSS JOIN w)
+           |SELECT w.n, w.np, w.w0, w.w1,
+           |       round(ln(2), 9) AS loss_before,
+           |       round(CAST(sum(CAST(t AS DECIMAL(28,9))) AS DOUBLE) / w.n, 6) AS loss_after
+           |FROM l CROSS JOIN w
+           |GROUP BY w.n, w.np, w.w0, w.w1""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d).select(col("value"), col("event_type"))
+      val half = when(col("event_type") === "purchase",
+        lit(BigDecimal("-0.5")).cast("decimal(2,1)"))
+        .otherwise(lit(BigDecimal("0.5")).cast("decimal(2,1)"))
+      val agg = ev.agg(lng(count(lit(1))).as("n"),
+        lng(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))).as("np"),
+        sum(half * money(col("value"))).as("s1"),
+        dbl(max(money(col("value")))).as("vmax"))
+      val w = agg.select(col("n"), col("np"), col("vmax"),
+        round(lit(-0.5) * (lit(0.5) - dbl(col("np")) / col("n")), 9).as("w0"),
+        round(lit(-0.5) * (dbl(col("s1")) / col("n")
+          / nullif(col("vmax"), lit(0.0))), 9).as("w1"))
+      val z = col("w0") + col("w1") * (dbl(col("value")) / col("vmax"))
+      val y = when(col("event_type") === "purchase", 1).otherwise(0)
+      ev.crossJoin(broadcast(w))
+        .select(col("n"), col("np"), col("w0"), col("w1"),
+          round(log(lit(1) + exp(z)) - y * z, 9).as("t"))
+        .groupBy("n", "np", "w0", "w1")
+        .agg(round(dbl(sum(col("t").cast("decimal(28,9)"))) / col("n"), 6)
+          .as("loss_after"))
+        .select(col("n"), col("np"), col("w0"), col("w1"),
+          round(lit(math.log(2)), 9).as("loss_before"), col("loss_after"))
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
     silhouette, powerlaw, mutualInfo, ndcg, f1Macro, mccKappa, infoValue,
-    stump)
+    stump, logregStep)
 }

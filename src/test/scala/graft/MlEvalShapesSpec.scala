@@ -224,4 +224,35 @@ class MlEvalShapesSpec extends AnyFunSuite {
     assert(s2.contains("BroadcastNestedLoopJoin") ||
       s2.contains("BroadcastHashJoin"), s2.take(3000))
   }
+
+  test("q_logreg_step: plain-Scala replay, and the step never raises loss") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0) == "purchase", r.getDouble(1)))
+    val n = evs.length
+    val np = evs.count(_._1)
+    // exact-decimal gradient numerator for the value feature
+    val s1 = evs.map { case (y, v) =>
+      BigDecimal(if (y) "-0.5" else "0.5") *
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val vmax = evs.map(_._2).max
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w0 = r9(-0.5 * (0.5 - np.toDouble / n))
+    val w1 = r9(-0.5 * (s1.toDouble / n / vmax))
+    val lossAfter = {
+      val terms = evs.map { case (y, v) =>
+        val z = w0 + w1 * (v / vmax)
+        BigDecimal(r9(math.log(1 + math.exp(z)) - (if (y) 1 else 0) * z))
+      }.sum
+      BigDecimal(terms.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val row = q("q_logreg_step").collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == np)
+    assert(row.getDouble(2) == w0 && row.getDouble(3) == w1)
+    assert(row.getDouble(5) == lossAfter)
+    // the pinned training-step contract: one eta=1/2 step from w=0
+    // must not increase the mean log-loss
+    assert(row.getDouble(5) <= row.getDouble(4))
+  }
 }

@@ -56,16 +56,44 @@ object AnnQueries {
 
   /** Spark twin of [[ivfQuantizerDuck]]'s `top2`: the 2 nearest coarse
     * centroids per probe, carrying the probe vector —
-    * (probe_id, pe, label).
+    * (probe_id, pe, label). `cent` is the centroid table — computed
+    * in-plan ([[ivfCentroids]]) or read back from a persisted index
+    * (q_ann_persisted), which is exactly the seam a build/probe
+    * lifecycle needs.
     */
-  private def ivfTop2(e: org.apache.spark.sql.DataFrame,
-                      probes: org.apache.spark.sql.DataFrame) = {
+  private def ivfTop2Cent(cent: org.apache.spark.sql.DataFrame,
+                          probes: org.apache.spark.sql.DataFrame) = {
     val wc = Window.partitionBy("probe_id").orderBy(col("d2c"), col("label"))
-    probes.join(broadcast(ivfCentroids(e)))
+    probes.join(broadcast(cent))
       .withColumn("d2c", round(l2sq("pe", "ce"), 6))
       .withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= 2)
       .select("probe_id", "pe", "label")
+  }
+
+  private def ivfTop2(e: org.apache.spark.sql.DataFrame,
+                      probes: org.apache.spark.sql.DataFrame) =
+    ivfTop2Cent(ivfCentroids(e), probes)
+
+  /** The q_ann_ivf search given an arbitrary centroid source: top-2
+    * clusters per probe, exact top-10 within them. Exposed so
+    * AnnPersistSpec can drive the PROBE plan alone against a
+    * persisted index table.
+    */
+  private[graft] def ivfSearch(e: org.apache.spark.sql.DataFrame,
+                               cent: org.apache.spark.sql.DataFrame) = {
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val top2 = ivfTop2Cent(cent, probes)
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
+    e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label"))
+      .join(broadcast(top2), "label")
+      .withColumn("d2", round(l2sq("pe", "ce"), 6))
+      .withColumn("rk", lng(row_number().over(w)))
+      .filter(col("rk") <= 10)
+      .select("probe_id", "rk", "cand_id", "label", "d2")
+      .orderBy("probe_id", "rk")
   }
 
   /** Shared oracle fragment: the exact full-corpus L2 top-10 per probe
@@ -148,18 +176,46 @@ object AnnQueries {
             |FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
     (s, d) => {
       val e = embeddings(s, d)
-      val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      val top2 = ivfTop2(e, probes)
-      val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
-      e.filter(col("vec_id") >= 5)
-        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("label"))
-        .join(broadcast(top2), "label")
-        .withColumn("d2", round(l2sq("pe", "ce"), 6))
-        .withColumn("rk", lng(row_number().over(w)))
-        .filter(col("rk") <= 10)
-        .select("probe_id", "rk", "cand_id", "label", "d2")
-        .orderBy("probe_id", "rk")
+      ivfSearch(e, ivfCentroids(e))
+    }
+  )
+
+  /** Persisted-index build/probe lifecycle (VERDICT r10 #3): every
+    * other ANN key builds and consumes its index inside ONE plan, but
+    * production separates them — an index is built once (a job),
+    * persisted as a table, and probed by later queries that must not
+    * re-run any build stage. This key makes that lifecycle literal:
+    * the BUILD step writes the IVF centroid table as parquet into the
+    * session warehouse (the q_join_bucketed persistence seam, keyed
+    * by sf tag), and the PROBE is [[ivfSearch]] over a FRESH SCAN of
+    * that table — a plan whose only inputs are the corpus and the
+    * index file (AnnPersistSpec pins: no Generate/posexplode build
+    * stages in the probe plan, and the index path appears in its
+    * scan). Results must match q_ann_ivf row-for-row (same oracle),
+    * proving the index survives the plan that built it.
+    *
+    * Scale: the build is the one-pass centroid aggregation; the
+    * probe reads a labels-sized parquet table and broadcasts it —
+    * at 100 TB the build amortizes over every query that probes.
+    */
+  private val annPersisted = QueryDef(
+    "q_ann_persisted",
+    "Build-then-probe ANN index lifecycle: the IVF centroid table is " +
+      "written to a parquet index file by a separate build job, and " +
+      "the probe plan reads it back with a fresh scan (no build " +
+      "stages) — top-2-cluster search identical to q_ann_ivf " +
+      "row-for-row.",
+    annIvf.oracle,
+    (s, d) => {
+      val e = embeddings(s, d)
+      val sfTag = new java.io.File(d).getName.replace('.', '_')
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val idxPath = s"$wh/graft_ivf_cent_$sfTag"
+      // BUILD: its own job, its own plan; overwrite keeps the index
+      // honest if the underlying table changed (labels-sized write)
+      ivfCentroids(e).write.mode("overwrite").parquet(idxPath)
+      // PROBE: only the corpus scan + the persisted index scan
+      ivfSearch(e, s.read.parquet(idxPath))
     }
   )
 
@@ -898,5 +954,5 @@ object AnnQueries {
   )
 
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
-    annPq, pqRecall, annIvfPq, annHnsw, mmrRerank)
+    annPq, pqRecall, annIvfPq, annHnsw, annPersisted, mmrRerank)
 }

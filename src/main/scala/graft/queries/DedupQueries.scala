@@ -66,8 +66,11 @@ object DedupQueries {
     sh.select(col("doc_id"),
       graft.functions.SketchFunctions.minHashSigs(col("sh"), 16).as("sigs"))
 
-  /** 4 bands × 4 rows: band key = band index + joined signature slice. */
-  private val bandsSpark =
+  /** 4 bands × 4 rows: band key = band index + joined signature slice.
+    * private[graft]: graft.streaming.StreamMinhash banding shares it
+    * so the stream and batch band keys cannot drift.
+    */
+  private[graft] val bandsSpark =
     "transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':', array_join(transform(slice(sigs, b * 4 + 1, 4), x -> CAST(x AS STRING)), '-')))"
   private val bandsDuck =
     "list_transform(generate_series(0, 3), b -> CAST(b AS VARCHAR) || ':' || array_to_string(list_slice(sigs, b * 4 + 1, b * 4 + 4), '-'))"
@@ -1269,7 +1272,67 @@ object DedupQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(boilerplate, dedupIncremental, dedupMinhash, dedupNgram, dedupSimhash,
+  /** Streaming near-dup dedup BATCH TWIN — the declared, oracle-checked
+    * face of [[graft.streaming.StreamMinhash]] (VERDICT r10 #2). The
+    * semantic is ONLINE FIRST-WINS dedup over the whole planted stream
+    * in doc_id order: every document is probed against ALL
+    * predecessors through the shared band index, and each duplicate
+    * reports the earliest matching predecessor plus its match count —
+    * the per-arrival drop list a streaming ingestion feeds back.
+    * Because matches are verified symmetric pairs, the drained
+    * streaming pair set equals the batch band-join candidate-verify
+    * pair set EXACTLY (no watermark semantics involved), which is what
+    * lets this batch plan be the oracle-checked twin while
+    * StreamDedupMinhashSpec proves the transformWithState band-index
+    * processor produces the identical drop list incrementally across
+    * MemoryStream batches. Differs from q_dedup_incremental (new batch
+    * vs old corpus only — no new-new pairs) and q_stream_dedup (exact
+    * event_id keys, no similarity).
+    *
+    * Scale: identical to the batch minhash family (band-bounded
+    * candidates); streaming-side state is the banded collision lists,
+    * bounded per key (StreamMinhash.MaxPerBand).
+    */
+  private val streamDedupMinhash = QueryDef(
+    "q_stream_dedup_minhash",
+    "Streaming near-dup dedup batch twin: online first-wins MinHash " +
+      "band-index dedup — every doc probed against all predecessors " +
+      "via the shared 16-perm/4x4-band/Jaccard>=3/5 contract; per " +
+      "duplicate the earliest matching predecessor and match count. " +
+      "The transformWithState band-index processor (band keys as " +
+      "state-store keys, bounded per-key collision lists) is proven " +
+      "equal incrementally in StreamDedupMinhashSpec.",
+    Some(s"""WITH $plantedDuck,
+            |sh AS (SELECT doc_id, ${shinglesDuck(3)} AS sh FROM u),
+            |$sigBandsCandDuck,
+            |verified AS (
+            |  SELECT c.doc_a, c.doc_b,
+            |         CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS n_int,
+            |         CAST(len(sa.sh) + len(sb.sh) AS BIGINT) AS n_tot
+            |  FROM cand c
+            |  JOIN sh sa ON sa.doc_id = c.doc_a
+            |  JOIN sh sb ON sb.doc_id = c.doc_b)
+            |SELECT doc_b AS new_id, CAST(min(doc_a) AS BIGINT) AS match_id,
+            |       CAST(count(*) AS BIGINT) AS n_matches
+            |FROM verified WHERE 5 * n_int >= 3 * (n_tot - n_int)
+            |GROUP BY doc_b ORDER BY new_id""".stripMargin),
+    (s, d) => {
+      val sh = plantedWords(s, d).withColumn("sh", shingleHashes(col("ws"), 3))
+        .select("doc_id", "sh").persist()
+      val out = verifiedStats(sh)
+        .groupBy(col("doc_b").as("new_id"))
+        .agg(lng(min(col("doc_a"))).as("match_id"),
+          lng(count(lit(1))).as("n_matches"))
+        // persist before the orderBy sampling pass re-executes the
+        // band join (orderBy-resampling rule)
+        .persist()
+      out.count()
+      sh.unpersist()
+      out.orderBy("new_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(boilerplate, dedupIncremental, streamDedupMinhash, dedupMinhash, dedupNgram, dedupSimhash,
     dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
     dedupContain, dedupSubstring, minhashEst, dedupSweep, dedupSemantic,
     dedupPhash, entityResolution)

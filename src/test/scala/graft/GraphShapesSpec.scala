@@ -148,4 +148,49 @@ class GraphShapesSpec extends AnyFunSuite {
     // the label partition covers every node exactly once
     assert(got.values.map(_._1).sum == nbrs.size.toLong)
   }
+
+  test("q_kcore equals a plain-Scala peel-to-fixpoint replay (data-derived rounds)") {
+    // rebuild the co-purchase graph driver-side at sf0.001
+    val op = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = op.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val deg0 = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val n = deg0.size
+    val k = deg0.values.toSeq.sorted.apply(((n + 19) / 20) - 1)
+    var surv = deg0.keySet
+    var cur = edges
+    var peelRound = Map.empty[Long, Long]
+    var round = 0L
+    var done = false
+    while (!done) {
+      round += 1
+      val deg = cur.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val peel = surv.filter(v => deg.getOrElse(v, 0L) < k)
+      if (peel.isEmpty) done = true
+      else {
+        peelRound ++= peel.map(_ -> round)
+        surv = surv -- peel
+        cur = cur.filter { case (a, b) => !peel(a) && !peel(b) }
+      }
+    }
+    // the data-derived convergence count at sf0.001 — a regression in
+    // the threshold or the peel logic moves this
+    assert(round - 1 == 3L, s"expected 3 peel rounds, got ${round - 1}")
+    assert(surv.nonEmpty, "p5 core must be non-empty")
+    val coreDeg = cur.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val got = SparkEntry.queries("q_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.size == n)
+    got.foreach { case (id, (pr, d0, cd, kk)) =>
+      assert(kk == k)
+      assert(d0 == deg0(id))
+      assert(pr == peelRound.getOrElse(id, 0L), s"node $id round")
+      assert(cd == (if (pr == 0L) coreDeg.getOrElse(id, 0L) else 0L), s"node $id coredeg")
+    }
+  }
 }

@@ -910,7 +910,150 @@ object MlEvalQueries {
     }
   )
 
+  /** One AdaBoost round — the ENSEMBLE step over the weak learner the
+    * inventory already trains (q_stump): train stump 1 by exact
+    * misclassification count, compute its vote weight
+    * alpha = ½·ln((1−err)/err), reweight every sample by whether
+    * stump 1 got it right (e^∓alpha), and train stump 2 on the
+    * REWEIGHTED distribution — the second boosting iteration's model.
+    * Completes the training-step family vertically: the other keys
+    * each take one step of one model; this one composes two.
+    *
+    * Determinism: stump-1 errors are exact BIGINTs (leaf = unweighted
+    * majority, ties predict the negative class; argmin ties to the
+    * lower threshold); alpha is ONE round-9 double expression over
+    * exact counts; the two sample weights are round-9 exp values; the
+    * reweighted cell masses round to the 6-grid per cell (counts reach
+    * 1e5, so a 9-grid value would exceed double's exact 15-digit
+    * range) and sum as
+    * exact DECIMAL, so stump-2's weighted-error comparisons are exact
+    * decimal compares in both engines — no float accumulation order
+    * anywhere. Guard: a perfect (or perfectly wrong) stump pins
+    * alpha = 0 instead of ±inf.
+    *
+    * Scale: ONE map-side-combined binned fact aggregation (the
+    * q_stump shape); everything downstream is bins-sized frames
+    * threaded through broadcast crossJoins — the boosting round adds
+    * zero passes over the fact.
+    */
+  private val adaboostRound = QueryDef(
+    "q_adaboost_round",
+    "One AdaBoost round over decision stumps on the purchase label: " +
+      "stump 1 by exact misclassification count, vote weight alpha = " +
+      "0.5*ln((1-err)/err), e^(+-alpha) sample reweighting, stump 2 " +
+      "trained on the reweighted 6-grid decimal masses - one row with " +
+      "n, thr1, err1, alpha, thr2, weighted err2.",
+    Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+           |e AS (SELECT CASE WHEN hi = lo THEN 0
+           |             ELSE least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT)) END AS bin,
+           |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+           |      FROM events CROSS JOIN b),
+           |cells AS (SELECT bin, sum(good) AS g, sum(1 - good) AS bad
+           |          FROM e GROUP BY 1),
+           |tot AS (SELECT sum(g) AS gt, sum(bad) AS bt FROM cells),
+           |cum AS (SELECT a.bin AS thr, sum(c.g) AS lg, sum(c.bad) AS lb
+           |        FROM cells a JOIN cells c ON c.bin <= a.bin GROUP BY 1),
+           |cand AS (SELECT thr, lg, lb, gt - lg AS rg, bt - lb AS rb, gt, bt
+           |         FROM cum CROSS JOIN tot WHERE thr < 9),
+           |e1 AS (SELECT *,
+           |         (CASE WHEN lg > lb THEN lb ELSE lg END)
+           |         + (CASE WHEN rg > rb THEN rb ELSE rg END) AS err FROM cand),
+           |best1 AS (SELECT thr AS thr1, err AS err1, lg > lb AS predl,
+           |                 rg > rb AS predr, gt + bt AS n
+           |          FROM e1 ORDER BY err, thr LIMIT 1),
+           |w1 AS (SELECT *,
+           |         CASE WHEN err1 = 0 OR err1 = n THEN 0.0
+           |              ELSE round(0.5 * ln(CAST(n - err1 AS DOUBLE) / err1), 9) END AS alpha
+           |       FROM best1),
+           |w2 AS (SELECT *, round(exp(-alpha), 9) AS w_right,
+           |               round(exp(alpha), 9) AS w_wrong FROM w1),
+           |wcells AS (SELECT c.bin,
+           |    CAST(round(c.g * CASE WHEN (CASE WHEN c.bin <= w2.thr1 THEN w2.predl ELSE w2.predr END)
+           |                          THEN w2.w_right ELSE w2.w_wrong END, 6) AS DECIMAL(28,6)) AS wg,
+           |    CAST(round(c.bad * CASE WHEN NOT (CASE WHEN c.bin <= w2.thr1 THEN w2.predl ELSE w2.predr END)
+           |                           THEN w2.w_right ELSE w2.w_wrong END, 6) AS DECIMAL(28,6)) AS wb
+           |  FROM cells c CROSS JOIN w2),
+           |wcum AS (SELECT a.bin AS thr, sum(c.wg) AS wlg, sum(c.wb) AS wlb
+           |         FROM wcells a JOIN wcells c ON c.bin <= a.bin GROUP BY 1),
+           |wtot AS (SELECT sum(wg) AS wgt, sum(wb) AS wbt FROM wcells),
+           |wcand AS (SELECT thr, wlg, wlb, wgt - wlg AS wrg, wbt - wlb AS wrb
+           |          FROM wcum CROSS JOIN wtot WHERE thr < 9),
+           |e2 AS (SELECT thr,
+           |         (CASE WHEN wlg > wlb THEN wlb ELSE wlg END)
+           |         + (CASE WHEN wrg > wrb THEN wrb ELSE wrg END) AS werr FROM wcand),
+           |best2 AS (SELECT thr AS thr2, werr FROM e2 ORDER BY werr, thr LIMIT 1)
+           |SELECT CAST(w2.n AS BIGINT) AS n, CAST(w2.thr1 AS BIGINT) AS thr1,
+           |       CAST(w2.err1 AS BIGINT) AS err1, w2.alpha,
+           |       CAST(best2.thr2 AS BIGINT) AS thr2,
+           |       CAST(best2.werr AS DOUBLE) AS werr2
+           |FROM w2 CROSS JOIN best2""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d).select(col("value"), col("event_type"))
+      val b = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      val cells = ev.crossJoin(broadcast(b))
+        .select(when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit(9), floor((col("value") - col("lo"))
+              / (col("hi") - col("lo")) * 10).cast("long"))).as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("good"))
+        .groupBy("bin")
+        .agg(sum("good").as("g"), sum(lit(1L) - col("good")).as("bad"))
+        .persist()
+      val tot = cells.agg(sum("g").as("gt"), sum("bad").as("bt"))
+      // bins-sized cumulative counts via bounded self-join (PlanSpec
+      // no-unpartitioned-Window gate; the q_stump trick)
+      val cum = cells.as("a").join(cells.as("c"), col("c.bin") <= col("a.bin"))
+        .groupBy(col("a.bin").as("thr"))
+        .agg(sum(col("c.g")).as("lg"), sum(col("c.bad")).as("lb"))
+      val cand = cum.crossJoin(broadcast(tot)).filter(col("thr") < 9)
+        .select(col("thr"), col("lg"), col("lb"),
+          (col("gt") - col("lg")).as("rg"), (col("bt") - col("lb")).as("rb"),
+          col("gt"), col("bt"))
+        .withColumn("err",
+          when(col("lg") > col("lb"), col("lb")).otherwise(col("lg"))
+            + when(col("rg") > col("rb"), col("rb")).otherwise(col("rg")))
+      val best1 = cand.orderBy(col("err"), col("thr")).limit(1)
+        .select(col("thr").as("thr1"), col("err").as("err1"),
+          (col("lg") > col("lb")).as("predl"), (col("rg") > col("rb")).as("predr"),
+          (col("gt") + col("bt")).as("n"))
+        .withColumn("alpha",
+          when(col("err1") === 0 || col("err1") === col("n"), lit(0.0))
+            .otherwise(round(lit(0.5)
+              * log(dbl(col("n") - col("err1")) / col("err1")), 9)))
+        .withColumn("w_right", round(exp(-col("alpha")), 9))
+        .withColumn("w_wrong", round(exp(col("alpha")), 9))
+      val wcells = cells.crossJoin(broadcast(best1))
+        .withColumn("p", when(col("bin") <= col("thr1"), col("predl"))
+          .otherwise(col("predr")))
+        .select(col("bin"),
+          // 6-decimal mass grid, NOT 9: counts reach 1e5, and a
+          // 9-decimal value at that magnitude needs 15 significant
+          // digits - beyond double's exact grid, so the round->cast
+          // chain re-rounds differently per engine (caught by the
+          // oracle); 6+6 digits sits safely inside the 53-bit mantissa
+          round(col("g") * when(col("p"), col("w_right")).otherwise(col("w_wrong")), 6)
+            .cast("decimal(28,6)").as("wg"),
+          round(col("bad") * when(!col("p"), col("w_right")).otherwise(col("w_wrong")), 6)
+            .cast("decimal(28,6)").as("wb"))
+        .persist()
+      val wtot = wcells.agg(sum("wg").as("wgt"), sum("wb").as("wbt"))
+      val wcum = wcells.as("a").join(wcells.as("c"), col("c.bin") <= col("a.bin"))
+        .groupBy(col("a.bin").as("thr"))
+        .agg(sum(col("c.wg")).as("wlg"), sum(col("c.wb")).as("wlb"))
+      val best2 = wcum.crossJoin(broadcast(wtot)).filter(col("thr") < 9)
+        .select(col("thr"), col("wlg"), col("wlb"),
+          (col("wgt") - col("wlg")).as("wrg"), (col("wbt") - col("wlb")).as("wrb"))
+        .withColumn("werr",
+          when(col("wlg") > col("wlb"), col("wlb")).otherwise(col("wlg"))
+            + when(col("wrg") > col("wrb"), col("wrb")).otherwise(col("wrg")))
+        .orderBy(col("werr"), col("thr")).limit(1)
+        .select(col("thr").as("thr2"), dbl(col("werr")).as("werr2"))
+      best1.select(lng(col("n")).as("n"), lng(col("thr1")).as("thr1"),
+          lng(col("err1")).as("err1"), col("alpha"))
+        .crossJoin(broadcast(best2))
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
     silhouette, powerlaw, mutualInfo, ndcg, f1Macro, mccKappa, infoValue,
-    stump, logregStep)
+    stump, logregStep, adaboostRound)
 }

@@ -772,6 +772,47 @@ object Relational {
     }
   )
 
+  /** Recursive CTE — the SQL-surface capability Spark gained in 4.x
+    * (UnionLoop execution) and the idiomatic way a warehouse walks
+    * hierarchies (org charts, BOMs, category trees) without driver
+    * loops. The hierarchy here is the deterministic binary forest
+    * parent(k) = k DIV 2 over partkeys, walked to the root per part;
+    * readout = per-ancestor-depth part counts. Each recursion step is
+    * ONE co-partitioned projection of the shrinking frontier (rows
+    * leave the loop when their ancestor reaches 1), and the depth is
+    * log2(max partkey) — ~45 iterations even at 100 TB key ranges,
+    * never data-sized. Both engines run textually identical SQL up to
+    * the integer-division spelling (DIV vs //); all outputs are exact
+    * BIGINTs.
+    */
+  private val sqlRecursive = QueryDef(
+    "q_sql_recursive",
+    "Recursive CTE hierarchy walk (WITH RECURSIVE, Spark 4 UnionLoop): " +
+      "every part ascends the deterministic binary forest parent(k) = " +
+      "k DIV 2 to the root; per ancestor depth the part count and " +
+      "min/max key - the org-chart/BOM traversal shape in pure SQL.",
+    Some("""WITH RECURSIVE chain(k, anc, depth) AS (
+           |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+           |  UNION ALL
+           |  SELECT k, anc // 2, depth + 1 FROM chain WHERE anc > 1)
+           |SELECT depth, CAST(count(*) AS BIGINT) AS n_parts,
+           |       CAST(min(k) AS BIGINT) AS min_part,
+           |       CAST(max(k) AS BIGINT) AS max_part
+           |FROM chain GROUP BY depth ORDER BY depth""".stripMargin),
+    (s, d) => {
+      part(s, d).select("p_partkey").createOrReplaceTempView("graft_part_rec")
+      s.sql(
+        """WITH RECURSIVE chain(k, anc, depth) AS (
+          |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM graft_part_rec
+          |  UNION ALL
+          |  SELECT k, anc DIV 2, depth + 1 FROM chain WHERE anc > 1)
+          |SELECT depth, CAST(count(*) AS BIGINT) AS n_parts,
+          |       CAST(min(k) AS BIGINT) AS min_part,
+          |       CAST(max(k) AS BIGINT) AS max_part
+          |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    }
+  )
+
   private val tpchQ1 = QueryDef(
     "q_tpch_q1",
     "TPC-H Q1-shaped pricing summary: one full lineitem pass, exact " +
@@ -1112,7 +1153,7 @@ object Relational {
     aggCount, aggSalted, aggHash, aggDistinct, aggRollup, aggCube, aggCollect,
     aggBoolBit,
     sortLimit, topkGroup, union, intersect, except, exceptAll, intersectAll,
-    sqlLateral,
+    sqlLateral, sqlRecursive,
     tpchQ3, tpchQ5, tpchQ1, tpchQ6, tpchQ10, tpchQ18, tpchQ14, tpchQ19,
     tpchQ22, tpchQ21, tpchQ17)
 }

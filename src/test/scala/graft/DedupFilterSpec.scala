@@ -48,4 +48,33 @@ class DedupFilterSpec extends AnyFunSuite {
     assert(kept < raw,
       s"positional/length filters pruned nothing: $kept vs $raw")
   }
+
+  test("q_dedup_eval: verified = candidates ∩ truth, recall prices the bands") {
+    val row = SparkEntry.queries("q_dedup_eval")(TestSpark.spark, TestSpark.sf)
+      .collect().head
+    val (nTruth, nCand, nVer) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // verification applies the SAME exact threshold as the truth arm,
+    // so the verified set is exactly candidates ∩ truth
+    assert(nVer <= nTruth && nVer <= nCand)
+    assert(nTruth > 0 && nCand > 0)
+    // banding must find most planted pairs but is allowed to miss some
+    // (that miss IS the measurement); perfection would suggest the
+    // truth arm degenerated into the candidate arm
+    assert(row.getDouble(3) > 0.5, s"recall ${row.getDouble(3)}")
+    assert(row.getDouble(4) > 0.5, s"precision ${row.getDouble(4)}")
+    // cross-check n_truth against an independent brute-force count
+    import org.apache.spark.sql.functions.col
+    val sh = DedupQueries.plantedWords(TestSpark.spark, TestSpark.sf)
+      .withColumn("sh", shingleHashes(col("ws"), 3))
+      .select("doc_id", "sh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val ids = sh.keys.toSeq.sorted
+    var brute = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val a = sh(ids(i)); val b = sh(ids(j))
+      val inter = (a & b).size.toLong
+      if (5 * inter >= 3 * (a.size + b.size - inter)) brute += 1
+    }
+    assert(nTruth == brute, s"truth $nTruth vs brute $brute")
+  }
 }

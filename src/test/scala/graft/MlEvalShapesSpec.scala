@@ -255,4 +255,58 @@ class MlEvalShapesSpec extends AnyFunSuite {
     // must not increase the mean log-loss
     assert(row.getDouble(5) <= row.getDouble(4))
   }
+
+  test("q_adaboost_round: plain-Scala replay of both stumps and the reweighting") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0) == "purchase", r.getDouble(1)))
+    val lo = evs.map(_._2).min; val hi = evs.map(_._2).max
+    def bin(v: Double): Int =
+      if (hi == lo) 0 else math.min(9, math.floor((v - lo) / (hi - lo) * 10).toInt)
+    val cells = evs.groupBy(e => bin(e._2)).map { case (b, es) =>
+      b -> (es.count(_._1).toLong, es.count(!_._1).toLong)
+    }
+    def cellAt(b: Int) = cells.getOrElse(b, (0L, 0L))
+    val gt = cells.values.map(_._1).sum; val bt = cells.values.map(_._2).sum
+    val n = gt + bt
+    def stat(thr: Int) = {
+      val (lg, lb) = (0 to thr).map(cellAt).foldLeft((0L, 0L)) {
+        case ((a, b2), (c, d2)) => (a + c, b2 + d2)
+      }
+      (lg, lb, gt - lg, bt - lb)
+    }
+    val errs = (0 to 8).map { t =>
+      val (lg, lb, rg, rb) = stat(t)
+      t -> ((if (lg > lb) lb else lg) + (if (rg > rb) rb else rg))
+    }
+    val (thr1, err1) = errs.minBy { case (t, e) => (e, t) }
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val alpha = if (err1 == 0 || err1 == n) 0.0
+      else r9(0.5 * math.log((n - err1).toDouble / err1))
+    val (wr, ww) = (r9(math.exp(-alpha)), r9(math.exp(alpha)))
+    val (lg1, lb1, rg1, rb1) = stat(thr1)
+    val (predl, predr) = (lg1 > lb1, rg1 > rb1)
+    val wcells = (0 to 9).map { b =>
+      val (g, bad) = cellAt(b)
+      val p = if (b <= thr1) predl else predr
+      b -> (BigDecimal(r6(g * (if (p) wr else ww))),
+        BigDecimal(r6(bad * (if (!p) wr else ww))))
+    }.toMap
+    val wgt = wcells.values.map(_._1).sum; val wbt = wcells.values.map(_._2).sum
+    val werrs = (0 to 8).map { t =>
+      val (wlg, wlb) = (0 to t).map(wcells).foldLeft(
+        (BigDecimal(0), BigDecimal(0))) { case ((a, b2), (c, d2)) => (a + c, b2 + d2) }
+      val (wrg, wrb) = (wgt - wlg, wbt - wlb)
+      t -> ((if (wlg > wlb) wlb else wlg) + (if (wrg > wrb) wrb else wrg))
+    }
+    val (thr2, werr2) = werrs.minBy { case (t, e) => (e, t) }
+    val row = SparkEntry.queries("q_adaboost_round")(spark, sf).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == thr1 && row.getLong(2) == err1)
+    assert(row.getDouble(3) == alpha)
+    assert(row.getLong(4) == thr2)
+    assert(row.getDouble(5) == werr2.toDouble)
+    // boosting sanity: a non-degenerate stump votes with positive weight
+    assert(alpha > 0.0)
+  }
 }

@@ -146,5 +146,105 @@ object LinalgQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pcaPower)
+  /** Shared Cramer 3×3 determinant texts for [[ridgeSolve]] — ONE
+    * string each, spliced into BOTH the Spark selectExpr and the
+    * DuckDB oracle so the IEEE multiply/add tree is lexically
+    * identical in the two engines (A is symmetric: a21=a12, a31=a13,
+    * a32=a23; Det1/2/3 replace column i with b).
+    */
+  private val DetA =
+    "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13))"
+  private val Det1 =
+    "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3))"
+  private val Det2 =
+    "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13))"
+  private val Det3 =
+    "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13))"
+
+  /** Closed-form ridge regression by distributed normal equations —
+    * the EXACT-solve member next to [[pcaPower]]'s iterative one:
+    * y = w0 + w1·quantity + w2·discount over lineitem with λ = 10 on
+    * the full diagonal (intercept included — symmetric formula,
+    * documented trade). The whole regression reduces to ONE
+    * map-side-combined pass building the 3×3 Gram + moment vector as
+    * exact DECIMAL sums (constant state — the canonical "big data,
+    * small model" normal-equations shape), a single-row Cramer solve,
+    * and one broadcast-weights residual pass for train RMSE.
+    *
+    * Determinism: every Gram entry is an exact decimal sum (order
+    * free); the solve is one shared double expression tree per
+    * coefficient ([[DetA]]..[[Det3]] — lexically identical in both
+    * engines), rounded 9; residual squares round to the 2-grid
+    * (~1e10 magnitude — 12 significant digits, inside double's exact
+    * range; the q_adaboost_round magnitude rule) and sum as exact
+    * DECIMAL. Guard: nullif(det, 0) for a degenerate design matrix.
+    *
+    * Scale: two fact passes, no shuffle wider than one row, model =
+    * 3 numbers. 100× data changes nothing but the scan time.
+    */
+  private val ridgeSolve = QueryDef(
+    "q_ridge_solve",
+    "Closed-form ridge regression (lambda = 10) of extendedprice on " +
+      "quantity and discount via distributed normal equations: one " +
+      "exact-decimal Gram pass, a shared-text 3x3 Cramer solve " +
+      "(9-grid coefficients), and a broadcast-weights residual pass " +
+      "for the 6-grid train RMSE.",
+    Some(s"""WITH g AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx1,
+            |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+            |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+            |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+            |         CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+            |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+            |         CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+            |  FROM lineitem),
+            |a AS (SELECT n, CAST(n AS DOUBLE) + 10 AS a11, sx1 AS a12, sx2 AS a13,
+            |             s11 + 10 AS a22, s12 AS a23, s22 + 10 AS a33,
+            |             sy AS b1, s1y AS b2, s2y AS b3 FROM g),
+            |w AS (SELECT n, round($Det1 / nullif($DetA, 0), 9) AS w0,
+            |             round($Det2 / nullif($DetA, 0), 9) AS w1,
+            |             round($Det3 / nullif($DetA, 0), 9) AS w2 FROM a),
+            |r0 AS (SELECT w.n, w.w0, w.w1, w.w2,
+            |              CAST(l_extendedprice AS DOUBLE)
+            |              - (w.w0 + w.w1 * CAST(l_quantity AS DOUBLE)
+            |                 + w.w2 * CAST(l_discount AS DOUBLE)) AS resid
+            |       FROM lineitem CROSS JOIN w)
+            |SELECT n, w0, w1, w2,
+            |       round(sqrt(CAST(sum(CAST(round(resid * resid, 2) AS DECIMAL(28,2))) AS DOUBLE) / n), 6) AS rmse
+            |FROM r0 GROUP BY n, w0, w1, w2""".stripMargin),
+    (s, d) => {
+      val li = lineitem(s, d)
+        .select(money(col("l_quantity")).as("x1"),
+          money(col("l_discount")).as("x2"),
+          money(col("l_extendedprice")).as("y"))
+      val g = li.agg(lng(count(lit(1))).as("n"),
+        dbl(sum(col("x1"))).as("sx1"), dbl(sum(col("x2"))).as("sx2"),
+        dbl(sum(col("x1") * col("x1"))).as("s11"),
+        dbl(sum(col("x1") * col("x2"))).as("s12"),
+        dbl(sum(col("x2") * col("x2"))).as("s22"),
+        dbl(sum(col("y"))).as("sy"),
+        dbl(sum(col("x1") * col("y"))).as("s1y"),
+        dbl(sum(col("x2") * col("y"))).as("s2y"))
+      val a = g.selectExpr("n", "CAST(n AS DOUBLE) + 10 AS a11",
+        "sx1 AS a12", "sx2 AS a13", "s11 + 10 AS a22", "s12 AS a23",
+        "s22 + 10 AS a33", "sy AS b1", "s1y AS b2", "s2y AS b3")
+      val w = a.selectExpr("n",
+        s"round($Det1 / nullif($DetA, 0), 9) AS w0",
+        s"round($Det2 / nullif($DetA, 0), 9) AS w1",
+        s"round($Det3 / nullif($DetA, 0), 9) AS w2")
+      val resid = dbl(col("l_extendedprice")) -
+        (col("w0") + col("w1") * dbl(col("l_quantity"))
+          + col("w2") * dbl(col("l_discount")))
+      lineitem(s, d).select("l_quantity", "l_discount", "l_extendedprice")
+        .crossJoin(broadcast(w))
+        .select(col("n"), col("w0"), col("w1"), col("w2"),
+          round(resid * resid, 2).cast("decimal(28,2)").as("term"))
+        .groupBy("n", "w0", "w1", "w2")
+        .agg(round(sqrt(dbl(sum(col("term"))) / col("n")), 6).as("rmse"))
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(pcaPower, ridgeSolve)
 }

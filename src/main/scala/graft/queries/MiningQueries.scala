@@ -514,6 +514,63 @@ object MiningQueries {
     }
   )
 
+  /** UCB1 bandit arm scoring — the SEQUENTIAL-experimentation
+    * complement to [[abtest]]'s fixed-split z-test: after the logged
+    * horizon, each arm (event type) gets its empirical mean reward
+    * plus the exploration bonus sqrt(2·ln N / n), and the next arm to
+    * pull is the argmax. This is the traffic-allocation readout an
+    * online experimentation stack recomputes per batch.
+    *
+    * Determinism: pulls/wins are exact BIGINTs from one aggregation;
+    * the UCB score is one shared ln/sqrt chain rounded to the 9-grid;
+    * the chosen arm is the sort-limit-1 row (score desc, arm asc)
+    * broadcast back — no unpartitioned window, ties break
+    * lexicographically.
+    *
+    * Scale: one map-side-combined fact aggregation to |arms| rows;
+    * everything downstream is arms-sized with single-row broadcasts.
+    */
+  private val ucb = QueryDef(
+    "q_ucb",
+    "UCB1 bandit scoring of event types (reward = value >= 100): " +
+      "per arm the pulls, wins, mean reward and 9-grid UCB score, " +
+      "with the argmax arm flagged as the next pull.",
+    Some("""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS pulls,
+           |                  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS wins
+           |           FROM events GROUP BY 1),
+           |t AS (SELECT CAST(sum(pulls) AS BIGINT) AS np FROM a),
+           |u AS (SELECT event_type, pulls, wins,
+           |             round(CAST(wins AS DOUBLE) / pulls, 6) AS mean_reward,
+           |             round(CAST(wins AS DOUBLE) / pulls
+           |                   + sqrt(2 * ln(CAST(np AS DOUBLE)) / pulls), 9) AS ucb_score
+           |      FROM a CROSS JOIN t),
+           |best AS (SELECT event_type AS best_arm FROM u
+           |         ORDER BY ucb_score DESC, event_type LIMIT 1)
+           |SELECT event_type, pulls, wins, mean_reward, ucb_score,
+           |       event_type = best_arm AS chosen
+           |FROM u CROSS JOIN best ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val a = events(s, d)
+        .groupBy("event_type")
+        .agg(lng(count(lit(1))).as("pulls"),
+          lng(sum(when(col("value") >= 100, 1L).otherwise(0L))).as("wins"))
+      val t = a.agg(lng(sum(col("pulls"))).as("np"))
+      val u = a.crossJoin(broadcast(t))
+        .select(col("event_type"), col("pulls"), col("wins"),
+          round(dbl(col("wins")) / col("pulls"), 6).as("mean_reward"),
+          round(dbl(col("wins")) / col("pulls")
+            + sqrt(lit(2) * log(dbl(col("np"))) / col("pulls")), 9).as("ucb_score"))
+        .persist()
+      val best = u.orderBy(col("ucb_score").desc, col("event_type")).limit(1)
+        .select(col("event_type").as("best_arm"))
+      u.crossJoin(broadcast(best))
+        .select(col("event_type"), col("pulls"), col("wins"),
+          col("mean_reward"), col("ucb_score"),
+          (col("event_type") === col("best_arm")).as("chosen"))
+        .orderBy("event_type")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(entropy, benford, cohortMatrix, copurchase,
-    xentropy, seasonality, abtest, kmeans, survival, dbscan)
+    xentropy, seasonality, abtest, kmeans, survival, dbscan, ucb)
 }

@@ -1053,7 +1053,151 @@ object MlEvalQueries {
     }
   )
 
+  /** Multinomial naive Bayes over the document corpus — the GENERATIVE
+    * member of the classifier family (q_knn_classify = instance-based,
+    * q_stump = tree, q_logreg_step = linear): Laplace-smoothed
+    * per-language word likelihoods trained on the doc_id%5≠0 split,
+    * test docs (doc_id%5=0) classified by argmax posterior. This is
+    * the classic fasttext-free language/quality filter shape: train
+    * and apply are both pure count aggregations, so the "model" is a
+    * table, not an artifact.
+    *
+    * Determinism: every likelihood is one shared ln chain over exact
+    * BIGINT counts, rounded to the 9-grid and cast DECIMAL(18,9); a
+    * document's score accumulates k·lp as exact decimal products
+    * (k = occurrence count), so the argmax compares exact decimals —
+    * no float accumulation order. Ties break to the lexicographically
+    * first language. Docs whose text has no [a-z]+ token are excluded
+    * by construction in BOTH engines (they never enter the exploded
+    * stream).
+    *
+    * Scale: the corpus is tokenized ONCE (shared persisted explode,
+    * the q_lang_id shape); the model is vocab × languages rows keyed
+    * by 8-byte-hashable words; classification is one vocab-keyed join
+    * + one (doc, lang) aggregation. Priors/totals are language-sized
+    * broadcasts. Nothing ever collects.
+    */
+  private val naiveBayes = QueryDef(
+    "q_naive_bayes",
+    "Multinomial naive-Bayes language classifier: Laplace-smoothed " +
+      "word likelihoods (9-grid decimal ln terms) trained on the " +
+      "doc_id%5<>0 split, test docs classified by exact-decimal " +
+      "argmax posterior - output is the test confusion matrix.",
+    Some("""WITH toks AS (SELECT doc_id, lang,
+           |                     unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS w
+           |              FROM documents),
+           |tr AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+           |cnt AS (SELECT lang AS plang, w, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+           |tot AS (SELECT plang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+           |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cnt),
+           |pr AS (SELECT lang AS plang,
+           |              CAST(round(ln(CAST(count(DISTINCT doc_id) AS DOUBLE)
+           |                / (SELECT count(DISTINCT doc_id) FROM tr)), 9) AS DECIMAL(18,9)) AS prior
+           |       FROM tr GROUP BY 1),
+           |tw AS (SELECT doc_id, min(lang) AS actual_lang, w, CAST(count(*) AS BIGINT) AS k
+           |       FROM toks WHERE doc_id % 5 = 0 GROUP BY doc_id, w),
+           |vocab AS (SELECT DISTINCT w FROM tw),
+           |wl AS (SELECT t.plang, vo.w,
+           |              CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.tot + vv.v)), 9) AS DECIMAL(18,9)) AS lp
+           |       FROM vocab vo CROSS JOIN tot t CROSS JOIN vv
+           |       LEFT JOIN cnt c ON c.plang = t.plang AND c.w = vo.w),
+           |sc AS (SELECT tw.doc_id, min(tw.actual_lang) AS actual_lang, wl.plang,
+           |              sum(CAST(tw.k AS DECIMAL(10,0)) * wl.lp) AS sl
+           |       FROM tw JOIN wl ON tw.w = wl.w GROUP BY tw.doc_id, wl.plang),
+           |fin AS (SELECT sc.doc_id, sc.actual_lang, sc.plang, pr.prior + sc.sl AS score
+           |        FROM sc JOIN pr ON pr.plang = sc.plang),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+           |       FROM fin)
+           |SELECT actual_lang, plang AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val toks = documentsSpread(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).as("w"))
+        .persist()
+      val tr = toks.filter(col("doc_id") % 5 =!= 0)
+      val cnt = tr.groupBy(col("lang").as("plang"), col("w"))
+        .agg(lng(count(lit(1))).as("c"))
+        .persist()
+      val tot = cnt.groupBy("plang").agg(lng(sum(col("c"))).as("tot"))
+      val vv = cnt.agg(lng(countDistinct(col("w"))).as("v"))
+      val prDocs = tr.groupBy(col("lang").as("plang"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val prTot = prDocs.agg(sum(col("nd")).as("ndt"))
+      val pr = prDocs.crossJoin(broadcast(prTot))
+        .select(col("plang"),
+          round(log(dbl(col("nd")) / col("ndt")), 9)
+            .cast(DecimalType(18, 9)).as("prior"))
+      val tw = toks.filter(col("doc_id") % 5 === 0)
+        .groupBy("doc_id", "w")
+        .agg(min(col("lang")).as("actual_lang"), lng(count(lit(1))).as("k"))
+        .persist()
+      val vocab = tw.select("w").distinct()
+      val wl = vocab.crossJoin(broadcast(tot)).crossJoin(broadcast(vv))
+        .join(cnt, Seq("plang", "w"), "left")
+        .select(col("plang"), col("w"),
+          round(log(dbl(coalesce(col("c"), lit(0L)) + 1) / (col("tot") + col("v"))), 9)
+            .cast(DecimalType(18, 9)).as("lp"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
+      tw.join(wl, "w")
+        .groupBy("doc_id", "plang")
+        .agg(min(col("actual_lang")).as("actual_lang"),
+          sum(col("k").cast(DecimalType(10, 0)) * col("lp")).as("sl"))
+        .join(broadcast(pr), "plang")
+        .withColumn("score", col("prior") + col("sl"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("actual_lang"), col("plang").as("pred_lang"))
+        .agg(lng(count(lit(1))).as("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    }
+  )
+
+  /** Smoothed mean target encoding — the feature-engineering step that
+    * turns a high-cardinality categorical into one numeric column
+    * without a width explosion (the alternative, one-hot, is exactly
+    * what breaks at web-scale cardinalities). enc(cat) shrinks the
+    * category mean toward the global mean with pseudo-count m = 20,
+    * so rare categories don't memorize their few labels.
+    *
+    * Determinism: category sums are exact DECIMAL; the encoding is ONE
+    * shared IEEE chain (two divisions, one addition) over exact
+    * aggregates, rounded 6. Scale: one broadcast dim join + one
+    * map-side-combined fact aggregation to |categories| rows; the
+    * global mean is a single-row broadcast.
+    */
+  private val targetEncode = QueryDef(
+    "q_target_encode",
+    "Smoothed mean target encoding of part brand against lineitem " +
+      "revenue (pseudo-count m = 20 shrinkage toward the global " +
+      "mean): per brand the support, raw mean and encoded value.",
+    Some("""WITH f AS (SELECT p.p_brand, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS t
+           |           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+           |g AS (SELECT CAST(count(*) AS BIGINT) AS ng, CAST(sum(t) AS DOUBLE) AS sg FROM f),
+           |c AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS DOUBLE) AS st
+           |      FROM f GROUP BY 1)
+           |SELECT p_brand, n, round(st / n, 6) AS raw_mean,
+           |       round((st + 20 * (sg / ng)) / (n + 20), 6) AS enc
+           |FROM c CROSS JOIN g ORDER BY p_brand""".stripMargin),
+    (s, d) => {
+      val f = lineitem(s, d).select(col("l_partkey"), money(col("l_extendedprice")).as("t"))
+        .join(broadcast(part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("t"))
+        .persist()
+      val g = f.agg(lng(count(lit(1))).as("ng"), dbl(sum(col("t"))).as("sg"))
+      f.groupBy("p_brand")
+        .agg(lng(count(lit(1))).as("n"), dbl(sum(col("t"))).as("st"))
+        .crossJoin(broadcast(g))
+        .select(col("p_brand"), col("n"),
+          round(col("st") / col("n"), 6).as("raw_mean"),
+          round((col("st") + lit(20) * (col("sg") / col("ng"))) / (col("n") + 20), 6)
+            .as("enc"))
+        .orderBy("p_brand")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
     silhouette, powerlaw, mutualInfo, ndcg, f1Macro, mccKappa, infoValue,
-    stump, logregStep, adaboostRound)
+    stump, logregStep, adaboostRound, naiveBayes, targetEncode)
 }

@@ -484,6 +484,87 @@ object StatsScaleQueries {
     }
   )
 
+  /** Population stability index — the production drift monitor run
+    * between every scoring batch and its training reference (the
+    * binned complement of q_ks_test's sup-norm and q_embed_drift's
+    * embedding-space readout): 10 equal-width bins fitted on the
+    * REFERENCE period only (first half of the event range), current
+    * traffic clamped into them, PSI = Σ (p−q)·ln(p/q) over
+    * Laplace-smoothed (+1) bin masses. Smoothing plus the explicit
+    * 0..9 bin spine makes empty bins well-defined instead of
+    * engine-divergent (the ADVICE r10 division-guard discipline);
+    * hi = lo degenerates to bin 0 by the shared CASE guard.
+    *
+    * Determinism: bin edges are one shared IEEE chain over the exact
+    * ref min/max; bin counts are exact BIGINTs; each psi term is one
+    * shared ln chain rounded to the 9-grid; the total sums the
+    * ROUNDED terms as exact decimal, so no float order exists.
+    *
+    * Scale: two fact passes (one min/max rollup, one binning
+    * aggregation, both map-side combined), everything downstream is
+    * 10-row frames with single-row broadcasts — the same shape at any
+    * corpus size.
+    */
+  private val psi = QueryDef(
+    "q_psi",
+    "Population stability index of event value between the reference " +
+      "(Jan 1-15) and current (Jan 16+) periods: 10 equal-width " +
+      "reference-fitted bins, Laplace-smoothed masses, per-bin 9-grid " +
+      "psi terms and the decimal-summed total on every row.",
+    Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events
+           |           WHERE ts < TIMESTAMP '2024-01-16'),
+           |e AS (SELECT CASE WHEN hi = lo THEN 0
+           |             ELSE greatest(0, least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT))) END AS bin,
+           |             ts < TIMESTAMP '2024-01-16' AS is_ref
+           |      FROM events CROSS JOIN b),
+           |cnts AS (SELECT bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rn,
+           |                sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cn
+           |         FROM e GROUP BY 1),
+           |spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+           |j AS (SELECT s.bin, CAST(coalesce(c.rn, 0) AS BIGINT) AS ref_n,
+           |             CAST(coalesce(c.cn, 0) AS BIGINT) AS cur_n
+           |      FROM spine s LEFT JOIN cnts c ON c.bin = s.bin),
+           |t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j),
+           |k AS (SELECT bin, ref_n, cur_n,
+           |        round((CAST(ref_n + 1 AS DOUBLE) / (rt + 10) - CAST(cur_n + 1 AS DOUBLE) / (ct + 10))
+           |              * ln((CAST(ref_n + 1 AS DOUBLE) / (rt + 10)) / (CAST(cur_n + 1 AS DOUBLE) / (ct + 10))), 9) AS psi_term
+           |      FROM j CROSS JOIN t),
+           |tt AS (SELECT CAST(sum(CAST(psi_term AS DECIMAL(18,9))) AS DOUBLE) AS psi_total FROM k)
+           |SELECT bin, ref_n, cur_n, psi_term, psi_total
+           |FROM k CROSS JOIN tt ORDER BY bin""".stripMargin),
+    (s, d) => {
+      val split = lit("2024-01-16").cast("timestamp")
+      val ev = events(s, d).select(col("ts"), col("value"))
+      val b = ev.filter(col("ts") < split)
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      val cnts = ev.crossJoin(broadcast(b))
+        .select(when(col("hi") === col("lo"), lit(0L))
+            .otherwise(greatest(lit(0L), least(lit(9L),
+              floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 10)
+                .cast("long")))).as("bin"),
+          (col("ts") < split).as("is_ref"))
+        .groupBy("bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("rn"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("cn"))
+      val j = s.range(10).select(col("id").as("bin"))
+        .join(cnts, Seq("bin"), "left")
+        .select(col("bin"), lng(coalesce(col("rn"), lit(0L))).as("ref_n"),
+          lng(coalesce(col("cn"), lit(0L))).as("cur_n"))
+        .persist()
+      val t = j.agg(sum("ref_n").as("rt"), sum("cur_n").as("ct"))
+      val p = dbl(col("ref_n") + 1) / (col("rt") + 10)
+      val q = dbl(col("cur_n") + 1) / (col("ct") + 10)
+      val k = j.crossJoin(broadcast(t))
+        .select(col("bin"), col("ref_n"), col("cur_n"),
+          round((p - q) * log(p / q), 9).as("psi_term"))
+        .persist()
+      val tt = k.agg(dbl(sum(col("psi_term").cast(DecimalType(18, 9))))
+        .as("psi_total"))
+      k.crossJoin(broadcast(tt)).orderBy("bin")
+    }
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(dpCount, bootstrapCi, ksTest, calibration, regression, auc, prCurve)
+    Seq(dpCount, bootstrapCi, ksTest, calibration, regression, auc, prCurve,
+      psi)
 }

@@ -250,4 +250,30 @@ class MiningShapesSpec extends AnyFunSuite {
     val s = plan("q_dsir")
     assert(s.contains("TakeOrderedAndProject"), s.take(3000))
   }
+
+  test("q_ucb equals a direct UCB1 computation and picks the argmax arm") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byArm = ev.groupBy(_._1).map { case (a, rows) =>
+      a -> (rows.length.toLong, rows.count(_._2 >= 100).toLong)
+    }
+    val np = ev.length.toDouble
+    val want = byArm.map { case (a, (pulls, wins)) =>
+      a -> (pulls, wins,
+        wins.toDouble / pulls + math.sqrt(2 * math.log(np) / pulls))
+    }
+    val rows = q("q_ucb").collect()
+    val got = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got.keySet == want.keySet)
+    for ((a, (pulls, wins, ucb)) <- want) {
+      assert(got(a)._1 == pulls, s"$a pulls")
+      assert(got(a)._2 == wins, s"$a wins")
+      assert(math.abs(got(a)._3 - ucb) < 1e-9, s"$a ucb")
+    }
+    val bestArm = want.toSeq.minBy { case (a, (_, _, u)) => (-u, a) }._1
+    assert(got(bestArm)._4, "argmax arm not chosen")
+    assert(got.count(_._2._4) == 1, "exactly one chosen arm")
+  }
 }

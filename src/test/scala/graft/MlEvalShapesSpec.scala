@@ -309,4 +309,70 @@ class MlEvalShapesSpec extends AnyFunSuite {
     // boosting sanity: a non-degenerate stump votes with positive weight
     assert(alpha > 0.0)
   }
+
+  private def bd9(x: Double): BigDecimal =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+
+  test("q_naive_bayes equals a plain-Scala multinomial NB replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+    val tr = docs.filter(_._1 % 5 != 0)
+      .map(d => (d._1, d._2, toks(d._3))).filter(_._3.nonEmpty)
+    val te = docs.filter(_._1 % 5 == 0)
+      .map(d => (d._1, d._2, toks(d._3))).filter(_._3.nonEmpty)
+    val cnt = tr.flatMap { case (_, l, ws) => ws.map(w => (l, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = cnt.keys.map(_._2).toSet.size
+    val nTr = tr.length
+    val prior = tr.groupBy(_._2).view
+      .mapValues(ds => bd9(math.log(ds.length.toDouble / nTr))).toMap
+    val langs = tot.keys.toSeq.sorted
+    val want = te.map { case (_, actual, ws) =>
+      val k = ws.groupBy(identity).view.mapValues(_.length).toMap
+      val pred = langs.map { l =>
+        val sl = k.map { case (w, kk) =>
+          bd9(math.log((cnt.getOrElse((l, w), 0L) + 1).toDouble / (tot(l) + v))) * kk
+        }.sum
+        (l, prior(l) + sl)
+      }.minBy { case (l, sc) => (-sc, l) }._1
+      (actual, pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = q("q_naive_bayes").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("q_target_encode equals a direct shrinkage computation") {
+    val brand = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val f = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_extendedprice").collect()
+      .map(r => (brand(r.getLong(0)),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val ng = f.length
+    val gmean = f.map(_._2).sum.toDouble / ng
+    val want = f.groupBy(_._1).map { case (b, rows) =>
+      val n = rows.length
+      val st = rows.map(_._2).sum.toDouble
+      b -> (n.toLong, st / n, (st + 20 * gmean) / (n + 20))
+    }
+    val got = q("q_target_encode").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for ((b, (n, raw, enc)) <- want) {
+      assert(got(b)._1 == n, s"$b support")
+      assert(math.abs(got(b)._2 - raw) < 1e-6, s"$b raw mean")
+      assert(math.abs(got(b)._3 - enc) < 1e-6, s"$b encoding")
+      // shrinkage property: the encoding sits strictly between the raw
+      // category mean and the global mean (or equals both when n >> m)
+      val loB = math.min(raw, gmean) - 1e-9
+      val hiB = math.max(raw, gmean) + 1e-9
+      assert(got(b)._3 >= loB && got(b)._3 <= hiB, s"$b not shrunk")
+    }
+  }
 }

@@ -139,4 +139,37 @@ class StatsScaleShapesSpec extends AnyFunSuite {
     val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
     assert(bad.isEmpty, "global-sort window in KS ECDF")
   }
+
+  test("q_psi equals a direct binned-drift computation") {
+    val split = java.time.Instant.parse("2024-01-16T00:00:00Z")
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getDouble(1)))
+    val ref = ev.filter(_._1.isBefore(split)).map(_._2)
+    val cur = ev.filterNot(_._1.isBefore(split)).map(_._2)
+    val lo = ref.min
+    val hi = ref.max
+    def bin(v: Double): Int =
+      if (hi == lo) 0
+      else math.max(0, math.min(9, math.floor((v - lo) / (hi - lo) * 10).toInt))
+    val rn = Array.fill(10)(0L); ref.foreach(v => rn(bin(v)) += 1)
+    val cn = Array.fill(10)(0L); cur.foreach(v => cn(bin(v)) += 1)
+    val rt = rn.sum; val ct = cn.sum
+    val terms = (0 until 10).map { b =>
+      val p = (rn(b) + 1).toDouble / (rt + 10)
+      val q = (cn(b) + 1).toDouble / (ct + 10)
+      (p - q) * math.log(p / q)
+    }
+    val rows = q("q_psi").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      assert(r.getLong(1) == rn(b), s"bin $b ref count")
+      assert(r.getLong(2) == cn(b), s"bin $b cur count")
+      assert(math.abs(r.getDouble(3) - terms(b)) < 1e-9, s"bin $b term")
+      // (p-q) and ln(p/q) always share sign, so each term is >= 0
+      assert(r.getDouble(3) >= 0.0, s"bin $b negative psi term")
+    }
+    assert(math.abs(rows.head.getDouble(4) - terms.sum) < 1e-6, "psi total")
+  }
 }

@@ -1197,7 +1197,263 @@ object MlEvalQueries {
     }
   )
 
+  /** k-fold cross-validation of the nearest-centroid classifier — the
+    * model-selection harness over the classifier the inventory already
+    * evaluates in-sample (q_centroid_confusion measures training-set
+    * confusion; this measures HELD-OUT accuracy, the number a model
+    * card actually reports). Folds are vec_id % 5.
+    *
+    * The scale trick is leave-fold-out ALGEBRA, not k re-trainings:
+    * per (label, dim) the corpus is aggregated ONCE into total scaled
+    * sums/counts plus per-(fold, label, dim) partials, and fold f's
+    * training centroid is (S_total − S_f)/(n_total − n_f) — k=5
+    * centroid sets from one fact pass (a k-pass design would re-scan
+    * the corpus 5×; this is why CV at 100 TB is feasible at all).
+    *
+    * Determinism: the q_centroid_confusion integer discipline end to
+    * end — 1e10-scaled BIGINT component sums (subtraction stays
+    * exact), centroid means rounded to 1e9 units via floor(x+0.5) on
+    * a < 2^53 double, 1e12-scaled BIGINT distance terms, argmin ties
+    * to lowest label; accuracy is ONE division of exact BIGINTs.
+    * Requires every label in ≥ 2 folds (any real corpus; a label
+    * entirely inside one fold would divide by zero loudly).
+    *
+    * Scale: fold×label×dim centroid grid is tiny and broadcast; each
+    * vector scores K distances against ITS fold's centroid arrays via
+    * one sequential zip_with fold (the shared shape); the argmin
+    * window partitions by vec_id; output is k rows.
+    */
+  private val crossVal = QueryDef(
+    "q_cross_val",
+    "5-fold cross-validation of the nearest-centroid classifier via " +
+      "leave-fold-out algebra (total-minus-fold centroid sums - ONE " +
+      "fact pass, not 5 re-trainings): per fold the held-out test " +
+      "count, correct count and accuracy.",
+    Some(s"""WITH el AS (SELECT vec_id, label, vec_id % 5 AS fold,
+            |                  unnest(generate_series(1, len(embedding))) AS dim,
+            |                  unnest(embedding) AS v
+            |           FROM embeddings),
+            |sc AS (SELECT label, fold, dim,
+            |              sum(CAST(floor(CAST(v AS DOUBLE) * 10000000000 + 0.5) AS BIGINT)) AS s,
+            |              count(*) AS n
+            |       FROM el GROUP BY 1, 2, 3),
+            |tot AS (SELECT label, dim, sum(s) AS st, sum(n) AS nt FROM sc GROUP BY 1, 2),
+            |folds AS (SELECT unnest(generate_series(0, 4)) AS fold),
+            |cent AS (SELECT f.fold, t.label AS clabel, t.dim,
+            |                CAST(floor(CAST(t.st - coalesce(sc.s, 0) AS DOUBLE)
+            |                  / (10.0 * (t.nt - coalesce(sc.n, 0))) + 0.5) AS BIGINT) AS c_e9
+            |         FROM tot t CROSS JOIN folds f
+            |         LEFT JOIN sc ON sc.label = t.label AND sc.dim = t.dim AND sc.fold = f.fold),
+            |dist AS (SELECT el.vec_id, el.fold, el.label AS true_label, cent.clabel,
+            |                sum($DistTermSql) AS d2
+            |         FROM el JOIN cent ON cent.dim = el.dim AND cent.fold = el.fold
+            |         GROUP BY 1, 2, 3, 4),
+            |pred AS (SELECT vec_id, fold, true_label, clabel,
+            |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+            |         FROM dist)
+            |SELECT CAST(fold AS BIGINT) AS fold,
+            |       CAST(count(*) AS BIGINT) AS n_test,
+            |       CAST(sum(CASE WHEN clabel = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+            |       round(CAST(sum(CASE WHEN clabel = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+            |             / count(*), 6) AS accuracy
+            |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val el = embeddings(s, d)
+        .select(col("vec_id"), col("label"), (col("vec_id") % 5).as("fold"),
+          posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .select(col("label"), col("fold"), (col("dim0") + 1).as("dim"), col("v"))
+      val sc = el.groupBy("label", "fold", "dim")
+        .agg(sum(floor(dbl(col("v")) * 10000000000L + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .persist()
+      val tot = sc.groupBy("label", "dim")
+        .agg(sum("s").as("st"), sum("n").as("nt"))
+      val folds = s.range(5).select(col("id").as("fold"))
+      // leave-fold-out centroid: exact BIGINT subtraction, then the
+      // shared floor(x+0.5)-to-1e9-units rounding on a < 2^53 double
+      val cent = tot.crossJoin(broadcast(folds))
+        .join(sc, Seq("label", "dim", "fold"), "left")
+        .select(col("fold"), col("label").as("clabel"), col("dim"),
+          floor(dbl(col("st") - coalesce(col("s"), lit(0L)))
+            / (lit(10.0) * (col("nt") - coalesce(col("n"), lit(0L)))) + 0.5)
+            .cast("long").as("c_e9"))
+      val centArr = cent.groupBy("fold", "clabel")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c_e9)))," +
+          " t -> CAST(t.c_e9 AS DOUBLE) / 1000000000.0)").as("carr"))
+      // spread the CPU-bound distance fold before the broadcast join
+      // (the centroidDistances discipline)
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+      embeddings(s, d)
+        .select(col("vec_id"), col("label").as("true_label"),
+          (col("vec_id") % 5).as("fold"), col("embedding"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .join(broadcast(centArr), "fold")
+        .select(col("vec_id"), col("fold"), col("true_label"), col("clabel"),
+          expr(
+            """aggregate(
+              |  zip_with(embedding, carr,
+              |    (x, y) -> CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1000000000000 + 0.5) AS BIGINT)),
+              |  0L, (acc, e) -> acc + e)""".stripMargin).as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("fold")
+        .agg(lng(count(lit(1))).as("n_test"),
+          lng(sum(when(col("clabel") === col("true_label"), 1L).otherwise(0L)))
+            .as("n_correct"))
+        .select(lng(col("fold")).as("fold"), col("n_test"), col("n_correct"),
+          round(dbl(col("n_correct")) / col("n_test"), 6).as("accuracy"))
+        .orderBy("fold")
+    }
+  )
+
+  /** One gradient-boosting round for REGRESSION — the residual-fitting
+    * complement to [[adaboostRound]] (which boosts a classifier by
+    * reweighting; this boosts a regressor by refitting residuals, the
+    * GBDT/XGBoost step): f₀ = global mean, stump 1 splits quantity
+    * bins to minimize residual SSE, stump 2 refits the NEW residuals
+    * on discount bins, and the staged train RMSE (non-increasing by
+    * construction) is reported per stage with the chosen splits.
+    *
+    * Determinism: residuals stay EXACT decimals end to end — f₀ and
+    * every leaf value are round-6 grid doubles cast back to
+    * DECIMAL(18,6) before subtracting (the adaboost 6-grid
+    * discipline), so r, r² and their sums are exact and
+    * order-independent; each candidate's SSE-reduction score
+    * S_L²/n_L + S_R²/n_R is ONE fixed IEEE chain over exact decimal
+    * sums cast to double (correctly rounded in both engines), rounded
+    * to the 6-grid for the argmax, ties to the lower threshold; RMSE
+    * is sqrt of an exact decimal sum divided once.
+    *
+    * Scale: each stage is ONE map-side-combined fact aggregation to
+    * ≤ 11 bins; split search runs entirely on the bins-sized frame
+    * (cumulative sums via the stump self-join trick — no Window, no
+    * per-threshold re-scan); chosen-split parameters broadcast back
+    * as single rows. Boosting is inherently sequential in stages, so
+    * 3 fact passes (residual 0/1/2) is the floor — each is linear.
+    */
+  private val gbdtRound = QueryDef(
+    "q_gbdt_round",
+    "One gradient-boosting regression round on extendedprice: f0 = " +
+      "global mean, stump 1 on quantity bins (SSE argmin over exact " +
+      "decimal residual sums), stump 2 refit on the new residuals " +
+      "over discount bins; per stage the chosen split, round-6 leaf " +
+      "values and the non-increasing train RMSE.",
+    Some("""WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+           |                  CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS db,
+           |                  CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+           |           FROM lineitem),
+           |m AS (SELECT round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS f0 FROM f),
+           |r1 AS (SELECT least(9, (qty - 1) // 5) AS bin, db,
+           |              CAST(y - CAST(m.f0 AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS r
+           |       FROM f CROSS JOIN m),
+           |c1 AS (SELECT bin, sum(r) AS s, count(*) AS c FROM r1 GROUP BY 1),
+           |t1 AS (SELECT sum(s) AS st, sum(c) AS ct FROM c1),
+           |cum1 AS (SELECT a.bin AS thr, sum(b.s) AS sl, sum(b.c) AS cl
+           |         FROM c1 a JOIN c1 b ON b.bin <= a.bin GROUP BY 1),
+           |g1 AS (SELECT thr, sl, cl, t1.st - sl AS sr, t1.ct - cl AS cr,
+           |              round((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / cl
+           |                  + (CAST(t1.st - sl AS DOUBLE) * CAST(t1.st - sl AS DOUBLE)) / (t1.ct - cl), 6) AS score
+           |       FROM cum1 CROSS JOIN t1 WHERE thr < 9 AND cl > 0 AND t1.ct - cl > 0),
+           |b1 AS (SELECT thr, round(CAST(sl AS DOUBLE) / cl, 6) AS ll,
+           |              round(CAST(sr AS DOUBLE) / cr, 6) AS lr
+           |       FROM g1 WHERE score = (SELECT max(score) FROM g1)
+           |       ORDER BY thr LIMIT 1),
+           |r2 AS (SELECT r1.db,
+           |              CAST(r1.r - CAST(CASE WHEN r1.bin <= b1.thr THEN b1.ll ELSE b1.lr END AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS r
+           |       FROM r1 CROSS JOIN b1),
+           |c2 AS (SELECT db AS bin, sum(r) AS s, count(*) AS c FROM r2 GROUP BY 1),
+           |t2 AS (SELECT sum(s) AS st, sum(c) AS ct FROM c2),
+           |cum2 AS (SELECT a.bin AS thr, sum(b.s) AS sl, sum(b.c) AS cl
+           |         FROM c2 a JOIN c2 b ON b.bin <= a.bin GROUP BY 1),
+           |g2 AS (SELECT thr, sl, cl, t2.st - sl AS sr, t2.ct - cl AS cr,
+           |              round((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / cl
+           |                  + (CAST(t2.st - sl AS DOUBLE) * CAST(t2.st - sl AS DOUBLE)) / (t2.ct - cl), 6) AS score
+           |       FROM cum2 CROSS JOIN t2 WHERE thr < 10 AND cl > 0 AND t2.ct - cl > 0),
+           |b2 AS (SELECT thr, round(CAST(sl AS DOUBLE) / cl, 6) AS ll,
+           |              round(CAST(sr AS DOUBLE) / cr, 6) AS lr
+           |       FROM g2 WHERE score = (SELECT max(score) FROM g2)
+           |       ORDER BY thr LIMIT 1),
+           |r3 AS (SELECT CAST(r2.r - CAST(CASE WHEN r2.db <= b2.thr THEN b2.ll ELSE b2.lr END AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS r
+           |       FROM r2 CROSS JOIN b2),
+           |e0 AS (SELECT round(sqrt(CAST(sum(CAST(r AS DECIMAL(24,6)) * r) AS DOUBLE) / count(*)), 6) AS rmse FROM r1),
+           |e1 AS (SELECT round(sqrt(CAST(sum(CAST(r AS DECIMAL(24,6)) * r) AS DOUBLE) / count(*)), 6) AS rmse FROM r2),
+           |e2 AS (SELECT round(sqrt(CAST(sum(CAST(r AS DECIMAL(24,6)) * r) AS DOUBLE) / count(*)), 6) AS rmse FROM r3)
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS stage, 'const' AS feature, CAST(-1 AS BIGINT) AS thr,
+           |         m.f0 AS leaf_left, m.f0 AS leaf_right, e0.rmse AS rmse
+           |  FROM m CROSS JOIN e0
+           |  UNION ALL
+           |  SELECT 1, 'quantity_bin', CAST(b1.thr AS BIGINT), b1.ll, b1.lr, e1.rmse
+           |  FROM b1 CROSS JOIN e1
+           |  UNION ALL
+           |  SELECT 2, 'discount_pct', CAST(b2.thr AS BIGINT), b2.ll, b2.lr, e2.rmse
+           |  FROM b2 CROSS JOIN e2)
+           |ORDER BY stage""".stripMargin),
+    (s, d) => {
+      val dec6 = DecimalType(18, 6)
+      val dec12 = DecimalType(12, 6)
+      val f = lineitem(s, d).select(
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_discount").cast(DecimalType(4, 2)) * 100).cast("long").as("db"),
+          money(col("l_extendedprice")).as("y"))
+      val m = f.agg(round(dbl(sum(col("y"))) / count(lit(1)), 6).as("f0"))
+      val r1 = f.crossJoin(broadcast(m))
+        .select(least(lit(9L), expr("(qty - 1) div 5")).as("bin"), col("db"),
+          (col("y") - col("f0").cast(dec6)).cast(dec12).as("r"))
+        .persist()
+      // split search over the bins-sized frame: cumsums via the stump
+      // self-join trick, SSE-reduction score on the 6-grid, argmax with
+      // lower-threshold tie-break → ONE broadcastable (thr, ll, lr) row
+      def bestSplit(rf: org.apache.spark.sql.DataFrame, binCol: String,
+          maxBin: Int): org.apache.spark.sql.DataFrame = {
+        val c = rf.groupBy(col(binCol).as("bin"))
+          .agg(sum("r").as("s"), count(lit(1)).as("c")).persist()
+        val t = c.agg(sum("s").as("st"), sum("c").as("ct"))
+        val cum = c.as("a").join(c.as("b"), col("b.bin") <= col("a.bin"))
+          .groupBy(col("a.bin").as("thr"))
+          .agg(sum("b.s").as("sl"), sum("b.c").as("cl"))
+        cum.crossJoin(broadcast(t))
+          .filter(col("thr") < maxBin && col("cl") > 0 &&
+            (col("ct") - col("cl")) > 0)
+          .select(col("thr"), col("sl"), col("cl"),
+            (col("st") - col("sl")).as("sr"), (col("ct") - col("cl")).as("cr"),
+            round((dbl(col("sl")) * dbl(col("sl"))) / col("cl")
+              + (dbl(col("st") - col("sl")) * dbl(col("st") - col("sl")))
+                / (col("ct") - col("cl")), 6).as("score"))
+          .orderBy(col("score").desc, col("thr")).limit(1)
+          .select(col("thr"), round(dbl(col("sl")) / col("cl"), 6).as("ll"),
+            round(dbl(col("sr")) / col("cr"), 6).as("lr"))
+      }
+      def rmse(rf: org.apache.spark.sql.DataFrame) =
+        rf.agg(round(sqrt(dbl(sum(col("r") * col("r"))) / count(lit(1))), 6)
+          .as("rmse"))
+      val b1 = bestSplit(r1, "bin", 9)
+      val r2 = r1.crossJoin(broadcast(b1))
+        .select(col("db"),
+          (col("r") - when(col("bin") <= col("thr"), col("ll"))
+            .otherwise(col("lr")).cast(dec6)).cast(dec12).as("r"))
+        .persist()
+      val b2 = bestSplit(r2, "db", 10)
+      val r3 = r2.crossJoin(broadcast(b2))
+        .select((col("r") - when(col("db") <= col("thr"), col("ll"))
+          .otherwise(col("lr")).cast(dec6)).cast(dec12).as("r"))
+      val s0 = m.crossJoin(rmse(r1))
+        .select(lit(0L).as("stage"), lit("const").as("feature"),
+          lit(-1L).as("thr"), col("f0").as("leaf_left"),
+          col("f0").as("leaf_right"), col("rmse"))
+      val s1 = b1.crossJoin(rmse(r2))
+        .select(lit(1L).as("stage"), lit("quantity_bin").as("feature"),
+          lng(col("thr")).as("thr"), col("ll").as("leaf_left"),
+          col("lr").as("leaf_right"), col("rmse"))
+      val s2 = b2.crossJoin(rmse(r3))
+        .select(lit(2L).as("stage"), lit("discount_pct").as("feature"),
+          lng(col("thr")).as("thr"), col("ll").as("leaf_left"),
+          col("lr").as("leaf_right"), col("rmse"))
+      s0.unionByName(s1).unionByName(s2).orderBy("stage")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(classWeights, knnClassify, centroidConfusion,
     silhouette, powerlaw, mutualInfo, ndcg, f1Macro, mccKappa, infoValue,
-    stump, logregStep, adaboostRound, naiveBayes, targetEncode)
+    stump, logregStep, adaboostRound, naiveBayes, targetEncode, crossVal,
+    gbdtRound)
 }

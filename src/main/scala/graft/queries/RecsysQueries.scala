@@ -476,6 +476,98 @@ object RecsysQueries {
     }
   )
 
+  /** Weighted Slope One (Lemire & Maclachlan, SDM 2005) — the
+    * DEVIATION-based collaborative filter completing the recsys
+    * family: [[itemRecs]] ranks by co-occurrence, [[mfStep]]/
+    * [[alsSolve]] learn factors; Slope One PREDICTS ratings from
+    * per-item-pair average deviations, the classic strong baseline
+    * every CF paper compares against.
+    *
+    * Ratings r(u,i) = total quantity customer u ordered of part i —
+    * exact BIGINTs, so the entire model is INTEGER until one final
+    * division: dev(j,i) is carried as the RATIONAL (Σ(r_j − r_i), n)
+    * and the weighted prediction Σ(sd_ji + r_ui·n_ji) / Σ n_ji
+    * divides exact BIGINTs once, round-6; ranking compares the
+    * 6-grid with item tie-break.
+    *
+    * Scale: per-user baskets are CAPPED at the top-30 items by
+    * (rating, item) — a user-partitioned window that compiles to
+    * WindowGroupLimit — so pair generation is order-local C(30,2)
+    * in-task from collected bounded arrays (the itemRecs discipline;
+    * an uncapped power-user would otherwise explode quadratically).
+    * The deviation table is item-pair-keyed; prediction joins probe
+    * users' ratings against it key-partitioned on the rated item;
+    * the top-3 window partitions by user. Probe set = custkey % 97
+    * = 0 (~1%), applied BEFORE the prediction join.
+    */
+  private val slopeOne = QueryDef(
+    "q_slope_one",
+    "Weighted Slope One recommendations: per-item-pair rating " +
+      "deviations carried as exact integer rationals over top-30 " +
+      "capped per-customer baskets (order-local pair generation), " +
+      "weighted predictions for the 1% probe customers' unrated " +
+      "items via ONE final division, top-3 per customer.",
+    Some("""WITH r AS (SELECT o.o_custkey AS u, l.l_partkey AS i,
+           |                  CAST(sum(l.l_quantity) AS BIGINT) AS rt
+           |           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           |           GROUP BY 1, 2),
+           |rb AS (SELECT u, i, rt FROM (
+           |         SELECT u, i, rt,
+           |                row_number() OVER (PARTITION BY u ORDER BY rt DESC, i) AS rn
+           |         FROM r) WHERE rn <= 30),
+           |dev AS (SELECT a.i AS i, b.i AS j, sum(a.rt - b.rt) AS sd, count(*) AS n
+           |        FROM rb a JOIN rb b ON a.u = b.u AND a.i <> b.i
+           |        GROUP BY 1, 2),
+           |pred AS (SELECT rb.u, d.i AS j,
+           |                sum(d.sd + rb.rt * d.n) AS num, sum(d.n) AS den
+           |         FROM rb JOIN dev d ON d.j = rb.i
+           |         WHERE rb.u % 97 = 0
+           |         GROUP BY 1, 2),
+           |unr AS (SELECT p.u, p.j, p.num, p.den FROM pred p
+           |        LEFT JOIN rb x ON x.u = p.u AND x.i = p.j
+           |        WHERE x.i IS NULL),
+           |fin AS (SELECT u, j, round(CAST(num AS DOUBLE) / den, 6) AS pred FROM unr),
+           |rk AS (SELECT u, j, pred,
+           |              row_number() OVER (PARTITION BY u ORDER BY pred DESC, j) AS rn
+           |       FROM fin)
+           |SELECT u, CAST(rn AS BIGINT) AS rank, j, pred
+           |FROM rk WHERE rn <= 3 ORDER BY u, rank""".stripMargin),
+    (s, d) => {
+      val r = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(lng(sum(col("l_quantity"))).as("rt"))
+      val wTop = Window.partitionBy("u").orderBy(col("rt").desc, col("i"))
+      val rb = r.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 30).drop("rn")
+        .persist()
+      // order-local pair generation from the bounded per-user basket
+      // (the itemRecs discipline — no fact self-join): both directions
+      // in one pass, deviation carried as the exact rational (sd, n)
+      val baskets = rb.groupBy("u")
+        .agg(collect_list(struct(col("i"), col("rt"))).as("ps"))
+      val pairExpr = expr(
+        """flatten(transform(ps, a ->
+          |  transform(filter(ps, b -> b.i != a.i),
+          |            b -> struct(a.i AS i, b.i AS j, a.rt - b.rt AS df))))""".stripMargin)
+      val dev = baskets.select(explode(pairExpr).as("p"))
+        .groupBy(col("p.i").as("di"), col("p.j").as("dj"))
+        .agg(sum(col("p.df")).as("sd"), count(lit(1)).as("n"))
+      val probe = rb.filter(col("u") % 97 === 0)
+      val wRank = Window.partitionBy("u").orderBy(col("pred").desc, col("j"))
+      probe.join(dev, probe("i") === dev("dj"))
+        .groupBy(col("u"), col("di").as("j"))
+        .agg(sum(col("sd") + col("rt") * col("n")).as("num"), sum(col("n")).as("den"))
+        .join(rb.select(col("u"), col("i").as("j")), Seq("u", "j"), "left_anti")
+        .select(col("u"), col("j"), round(dbl(col("num")) / col("den"), 6).as("pred"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 3)
+        .select(col("u"), lng(col("rn")).as("rank"), col("j"), col("pred"))
+        .orderBy("u", "rank")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(itemRecs, sax, assortativity, sourceTerms,
-    mfStep, alsSolve)
+    mfStep, alsSolve, slopeOne)
 }

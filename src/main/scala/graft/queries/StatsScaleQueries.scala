@@ -564,7 +564,85 @@ object StatsScaleQueries {
     }
   )
 
+  /** Split-conformal prediction intervals (Vovk; Lei et al., JASA
+    * 2018) — the DISTRIBUTION-FREE uncertainty wrapper modern ML
+    * serving puts around any point model, completing the
+    * uncertainty family (q_bootstrap_ci = resampling CI on a MEAN,
+    * q_calibration = probability reliability; this bounds PER-ROW
+    * prediction error with finite-sample coverage). Three-way split
+    * by user_id % 4: {0,1} train, {2} calibration, {3} test. Model =
+    * per-type train mean (round-6 grid); nonconformity = |y − μ̂|;
+    * q̂ = the 0.9 interpolated quantile of calibration scores; the
+    * readout is test coverage of the interval μ̂ ± q̂, which the
+    * conformal guarantee pins near 90%.
+    *
+    * Determinism: μ̂ is one division of an exact decimal sum, round-6,
+    * cast back to DECIMAL(18,6) so every score y − μ̂ is EXACT decimal
+    * (the gbdt residual discipline); the quantile interpolates doubles
+    * under the percentile ⇔ quantile_cont parity (q_quantiles
+    * precedent), round-6; coverage compares exact decimal scores
+    * against the 6-grid q̂ cast to decimal — no float accumulation
+    * anywhere.
+    *
+    * Scale: two fact aggregations (train means; per-type calibration
+    * quantile — partitioned by type, the q_quantiles shape) + one
+    * covered count over the test split with both tiny frames
+    * broadcast. Output = one row per event type.
+    */
+  private val conformal = QueryDef(
+    "q_conformal",
+    "Split-conformal 90% prediction interval per event type: " +
+      "per-type train-split mean (6-grid), absolute-residual " +
+      "nonconformity scores exact in decimal, calibration-split 0.9 " +
+      "interpolated quantile as the interval half-width, and the " +
+      "test-split coverage the conformal guarantee pins near 0.9.",
+    Some("""WITH f AS (SELECT event_type, user_id % 4 AS sp,
+           |                  CAST(value AS DECIMAL(18,2)) AS y
+           |           FROM events),
+           |m AS (SELECT event_type,
+           |             CAST(round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS mu
+           |      FROM f WHERE sp <= 1 GROUP BY 1),
+           |sc AS (SELECT f.event_type, f.sp, abs(f.y - m.mu) AS s
+           |       FROM f JOIN m ON m.event_type = f.event_type WHERE f.sp >= 2),
+           |q AS (SELECT event_type, count(*) AS n_cal,
+           |             round(quantile_cont(CAST(s AS DOUBLE), 0.9), 6) AS q_hat
+           |      FROM sc WHERE sp = 2 GROUP BY 1)
+           |SELECT sc.event_type, CAST(q.n_cal AS BIGINT) AS n_cal, q.q_hat,
+           |       CAST(count(*) AS BIGINT) AS n_test,
+           |       CAST(sum(CASE WHEN sc.s <= CAST(q.q_hat AS DECIMAL(18,6))
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           |       round(CAST(sum(CASE WHEN sc.s <= CAST(q.q_hat AS DECIMAL(18,6))
+           |                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+           |FROM sc JOIN q ON q.event_type = sc.event_type
+           |WHERE sc.sp = 3
+           |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val dec6 = DecimalType(18, 6)
+      val f = events(s, d)
+        .select(col("event_type"), (col("user_id") % 4).as("sp"),
+          money(col("value")).as("y"))
+      val m = f.filter(col("sp") <= 1).groupBy("event_type")
+        .agg(round(dbl(sum(col("y"))) / count(lit(1)), 6).cast(dec6).as("mu"))
+      val sc = f.filter(col("sp") >= 2)
+        .join(broadcast(m), "event_type")
+        .select(col("event_type"), col("sp"), abs(col("y") - col("mu")).as("s"))
+        .persist()
+      val q = sc.filter(col("sp") === 2).groupBy("event_type")
+        .agg(count(lit(1)).as("n_cal"),
+          round(expr("percentile(CAST(s AS DOUBLE), 0.9)"), 6).as("q_hat"))
+      val covered = when(col("s") <= col("q_hat").cast(dec6), 1L).otherwise(0L)
+      sc.filter(col("sp") === 3)
+        .join(broadcast(q), "event_type")
+        .groupBy(col("event_type"), lng(col("n_cal")).as("n_cal"), col("q_hat"))
+        .agg(lng(count(lit(1))).as("n_test"), lng(sum(covered)).as("n_covered"))
+        .select(col("event_type"), col("n_cal"), col("q_hat"), col("n_test"),
+          col("n_covered"),
+          round(dbl(col("n_covered")) / col("n_test"), 6).as("coverage"))
+        .orderBy("event_type")
+    }
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dpCount, bootstrapCi, ksTest, calibration, regression, auc, prCurve,
-      psi)
+      psi, conformal)
 }

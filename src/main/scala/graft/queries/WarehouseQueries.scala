@@ -625,7 +625,85 @@ object WarehouseQueries {
     }
   )
 
+  /** t-closeness audit — the third rung of the release-gate ladder
+    * ([[kAnon]] bounds group SIZE, [[lDiversity]] bounds sensitive
+    * VARIETY, this bounds sensitive DISTRIBUTION SKEW): a group can be
+    * large and diverse yet still leak if its sensitive distribution
+    * differs sharply from the corpus's (Li et al., ICDE 2007). For the
+    * categorical sensitive attribute the distance is total variation
+    * ½·Σ|p_i − q_i| (EMD under the uniform ground metric), per
+    * quasi-identifier group against the global distribution.
+    *
+    * Determinism: p_i = c_i/n and q_i = C_i/N are single divisions of
+    * exact BIGINTs; each |p−q| term rounds to the 9-grid and sums as
+    * exact DECIMAL (the l_diversity entropy discipline — a raw double
+    * Σ over segments would be order-dependent), final ×0.5 and
+    * round-6; the at_risk flag compares the ROUNDED tvd so both
+    * engines flag identically.
+    *
+    * Scale: the same two-level shape as l_diversity — one fact
+    * aggregation to ≤ QI×senses cells, then a senses-sized grid
+    * (groups × segments, zero-filled so a segment MISSING from a
+    * group still contributes |0 − q_i|) built from broadcast-tiny
+    * frames. Nothing row-level survives the first groupBy.
+    */
+  private val tCloseness = QueryDef(
+    "q_t_closeness",
+    "t-closeness audit over the (nationkey, acctbal-bucket) " +
+      "quasi-identifier: per group the size and the total-variation " +
+      "distance between its mktsegment distribution and the global " +
+      "one (zero-filled grid, 9-grid terms summed exactly), with the " +
+      "at-risk flag for tvd > 0.2 - the release gate run after " +
+      "q_k_anon and q_l_diversity.",
+    Some("""WITH cells AS (
+           |  SELECT c_nationkey,
+           |         CASE WHEN c_acctbal < 0 THEN 'neg'
+           |              WHEN c_acctbal < 5000 THEN 'mid'
+           |              ELSE 'high' END AS bal_bucket,
+           |         c_mktsegment, count(*) AS c
+           |  FROM customer GROUP BY 1, 2, 3),
+           |grp AS (SELECT c_nationkey, bal_bucket, sum(c) AS n FROM cells GROUP BY 1, 2),
+           |gl AS (SELECT c_mktsegment, sum(c) AS cg FROM cells GROUP BY 1),
+           |nn AS (SELECT sum(c) AS nt FROM cells),
+           |grid AS (SELECT g.c_nationkey, g.bal_bucket, g.n, s.c_mktsegment, s.cg,
+           |                coalesce(cells.c, 0) AS c
+           |         FROM grp g CROSS JOIN gl s
+           |         LEFT JOIN cells ON cells.c_nationkey = g.c_nationkey
+           |           AND cells.bal_bucket = g.bal_bucket
+           |           AND cells.c_mktsegment = s.c_mktsegment),
+           |tv AS (SELECT c_nationkey, bal_bucket, n,
+           |              round(0.5 * CAST(sum(CAST(round(abs(CAST(c AS DOUBLE) / n
+           |                - CAST(cg AS DOUBLE) / nn.nt), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS tvd
+           |       FROM grid CROSS JOIN nn GROUP BY 1, 2, 3)
+           |SELECT c_nationkey, bal_bucket, CAST(n AS BIGINT) AS n, tvd,
+           |       (tvd > 0.2) AS at_risk
+           |FROM tv ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val bucket = when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "mid").otherwise("high")
+      val cells = customer(s, d)
+        .groupBy(col("c_nationkey"), bucket.as("bal_bucket"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("c"))
+        .persist()
+      val grp = cells.groupBy("c_nationkey", "bal_bucket").agg(sum("c").as("n"))
+      val glob = cells.groupBy("c_mktsegment").agg(sum("c").as("cg"))
+      val nn = cells.agg(sum("c").as("nt"))
+      val term = round(abs(dbl(col("c")) / col("n") - dbl(col("cg")) / col("nt")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+      grp.crossJoin(broadcast(glob))
+        .join(cells, Seq("c_nationkey", "bal_bucket", "c_mktsegment"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .crossJoin(broadcast(nn))
+        .groupBy(col("c_nationkey"), col("bal_bucket"), col("n"))
+        .agg(round(lit(0.5) * dbl(sum(term)), 6).as("tvd"))
+        .select(col("c_nationkey"), col("bal_bucket"), lng(col("n")).as("n"),
+          col("tvd"), (col("tvd") > 0.2).as("at_risk"))
+        .orderBy("c_nationkey", "bal_bucket")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scd2, dataMix, joinSalted, quantileBucket,
     unpivot, kAnon, lDiversity, sampleWeighted, incrAgg, cdcApply, joinInterval,
-    popRevenue, paretoShare, joinBucketed, mixTemperature, joinSkewAqe)
+    popRevenue, paretoShare, joinBucketed, mixTemperature, joinSkewAqe,
+    tCloseness)
 }

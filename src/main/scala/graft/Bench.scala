@@ -92,7 +92,13 @@ object Bench {
       results.get(k).map(sec =>
         s""""$k":{"sec":$sec,"recorded":$rec,"ratio":${sec / rec}}""")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // targeted runs: the controls ride along for drift interpretation
+    // but must NOT inflate the headline total, or totals become
+    // incomparable across runs with different arg sets (ADVICE r11)
+    val counted =
+      if (args.nonEmpty) results.view.filterKeys(args.contains).toMap
+      else results
+    val total = if (counted.nonEmpty) counted.values.sum else 0.0
     // "queries" FIRST, "metric"/"value" LAST: the driver keeps only the
     // tail of stdout, and with 140+ queries the line exceeds that buffer —
     // the headline total must sit at the end of the line to survive.
@@ -104,7 +110,13 @@ object Bench {
     // arrived with a truncated tail, so the judge's per-query audit ran
     // on a 69-key sample) — every run writes the full line to a file
     // the stdout buffer cannot clip
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    // targeted runs default to a suffixed file so a later single-query
+    // re-measurement cannot silently clobber the last full-inventory
+    // artifact (ADVICE r11)
+    val defaultOut =
+      if (args.nonEmpty) s"BENCH_SELF_targeted_${args.length}keys.json"
+      else "BENCH_SELF.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")

@@ -160,10 +160,18 @@ object Png {
       off += 12 + len.toInt
     }
     require(sawIhdr, "missing IHDR")
+    // expected length in Long first (the Wav.scala chunk-bounds rule,
+    // ADVICE r10/r11): an adversarial IHDR width ~2^30 overflows Int
+    // stride math into a wrong small positive — or negative — expected
+    // size before any allocation check
+    val expectedL = height.toLong * (1L + 3L * width)
+    require(expectedL <= Int.MaxValue,
+      s"implausible geometry ${width}x$height: pixel stream $expectedL bytes")
     val stride = 3 * width
-    val raw = inflate(idat.toByteArray, height * (1 + stride))
-    require(raw.length == height * (1 + stride),
-      s"pixel stream length ${raw.length} != expected ${height * (1 + stride)}")
+    val expected = expectedL.toInt
+    val raw = inflate(idat.toByteArray, expected)
+    require(raw.length == expected,
+      s"pixel stream length ${raw.length} != expected $expected")
     val rows = Vector.newBuilder[Array[Byte]]
     var prev: Array[Byte] = null
     var y = 0

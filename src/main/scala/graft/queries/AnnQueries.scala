@@ -918,6 +918,10 @@ object AnnQueries {
         .select("probe_id", "node")
       var cand = c0
       var visited: org.apache.spark.sql.DataFrame = null
+      // per-round frontier frames are persisted (each feeds BOTH the
+      // next beam and the visited union) and tracked for release after
+      // the final materialization — the sh/cand unpersist discipline
+      val roundFrames = Seq.newBuilder[org.apache.spark.sql.DataFrame]
       for (_ <- 1 to HnswRounds) {
         // frontier is ≤ probes×Beam rows — broadcast it into the
         // src-partitioned edge join, never the other way around
@@ -925,6 +929,7 @@ object AnnQueries {
           .join(edges, cand("node") === edges("src"))
           .select(col("probe_id"), col("dst").as("node"))
         val xt = cand.unionAll(expanded).distinct().persist()
+        roundFrames += xt
         visited = if (visited == null) xt else visited.unionAll(xt)
         cand = score(xt)
           .withColumn("rk", row_number().over(wBeam))
@@ -949,6 +954,7 @@ object AnnQueries {
         .persist()
       out.count()
       edges.unpersist()
+      roundFrames.result().foreach(_.unpersist())
       out.orderBy("probe_id")
     }
   )

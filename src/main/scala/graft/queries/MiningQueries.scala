@@ -563,10 +563,12 @@ object MiningQueries {
         .persist()
       val best = u.orderBy(col("ucb_score").desc, col("event_type")).limit(1)
         .select(col("event_type").as("best_arm"))
-      u.crossJoin(broadcast(best))
-        .select(col("event_type"), col("pulls"), col("wins"),
-          col("mean_reward"), col("ucb_score"),
-          (col("event_type") === col("best_arm")).as("chosen"))
+      materializeThenRelease(
+        u.crossJoin(broadcast(best))
+          .select(col("event_type"), col("pulls"), col("wins"),
+            col("mean_reward"), col("ucb_score"),
+            (col("event_type") === col("best_arm")).as("chosen")),
+        u)
         .orderBy("event_type")
     }
   )

@@ -1047,9 +1047,11 @@ object MlEvalQueries {
             + when(col("wrg") > col("wrb"), col("wrb")).otherwise(col("wrg")))
         .orderBy(col("werr"), col("thr")).limit(1)
         .select(col("thr").as("thr2"), dbl(col("werr")).as("werr2"))
-      best1.select(lng(col("n")).as("n"), lng(col("thr1")).as("thr1"),
-          lng(col("err1")).as("err1"), col("alpha"))
-        .crossJoin(broadcast(best2))
+      materializeThenRelease(
+        best1.select(lng(col("n")).as("n"), lng(col("thr1")).as("thr1"),
+            lng(col("err1")).as("err1"), col("alpha"))
+          .crossJoin(broadcast(best2)),
+        cells, wcells)
     }
   )
 
@@ -1139,16 +1141,18 @@ object MlEvalQueries {
           round(log(dbl(coalesce(col("c"), lit(0L)) + 1) / (col("tot") + col("v"))), 9)
             .cast(DecimalType(18, 9)).as("lp"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
-      tw.join(wl, "w")
-        .groupBy("doc_id", "plang")
-        .agg(min(col("actual_lang")).as("actual_lang"),
-          sum(col("k").cast(DecimalType(10, 0)) * col("lp")).as("sl"))
-        .join(broadcast(pr), "plang")
-        .withColumn("score", col("prior") + col("sl"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("actual_lang"), col("plang").as("pred_lang"))
-        .agg(lng(count(lit(1))).as("n_docs"))
+      materializeThenRelease(
+        tw.join(wl, "w")
+          .groupBy("doc_id", "plang")
+          .agg(min(col("actual_lang")).as("actual_lang"),
+            sum(col("k").cast(DecimalType(10, 0)) * col("lp")).as("sl"))
+          .join(broadcast(pr), "plang")
+          .withColumn("score", col("prior") + col("sl"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("actual_lang"), col("plang").as("pred_lang"))
+          .agg(lng(count(lit(1))).as("n_docs")),
+        toks, cnt, tw)
         .orderBy("actual_lang", "pred_lang")
     }
   )
@@ -1186,13 +1190,15 @@ object MlEvalQueries {
         .select(col("p_brand"), col("t"))
         .persist()
       val g = f.agg(lng(count(lit(1))).as("ng"), dbl(sum(col("t"))).as("sg"))
-      f.groupBy("p_brand")
-        .agg(lng(count(lit(1))).as("n"), dbl(sum(col("t"))).as("st"))
-        .crossJoin(broadcast(g))
-        .select(col("p_brand"), col("n"),
-          round(col("st") / col("n"), 6).as("raw_mean"),
-          round((col("st") + lit(20) * (col("sg") / col("ng"))) / (col("n") + 20), 6)
-            .as("enc"))
+      materializeThenRelease(
+        f.groupBy("p_brand")
+          .agg(lng(count(lit(1))).as("n"), dbl(sum(col("t"))).as("st"))
+          .crossJoin(broadcast(g))
+          .select(col("p_brand"), col("n"),
+            round(col("st") / col("n"), 6).as("raw_mean"),
+            round((col("st") + lit(20) * (col("sg") / col("ng"))) / (col("n") + 20), 6)
+              .as("enc")),
+        f)
         .orderBy("p_brand")
     }
   )
@@ -1301,6 +1307,7 @@ object MlEvalQueries {
             .as("n_correct"))
         .select(lng(col("fold")).as("fold"), col("n_test"), col("n_correct"),
           round(dbl(col("n_correct")) / col("n_test"), 6).as("accuracy"))
+        .transform(materializeThenRelease(_, sc))
         .orderBy("fold")
     }
   )
@@ -1403,10 +1410,12 @@ object MlEvalQueries {
       // split search over the bins-sized frame: cumsums via the stump
       // self-join trick, SSE-reduction score on the 6-grid, argmax with
       // lower-threshold tie-break → ONE broadcastable (thr, ll, lr) row
+      val held = Seq.newBuilder[org.apache.spark.sql.DataFrame]
       def bestSplit(rf: org.apache.spark.sql.DataFrame, binCol: String,
           maxBin: Int): org.apache.spark.sql.DataFrame = {
         val c = rf.groupBy(col(binCol).as("bin"))
           .agg(sum("r").as("s"), count(lit(1)).as("c")).persist()
+        held += c
         val t = c.agg(sum("s").as("st"), sum("c").as("ct"))
         val cum = c.as("a").join(c.as("b"), col("b.bin") <= col("a.bin"))
           .groupBy(col("a.bin").as("thr"))
@@ -1448,7 +1457,9 @@ object MlEvalQueries {
         .select(lit(2L).as("stage"), lit("discount_pct").as("feature"),
           lng(col("thr")).as("thr"), col("ll").as("leaf_left"),
           col("lr").as("leaf_right"), col("rmse"))
-      s0.unionByName(s1).unionByName(s2).orderBy("stage")
+      materializeThenRelease(s0.unionByName(s1).unionByName(s2),
+        (held.result() :+ r1 :+ r2): _*)
+        .orderBy("stage")
     }
   )
 

@@ -544,19 +544,53 @@ object RecsysQueries {
         .persist()
       // order-local pair generation from the bounded per-user basket
       // (the itemRecs discipline — no fact self-join): both directions
-      // in one pass, deviation carried as the exact rational (sd, n)
+      // in one pass, deviation carried as the exact rational (sd, n).
+      // The pair loop is a tight mapPartitions integer loop, NOT a
+      // nested transform/filter HOF — higher-order array functions
+      // have no doGenCode and interpret per element (the q_unigram_lm
+      // r8e measurement: 10.9 → 1.0 s for exactly this rewrite), and
+      // this O(basket²) stage is the query's hot spot (VERDICT r11 #3)
+      import s.implicits._
       val baskets = rb.groupBy("u")
-        .agg(collect_list(struct(col("i"), col("rt"))).as("ps"))
-      val pairExpr = expr(
-        """flatten(transform(ps, a ->
-          |  transform(filter(ps, b -> b.i != a.i),
-          |            b -> struct(a.i AS i, b.i AS j, a.rt - b.rt AS df))))""".stripMargin)
-      val dev = baskets.select(explode(pairExpr).as("p"))
-        .groupBy(col("p.i").as("di"), col("p.j").as("dj"))
-        .agg(sum(col("p.df")).as("sd"), count(lit(1)).as("n"))
+        .agg(collect_list(struct(col("i").as("_1"), col("rt").as("_2"))).as("ps"))
+      // antisymmetry cuts the shuffle in half: emit only i < j pairs,
+      // aggregate, then mirror (sd(j,i) = −sd(i,j), same n) on the
+      // already-reduced pair table
+      val devHalf = baskets.select(col("ps")).as[Seq[(Long, Long)]]
+        .mapPartitions { it =>
+          it.flatMap { ps =>
+            val n = ps.size
+            val ids = new Array[Long](n)
+            val rts = new Array[Long](n)
+            var x = 0
+            ps.foreach { p => ids(x) = p._1; rts(x) = p._2; x += 1 }
+            val out = new Array[(Long, Long, Long)](n * (n - 1) / 2)
+            var k = 0
+            var a = 0
+            while (a < n) {
+              var b = a + 1
+              while (b < n) {
+                if (ids(a) < ids(b)) out(k) = (ids(a), ids(b), rts(a) - rts(b))
+                else out(k) = (ids(b), ids(a), rts(b) - rts(a))
+                k += 1
+                b += 1
+              }
+              a += 1
+            }
+            out
+          }
+        }
+        .toDF("di", "dj", "df")
+        .groupBy("di", "dj")
+        .agg(sum(col("df")).as("sd"), count(lit(1)).as("n"))
+        .persist()
+      val dev = devHalf.unionAll(devHalf.select(col("dj").as("di"),
+        col("di").as("dj"), (-col("sd")).as("sd"), col("n")))
       val probe = rb.filter(col("u") % 97 === 0)
       val wRank = Window.partitionBy("u").orderBy(col("pred").desc, col("j"))
-      probe.join(dev, probe("i") === dev("dj"))
+      // probe = 1% of users × ≤30 items — broadcast it so the
+      // pair-sized deviation table never crosses an exchange
+      broadcast(probe).join(dev, probe("i") === dev("dj"))
         .groupBy(col("u"), col("di").as("j"))
         .agg(sum(col("sd") + col("rt") * col("n")).as("num"), sum(col("n")).as("den"))
         .join(rb.select(col("u"), col("i").as("j")), Seq("u", "j"), "left_anti")
@@ -564,6 +598,7 @@ object RecsysQueries {
         .withColumn("rn", row_number().over(wRank))
         .filter(col("rn") <= 3)
         .select(col("u"), lng(col("rn")).as("rank"), col("j"), col("pred"))
+        .transform(materializeThenRelease(_, rb, devHalf))
         .orderBy("u", "rank")
     }
   )

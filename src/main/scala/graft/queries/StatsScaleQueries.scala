@@ -560,7 +560,8 @@ object StatsScaleQueries {
         .persist()
       val tt = k.agg(dbl(sum(col("psi_term").cast(DecimalType(18, 9))))
         .as("psi_total"))
-      k.crossJoin(broadcast(tt)).orderBy("bin")
+      materializeThenRelease(k.crossJoin(broadcast(tt)), j, k)
+        .orderBy("bin")
     }
   )
 
@@ -612,7 +613,7 @@ object StatsScaleQueries {
            |       CAST(sum(CASE WHEN sc.s <= CAST(q.q_hat AS DECIMAL(18,6))
            |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
            |       round(CAST(sum(CASE WHEN sc.s <= CAST(q.q_hat AS DECIMAL(18,6))
-           |                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+           |                           THEN 1 ELSE 0 END) AS DOUBLE) / nullif(count(*), 0), 6) AS coverage
            |FROM sc JOIN q ON q.event_type = sc.event_type
            |WHERE sc.sp = 3
            |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
@@ -637,7 +638,11 @@ object StatsScaleQueries {
         .agg(lng(count(lit(1))).as("n_test"), lng(sum(covered)).as("n_covered"))
         .select(col("event_type"), col("n_cal"), col("q_hat"), col("n_test"),
           col("n_covered"),
-          round(dbl(col("n_covered")) / col("n_test"), 6).as("coverage"))
+          // nullif guard (ADVICE r11 discipline): n_test is structurally
+          // > 0 here, but both engines must agree NULL if it ever isn't
+          round(dbl(col("n_covered")) / nullif(col("n_test"), lit(0L)), 6)
+            .as("coverage"))
+        .transform(materializeThenRelease(_, sc))
         .orderBy("event_type")
     }
   )

@@ -698,6 +698,7 @@ object WarehouseQueries {
         .agg(round(lit(0.5) * dbl(sum(term)), 6).as("tvd"))
         .select(col("c_nationkey"), col("bal_bucket"), lng(col("n")).as("n"),
           col("tvd"), (col("tvd") > 0.2).as("at_risk"))
+        .transform(materializeThenRelease(_, cells))
         .orderBy("c_nationkey", "bal_bucket")
     }
   )

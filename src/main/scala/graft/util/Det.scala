@@ -82,4 +82,19 @@ object Det {
   /** Cosine similarity of two float-array columns. */
   def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** The sh.unpersist()/cand.unpersist() discipline as one combinator
+    * (ADVICE r11): persist + materialize the small final frame, then
+    * release the (possibly fact-sized) persisted intermediates so a
+    * full-inventory driver run does not accumulate cached partitions
+    * until LRU eviction skews bench timings.
+    */
+  def materializeThenRelease(out: org.apache.spark.sql.DataFrame,
+                             intermediates: org.apache.spark.sql.DataFrame*)
+      : org.apache.spark.sql.DataFrame = {
+    val o = out.persist()
+    o.count()
+    intermediates.foreach(_.unpersist())
+    o
+  }
 }

@@ -219,6 +219,41 @@ object AnnQueries {
     }
   )
 
+  /** Shared oracle fragment: the hyperplane-LSH band keys and the
+    * probe↔corpus band-sharing candidate set (`cand(probe_id,
+    * cand_id)`). Used by q_ann_lsh AND q_lsh_recall so a bucketing
+    * change (groups, bits, hash) cannot desynchronize the index from
+    * its recall measurement — the ivfQuantizerDuck discipline.
+    */
+  private val lshCandDuck =
+    """keyed AS (
+      |  SELECT vec_id, embedding, unnest(
+      |    list_transform(generate_series(0, 3), g -> g * 256 +
+      |      list_reduce(list_prepend(0, list_transform(generate_series(0, 7),
+      |        p -> CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(embedding, generate_series(1, len(embedding))),
+      |                       q -> CAST(q[1] AS DOUBLE) * (((((g * 8 + p) * 64 + (q[2] - 1)) * 2654435761) % 97) - 48))),
+      |                       (acc, v) -> acc + v) > 0
+      |                  THEN 1 ELSE 0 END)), (a, b) -> a * 2 + b))) AS band_key
+      |  FROM embeddings),
+      |cand AS (
+      |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+      |  FROM keyed p JOIN keyed c ON p.band_key = c.band_key
+      |  WHERE p.vec_id < 5 AND c.vec_id >= 5)""".stripMargin
+
+  /** Spark twin of [[lshCandDuck]]: the distinct (probe_id, cand_id)
+    * band-sharing candidate set — probes' keys broadcast into the
+    * band-partitioned corpus keys.
+    */
+  private def lshCandidates(e: org.apache.spark.sql.DataFrame) = {
+    import graft.functions.VectorFunctions._
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      explode(hyperplaneLshKeys(col("embedding"), 4, 8, 64)).as("band_key"))
+    keyed(e.filter(col("vec_id") >= 5)).as("c")
+      .join(broadcast(keyed(e.filter(col("vec_id") < 5)).as("p")), "band_key")
+      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("cand_id"))
+      .distinct()
+  }
+
   private val annLsh = QueryDef(
     "q_ann_lsh",
     "LSH-bucketed ANN: random-hyperplane band keys (4 groups × 8 sign " +
@@ -227,19 +262,7 @@ object AnnQueries {
       "then exact cosine top-10 within the candidates. The bucket join " +
       "replaces the all-pairs scan — at scale the corpus is hash-" +
       "partitioned by band_key and probes broadcast.",
-    Some("""WITH keyed AS (
-           |  SELECT vec_id, embedding, unnest(
-           |    list_transform(generate_series(0, 3), g -> g * 256 +
-           |      list_reduce(list_prepend(0, list_transform(generate_series(0, 7),
-           |        p -> CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(embedding, generate_series(1, len(embedding))),
-           |                       q -> CAST(q[1] AS DOUBLE) * (((((g * 8 + p) * 64 + (q[2] - 1)) * 2654435761) % 97) - 48))),
-           |                       (acc, v) -> acc + v) > 0
-           |                  THEN 1 ELSE 0 END)), (a, b) -> a * 2 + b))) AS band_key
-           |  FROM embeddings),
-           |cand AS (
-           |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
-           |  FROM keyed p JOIN keyed c ON p.band_key = c.band_key
-           |  WHERE p.vec_id < 5 AND c.vec_id >= 5),
+    Some(s"""WITH $lshCandDuck,
            |scored AS (
            |  SELECT cand.probe_id, cand.cand_id, ce.label,
            |    round(list_sum(list_transform(list_zip(pe.embedding, ce.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
@@ -253,14 +276,8 @@ object AnnQueries {
            |SELECT probe_id, rk, cand_id, label, cos_sim
            |FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin),
     (s, d) => {
-      import graft.functions.VectorFunctions._
       val e = embeddings(s, d)
-      def keyed(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
-        explode(hyperplaneLshKeys(col("embedding"), 4, 8, 64)).as("band_key"))
-      val cand = keyed(e.filter(col("vec_id") >= 5)).as("c")
-        .join(broadcast(keyed(e.filter(col("vec_id") < 5)).as("p")), "band_key")
-        .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("cand_id"))
-        .distinct()
+      val cand = lshCandidates(e)
       val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))
       cand
         .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
@@ -353,6 +370,201 @@ object AnnQueries {
         .agg(lng(count(col("hit"))).as("hits"),
           round(dbl(count(col("hit"))) / lit(10.0), 6).as("recall_at_10"))
         .orderBy("probe_id")
+    }
+  )
+
+  /** Recall@10 of the LSH-bucketed arm (VERDICT r11 #4): IVF, PQ,
+    * IVF-PQ and the graph index all price themselves through the
+    * shared exact arm; this closes the four-family comparison table
+    * (prune = IVF, hash = LSH, compress = PQ, graph = HNSW). The LSH
+    * candidate set comes from the SAME [[lshCandDuck]]/
+    * [[lshCandidates]] fragments q_ann_lsh searches with, ranked by
+    * the shared exact L2 within candidates, top-10, hit-counted
+    * against [[exactL2Top10Duck]] — so bucketing recall is measured
+    * on exactly the index the search uses.
+    *
+    * Scale: candidates are band-join-bounded (never all-pairs), the
+    * exact arm is the broadcast-probe corpus scan, and the final
+    * comparison joins two 50-row top-k sets.
+    */
+  private val lshRecall = QueryDef(
+    "q_lsh_recall",
+    "Recall@10 of the LSH band-bucketed candidate arm vs the shared " +
+      "exact L2 top-10 per probe — completes the four-index-family " +
+      "pricing table (IVF prune / LSH hash / PQ compress / HNSW graph).",
+    Some(s"""WITH $lshCandDuck,
+            |$exactL2Top10Duck,
+            |lsh AS (SELECT probe_id, cand_id FROM (
+            |  SELECT c.probe_id, c.cand_id,
+            |    row_number() OVER (PARTITION BY c.probe_id ORDER BY ${d2Duck("p.pe", "co.ce2")}, c.cand_id) AS rk
+            |  FROM cand c JOIN wprobes p ON p.probe_id = c.probe_id
+            |  JOIN corpus co ON co.cand_id = c.cand_id) s WHERE rk <= 10)
+            |SELECT e.probe_id, CAST(count(l.cand_id) AS BIGINT) AS hits,
+            |       round(count(l.cand_id) / 10.0, 6) AS recall_at_10
+            |FROM exact e LEFT JOIN lsh l ON e.probe_id = l.probe_id AND e.cand_id = l.cand_id
+            |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce2"))
+      val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
+      val lsh = lshCandidates(e)
+        .join(corpus, "cand_id")
+        .join(broadcast(probes), "probe_id")
+        .withColumn("d2", round(l2sq("pe", "ce2"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "cand_id")
+      exactL2Top10(e)
+        .join(lsh.withColumn("hit", lit(1)), Seq("probe_id", "cand_id"), "left")
+        .groupBy("probe_id")
+        .agg(lng(count(col("hit"))).as("hits"),
+          round(dbl(count(col("hit"))) / lit(10.0), 6).as("recall_at_10"))
+        .orderBy("probe_id")
+    }
+  )
+
+  /** Filtered ANN (VERDICT r11 #5): a metadata predicate composed
+    * with the vector search — the pre-filter/post-filter recall trade
+    * every production vector store documents. The predicate is
+    * vec_id % 3 = 0 (a ~1/3-selective metadata filter orthogonal to
+    * the geometry, the source/date-filter shape). PRE-FILTER searches
+    * the top-2 IVF clusters restricted to matching vectors (the
+    * filter pushes INTO the candidate scan); POST-FILTER takes the
+    * unfiltered top-10 and drops non-matching rows (≤ 10 survive).
+    * Both are measured as recall@10 against the exact truth over the
+    * FILTERED corpus. post ⊆ pre structurally (a post survivor is a
+    * matching cluster candidate whose filtered rank ≤ its unfiltered
+    * rank ≤ 10), so post_recall ≤ pre_recall per probe — pinned by
+    * FilteredAnnSpec.
+    *
+    * Scale: both arms ride the existing broadcast-probe cluster scan;
+    * the filtered truth is the broadcast-probe filtered-corpus scan.
+    * The quantizer assignment (top2) computes once and is tiny.
+    */
+  private val annFiltered = QueryDef(
+    "q_ann_filtered",
+    "Filtered ANN: a 1/3-selective metadata predicate composed with " +
+      "the IVF top-10 search — pre-filter (predicate pushed into the " +
+      "cluster scan) vs post-filter (predicate applied to the " +
+      "unfiltered top-10) recall@10 against the filtered exact truth.",
+    Some(s"""WITH $ivfQuantizerDuck,
+            |fcorp AS (SELECT vec_id AS cand_id, embedding AS ce2, label
+            |          FROM embeddings WHERE vec_id >= 5 AND vec_id % 3 = 0),
+            |fexact AS (SELECT probe_id, cand_id FROM (
+            |  SELECT p.probe_id, c.cand_id,
+            |    row_number() OVER (PARTITION BY p.probe_id ORDER BY ${d2Duck("p.pe", "c.ce2")}, c.cand_id) AS rk
+            |  FROM iprobes p CROSS JOIN fcorp c) s WHERE rk <= 10),
+            |pre AS (SELECT probe_id, cand_id FROM (
+            |  SELECT t.probe_id, c.cand_id,
+            |    row_number() OVER (PARTITION BY t.probe_id ORDER BY ${d2Duck("p.pe", "c.ce2")}, c.cand_id) AS rk
+            |  FROM top2 t JOIN iprobes p ON p.probe_id = t.probe_id
+            |  JOIN fcorp c ON c.label = t.label) s WHERE rk <= 10),
+            |full10 AS (SELECT probe_id, cand_id FROM (
+            |  SELECT t.probe_id, c.vec_id AS cand_id,
+            |    row_number() OVER (PARTITION BY t.probe_id ORDER BY ${d2Duck("p.pe", "c.embedding")}, c.vec_id) AS rk
+            |  FROM top2 t JOIN iprobes p ON p.probe_id = t.probe_id
+            |  JOIN embeddings c ON c.label = t.label AND c.vec_id >= 5) s WHERE rk <= 10),
+            |post AS (SELECT probe_id, cand_id FROM full10 WHERE cand_id % 3 = 0)
+            |SELECT e.probe_id,
+            |       CAST(count(pr.cand_id) AS BIGINT) AS pre_hits,
+            |       round(count(pr.cand_id) / 10.0, 6) AS pre_recall,
+            |       CAST(count(po.cand_id) AS BIGINT) AS post_hits,
+            |       round(count(po.cand_id) / 10.0, 6) AS post_recall
+            |FROM fexact e
+            |LEFT JOIN pre pr ON pr.probe_id = e.probe_id AND pr.cand_id = e.cand_id
+            |LEFT JOIN post po ON po.probe_id = e.probe_id AND po.cand_id = e.cand_id
+            |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val pred = col("cand_id") % 3 === 0
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val corpusAll = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce2"),
+          col("label"))
+      val fcorp = corpusAll.filter(pred)
+      val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
+      val fexact = fcorp.drop("label").join(broadcast(probes))
+        .withColumn("d2", round(l2sq("pe", "ce2"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "cand_id")
+      val top2 = ivfTop2(e, probes).persist()
+      def clusterTop10(c: org.apache.spark.sql.DataFrame) = c
+        .join(broadcast(top2), "label")
+        .withColumn("d2", round(l2sq("pe", "ce2"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("probe_id", "cand_id")
+      val pre = clusterTop10(fcorp)
+      val post = clusterTop10(corpusAll).filter(pred)
+      fexact
+        .join(pre.withColumn("preh", lit(1)), Seq("probe_id", "cand_id"), "left")
+        .join(post.withColumn("posth", lit(1)), Seq("probe_id", "cand_id"), "left")
+        .groupBy("probe_id")
+        .agg(lng(count(col("preh"))).as("pre_hits"),
+          round(dbl(count(col("preh"))) / lit(10.0), 6).as("pre_recall"),
+          lng(count(col("posth"))).as("post_hits"),
+          round(dbl(count(col("posth"))) / lit(10.0), 6).as("post_recall"))
+        .transform(materializeThenRelease(_, top2))
+        .orderBy("probe_id")
+    }
+  )
+
+  /** Incremental index maintenance (VERDICT r11 #8 stretch): the
+    * daily-ingestion story for the ANN index, the way
+    * q_dedup_incremental is for dedup. q_ann_persisted rebuilds the
+    * centroid table from the full corpus on every build; here the
+    * persisted index is the per-(label, dim) EXACT-DECIMAL sum/count
+    * partials (the q_incr_agg merge discipline), and a new batch
+    * (vec_id % 7 = 0, ~14%) refreshes it by partial-sum merge — the
+    * refresh scans ONLY the delta and the labels×dims-sized partial
+    * table, never the base corpus. Decimal addition is associative,
+    * so refreshed centroids equal full-rebuild centroids EXACTLY and
+    * the probe is row-identical to q_ann_ivf (same oracle) — pinned
+    * by IvfRefreshSpec.
+    *
+    * Scale: at 100 TB the base build runs once; each ingestion batch
+    * costs one delta aggregation + a tiny merge, and every downstream
+    * probe reads the refreshed labels-sized index.
+    */
+  private val annIvfRefresh = QueryDef(
+    "q_ann_ivf_refresh",
+    "Incremental ANN index refresh: persisted per-(label, dim) exact " +
+      "decimal sum/count partials merged with a new-batch delta (no " +
+      "base re-scan); refreshed centroids probe row-identically to " +
+      "the full rebuild.",
+    annIvf.oracle,
+    (s, d) => {
+      val e = embeddings(s, d)
+      val sfTag = new java.io.File(d).getName.replace('.', '_')
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val idxPath = s"$wh/graft_ivf_partials_$sfTag"
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy("label", "pos")
+        .agg(sum(col("val").cast("decimal(20,10)")).as("sv"),
+          count(lit(1)).as("n"))
+      // BUILD job: base partials persisted (labels×dims-sized write)
+      partials(e.filter(col("vec_id") % 7 =!= 0))
+        .write.mode("overwrite").parquet(idxPath)
+      // REFRESH job: delta partials + persisted base, merged by exact
+      // decimal addition — associativity makes refresh == rebuild
+      val merged = s.read.parquet(idxPath)
+        .unionByName(partials(e.filter(col("vec_id") % 7 === 0)))
+        .groupBy("label", "pos")
+        .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+      val cent = merged
+        .select(col("label"), col("pos"),
+          round(dbl(col("sv")) / col("n"), 6).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("ce"))
+      // PROBE: the q_ann_ivf search over the refreshed centroids
+      ivfSearch(e, cent)
     }
   )
 
@@ -899,11 +1111,31 @@ object AnnQueries {
       val e = embeddings(s, d)
       val corpus = e.filter(col("vec_id") >= 5)
         .select(col("vec_id"), col("embedding"), col("label"))
+      val edges = hnswEdges(corpus).persist()
+      val res = hnswSearch(e, edges)
+      // res is materialized inside hnswSearch, so releasing the build
+      // frame here cannot trigger a rebuild
+      edges.unpersist()
+      res
+    }
+  )
+
+  /** The q_ann_hnsw beam search given an arbitrary edge-table source —
+    * in-plan ([[hnswEdges]], q_ann_hnsw) or a fresh scan of a persisted
+    * index file (q_ann_hnsw_persisted). Exposed so HnswPersistSpec can
+    * drive the PROBE plan alone against the persisted graph. Returns
+    * the per-probe (n_visited, hits, recall@10) readout, materialized.
+    */
+  private[graft] def hnswSearch(e: org.apache.spark.sql.DataFrame,
+                                edges: org.apache.spark.sql.DataFrame,
+                                eager: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"), col("label"))
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       val hubs = corpus.filter(col("vec_id") < 21)
         .select(col("vec_id").as("node"), col("embedding").as("ve"))
-      val edges = hnswEdges(corpus).persist()
       val byId = corpus.select(col("vec_id").as("node"),
         col("embedding").as("ve"))
       val wBeam = Window.partitionBy("probe_id").orderBy(col("d2"), col("node"))
@@ -928,8 +1160,8 @@ object AnnQueries {
         val expanded = broadcast(cand)
           .join(edges, cand("node") === edges("src"))
           .select(col("probe_id"), col("dst").as("node"))
-        val xt = cand.unionAll(expanded).distinct().persist()
-        roundFrames += xt
+        val xt0 = cand.unionAll(expanded).distinct()
+        val xt = if (eager) { roundFrames += xt0.persist(); xt0 } else xt0
         visited = if (visited == null) xt else visited.unionAll(xt)
         cand = score(xt)
           .withColumn("rk", row_number().over(wBeam))
@@ -951,14 +1183,57 @@ object AnnQueries {
         .join(nv, "probe_id")
         .select(col("probe_id"), col("n_visited"), col("hits"),
           col("recall_at_10"))
-        .persist()
-      out.count()
-      edges.unpersist()
+      // eager = false leaves the whole plan lazy (HnswPersistSpec's
+      // plan gate must see the real probe plan, not an InMemory scan)
+      if (!eager) return out.orderBy("probe_id")
+      val outP = out.persist()
+      outP.count()
       roundFrames.result().foreach(_.unpersist())
-      out.orderBy("probe_id")
+      outP.orderBy("probe_id")
+  }
+
+  /** Persisted graph-index lifecycle (VERDICT r11 #2): q_ann_hnsw
+    * rebuilds the navigable graph — the expensive half, one corpus
+    * shuffle at 100 TB — inside every query, but production graph ANN
+    * is build-once/probe-many. Here the edge table ([[hnswEdges]]) is
+    * written as a parquet index file by a separate build job (the
+    * q_ann_persisted warehouse seam, keyed by sf tag) and the probe is
+    * [[hnswSearch]] over a FRESH SCAN of that file — a plan whose only
+    * inputs are the corpus and the index table (HnswPersistSpec pins:
+    * no TopKByScore hub fan-out, no LSH band-key Generate, no label
+    * self-join build stages in the probe plan). Results must match
+    * q_ann_hnsw row-for-row (same oracle), proving the graph survives
+    * the plan that built it.
+    *
+    * Scale: the build is the bounded candidate generation + one
+    * broadcast(16)×corpus pass; the probe per round broadcasts a
+    * ≤ probes×beam frontier into the src-partitioned edge scan. At
+    * 100 TB the 7-second-dominant build amortizes over every probing
+    * query — the best-recall index in the inventory (0.82@10 at
+    * sf0.1) becomes consumable the way production uses it.
+    */
+  private val annHnswPersisted = QueryDef(
+    "q_ann_hnsw_persisted",
+    "Build-then-probe graph-ANN lifecycle: the deterministic NSW edge " +
+      "table is written to a parquet index file by a separate build " +
+      "job, and the beam-search probe reads it back with a fresh scan " +
+      "(no build stages) — row-identical to q_ann_hnsw.",
+    annHnsw.oracle,
+    (s, d) => {
+      val e = embeddings(s, d)
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val sfTag = new java.io.File(d).getName.replace('.', '_')
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val idxPath = s"$wh/graft_hnsw_edges_$sfTag"
+      // BUILD: its own job, its own plan (edge-table-sized write)
+      hnswEdges(corpus).write.mode("overwrite").parquet(idxPath)
+      // PROBE: only the corpus scan + the persisted edge-table scan
+      hnswSearch(e, s.read.parquet(idxPath))
     }
   )
 
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
-    annPq, pqRecall, annIvfPq, annHnsw, annPersisted, mmrRerank)
+    lshRecall, annFiltered, annPq, pqRecall, annIvfPq, annHnsw,
+    annHnswPersisted, annPersisted, annIvfRefresh, mmrRerank)
 }

@@ -849,6 +849,133 @@ object GraphQueries {
     }
   )
 
+  /** Source-sampled betweenness centrality (Brandes 2001, restricted
+    * to 4 fixed supplier sources with a 3-level depth cap) — THE
+    * broker-node readout the graph family lacked (pagerank scores
+    * global influence, k-core cohesion, triangles clustering; none
+    * measures WHO SITS ON SHORTEST PATHS, which is what betweenness
+    * prices and what exact Brandes makes O(V·E) — the source-sampled
+    * form is the standard scale approximation, deterministic here via
+    * fixed sources instead of random ones).
+    *
+    * Forward phase: level-synchronous BFS per source, σ (shortest-
+    * path counts) as exact BIGINT sums, level sets deduplicated by
+    * per-root anti joins against the visited set. Backward phase:
+    * dependency accumulation δ(v) = Σ_{w∈succ} σv/σw·(1+δw) unrolled
+    * by level; each term is one shared IEEE chain rounded to the
+    * 9-grid and summed as exact DECIMAL(38,9), so accumulation order
+    * cannot move a bit. Output = top-20 nodes by the 6-grid rounded
+    * centrality with node tie-break.
+    *
+    * Scale: per level ONE broadcast(frontier)×edge join (frontiers ≤
+    * 4·nodes rows) + a map-side-combined σ sum — the BSP shape
+    * q_pagerank uses; the backward joins are frontier-sized. Depth
+    * and source counts are fixed constants, so total work is
+    * O(levels · E) like any BSP pass.
+    */
+  private val betweenness = QueryDef(
+    "q_betweenness",
+    "Source-sampled betweenness centrality over the trade graph: " +
+      "level-synchronous Brandes from 4 fixed supplier sources, depth " +
+      "3, exact-BIGINT path counts and 9-grid decimal-summed " +
+      "dependencies; top-20 broker nodes.",
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, 100000 + l_suppkey AS sup
+           |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |ed AS (SELECT c AS src, sup AS dst FROM pairs
+           |       UNION ALL SELECT sup, c FROM pairs),
+           |l0 AS (SELECT r AS root, r AS node, CAST(1 AS BIGINT) AS sigma
+           |       FROM (SELECT unnest([100001, 100002, 100003, 100004]) AS r)),
+           |l1 AS (SELECT a.root, a.node, CAST(sum(a.s) AS BIGINT) AS sigma FROM (
+           |         SELECT l0.root, e.dst AS node, l0.sigma AS s
+           |         FROM l0 JOIN ed e ON e.src = l0.node) a
+           |       LEFT JOIN l0 v ON v.root = a.root AND v.node = a.node
+           |       WHERE v.node IS NULL GROUP BY 1, 2),
+           |vis1 AS (SELECT root, node FROM l0 UNION ALL SELECT root, node FROM l1),
+           |l2 AS (SELECT a.root, a.node, CAST(sum(a.s) AS BIGINT) AS sigma FROM (
+           |         SELECT l1.root, e.dst AS node, l1.sigma AS s
+           |         FROM l1 JOIN ed e ON e.src = l1.node) a
+           |       LEFT JOIN vis1 v ON v.root = a.root AND v.node = a.node
+           |       WHERE v.node IS NULL GROUP BY 1, 2),
+           |vis2 AS (SELECT root, node FROM vis1 UNION ALL SELECT root, node FROM l2),
+           |l3 AS (SELECT a.root, a.node, CAST(sum(a.s) AS BIGINT) AS sigma FROM (
+           |         SELECT l2.root, e.dst AS node, l2.sigma AS s
+           |         FROM l2 JOIN ed e ON e.src = l2.node) a
+           |       LEFT JOIN vis2 v ON v.root = a.root AND v.node = a.node
+           |       WHERE v.node IS NULL GROUP BY 1, 2),
+           |d2 AS (SELECT v.root, v.node,
+           |         CAST(sum(CAST(round(CAST(v.sigma AS DOUBLE) / w.sigma, 9) AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS delta
+           |       FROM l2 v JOIN ed e ON e.src = v.node
+           |       JOIN l3 w ON w.root = v.root AND w.node = e.dst
+           |       GROUP BY 1, 2),
+           |d1 AS (SELECT v.root, v.node,
+           |         CAST(sum(CAST(round(CAST(v.sigma AS DOUBLE) / w.sigma
+           |           * (1 + CAST(coalesce(dw.delta, 0) AS DOUBLE)), 9) AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS delta
+           |       FROM l1 v JOIN ed e ON e.src = v.node
+           |       JOIN l2 w ON w.root = v.root AND w.node = e.dst
+           |       LEFT JOIN d2 dw ON dw.root = w.root AND dw.node = w.node
+           |       GROUP BY 1, 2)
+           |SELECT node, round(CAST(sum(delta) AS DOUBLE), 6) AS bc
+           |FROM (SELECT root, node, delta FROM d1
+           |      UNION ALL SELECT root, node, delta FROM d2)
+           |GROUP BY 1 ORDER BY bc DESC, node LIMIT 20""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 9)
+      val e = edges(s, d).persist()
+      val l0 = Seq(100001L, 100002L, 100003L, 100004L)
+        .map(r => (r, r, 1L)).toDF("root", "node", "sigma")
+      // one BSP level: broadcast(frontier) × edge join, per-root anti
+      // join against the visited set, map-side-combined sigma sum
+      def expand(lvl: org.apache.spark.sql.DataFrame,
+                 vis: org.apache.spark.sql.DataFrame) =
+        broadcast(lvl).join(e, lvl("node") === e("src"))
+          .select(col("root"), col("dst").as("node"), col("sigma").as("sg"))
+          .join(vis, Seq("root", "node"), "left_anti")
+          .groupBy("root", "node")
+          .agg(lng(sum(col("sg"))).as("sigma"))
+      val vis0 = l0.select("root", "node")
+      val l1 = expand(l0, vis0).persist()
+      val vis1 = vis0.unionAll(l1.select("root", "node"))
+      val l2 = expand(l1, vis1).persist()
+      val vis2 = vis1.unionAll(l2.select("root", "node"))
+      val l3 = expand(l2, vis2).persist()
+      // dependency back-propagation: per level, one frontier-sized
+      // join; terms 9-grid rounded, summed as exact decimal
+      def deltas(lvlV: org.apache.spark.sql.DataFrame,
+                 lvlW: org.apache.spark.sql.DataFrame,
+                 deltaW: Option[org.apache.spark.sql.DataFrame]) = {
+        val w0 = (deltaW match {
+          case Some(dw) => lvlW.join(dw.withColumnRenamed("delta", "wd"),
+              Seq("root", "node"), "left")
+            .select(col("root").as("wroot"), col("node").as("wnode"),
+              col("sigma").as("wsig"),
+              coalesce(col("wd"), lit(0).cast(dec)).as("wdelta"))
+          case None => lvlW.select(col("root").as("wroot"),
+            col("node").as("wnode"), col("sigma").as("wsig"),
+            lit(0).cast(dec).as("wdelta"))
+        })
+        broadcast(lvlV)
+          .join(e, lvlV("node") === e("src"))
+          .select(col("root"), col("node"), col("sigma"), col("dst"))
+          .join(w0, col("wnode") === col("dst") && col("wroot") === col("root"))
+          .select(col("root"), col("node"),
+            round(dbl(col("sigma")) / col("wsig")
+              * (lit(1.0) + dbl(col("wdelta"))), 9).cast(dec).as("term"))
+          .groupBy("root", "node")
+          .agg(sum(col("term")).as("delta"))
+      }
+      val d2 = deltas(l2, l3, None).persist()
+      val d1 = deltas(l1, l2, Some(d2))
+      d1.unionAll(d2)
+        .groupBy("node")
+        .agg(round(dbl(sum(col("delta"))), 6).as("bc"))
+        .orderBy(col("bc").desc, col("node"))
+        .limit(20)
+        .transform(materializeThenRelease(_, e, l1, l2, l3, d2))
+        .orderBy(col("bc").desc, col("node"))
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard,
-    modularity, hits, labelProp, kcore, randomWalk)
+    modularity, hits, labelProp, kcore, randomWalk, betweenness)
 }

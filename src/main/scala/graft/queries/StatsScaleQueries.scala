@@ -647,7 +647,177 @@ object StatsScaleQueries {
     }
   )
 
+  /** Isotonic (monotone) calibration by pool-adjacent-violators — the
+    * FIT that q_calibration only measures: q_calibration reports
+    * binned reliability (is P(y|score-bin) monotone in the bin?);
+    * this REPAIRS it, producing the non-decreasing step function
+    * production scorers apply before thresholding (isotonic
+    * regression is the standard non-parametric alternative to Platt
+    * scaling). PAV itself is sequential, but over BINNED scores it
+    * has the closed minimax form iso(k) = max_{i≤k} min_{j≥k}
+    * mean(y over bins i..j) — bins-sized algebra, no iteration.
+    *
+    * Determinism: interval means are ONE division of exact BIGINTs
+    * (label sums / counts), rounded to the 9-grid; min/max compare
+    * the 9-grid so both engines pool identically; output rates
+    * round-6. Scale: one map-side-combined fact pass to ≤ 10 bins;
+    * the minimax runs on bins² ≤ 100-row broadcast-tiny frames
+    * (the q_stump bounded-self-join discipline — no window at all).
+    */
+  private val isotonic = QueryDef(
+    "q_isotonic",
+    "Isotonic calibration of the purchase rate over 10 equal-width " +
+      "value bins via the minimax closed form of pool-adjacent-" +
+      "violators: per bin the raw rate and the fitted non-decreasing " +
+      "rate (exact integer interval means on the 9-grid).",
+    Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+           |e AS (SELECT CASE WHEN hi = lo THEN 0
+           |             ELSE greatest(0, least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT))) END AS bin,
+           |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           |      FROM events CROSS JOIN b),
+           |cells AS (SELECT bin, CAST(sum(y) AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n
+           |          FROM e GROUP BY 1),
+           |pm AS (SELECT a.bin AS i, z.bin AS j,
+           |              round(CAST(sum(c.g) AS DOUBLE) / sum(c.n), 9) AS m
+           |       FROM cells a JOIN cells z ON z.bin >= a.bin
+           |       JOIN cells c ON c.bin BETWEEN a.bin AND z.bin
+           |       GROUP BY 1, 2),
+           |mn AS (SELECT k.bin AS bin, p.i, min(p.m) AS lo_m
+           |       FROM cells k JOIN pm p ON p.i <= k.bin AND p.j >= k.bin
+           |       GROUP BY 1, 2),
+           |iso AS (SELECT bin, max(lo_m) AS iso9 FROM mn GROUP BY 1)
+           |SELECT c.bin, c.n, c.g,
+           |       round(CAST(c.g AS DOUBLE) / c.n, 6) AS raw_rate,
+           |       round(i.iso9, 6) AS iso_rate
+           |FROM cells c JOIN iso i ON i.bin = c.bin
+           |ORDER BY c.bin""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d).select(col("value"), col("event_type"))
+      val b = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      val cells = ev.crossJoin(broadcast(b))
+        .select(when(col("hi") === col("lo"), lit(0L))
+            .otherwise(greatest(lit(0L), least(lit(9L),
+              floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 10)
+                .cast("long")))).as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("bin")
+        .agg(lng(sum(col("y"))).as("g"), lng(count(lit(1))).as("n"))
+        .persist()
+      // interval means over observed bins: bins² pairs, exact-BIGINT
+      // sums, ONE division on the 9-grid (bounded self-joins — the
+      // q_stump cumsum discipline, no window)
+      val pm = cells.as("a")
+        .join(cells.select(col("bin").as("jb")).as("z"), col("jb") >= col("a.bin"))
+        .join(cells.select(col("bin").as("cb"), col("g").as("cg"),
+          col("n").as("cn")).as("c"),
+          col("cb").between(col("a.bin"), col("jb")))
+        .groupBy(col("a.bin").as("i"), col("jb").as("j"))
+        .agg(round(dbl(sum(col("cg"))) / sum(col("cn")), 9).as("m"))
+      val mn = cells.select(col("bin")).as("k")
+        .join(pm, col("i") <= col("bin") && col("j") >= col("bin"))
+        .groupBy(col("bin"), col("i"))
+        .agg(min(col("m")).as("lo_m"))
+      val iso = mn.groupBy("bin").agg(max(col("lo_m")).as("iso9"))
+      cells.join(broadcast(iso), "bin")
+        .select(col("bin"), col("n"), col("g"),
+          round(dbl(col("g")) / col("n"), 6).as("raw_rate"),
+          round(col("iso9"), 6).as("iso_rate"))
+        .transform(materializeThenRelease(_, cells))
+        .orderBy("bin")
+    }
+  )
+
+  /** Stratified propensity-style treatment-effect estimate — the
+    * OBSERVATIONAL complement to q_abtest's randomized z-test (when
+    * you cannot randomize, you stratify on confounders and compare
+    * within strata; Cochran's classic subclassification estimator).
+    * Units are users; treatment = heavy week-1 error exposure (≥ 3
+    * error events before Jan 8); outcome = weeks-2+ purchase value;
+    * strata = fixed week-1 activity buckets (the confounder: active
+    * users both err more and buy more). Per stratum the treated/
+    * control counts and mean outcomes, the within-stratum difference,
+    * and the treated-weighted ATT Σ (n_t,s / N_t)·diff_s on every row.
+    *
+    * Determinism: outcome sums are exact DECIMAL; means are one
+    * division rounded 6 and differenced on the 6-grid; ATT weights
+    * each 6-grid diff by exact integer ratios, rounds terms to the
+    * 9-grid and sums as exact decimal. nullif guards a stratum with
+    * no control (or no treated) users.
+    *
+    * Scale: ONE fact pass to a user-level rollup (the q_retention
+    * shape), then strata-sized frames with single-row broadcasts;
+    * nothing row-level survives the first groupBy.
+    */
+  private val propensity = QueryDef(
+    "q_propensity",
+    "Stratified observational treatment-effect estimate: treatment = " +
+      "heavy week-1 error exposure, outcome = later purchase value, " +
+      "strata = fixed week-1 activity buckets; per-stratum treated/" +
+      "control means and diff, with the treated-weighted ATT.",
+    Some("""WITH u AS (SELECT user_id,
+           |    CAST(sum(CASE WHEN event_type = 'error' AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+           |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+           |    sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-08'
+           |             THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+           |  FROM events GROUP BY 1),
+           |su AS (SELECT least(3, greatest(0, a1 - 12) // 3) AS stratum,
+           |              e1 >= 3 AS treated, y FROM u),
+           |cell AS (SELECT stratum,
+           |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+           |    sum(CASE WHEN treated THEN y ELSE CAST(0 AS DECIMAL(18,2)) END) AS sy_t,
+           |    sum(CASE WHEN treated THEN CAST(0 AS DECIMAL(18,2)) ELSE y END) AS sy_c
+           |  FROM su GROUP BY 1),
+           |m AS (SELECT stratum, n_t, n_c,
+           |             round(CAST(sy_t AS DOUBLE) / nullif(n_t, 0), 6) AS mean_t,
+           |             round(CAST(sy_c AS DOUBLE) / nullif(n_c, 0), 6) AS mean_c
+           |      FROM cell),
+           |d AS (SELECT stratum, n_t, n_c, mean_t, mean_c,
+           |             round(mean_t - mean_c, 6) AS diff FROM m),
+           |t AS (SELECT sum(n_t) AS nt_tot FROM d),
+           |att AS (SELECT round(CAST(sum(CAST(round(diff * n_t / nt_tot, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS att
+           |        FROM d CROSS JOIN t WHERE diff IS NOT NULL)
+           |SELECT stratum, n_t, n_c, mean_t, mean_c, diff, att.att
+           |FROM d CROSS JOIN att ORDER BY stratum""".stripMargin),
+    (s, d) => {
+      val wk2 = lit("2024-01-08").cast("timestamp")
+      val zero = lit(0).cast(Money)
+      val u = events(s, d)
+        .groupBy("user_id")
+        .agg(
+          lng(sum(when(col("event_type") === "error" && col("ts") < wk2, 1L)
+            .otherwise(0L))).as("e1"),
+          lng(sum(when(col("ts") < wk2, 1L).otherwise(0L))).as("a1"),
+          sum(when(col("event_type") === "purchase" && col("ts") >= wk2,
+            money(col("value"))).otherwise(zero)).as("y"))
+      val su = u.select(
+        least(lit(3L), expr("greatest(0, a1 - 12) div 3")).as("stratum"),
+        (col("e1") >= 3).as("treated"), col("y"))
+      val cell = su.groupBy("stratum")
+        .agg(lng(sum(when(col("treated"), 1L).otherwise(0L))).as("n_t"),
+          lng(sum(when(col("treated"), 0L).otherwise(1L))).as("n_c"),
+          sum(when(col("treated"), col("y")).otherwise(zero)).as("sy_t"),
+          sum(when(col("treated"), zero).otherwise(col("y"))).as("sy_c"))
+      val dd = cell.select(col("stratum"), col("n_t"), col("n_c"),
+          round(dbl(col("sy_t")) / nullif(col("n_t"), lit(0L)), 6).as("mean_t"),
+          round(dbl(col("sy_c")) / nullif(col("n_c"), lit(0L)), 6).as("mean_c"))
+        .withColumn("diff", round(col("mean_t") - col("mean_c"), 6))
+        .persist()
+      val t = dd.agg(sum("n_t").as("nt_tot"))
+      val att = dd.crossJoin(broadcast(t))
+        .filter(col("diff").isNotNull)
+        .agg(round(dbl(sum(
+          round(col("diff") * col("n_t") / col("nt_tot"), 9)
+            .cast(DecimalType(28, 9)))), 6).as("att"))
+      dd.crossJoin(broadcast(att))
+        .select(col("stratum"), col("n_t"), col("n_c"), col("mean_t"),
+          col("mean_c"), col("diff"), col("att"))
+        .transform(materializeThenRelease(_, dd))
+        .orderBy("stratum")
+    }
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dpCount, bootstrapCi, ksTest, calibration, regression, auc, prCurve,
-      psi, conformal)
+      psi, conformal, isotonic, propensity)
 }

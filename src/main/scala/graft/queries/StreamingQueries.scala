@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
 import graft.streaming.StreamingOps
+import graft.util.Det._
 
 /** Batch twins of the streaming inventory (SURVEY.md §2.9).
   *
@@ -156,6 +157,75 @@ object StreamingQueries {
       .orderBy("ws_us", "rank")
   )
 
+  /** Watermark sizing audit — the batch measurement every streaming
+    * deployment runs on its lake BEFORE picking withWatermark's
+    * threshold (too tight drops data, too loose bloats state; the
+    * number you need is the observed lateness distribution under the
+    * real arrival order). Arrival is simulated with a deterministic
+    * per-event transport delay (hash-jitter ≤ 996 s — the Knuth
+    * multiplicative constant the LSH keys already use); the watermark
+    * is the streaming-standard high-water mark max(event_ts seen so
+    * far) − 600 s per KEY (user), matching keyed-state semantics
+    * where transformWithState tracks per-key progress. A row is LATE
+    * if its event time is behind its key's watermark at arrival.
+    *
+    * Determinism: everything is exact BIGINT microsecond arithmetic —
+    * the delay, the prefix max, the 600 s threshold, the floor-div
+    * lateness seconds; late_pct is the single final division. The
+    * window partitions by user (no unpartitioned window), ordered by
+    * (arrival, event_id).
+    *
+    * Scale: per-key prefix max = one keyed window pass (state O(1)
+    * per key in the streaming twin); output is users-sized.
+    */
+  private val watermarkAudit = QueryDef(
+    "q_watermark_audit",
+    "Watermark sizing audit: per-user high-water-mark lateness under " +
+      "a deterministic hash-jittered arrival order and a 600 s " +
+      "watermark — late counts, rate, and worst lateness seconds, " +
+      "the readout that sizes withWatermark before deployment.",
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |                  epoch_us(CAST(ts AS TIMESTAMP)) AS e_us,
+           |                  epoch_us(CAST(ts AS TIMESTAMP))
+           |                    + ((event_id * 2654435761) % 997) * 1000000 AS arr_us
+           |           FROM events),
+           |w AS (SELECT user_id, event_id, e_us,
+           |             max(e_us) OVER (PARTITION BY user_id ORDER BY arr_us, event_id
+           |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+           |      FROM e),
+           |l AS (SELECT user_id, e_us, hwm,
+           |             (hwm IS NOT NULL AND e_us < hwm - 600000000) AS late,
+           |             CASE WHEN hwm IS NOT NULL AND e_us < hwm - 600000000
+           |                  THEN (hwm - 600000000 - e_us) // 1000000 ELSE 0 END AS late_s
+           |      FROM w)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           |       round(CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS late_pct,
+           |       CAST(max(late_s) AS BIGINT) AS max_late_s
+           |FROM l GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("e_us"))
+        .withColumn("arr_us",
+          col("e_us") + ((col("event_id") * 2654435761L) % 997) * 1000000L)
+      val w = Window.partitionBy("user_id").orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = col("hwm").isNotNull && col("e_us") < col("hwm") - 600000000L
+      e.withColumn("hwm", max(col("e_us")).over(w))
+        .select(col("user_id"), late.as("late"),
+          when(late, expr("(hwm - 600000000 - e_us) div 1000000"))
+            .otherwise(lit(0L)).as("late_s"))
+        .groupBy("user_id")
+        .agg(lng(count(lit(1))).as("n"),
+          lng(sum(when(col("late"), 1L).otherwise(0L))).as("n_late"),
+          round(dbl(sum(when(col("late"), 1L).otherwise(0L))) / count(lit(1)), 6)
+            .as("late_pct"),
+          lng(max(col("late_s"))).as("max_late_s"))
+        .orderBy("user_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(streamTumbling, streamSliding, streamSession, streamTopK,
-    streamDedup, streamJoin)
+    streamDedup, streamJoin, watermarkAudit)
 }

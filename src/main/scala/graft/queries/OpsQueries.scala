@@ -510,6 +510,86 @@ object OpsQueries {
     }
   )
 
+  /** AR(1) autoregression per event type — the STOCHASTIC member of
+    * the forecasting family (q_holt smooths level+trend, q_stl
+    * decomposes, q_seasonality detects the cycle, q_autocorr measures
+    * the dependence; this FITS the dependence and forecasts from it):
+    * the daily value-total series x_t regressed on its own lag,
+    * x_t = c + φ·x_{t−1}, by closed-form OLS over the lagged pairs,
+    * plus the one-step-ahead forecast c + φ·x_n — the simplest
+    * model a capacity-planning/anomaly stack runs per metric.
+    *
+    * Determinism: daily totals are exact DECIMAL(18,2) sums; the five
+    * co-moments (n, Σx, Σy, Σxx, Σxy over lagged pairs) are exact
+    * decimal sums and φ/c/forecast are ONE shared double chain over
+    * them, each rounded 6 (the q_regression discipline). The lag is a
+    * key-partitioned equi-join on (type, day−1) — no window at all.
+    *
+    * Scale: one map-side-combined fact pass to types×days rows, one
+    * tiny self-join for the lag, a 5-aggregate rollup per type.
+    */
+  private val ar1 = QueryDef(
+    "q_ar1",
+    "AR(1) fit of the daily value-total series per event type " +
+      "(closed-form OLS on the lag-joined pairs: phi, intercept, and " +
+      "the one-step-ahead forecast) — the per-metric autoregressive " +
+      "forecaster of a capacity/anomaly stack.",
+    Some("""WITH dly AS (SELECT event_type,
+           |               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+           |               sum(CAST(value AS DECIMAL(18,2))) AS x
+           |             FROM events GROUP BY 1, 2),
+           |pairs AS (SELECT a.event_type, a.day, a.x AS y, b.x AS xl
+           |          FROM dly a JOIN dly b ON b.event_type = a.event_type
+           |                             AND b.day = a.day - 1),
+           |m AS (SELECT event_type, count(*) AS n, sum(xl) AS sx, sum(y) AS sy,
+           |             sum(xl * xl) AS sxx, sum(xl * y) AS sxy
+           |      FROM pairs GROUP BY 1),
+           |lastd AS (SELECT event_type, max(day) AS md FROM dly GROUP BY 1),
+           |xn AS (SELECT d.event_type, d.x AS xlast
+           |       FROM dly d JOIN lastd l ON l.event_type = d.event_type AND d.day = l.md),
+           |f AS (SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           |        round((m.n * CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+           |              / (m.n * CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)), 6) AS phi,
+           |        round((CAST(m.sy AS DOUBLE)
+           |               - (m.n * CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+           |                 / (m.n * CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+           |                 * CAST(m.sx AS DOUBLE)) / m.n, 6) AS c,
+           |        xn.xlast
+           |      FROM m JOIN xn ON xn.event_type = m.event_type)
+           |SELECT event_type, n, phi, c,
+           |       round(c + phi * CAST(xlast AS DOUBLE), 6) AS forecast
+           |FROM f ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val dly = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(money(col("value"))).as("x"))
+      val pairs = dly.as("a")
+        .join(dly.select(col("event_type"), (col("day") + 1).as("day"),
+          col("x").as("xl")).as("b"), Seq("event_type", "day"))
+      val m = pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("xl").as("sx"), sum(col("a.x")).as("sy"),
+          sum(col("xl") * col("xl")).as("sxx"),
+          sum(col("xl") * col("a.x")).as("sxy"))
+      val lastd = dly.groupBy("event_type").agg(max("day").as("md"))
+      val xn = dly.join(lastd, Seq("event_type"))
+        .filter(col("day") === col("md"))
+        .select(col("event_type"), col("x").as("xlast"))
+      // combine the exact decimal co-moments in ONE shared double
+      // chain (decimal n·sxy would exceed precision 38 and the two
+      // engines truncate differently; identical IEEE is the parity)
+      val num = col("n") * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+      val den = col("n") * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+      val phi = round(num / den, 6)
+      val c = round((dbl(col("sy")) - num / den * dbl(col("sx"))) / col("n"), 6)
+      m.join(broadcast(xn), "event_type")
+        .select(col("event_type"), lng(col("n")).as("n"),
+          phi.as("phi"), c.as("c"),
+          round(c + phi * dbl(col("xlast")), 6).as("forecast"))
+        .orderBy("event_type")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(skewReport, integrity, holt, changepoint,
-    readability, snapshotDiff, filterFunnel, stl)
+    readability, snapshotDiff, filterFunnel, stl, ar1)
 }

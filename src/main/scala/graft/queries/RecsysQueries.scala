@@ -603,6 +603,74 @@ object RecsysQueries {
     }
   )
 
+  /** Deterministic negative sampling — the TRAINING-DATA complement
+    * to the recommenders the family already fits (q_item_recs /
+    * q_mf_step / q_als_solve / q_slope_one all consume positives;
+    * implicit-feedback training needs NEGATIVES too, and uniform
+    * hash-sampling with an interaction anti-join is the standard
+    * generator): per probe customer (the shared 1% probe set), 8
+    * hash-derived candidate parts, minus the parts the customer
+    * actually ordered, first 3 by slot — the (user, negative item)
+    * rows a BPR/ALS trainer pairs against the positives.
+    *
+    * Determinism: candidates are a pure hash of (user, slot) modulo
+    * the exact part count (one scalar broadcast); duplicate candidate
+    * items collapse to their min slot before ranking; the final rank
+    * orders by (slot, item) — no randomness anywhere, same rows on
+    * every run and engine.
+    *
+    * Scale: probes × 8 candidate rows (tiny) anti-joined key-
+    * partitioned against the user's interactions; the interaction
+    * table is the only fact-sized input and it is touched once.
+    */
+  private val negativeSampling = QueryDef(
+    "q_negative_sampling",
+    "Deterministic hash-based negative sampling for implicit-feedback " +
+      "training: per probe customer, 8 hash candidates minus the " +
+      "anti-joined true interactions, first 3 negatives by slot.",
+    Some("""WITH inter AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+           |               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+           |np AS (SELECT max(p_partkey) AS np FROM part),
+           |probes AS (SELECT DISTINCT u FROM inter WHERE u % 97 = 0),
+           |cand AS (SELECT p.u, s.slot,
+           |                1 + (p.u * 2654435761 + s.slot * 40503) % np.np AS item
+           |         FROM probes p CROSS JOIN np
+           |         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot) s),
+           |neg AS (SELECT c.u, c.item, min(c.slot) AS slot
+           |        FROM cand c LEFT JOIN inter x ON x.u = c.u AND x.i = c.item
+           |        WHERE x.i IS NULL GROUP BY 1, 2),
+           |rk AS (SELECT u, item, slot,
+           |              row_number() OVER (PARTITION BY u ORDER BY slot, item) AS rn
+           |       FROM neg)
+           |SELECT u, CAST(rn AS BIGINT) AS rank, item, CAST(slot AS BIGINT) AS slot
+           |FROM rk WHERE rn <= 3 ORDER BY u, rank""".stripMargin),
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .distinct()
+      val np = part(s, d).agg(max(col("p_partkey")).as("np"))
+      val probes = inter.filter(col("u") % 97 === 0).select("u").distinct()
+      val slots = s.range(8).select(col("id").as("slot"))
+      val cand = probes.crossJoin(broadcast(np))
+        .crossJoin(broadcast(slots))
+        .select(col("u"), col("slot"),
+          (lit(1L) + (col("u") * 2654435761L + col("slot") * 40503L) % col("np"))
+            .as("item"))
+      val w = Window.partitionBy("u").orderBy(col("slot"), col("item"))
+      cand.join(inter.select(col("u"), col("i").as("item")),
+          Seq("u", "item"), "left_anti")
+        .groupBy("u", "item")
+        .agg(min(col("slot")).as("slot"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("u"), lng(col("rn")).as("rank"), col("item"),
+          lng(col("slot")).as("slot"))
+        .orderBy("u", "rank")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(itemRecs, sax, assortativity, sourceTerms,
-    mfStep, alsSolve, slopeOne)
+    mfStep, alsSolve, slopeOne, negativeSampling)
 }

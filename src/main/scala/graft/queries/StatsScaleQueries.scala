@@ -817,7 +817,76 @@ object StatsScaleQueries {
     }
   )
 
+  /** Cumulative gains / lift by score decile — the TARGETING readout
+    * next to q_auc (global ranking quality) and q_pr_curve
+    * (threshold operating points): "if I act on the top k% by score,
+    * what share of the positives do I capture, and at how many times
+    * the base rate?" — the table every campaign/fraud/lead-scoring
+    * deployment reads before picking a cutoff. Score = event value
+    * (the shared proxy-score convention), positive = purchase; bins
+    * are the shared 10 equal-width value bins scanned from the TOP.
+    *
+    * Determinism: bin counts are exact BIGINTs; cumulative counts
+    * come from the bounded bins² self-join (the q_stump discipline —
+    * no window); gain and lift are single divisions of exact BIGINTs
+    * rounded 6 (lift = gain / (cum_n / N) algebraically rearranged to
+    * cum_pos·N / (cum_n·P) — BIGINT products then ONE division).
+    *
+    * Scale: one map-side-combined fact pass to ≤ 10 bins; everything
+    * downstream is bins-sized with a single-row broadcast.
+    */
+  private val lift = QueryDef(
+    "q_lift",
+    "Cumulative gains and lift by descending score bin (value bins, " +
+      "positive = purchase): per bin the captured-positive share and " +
+      "the lift over the base rate — the campaign-targeting readout.",
+    Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+           |e AS (SELECT CASE WHEN hi = lo THEN 0
+           |             ELSE greatest(0, least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS BIGINT))) END AS bin,
+           |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           |      FROM events CROSS JOIN b),
+           |cells AS (SELECT bin, CAST(sum(y) AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n
+           |          FROM e GROUP BY 1),
+           |t AS (SELECT sum(pos) AS tp, sum(n) AS tn FROM cells),
+           |cum AS (SELECT a.bin, sum(c.pos) AS cpos, sum(c.n) AS cn
+           |        FROM cells a JOIN cells c ON c.bin >= a.bin GROUP BY 1)
+           |SELECT c.bin, c.n, c.pos, CAST(u.cn AS BIGINT) AS cum_n,
+           |       CAST(u.cpos AS BIGINT) AS cum_pos,
+           |       round(CAST(u.cpos AS DOUBLE) / t.tp, 6) AS gain,
+           |       round(CAST(u.cpos * t.tn AS DOUBLE) / (u.cn * t.tp), 6) AS lift
+           |FROM cells c JOIN cum u ON u.bin = c.bin CROSS JOIN t
+           |ORDER BY c.bin DESC""".stripMargin),
+    (s, d) => {
+      val ev = events(s, d).select(col("value"), col("event_type"))
+      val b = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      val cells = ev.crossJoin(broadcast(b))
+        .select(when(col("hi") === col("lo"), lit(0L))
+            .otherwise(greatest(lit(0L), least(lit(9L),
+              floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 10)
+                .cast("long")))).as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("bin")
+        .agg(lng(sum(col("y"))).as("pos"), lng(count(lit(1))).as("n"))
+        .persist()
+      val t = cells.agg(sum("pos").as("tp"), sum("n").as("tn"))
+      val cum = cells.as("a")
+        .join(cells.select(col("bin").as("cb"), col("pos").as("cp"),
+          col("n").as("cn0")).as("c"), col("cb") >= col("a.bin"))
+        .groupBy(col("a.bin").as("bin"))
+        .agg(sum(col("cp")).as("cpos"), sum(col("cn0")).as("cn"))
+      cells.join(broadcast(cum), "bin")
+        .crossJoin(broadcast(t))
+        .select(col("bin"), col("n"), col("pos"), lng(col("cn")).as("cum_n"),
+          lng(col("cpos")).as("cum_pos"),
+          round(dbl(col("cpos")) / col("tp"), 6).as("gain"),
+          round(dbl(col("cpos") * col("tn")) / (col("cn") * col("tp")), 6)
+            .as("lift"))
+        .transform(materializeThenRelease(_, cells))
+        .orderBy(col("bin").desc)
+    }
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dpCount, bootstrapCi, ksTest, calibration, regression, auc, prCurve,
-      psi, conformal, isotonic, propensity)
+      psi, conformal, isotonic, propensity, lift)
 }

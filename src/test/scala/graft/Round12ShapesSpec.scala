@@ -125,4 +125,61 @@ class Round12ShapesSpec extends AnyFunSuite {
       assert(ml <= 396L)
     }
   }
+
+  test("q_ar1 phi is stationary-plausible and the forecast follows the chain") {
+    val rows = q("q_ar1").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val phi = r.getAs[Double]("phi"); val c = r.getAs[Double]("c")
+      // a value-total series is mean-reverting noise, not a random walk
+      assert(math.abs(phi) < 1.0, s"non-stationary phi $phi")
+      // forecast must lie between c (x_n = 0) and c + phi*x for some
+      // positive x: just pin the shared-chain identity loosely via
+      // forecast ~ c + phi * x_n => (forecast - c) / phi is a
+      // plausible daily total when phi != 0
+      if (math.abs(phi) > 1e-9) {
+        val xn = (r.getAs[Double]("forecast") - c) / phi
+        assert(xn > 0.0, s"implied last observation $xn must be positive")
+      }
+    }
+  }
+
+  test("q_lift gain is non-increasing down the bins and lift*share == gain") {
+    val rows = q("q_lift").collect().sortBy(-_.getLong(0))
+    assert(rows.nonEmpty)
+    // scanning MORE bins (lower thresholds) can only capture more
+    val gains = rows.map(_.getAs[Double]("gain"))
+    gains.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi <= lo + 1e-9, "gain must grow as bins accumulate")
+    }
+    assert(math.abs(gains.last - 1.0) < 1e-9, "full scan captures all positives")
+    val totalN = rows.map(_.getAs[Long]("n")).sum
+    val totalP = rows.map(_.getAs[Long]("pos")).sum
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("cum_pos").toDouble * totalN /
+        (r.getAs[Long]("cum_n") * totalP)
+      assert(math.abs(r.getAs[Double]("lift") - expect) < 1e-5)
+    }
+  }
+
+  test("q_negative_sampling emits only true negatives, <= 3 per probe user") {
+    val rows = q("q_negative_sampling").collect()
+    assert(rows.nonEmpty)
+    val inter = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val u = r.getAs[Long]("u"); val item = r.getAs[Long]("item")
+      assert(!inter.contains((u, item)),
+        s"sampled ($u, $item) is a real interaction")
+      assert(u % 97 == 0, "only probe users")
+    }
+    rows.groupBy(_.getAs[Long]("u")).foreach { case (u, rs) =>
+      assert(rs.length <= 3, s"user $u got ${rs.length} negatives")
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+    }
+  }
 }

@@ -109,8 +109,10 @@ object LayoutQueries {
         .crossJoin(pos.agg(lng(count(lit(1))).as("bits_set")))
         .crossJoin(passed.agg(lng(count(lit(1))).as("bloom_passed")))
         .crossJoin(truth.agg(lng(count(lit(1))).as("true_matches")))
-      counts.withColumn("false_positives",
-        col("bloom_passed") - col("true_matches"))
+      materializeThenRelease(
+        counts.withColumn("false_positives",
+          col("bloom_passed") - col("true_matches")),
+        f, pos)
     }
   )
 

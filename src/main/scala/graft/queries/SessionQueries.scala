@@ -297,6 +297,80 @@ object SessionQueries {
       .orderBy("user_id")
   )
 
+  /** Interval-union coverage — the sweep-line primitive next to
+    * q_sessionize (gap-split) and q_join_interval (interval⋈point):
+    * each event opens an interval [ts, ts + floor(value·60) s] (value
+    * minutes of activity, integer-floored — the deterministic duration
+    * proxy), and the query reports per user the UNION length of those
+    * overlapping intervals, the island count, and the overlap ratio
+    * (sum of raw durations / covered time — how redundant the
+    * activity log is). The classic "billable time from overlapping
+    * work intervals" / "sensor uptime from overlapping pings" shape.
+    *
+    * Mechanics: the running-max-of-end sweep — per user order by
+    * (start, end, event_id) (a TOTAL order, so the 1-PRECEDING frame
+    * is engine-stable under ties), flag a new island when start
+    * strictly exceeds the running max end of all predecessors, prefix-
+    * sum the flags into island ids, then islands aggregate to
+    * (max end − min start) and users sum their islands. All epoch-µs
+    * BIGINT arithmetic end-to-end.
+    *
+    * Scale: both windows partition by user_id (high cardinality);
+    * island aggregation is a map-side-combinable groupBy — nothing
+    * global, no shuffle wider than the events table itself.
+    */
+  private val intervalCoverage = QueryDef(
+    "q_interval_coverage",
+    "Per-user union length of overlapping activity intervals " +
+      "[ts, ts + value minutes] via the running-max sweep: covered " +
+      "µs, island count, and the raw/covered overlap ratio.",
+    Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+           |                   epoch_us(CAST(ts AS TIMESTAMP))
+           |                   + CAST(floor(value * 60) AS BIGINT) * 1000000 AS e_us
+           |            FROM events),
+           |sw AS (SELECT user_id, event_id, s_us, e_us,
+           |         CASE WHEN max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+           |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |                   >= s_us
+           |              THEN 0 ELSE 1 END AS brk
+           |       FROM iv),
+           |isl AS (SELECT user_id, s_us, e_us,
+           |          sum(brk) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+           |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |        FROM sw),
+           |agg AS (SELECT user_id, island, min(s_us) AS lo, max(e_us) AS hi,
+           |               sum(e_us - s_us) AS raw
+           |        FROM isl GROUP BY 1, 2)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           |       CAST(sum(hi - lo) AS BIGINT) AS covered_us,
+           |       CAST(sum(raw) AS BIGINT) AS raw_us,
+           |       round(CAST(sum(raw) AS DOUBLE) / CAST(sum(hi - lo) AS DOUBLE), 6) AS overlap_ratio
+           |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val iv = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts"))
+          + expr("CAST(floor(value * 60) AS BIGINT)") * 1000000L).as("e_us"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us", "event_id")
+      val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val sw = iv.withColumn("brk",
+        when(max("e_us").over(prevMax) >= col("s_us"), 0L).otherwise(1L))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isl = sw.withColumn("island", sum("brk").over(run))
+      val agg = isl.groupBy("user_id", "island")
+        .agg(min("s_us").as("lo"), max("e_us").as("hi"),
+          sum(col("e_us") - col("s_us")).as("raw"))
+      agg.groupBy("user_id")
+        .agg(lng(count(lit(1))).as("n_islands"),
+          lng(sum(col("hi") - col("lo"))).as("covered_us"),
+          lng(sum("raw")).as("raw_us"),
+          round(dbl(sum("raw")) / dbl(sum(col("hi") - col("lo"))), 6)
+            .as("overlap_ratio"))
+        .orderBy("user_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(sessionize, retention, markov, movingAvg,
-    zscore, minmaxNorm, hmmViterbi)
+    zscore, minmaxNorm, hmmViterbi, intervalCoverage)
 }

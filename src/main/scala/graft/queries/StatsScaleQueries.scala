@@ -886,7 +886,98 @@ object StatsScaleQueries {
     }
   )
 
+  /** Brier score with the Murphy decomposition — the PROPER-SCORING
+    * readout next to q_calibration (reliability bins), q_isotonic (the
+    * recalibration fix) and q_auc (ranking): brier = mean squared
+    * error of the probabilistic forecast, split into reliability (how
+    * far bin forecasts sit from bin outcomes — what isotonic removes),
+    * resolution (how much the bins separate the base rate — what no
+    * recalibration can add) and uncertainty (the base-rate floor).
+    * Forecast = the fractional-cents pseudo-probability k/100 with
+    * k = floor(value·100) mod 100 (integer-derived, exactly 2
+    * decimals); outcome = click among click/view; bins = forecast
+    * deciles k div 10.
+    *
+    * Determinism: the per-row squared error is PURE BIGINT —
+    * (k − 100y)² — so the headline brier is an exact integer sum with
+    * one final double division; the k→bin map is integer. The bin
+    * terms of reliability/resolution are shared double chains over
+    * exact per-bin BIGINTs (d cast first, one multiply order), rounded
+    * 9 and summed as DECIMAL(28,9) (order-free over ≤ 10 bins, the
+    * q_propensity att discipline), then ONE division by N.
+    *
+    * Scale: one map-side-combined fact pass to ≤ 10 bin cells;
+    * everything downstream is bins-sized with single-row broadcasts —
+    * no shuffle grows with the fact table.
+    */
+  private val brier = QueryDef(
+    "q_brier",
+    "Brier score + Murphy decomposition (reliability / resolution / " +
+      "uncertainty) of the fractional-cents forecast for click-vs-" +
+      "view, over forecast deciles: the proper-scoring-rule readout " +
+      "that says whether a score needs recalibration (reliability) " +
+      "or simply cannot separate (resolution).",
+    Some("""WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) % 100 AS k,
+           |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+           |           FROM events WHERE event_type IN ('click', 'view')),
+           |cells AS (SELECT k // 10 AS bin, CAST(count(*) AS BIGINT) AS n,
+           |                 CAST(sum(k) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy,
+           |                 CAST(sum((k - 100 * y) * (k - 100 * y)) AS BIGINT) AS ssq
+           |          FROM e GROUP BY 1),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS ty,
+           |             CAST(sum(ssq) AS BIGINT) AS tssq
+           |      FROM cells),
+           |terms AS (SELECT
+           |    round(CAST(sp - 100 * sy AS DOUBLE) * CAST(sp - 100 * sy AS DOUBLE)
+           |          / (10000.0 * CAST(n AS DOUBLE)), 9) AS rel_t,
+           |    round(CAST(n AS DOUBLE)
+           |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - CAST(ty AS DOUBLE) / CAST(nn AS DOUBLE))
+           |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - CAST(ty AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS res_t
+           |  FROM cells CROSS JOIN t)
+           |SELECT t.nn AS n,
+           |       round(CAST(t.tssq AS DOUBLE) / (10000.0 * CAST(t.nn AS DOUBLE)), 6) AS brier,
+           |       round(CAST(sum(CAST(rel_t AS DECIMAL(28,9))) AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS reliability,
+           |       round(CAST(sum(CAST(res_t AS DECIMAL(28,9))) AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS resolution,
+           |       round(CAST(t.ty AS DOUBLE) / CAST(t.nn AS DOUBLE)
+           |             * (1.0 - CAST(t.ty AS DOUBLE) / CAST(t.nn AS DOUBLE)), 6) AS uncertainty
+           |FROM terms CROSS JOIN t GROUP BY t.nn, t.ty, t.tssq""".stripMargin),
+    (s, d) => {
+      val e = events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("CAST(floor(value * 100) AS BIGINT) % 100").as("k"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+      val cells = e.groupBy(expr("k div 10").as("bin"))
+        .agg(lng(count(lit(1))).as("n"), lng(sum("k")).as("sp"),
+          lng(sum("y")).as("sy"),
+          lng(sum(expr("(k - 100 * y) * (k - 100 * y)"))).as("ssq"))
+        .persist()
+      val t = cells.agg(lng(sum("n")).as("nn"), lng(sum("sy")).as("ty"),
+        lng(sum("ssq")).as("tssq"))
+      val terms = cells.crossJoin(broadcast(t)).select(
+        round(dbl(col("sp") - lit(100L) * col("sy"))
+          * dbl(col("sp") - lit(100L) * col("sy"))
+          / (lit(10000.0) * dbl(col("n"))), 9).as("rel_t"),
+        round(dbl(col("n"))
+          * (dbl(col("sy")) / dbl(col("n")) - dbl(col("ty")) / dbl(col("nn")))
+          * (dbl(col("sy")) / dbl(col("n")) - dbl(col("ty")) / dbl(col("nn"))),
+          9).as("res_t"),
+        col("nn"), col("ty"), col("tssq"))
+      terms.groupBy("nn", "ty", "tssq")
+        .agg(
+          round(dbl(sum(col("rel_t").cast(DecimalType(28, 9)))) / dbl(col("nn")), 6)
+            .as("reliability"),
+          round(dbl(sum(col("res_t").cast(DecimalType(28, 9)))) / dbl(col("nn")), 6)
+            .as("resolution"))
+        .select(col("nn").as("n"),
+          round(dbl(col("tssq")) / (lit(10000.0) * dbl(col("nn"))), 6).as("brier"),
+          col("reliability"), col("resolution"),
+          round(dbl(col("ty")) / dbl(col("nn"))
+            * (lit(1.0) - dbl(col("ty")) / dbl(col("nn"))), 6).as("uncertainty"))
+        .transform(materializeThenRelease(_, cells))
+    }
+  )
+
   val defs: Seq[QueryDef] =
     Seq(dpCount, bootstrapCi, ksTest, calibration, regression, auc, prCurve,
-      psi, conformal, isotonic, propensity, lift)
+      psi, conformal, isotonic, propensity, lift, brier)
 }

@@ -112,10 +112,15 @@ object Bench {
     // the stdout buffer cannot clip
     // targeted runs default to a suffixed file so a later single-query
     // re-measurement cannot silently clobber the last full-inventory
-    // artifact (ADVICE r11)
+    // artifact (ADVICE r11); the suffix carries a hash of the SORTED
+    // key set, not just the count, so two same-size targeted runs over
+    // different keys get distinct artifacts (ADVICE r12)
     val defaultOut =
-      if (args.nonEmpty) s"BENCH_SELF_targeted_${args.length}keys.json"
-      else "BENCH_SELF.json"
+      if (args.nonEmpty) {
+        val keyHash = java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(args.sorted.mkString(",")))
+        s"BENCH_SELF_targeted_${args.length}keys_$keyHash.json"
+      } else "BENCH_SELF.json"
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>

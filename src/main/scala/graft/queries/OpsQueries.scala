@@ -549,10 +549,10 @@ object OpsQueries {
            |       FROM dly d JOIN lastd l ON l.event_type = d.event_type AND d.day = l.md),
            |f AS (SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
            |        round((m.n * CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
-           |              / (m.n * CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)), 6) AS phi,
+           |              / nullif(m.n * CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE), 0), 6) AS phi,
            |        round((CAST(m.sy AS DOUBLE)
            |               - (m.n * CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
-           |                 / (m.n * CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+           |                 / nullif(m.n * CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE), 0)
            |                 * CAST(m.sx AS DOUBLE)) / m.n, 6) AS c,
            |        xn.xlast
            |      FROM m JOIN xn ON xn.event_type = m.event_type)
@@ -579,7 +579,10 @@ object OpsQueries {
       // chain (decimal n·sxy would exceed precision 38 and the two
       // engines truncate differently; identical IEEE is the parity)
       val num = col("n") * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
-      val den = col("n") * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+      // nullif guard (ADVICE r12): a constant lagged series makes the
+      // OLS denominator 0 — both engines must agree NULL, not inf/NaN
+      val den = nullif(
+        col("n") * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")), lit(0.0))
       val phi = round(num / den, 6)
       val c = round((dbl(col("sy")) - num / den * dbl(col("sx"))) / col("n"), 6)
       m.join(broadcast(xn), "event_type")

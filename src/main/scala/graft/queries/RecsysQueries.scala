@@ -633,7 +633,7 @@ object RecsysQueries {
            |np AS (SELECT max(p_partkey) AS np FROM part),
            |probes AS (SELECT DISTINCT u FROM inter WHERE u % 97 = 0),
            |cand AS (SELECT p.u, s.slot,
-           |                1 + (p.u * 2654435761 + s.slot * 40503) % np.np AS item
+           |                1 + ((p.u % 1000003) * 2654435761 + s.slot * 40503) % np.np AS item
            |         FROM probes p CROSS JOIN np
            |         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot) s),
            |neg AS (SELECT c.u, c.item, min(c.slot) AS slot
@@ -656,8 +656,12 @@ object RecsysQueries {
       val cand = probes.crossJoin(broadcast(np))
         .crossJoin(broadcast(slots))
         .select(col("u"), col("slot"),
-          (lit(1L) + (col("u") * 2654435761L + col("slot") * 40503L) % col("np"))
-            .as("item"))
+          // u reduced mod the fixed prime 1000003 BEFORE the Knuth
+          // multiply (ADVICE r12): identical to the unreduced hash for
+          // every u < 1000003 (all tested SFs), and the product is now
+          // bounded at ~2.65e15 — no BIGINT wrap at any customer key
+          (lit(1L) + ((col("u") % 1000003L) * 2654435761L
+            + col("slot") * 40503L) % col("np")).as("item"))
       val w = Window.partitionBy("u").orderBy(col("slot"), col("item"))
       cand.join(inter.select(col("u"), col("i").as("item")),
           Seq("u", "item"), "left_anti")

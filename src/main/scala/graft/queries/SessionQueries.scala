@@ -344,7 +344,7 @@ object SessionQueries {
            |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
            |       CAST(sum(hi - lo) AS BIGINT) AS covered_us,
            |       CAST(sum(raw) AS BIGINT) AS raw_us,
-           |       round(CAST(sum(raw) AS DOUBLE) / CAST(sum(hi - lo) AS DOUBLE), 6) AS overlap_ratio
+           |       round(CAST(sum(raw) AS DOUBLE) / nullif(CAST(sum(hi - lo) AS DOUBLE), 0), 6) AS overlap_ratio
            |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, d) => {
       val iv = events(s, d).select(col("user_id"), col("event_id"),
@@ -365,7 +365,10 @@ object SessionQueries {
         .agg(lng(count(lit(1))).as("n_islands"),
           lng(sum(col("hi") - col("lo"))).as("covered_us"),
           lng(sum("raw")).as("raw_us"),
-          round(dbl(sum("raw")) / dbl(sum(col("hi") - col("lo"))), 6)
+          // nullif guard (ADVICE r12): all-zero-duration islands make
+          // covered time 0 — both engines must agree NULL, not inf
+          round(dbl(sum("raw"))
+            / nullif(dbl(sum(col("hi") - col("lo"))), lit(0.0)), 6)
             .as("overlap_ratio"))
         .orderBy("user_id")
     }

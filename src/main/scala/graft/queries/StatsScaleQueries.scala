@@ -852,8 +852,8 @@ object StatsScaleQueries {
            |        FROM cells a JOIN cells c ON c.bin >= a.bin GROUP BY 1)
            |SELECT c.bin, c.n, c.pos, CAST(u.cn AS BIGINT) AS cum_n,
            |       CAST(u.cpos AS BIGINT) AS cum_pos,
-           |       round(CAST(u.cpos AS DOUBLE) / t.tp, 6) AS gain,
-           |       round(CAST(u.cpos * t.tn AS DOUBLE) / (u.cn * t.tp), 6) AS lift
+           |       round(CAST(u.cpos AS DOUBLE) / nullif(t.tp, 0), 6) AS gain,
+           |       round(CAST(u.cpos * t.tn AS DOUBLE) / nullif(u.cn * t.tp, 0), 6) AS lift
            |FROM cells c JOIN cum u ON u.bin = c.bin CROSS JOIN t
            |ORDER BY c.bin DESC""".stripMargin),
     (s, d) => {
@@ -878,9 +878,11 @@ object StatsScaleQueries {
         .crossJoin(broadcast(t))
         .select(col("bin"), col("n"), col("pos"), lng(col("cn")).as("cum_n"),
           lng(col("cpos")).as("cum_pos"),
-          round(dbl(col("cpos")) / col("tp"), 6).as("gain"),
-          round(dbl(col("cpos") * col("tn")) / (col("cn") * col("tp")), 6)
-            .as("lift"))
+          // nullif guard (ADVICE r12): tp = 0 when no purchases exist —
+          // both engines must agree NULL rather than diverge on inf/NaN
+          round(dbl(col("cpos")) / nullif(col("tp"), lit(0L)), 6).as("gain"),
+          round(dbl(col("cpos") * col("tn"))
+            / nullif(col("cn") * col("tp"), lit(0L)), 6).as("lift"))
         .transform(materializeThenRelease(_, cells))
         .orderBy(col("bin").desc)
     }

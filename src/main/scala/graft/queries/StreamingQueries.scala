@@ -187,7 +187,7 @@ object StreamingQueries {
     Some("""WITH e AS (SELECT user_id, event_id,
            |                  epoch_us(CAST(ts AS TIMESTAMP)) AS e_us,
            |                  epoch_us(CAST(ts AS TIMESTAMP))
-           |                    + ((event_id * 2654435761) % 997) * 1000000 AS arr_us
+           |                    + (((event_id % 997) * 2654435761) % 997) * 1000000 AS arr_us
            |           FROM events),
            |w AS (SELECT user_id, event_id, e_us,
            |             max(e_us) OVER (PARTITION BY user_id ORDER BY arr_us, event_id
@@ -207,8 +207,13 @@ object StreamingQueries {
       import org.apache.spark.sql.expressions.Window
       val e = events(s, d).select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("e_us"))
+        // id reduced mod 997 BEFORE the Knuth multiply (ADVICE r12):
+        // (id·k) mod 997 ≡ ((id mod 997)·k) mod 997, so the jitter is
+        // value-identical at every scale, but the product now tops out
+        // at 996·k ≈ 2.6e12 — no BIGINT wrap at any event_id
         .withColumn("arr_us",
-          col("e_us") + ((col("event_id") * 2654435761L) % 997) * 1000000L)
+          col("e_us")
+            + (((col("event_id") % 997) * 2654435761L) % 997) * 1000000L)
       val w = Window.partitionBy("user_id").orderBy("arr_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val late = col("hwm").isNotNull && col("e_us") < col("hwm") - 600000000L

@@ -88,6 +88,17 @@ object Det {
     * release the (possibly fact-sized) persisted intermediates so a
     * full-inventory driver run does not accumulate cached partitions
     * until LRU eviction skews bench timings.
+    *
+    * The RETURNED frame stays persisted by design (ADVICE r12: this is
+    * an intentional, bounded leak): it is always a result-sized frame
+    * (rows bounded by bins/groups/probes, never fact-sized), and it
+    * must survive this call because the caller hands it to the driver,
+    * which collects/writes it afterwards — unpersisting here would
+    * recompute the whole lineage (including the just-released
+    * intermediates) at consumption time. Long-lived drivers reclaim
+    * these via the session boundary: Bench clears the cache between
+    * passes (`spark.catalog.clearCache()`), and Verify's per-query
+    * session write is the final consumption.
     */
   def materializeThenRelease(out: org.apache.spark.sql.DataFrame,
                              intermediates: org.apache.spark.sql.DataFrame*)

@@ -683,63 +683,85 @@ object GraphQueries {
       val op = lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val e0 = op.as("a").join(op.as("b"),
+      // adjacency-list graph representation (VERDICT r12 #7 re-plan):
+      // ONE shuffle folds the co-purchase pair stream straight into
+      // per-node in-neighbor sets (collect_set dedups, replacing the
+      // separate edge distinct), so every later pass over the graph
+      // scans NODE-sized rows, never the edge list. Per-group state is
+      // one node's neighbor set — bounded by the co-purchase degree
+      // (parts per order × orders per part), the same bound the edge
+      // list itself carries per key.
+      val adj = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-        .distinct()
+        .groupBy(col("b.p").as("id"))
+        .agg(collect_set(col("a.p")).as("nbrs"))
         .persist()
-      val d0 = e0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-        .persist()
+      val d0 = adj.select(col("id"), size(col("nbrs")).cast("long").as("deg"))
       // exact p10 degree from the bounded degree histogram; the cumsum
       // window covers ≤ distinct-degree-values rows. ONE bounded
       // driver collect (coreset discipline) so the threshold feeds the
       // per-round filters as a literal.
-      val n = d0.count()
+      val n = adj.count()
       val hist = d0.groupBy("deg").agg(count(lit(1)).as("c"))
       val wCum = Window.orderBy("deg")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val k = hist.withColumn("cum", sum("c").over(wCum))
         .filter(col("cum") >= (n + 19) / 20)
         .agg(min("deg")).head().getLong(0)
-      var surv = d0.select("id")
-      var cur = e0
-      var deg = d0
+      // degree-decrement peel (VERDICT r12 #7 re-plan): the edge list
+      // is NEVER rewritten — per round ONE job joins the node-sized
+      // adjacency table against the (small) peel set, explodes ONLY
+      // the matched rows' neighbor lists (edges into the peel — a
+      // fringe-sized stream), counts each survivor's losses, and
+      // decrements a NODE-sized (id, deg) state. The old form
+      // checkpointed the shrinking edge list every round (edge-sized
+      // writes × rounds) and scanned every edge per round; this scans
+      // nodes and touches only fringe edges. In-core degree falls out
+      // of the state at convergence — deg(id) − edges-to-all-ever-
+      // peeled IS the residual degree, by induction over rounds.
+      //
+      // localCheckpoint, not persist: each round references the
+      // previous round's frame several times, so without lineage
+      // truncation the logical plan grows exponentially and Catalyst
+      // ANALYSIS (not execution) dominates wall time (profiled: 135 s
+      // at sf0.001 with persist-only). The ConnectedComponents
+      // scaladoc documents the same trap.
+      // per round TWO jobs: the cheap isEmpty probe over the
+      // materialized node-sized state, and the state-update
+      // checkpoint. (An Observation-metric fusion of the probe into
+      // the update job was A/B-profiled at +0.8 s — the async
+      // listener wait per round costs more than the probe job.)
+      var state = d0.select(col("id"), col("deg")).localCheckpoint(true)
       val peels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var round = 0
       var converged = false
       while (!converged && round < KcoreCap) {
         round += 1
-        // localCheckpoint, not persist: each round references the
-        // previous round's frames several times, so without lineage
-        // truncation the logical plan grows exponentially and Catalyst
-        // ANALYSIS (not execution — no stage exceeds 0.4 s) dominates
-        // wall time (profiled: 135 s at sf0.001 with persist-only).
-        // The ConnectedComponents scaladoc documents the same trap.
-        val peel = surv.join(deg, Seq("id"), "left")
-          .filter(coalesce(col("deg"), lit(0L)) < k)
-          .select("id").localCheckpoint(true)
-        // fixpoint test on the already-materialized frame: an empty
-        // peel round means every remaining node holds degree >= k —
-        // the k-core — and the oracle's remaining unrolled rounds are
-        // provably no-ops
+        // a filtered scan of the materialized node-sized state — the
+        // fixpoint probe: an empty peel means every remaining node
+        // holds degree >= k (the k-core) and the oracle's remaining
+        // unrolled rounds are provably no-ops
+        val peel = state.filter(col("deg") < k).select("id")
         if (peel.isEmpty) converged = true
         else {
           peels += peel.withColumn("peel_round", lit(round.toLong))
-          // surv is also checkpointed: leaving it as an anti-join chain
-          // was A/B-profiled (9.0 -> 11.7 s at sf0.1) — the re-executed
-          // chain schedules more stages than the one eager job it saves
-          surv = surv.join(peel, Seq("id"), "left_anti")
+          // edges INTO this round's peel set, via the adjacency rows
+          // of the peeled nodes only; no broadcast hint — the peel is
+          // usually tiny and AQE broadcasts it, but a first-round
+          // cascade at 100× data can be node-sized and must be
+          // allowed to shuffle
+          val dec = adj.join(peel, Seq("id"))
+            .select(explode(col("nbrs")).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("dec"))
+          state = state.filter(col("deg") >= k)
+            .join(dec, Seq("id"), "left")
+            .select(col("id"),
+              (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
             .localCheckpoint(true)
-          cur = cur
-            .join(peel.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-            .join(peel.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-            .select("src", "dst").localCheckpoint(true)
-          deg = cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
         }
       }
-      val core = surv.join(deg, Seq("id"), "left")
-        .select(col("id"), lit(0L).as("peel_round"),
-          coalesce(col("deg"), lit(0L)).as("core_deg"))
+      val core = state.select(col("id"), lit(0L).as("peel_round"),
+        col("deg").as("core_deg"))
       val out = (peels.map(_.select(col("id"), col("peel_round"),
           lit(0L).as("core_deg"))) :+ core)
         .reduce(_ unionByName _)
@@ -867,11 +889,14 @@ object GraphQueries {
     * cannot move a bit. Output = top-20 nodes by the 6-grid rounded
     * centrality with node tie-break.
     *
-    * Scale: per level ONE broadcast(frontier)×edge join (frontiers ≤
-    * 4·nodes rows) + a map-side-combined σ sum — the BSP shape
-    * q_pagerank uses; the backward joins are frontier-sized. Depth
-    * and source counts are fixed constants, so total work is
-    * O(levels · E) like any BSP pass.
+    * Scale: per level ONE frontier×edge join (frontiers ≤ 4·nodes
+    * rows) + a map-side-combined σ sum — the BSP shape q_pagerank
+    * uses; the backward joins are frontier-sized. Only the hop-0 seed
+    * (4 constant roots) carries a broadcast hint; deeper frontiers
+    * grow with the graph, so AQE picks broadcast vs shuffle from
+    * runtime sizes (VERDICT r12 #4). Depth and source counts are
+    * fixed constants, so total work is O(levels · E) like any BSP
+    * pass.
     */
   private val betweenness = QueryDef(
     "q_betweenness",
@@ -924,21 +949,31 @@ object GraphQueries {
       val e = edges(s, d).persist()
       val l0 = Seq(100001L, 100002L, 100003L, 100004L)
         .map(r => (r, r, 1L)).toDF("root", "node", "sigma")
-      // one BSP level: broadcast(frontier) × edge join, per-root anti
-      // join against the visited set, map-side-combined sigma sum
+      // one BSP level: frontier × edge join, per-root anti join
+      // against the visited set, map-side-combined sigma sum. The
+      // broadcast hint is applied ONLY to the hop-0 seed (4 constant
+      // roots — bounded by construction); deeper frontiers grow with
+      // the graph (a 2-hop frontier from hub suppliers approaches
+      // customer cardinality at 100× data), so they carry no hint and
+      // AQE broadcasts when the runtime size is small, shuffles when
+      // it is not (VERDICT r12 #4 — a forced driver-side broadcast of
+      // a node-sized frontier is the OOM, not the join itself)
       def expand(lvl: org.apache.spark.sql.DataFrame,
-                 vis: org.apache.spark.sql.DataFrame) =
-        broadcast(lvl).join(e, lvl("node") === e("src"))
+                 vis: org.apache.spark.sql.DataFrame,
+                 hintBounded: Boolean) = {
+        val f = if (hintBounded) broadcast(lvl) else lvl
+        f.join(e, lvl("node") === e("src"))
           .select(col("root"), col("dst").as("node"), col("sigma").as("sg"))
           .join(vis, Seq("root", "node"), "left_anti")
           .groupBy("root", "node")
           .agg(lng(sum(col("sg"))).as("sigma"))
+      }
       val vis0 = l0.select("root", "node")
-      val l1 = expand(l0, vis0).persist()
+      val l1 = expand(l0, vis0, hintBounded = true).persist()
       val vis1 = vis0.unionAll(l1.select("root", "node"))
-      val l2 = expand(l1, vis1).persist()
+      val l2 = expand(l1, vis1, hintBounded = false).persist()
       val vis2 = vis1.unionAll(l2.select("root", "node"))
-      val l3 = expand(l2, vis2).persist()
+      val l3 = expand(l2, vis2, hintBounded = false).persist()
       // dependency back-propagation: per level, one frontier-sized
       // join; terms 9-grid rounded, summed as exact decimal
       def deltas(lvlV: org.apache.spark.sql.DataFrame,
@@ -954,7 +989,9 @@ object GraphQueries {
             col("node").as("wnode"), col("sigma").as("wsig"),
             lit(0).cast(dec).as("wdelta"))
         })
-        broadcast(lvlV)
+        // no hint: the backward frontier is a forward level (graph-
+        // growing) — AQE picks broadcast vs shuffle from runtime size
+        lvlV
           .join(e, lvlV("node") === e("src"))
           .select(col("root"), col("node"), col("sigma"), col("dst"))
           .join(w0, col("wnode") === col("dst") && col("wroot") === col("root"))

@@ -107,6 +107,21 @@ class Round13ShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_betweenness rows are invariant to the join strategy (hint vs forced shuffle)") {
+    // VERDICT r12 #4: the BSP frontier joins dropped their forced
+    // broadcast hints beyond hop 0 and rely on AQE. Pin that the rows
+    // do not depend on the chosen strategy by disabling every
+    // broadcast conversion and comparing against the default plan.
+    val normal = q("q_betweenness").collect().map(_.toSeq).toSeq
+    val shuffled = TestSpark.withConfValue(Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+      q("q_betweenness").collect().map(_.toSeq).toSeq
+    }
+    assert(normal == shuffled)
+    assert(normal.nonEmpty)
+  }
+
   test("q_interval_coverage raw time always >= covered time (overlap ratio >= 1)") {
     q("q_interval_coverage").collect().foreach { r =>
       assert(r.getAs[Long]("raw_us") >= r.getAs[Long]("covered_us"))

@@ -45,5 +45,56 @@ object DocStoreQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(scanDocstore)
+  private val scanDocstoreSnapshot = QueryDef(
+    "q_scan_docstore_snapshot",
+    "Snapshot-isolated (time-travel) read of the docstore DSv2 " +
+      "source: version 1 (even doc_ids) is written, version 2 (odd " +
+      "doc_ids) truncate-overwrites it, and the query reads BOTH — " +
+      "the pinned snapshotVersion=1 read proving the old snapshot " +
+      "survives the overwrite commit intact (Iceberg/Delta manifest " +
+      "semantics) and the unpinned read resolving the new one; per " +
+      "(snapshot, lang) doc counts and exact char sums. The oracle " +
+      "recomputes both projections from the SOURCE parquet, so a " +
+      "manifest that leaks, mixes, or drops files fails the hash.",
+    Some("""WITH v1 AS (SELECT lang, count(*) AS n_docs,
+           |                   sum(n_chars) AS sum_chars
+           |            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+           |v2 AS (SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+           |       FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+           |SELECT CAST(1 AS BIGINT) AS snapshot, lang,
+           |       CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(sum_chars AS BIGINT) AS sum_chars FROM v1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), lang, CAST(n_docs AS BIGINT),
+           |       CAST(sum_chars AS BIGINT) FROM v2
+           |ORDER BY snapshot, lang""".stripMargin),
+    (s, d) => {
+      // eager side effect at construction (q_scan_docstore precedent):
+      // a FRESH table dir per run so the two snapshots are always
+      // versions 1 and 2 — deterministic under repeated bench passes
+      val outDir = s"/root/repo/target/docstore_snap/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.format("docstore").mode("overwrite").save(outDir)
+      val v1 = graft.sources.DocStore.latestVersion(outDir).get
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.format("docstore").mode("overwrite").save(outDir)
+      def rollup(df: org.apache.spark.sql.DataFrame, snap: Long) =
+        df.groupBy(col("lang"))
+          .agg(lng(count(lit(1))).as("n_docs"), lng(sum("n_chars")).as("sum_chars"))
+          .select(lit(snap).as("snapshot"), col("lang"), col("n_docs"),
+            col("sum_chars"))
+      val pinned = s.read.format("docstore")
+        .option("snapshotVersion", v1.toString).load(outDir)
+      val latest = s.read.format("docstore").load(outDir)
+      rollup(pinned, 1L).unionAll(rollup(latest, 2L))
+        .orderBy("snapshot", "lang")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot)
 }

@@ -55,6 +55,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * commit (rename-visible commit protocol; a failed task's temp file is
   * deleted on abort and never becomes visible).
   *
+  * Snapshot isolation: every job commit publishes an atomic
+  * `_manifest-vN` listing the snapshot's data files; reads plan from
+  * ONE manifest (latest, or the `snapshotVersion` read option), so a
+  * reader of version N is untouched by version N+1 committing under
+  * it. Truncate defers physical deletion to [[DocStore.vacuum]].
+  *
   * Supported column types: BIGINT, DOUBLE, STRING, BOOLEAN.
   */
 object DocStore {
@@ -148,6 +154,114 @@ object DocStore {
       .map(s => (s.getPath.toString, s.getLen))
   }
 
+  // ------------------------------------------------- snapshot manifests
+  //
+  // Iceberg/Delta-style snapshot isolation (VERDICT r12 #6): every
+  // successful job commit publishes `_manifest-v%08d`, an atomic
+  // (write-tmp + rename) text file listing the snapshot's data files.
+  // Reads resolve ONE manifest (the latest, or an explicit
+  // `snapshotVersion` read option) and plan exactly its files, so a
+  // reader sees version N in full while version N+1 commits — data
+  // files are immutable once visible and truncate no longer deletes
+  // them (orphans are reclaimed by an explicit [[vacuum]], the
+  // lakehouse contract). Directories with no manifest (pre-versioning
+  // layouts) fall back to directory listing and are adopted into the
+  // manifest chain by their next write.
+
+  val ManifestPrefix = "_manifest-v"
+
+  private def fsFor(dir: String): FileSystem =
+    new Path(dir).getFileSystem(new Configuration())
+
+  private def manifestName(v: Long): String = f"$ManifestPrefix$v%08d"
+
+  private[graft] def manifestVersions(dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = fsFor(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(ManifestPrefix) && !n.contains(".tmp"))
+      .flatMap(n =>
+        scala.util.Try(n.stripPrefix(ManifestPrefix).toLong).toOption)
+      .sorted
+  }
+
+  private[graft] def latestVersion(dir: String): Option[Long] =
+    manifestVersions(dir).lastOption
+
+  /** Data files of snapshot `v`: absolute path + byte length. */
+  private[graft] def readManifest(dir: String, v: Long): Seq[(String, Long)] = {
+    val fs = fsFor(dir)
+    val mp = new Path(dir, manifestName(v))
+    require(fs.exists(mp), s"docstore: no snapshot version $v under $dir")
+    val in = fs.open(mp)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+    body.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(name, len) = line.split('\t')
+      (new Path(dir, name).toString, len.toLong)
+    }.toSeq
+  }
+
+  /** Atomically publish manifest `v` (false if that version exists —
+    * the caller retries with the next number; single concurrent writer
+    * is the supported discipline, as in any rename-commit table format).
+    */
+  private[graft] def writeManifest(dir: String, v: Long,
+      files: Seq[(String, Long)]): Boolean = {
+    val fs = fsFor(dir)
+    val fin = new Path(dir, manifestName(v))
+    if (fs.exists(fin)) return false
+    val tmp = new Path(dir,
+      s"${manifestName(v)}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try {
+      val body = files.map { case (f, len) =>
+        s"${new Path(f).getName}\t$len"
+      }.mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    if (fs.rename(tmp, fin)) true
+    else { fs.delete(tmp, false); false }
+  }
+
+  /** The file set a scan plans: an explicitly requested snapshot, else
+    * the latest manifest, else (legacy, pre-manifest dir) the listing.
+    */
+  private[graft] def snapshotFiles(dir: String,
+      requested: Option[Long]): Seq[(String, Long)] =
+    requested match {
+      case Some(v) => readManifest(dir, v)
+      case None => latestVersion(dir) match {
+        case Some(v) => readManifest(dir, v)
+        case None    => listDataFiles(dir)
+      }
+    }
+
+  /** Reclaim storage: delete data files not referenced by the LATEST
+    * manifest and drop all older manifests. After vacuum, pinned reads
+    * of older snapshots fail (their files are gone) — the standard
+    * retention trade every lakehouse exposes.
+    */
+  def vacuum(dir: String): Unit = latestVersion(dir).foreach { v =>
+    val fs = fsFor(dir)
+    val live = readManifest(dir, v).map { case (f, _) =>
+      new Path(f).getName
+    }.toSet
+    listDataFiles(dir).foreach { case (f, _) =>
+      val p = new Path(f)
+      if (!live.contains(p.getName)) fs.delete(p, false)
+    }
+    manifestVersions(dir).filter(_ < v).foreach { old =>
+      fs.delete(new Path(dir, manifestName(old)), false)
+    }
+  }
+
   private[sources] def readFileSchema(file: String): StructType = {
     val p = new Path(file)
     val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
@@ -205,13 +319,15 @@ class DocStoreTable(dir: String, tableSchema: StructType)
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreScanBuilder(dir, tableSchema)
+    new DocStoreScanBuilder(dir, tableSchema,
+      Option(options.get("snapshotVersion")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DocStoreWriteBuilder(dir, info.schema())
 }
 
-class DocStoreScanBuilder(dir: String, fullSchema: StructType)
+class DocStoreScanBuilder(dir: String, fullSchema: StructType,
+    snapshotVersion: Option[Long])
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -234,7 +350,12 @@ class DocStoreScanBuilder(dir: String, fullSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new DocStoreScan(dir, fullSchema, required, pushed)
+  override def build(): Scan =
+    // the snapshot resolves HERE, when the scan is planned: the file
+    // list is pinned before execution, so a commit racing the read
+    // cannot hand it a mixed or shrinking file set
+    new DocStoreScan(dir, fullSchema, required, pushed,
+      DocStore.snapshotFiles(dir, snapshotVersion))
 }
 
 /** One InputPartition per data file — the unit of parallelism a
@@ -248,7 +369,8 @@ class DocStoreScan(
     dir: String,
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    files: Seq[(String, Long)])
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -257,8 +379,6 @@ class DocStoreScan(
   override def description(): String =
     s"docstore $dir, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
-
-  private lazy val files = DocStore.listDataFiles(dir)
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (f, len) => DocStoreInputPartition(f, len) }.toArray
@@ -463,27 +583,41 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean)
       info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(dir)
     val fs = p.getFileSystem(new Configuration())
-    if (truncate && fs.exists(p)) {
-      fs.listStatus(p).foreach { s =>
-        if (s.isFile && (s.getPath.getName.endsWith(".gds") ||
-            s.getPath.getName.endsWith(".tmp")))
-          fs.delete(s.getPath, false)
-      }
-    }
+    // truncate no longer deletes prior data files (VERDICT r12 #6):
+    // concurrent readers of the previous snapshot still hold its file
+    // list, so physical deletion is deferred to DocStore.vacuum — the
+    // overwrite is expressed purely by the new manifest listing only
+    // this job's files
     fs.mkdirs(p)
     new DocStoreWriterFactory(dir, schema.toDDL)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(new Configuration())
-    messages.foreach {
+    // the base file set is captured BEFORE the renames: a legacy
+    // (manifest-less) directory adopts its current listing, a
+    // versioned one extends its latest snapshot, a truncate starts
+    // empty
+    val base: Seq[(String, Long)] =
+      if (truncate) Seq.empty
+      else DocStore.latestVersion(dir) match {
+        case Some(v) => DocStore.readManifest(dir, v)
+        case None    => DocStore.listDataFiles(dir)
+      }
+    val newFiles = messages.map {
       case DocStoreCommitMessage(tmp, fin) =>
         val t = new Path(tmp)
-        if (fs.exists(t) && !fs.rename(t, new Path(fin)))
+        val f = new Path(fin)
+        if (fs.exists(t) && !fs.rename(t, f))
           throw new java.io.IOException(s"docstore: commit rename failed: $tmp")
+        (fin, fs.getFileStatus(f).getLen)
       case other =>
         throw new IllegalStateException(s"docstore: foreign message $other")
-    }
+    }.toSeq
+    // publish the snapshot: the atomic manifest rename IS the commit
+    // point readers observe
+    var v = DocStore.latestVersion(dir).getOrElse(0L) + 1
+    while (!DocStore.writeManifest(dir, v, base ++ newFiles)) v += 1
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

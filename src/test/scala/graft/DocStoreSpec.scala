@@ -129,6 +129,61 @@ class DocStoreSpec extends AnyFunSuite {
     assert(spark.read.format("docstore").load(dir).count() === 20)
   }
 
+  test("snapshot isolation: a reader pinned before an overwrite still sees its version") {
+    val dir = tmpDir("gds_snap")
+    spark.range(10).select(col("id").as("k"))
+      .write.format("docstore").mode("overwrite").save(dir)
+    val v1 = DocStore.latestVersion(dir).get
+    // reader resolves (and pins) snapshot v1 — then version v2 commits
+    // a full overwrite UNDER it
+    val pinned = spark.read.format("docstore")
+      .option("snapshotVersion", v1.toString).load(dir)
+    spark.range(100, 105).select(col("id").as("k"))
+      .write.format("docstore").mode("overwrite").save(dir)
+    assert(DocStore.latestVersion(dir).get > v1)
+    // the pinned reader sees v1 exactly: the truncate deleted nothing,
+    // the manifest still lists v1's files
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq === (0L until 10L))
+    // an unpinned reader sees the new snapshot only, even though BOTH
+    // versions' data files are on disk (reads resolve the manifest,
+    // never the directory listing)
+    assert(DocStore.listDataFiles(dir).length > 1)
+    assert(spark.read.format("docstore").load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq === (100L until 105L))
+  }
+
+  test("concurrent-write isolation: a mid-commit reader sees one full snapshot, never a mix") {
+    val dir = tmpDir("gds_race")
+    spark.range(10).select(col("id").as("k"))
+      .write.format("docstore").mode("overwrite").save(dir)
+    // a committing writer becomes visible ONLY through its manifest
+    // rename; simulate the pre-manifest instant: new data files
+    // renamed into the directory but no manifest published yet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val alien = new org.apache.hadoop.fs.Path(dir, "part-9-999.gds")
+    fs.copyFromLocalFile(
+      new org.apache.hadoop.fs.Path(DocStore.listDataFiles(dir).head._1), alien)
+    // the reader plans from the latest manifest: the not-yet-committed
+    // file is invisible even though it matches the *.gds data pattern
+    assert(spark.read.format("docstore").load(dir).count() === 10)
+    fs.delete(alien, false)
+  }
+
+  test("vacuum reclaims orphans of superseded snapshots, keeps the live set") {
+    val dir = tmpDir("gds_vac")
+    spark.range(10).select(col("id").as("k"))
+      .write.format("docstore").mode("overwrite").save(dir)
+    spark.range(20, 25).select(col("id").as("k"))
+      .write.format("docstore").mode("overwrite").save(dir)
+    val before = DocStore.listDataFiles(dir).length
+    DocStore.vacuum(dir)
+    assert(DocStore.listDataFiles(dir).length < before)
+    assert(DocStore.manifestVersions(dir).length === 1)
+    assert(spark.read.format("docstore").load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq === (20L until 25L))
+  }
+
   test("parallel write: one file per partition, one input partition per file") {
     val dir = tmpDir("gds_par")
     spark.range(1000).select(col("id").as("k")).repartition(4)

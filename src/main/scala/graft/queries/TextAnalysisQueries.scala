@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
-import graft.ops.{Bmp, Multimodal, Png, Wav}
+import graft.ops.{Bmp, Jpeg, Multimodal, Png, Wav}
 import graft.util.Det._
 
 /** Text-analysis + multimodal inventory (north-star: language-ID,
@@ -538,6 +538,81 @@ object TextAnalysisQueries {
         Multimodal.MediaRow(id, "image", payload, payload.length.toLong)
       }
       Multimodal.decodeRgbReadout(media, Png.RowDecoder())
+        .orderBy("media_id")
+    }
+  )
+
+  /** Real baseline JPEG decode through the multimodal seam — the
+    * LOSSY-compressed corner (VERDICT r12 #5) and the dominant image
+    * container of any web-scale corpus; BMP covers raw, PNG covers
+    * lossless deflate, this covers entropy-coded DCT with 4:2:0
+    * chroma subsampling and restart markers, both exercised in every
+    * payload (DRI=2 over 6 MCUs → two RSTn resyncs per image). Each
+    * document synthesizes a 48×32 JPEG from planted BLOCK-CONSTANT
+    * YCbCr functions (Y per 8×8 block, chroma per 16×16 MCU — the
+    * shape the 2×2 subsampling reduces losslessly); with all-ones
+    * quantization tables such plants survive the lossy pipeline
+    * BIT-EXACTLY (constant blocks are DC-only spectra; Jpeg.scala doc
+    * carries the proof), so the oracle states decoded RGB in closed
+    * form — including the YCbCr→RGB conversion, written in one fixed
+    * IEEE operation order in both engines. Geometry, exact channel
+    * sums, position-weighted checksum out via the same
+    * decodeRgbReadout as BMP/PNG. Codec blind spots (AC paths, byte
+    * stuffing, DC-reset shear, progressive rejection) are killed by
+    * JpegSpec.
+    *
+    * Scale: identical altitude to q_media_decode — one mapPartitions
+    * batch pass, payloads never leave the scan stage.
+    */
+  private val jpegDecode = QueryDef(
+    "q_jpeg_decode",
+    "Real baseline JPEG (4:2:0, restart markers) decode through the " +
+      "multimodal seam: per-document synthesized JPEGs from planted " +
+      "block-constant YCbCr functions, parsed by the dependency-free " +
+      "Huffman+IDCT decoder; geometry, exact channel sums and a " +
+      "position-weighted checksum out — the oracle recomputes all of " +
+      "it in closed form, color conversion included.",
+    Some("""WITH px AS (
+           |  SELECT doc_id, y, x,
+           |    (doc_id * 19 + (y // 8) * 37 + (x // 8) * 53) % 256 AS yv,
+           |    (doc_id * 29 + (x // 16) * 41) % 256 AS cb,
+           |    (doc_id * 43 + (y // 16) * 31) % 256 AS cr
+           |  FROM documents,
+           |       unnest(generate_series(0, 31)) AS yy(y),
+           |       unnest(generate_series(0, 47)) AS xx(x)),
+           |rgb AS (
+           |  SELECT doc_id, y, x,
+           |    greatest(0, least(255, CAST(floor(yv + 1.402e0 * (cr - 128) + 0.5e0) AS BIGINT))) AS r,
+           |    greatest(0, least(255, CAST(floor(yv - 0.344136e0 * (cb - 128) - 0.714136e0 * (cr - 128) + 0.5e0) AS BIGINT))) AS g,
+           |    greatest(0, least(255, CAST(floor(yv + 1.772e0 * (cb - 128) + 0.5e0) AS BIGINT))) AS b
+           |  FROM px)
+           |SELECT doc_id AS media_id, CAST(48 AS BIGINT) AS width,
+           |       CAST(32 AS BIGINT) AS height, CAST(1536 AS BIGINT) AS n_pixels,
+           |       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+           |       CAST(sum(b) AS BIGINT) AS sum_b,
+           |       CAST(sum(((y*48 + x)*3 + 1) * r + ((y*48 + x)*3 + 2) * g
+           |                + ((y*48 + x)*3 + 3) * b) AS BIGINT) AS checksum
+           |FROM rgb GROUP BY doc_id ORDER BY media_id""".stripMargin),
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val y = Array.tabulate(48 * 32) { i =>
+          val yy = i / 48; val xx = i % 48
+          ((id * 19 + (yy / 8) * 37 + (xx / 8) * 53) % 256).toInt
+        }
+        val cb = Array.tabulate(24 * 16) { i =>
+          val xx = i % 24
+          ((id * 29 + (xx / 8) * 41) % 256).toInt
+        }
+        val cr = Array.tabulate(24 * 16) { i =>
+          val yy = i / 24
+          ((id * 43 + (yy / 8) * 31) % 256).toInt
+        }
+        val payload = Jpeg.encode420(48, 32, y, cb, cr, restartInterval = 2)
+        Multimodal.MediaRow(id, "image", payload, payload.length.toLong)
+      }
+      Multimodal.decodeRgbReadout(media, Jpeg.RowDecoder())
         .orderBy("media_id")
     }
   )
@@ -1562,6 +1637,6 @@ object TextAnalysisQueries {
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
     distinctN, distinctNSketch, mediaDecode, wavDecode, pngDecode,
-    mediaSniff,
+    jpegDecode, mediaSniff,
     fixEncoding, bleu, rougeN, chrf, cer, c4Gopher)
 }

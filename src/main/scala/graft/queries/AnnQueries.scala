@@ -1005,29 +1005,18 @@ object AnnQueries {
       .distinct()
   }
 
-  private val hnswDuck: String = {
-    val rounds = (1 to HnswRounds).map { t =>
-      val p = t - 1
-      s"""gx$t AS (SELECT DISTINCT probe_id, node FROM (
-         |  SELECT probe_id, node FROM gc$p
-         |  UNION ALL SELECT c.probe_id, e.dst FROM gc$p c JOIN gedges e ON e.src = c.node)),
-         |gc$t AS (SELECT probe_id, node FROM (
-         |  SELECT x.probe_id, x.node,
-         |    row_number() OVER (PARTITION BY x.probe_id ORDER BY ${d2Duck("p.pe", "v.embedding")}, x.node) AS rk
-         |  FROM gx$t x JOIN gprobes p ON p.probe_id = x.probe_id
-         |  JOIN gcorp v ON v.vec_id = x.node) t WHERE rk <= $HnswBeam)""".stripMargin
-    }.mkString(",\n")
-    val visited = (1 to HnswRounds)
-      .map(t => s"SELECT probe_id, node FROM gx$t").mkString(" UNION ")
-    s"""WITH gcorp AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
-       |gprobes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
-       |ghubs AS (SELECT vec_id, embedding FROM gcorp WHERE vec_id < 21),
-       |gknn AS (SELECT src, dst FROM (
+  /** The graph-build CTE chain (the [[hnswEdges]] Duck twin) over an
+    * arbitrary corpus CTE — factored so q_ann_hnsw's oracle and the
+    * delta oracle's BASE graph cannot drift (the lshCandDuck sharing
+    * discipline). Emits `\${p}edges`; the caller defines `$hubs`.
+    */
+  private def hnswEdgesDuck(corpus: String, hubs: String, p: String): String =
+    s"""${p}knn AS (SELECT src, dst FROM (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2Duck("a.embedding", "b.embedding")}, b.vec_id) AS rk
-       |  FROM gcorp a JOIN gcorp b ON a.label = b.label AND a.vec_id <> b.vec_id) t
+       |  FROM $corpus a JOIN $corpus b ON a.label = b.label AND a.vec_id <> b.vec_id) t
        | WHERE rk <= $HnswM),
-       |gkeyed AS (
+       |${p}keyed AS (
        |  SELECT vec_id, unnest(
        |    list_transform(generate_series(0, 3), g -> g * 256 +
        |      list_reduce(list_prepend(0, list_transform(generate_series(0, 7),
@@ -1035,31 +1024,59 @@ object AnnQueries {
        |                       q -> CAST(q[1] AS DOUBLE) * (((((g * 8 + p) * 64 + (q[2] - 1)) * 2654435761) % 97) - 48))),
        |                       (acc, v) -> acc + v) > 0
        |                  THEN 1 ELSE 0 END)), (a, b) -> a * 2 + b))) AS band_key
-       |  FROM gcorp),
-       |gcandl AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM gkeyed a JOIN gkeyed b ON a.band_key = b.band_key AND a.vec_id <> b.vec_id),
-       |gknn2 AS (SELECT src, dst FROM (
+       |  FROM $corpus),
+       |${p}candl AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM ${p}keyed a JOIN ${p}keyed b ON a.band_key = b.band_key AND a.vec_id <> b.vec_id),
+       |${p}knn2 AS (SELECT src, dst FROM (
        |  SELECT c.src, c.dst,
        |    row_number() OVER (PARTITION BY c.src ORDER BY ${d2Duck("a.embedding", "b.embedding")}, c.dst) AS rk
-       |  FROM gcandl c JOIN gcorp a ON a.vec_id = c.src JOIN gcorp b ON b.vec_id = c.dst) t
+       |  FROM ${p}candl c JOIN $corpus a ON a.vec_id = c.src JOIN $corpus b ON b.vec_id = c.dst) t
        | WHERE rk <= $HnswLshM),
-       |gh2n AS (SELECT src, dst FROM (
+       |${p}h2n AS (SELECT src, dst FROM (
        |  SELECT h.vec_id AS src, v.vec_id AS dst,
        |    row_number() OVER (PARTITION BY h.vec_id ORDER BY ${d2Duck("h.embedding", "v.embedding")}, v.vec_id) AS rk
-       |  FROM ghubs h JOIN gcorp v ON v.vec_id <> h.vec_id) t
+       |  FROM $hubs h JOIN $corpus v ON v.vec_id <> h.vec_id) t
        | WHERE rk <= $HnswHubK),
-       |gedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-       |  SELECT src, dst FROM gknn
-       |  UNION ALL SELECT dst, src FROM gknn
-       |  UNION ALL SELECT src, dst FROM gknn2
-       |  UNION ALL SELECT dst, src FROM gknn2
-       |  UNION ALL SELECT src, dst FROM gh2n)),
-       |gc0 AS (SELECT probe_id, node FROM (
+       |${p}edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM ${p}knn
+       |  UNION ALL SELECT dst, src FROM ${p}knn
+       |  UNION ALL SELECT src, dst FROM ${p}knn2
+       |  UNION ALL SELECT dst, src FROM ${p}knn2
+       |  UNION ALL SELECT src, dst FROM ${p}h2n))""".stripMargin
+
+  /** Beam-expansion round CTEs (the [[hnswSearch]] loop's Duck twin):
+    * `\${pfx}x1`/`\${pfx}c1` .. round [[HnswRounds]], expanding from
+    * `\${pfx}c0` over `$edges`, scored against `$corpus` rows joined
+    * through `$probes (probe_id, pe)`.
+    */
+  private def hnswRoundsDuck(pfx: String, probes: String, edges: String,
+      corpus: String): String =
+    (1 to HnswRounds).map { t =>
+      val p = t - 1
+      s"""${pfx}x$t AS (SELECT DISTINCT probe_id, node FROM (
+         |  SELECT probe_id, node FROM ${pfx}c$p
+         |  UNION ALL SELECT c.probe_id, e.dst FROM ${pfx}c$p c JOIN $edges e ON e.src = c.node)),
+         |${pfx}c$t AS (SELECT probe_id, node FROM (
+         |  SELECT x.probe_id, x.node,
+         |    row_number() OVER (PARTITION BY x.probe_id ORDER BY ${d2Duck("p.pe", "v.embedding")}, x.node) AS rk
+         |  FROM ${pfx}x$t x JOIN $probes p ON p.probe_id = x.probe_id
+         |  JOIN $corpus v ON v.vec_id = x.node) t WHERE rk <= $HnswBeam)""".stripMargin
+    }.mkString(",\n")
+
+  /** Hub-seed CTE: the [[HnswSeeds]] nearest hubs per probe. */
+  private def hnswSeedDuck(name: String, probes: String, hubs: String): String =
+    s"""$name AS (SELECT probe_id, node FROM (
        |  SELECT p.probe_id, h.vec_id AS node,
        |    row_number() OVER (PARTITION BY p.probe_id ORDER BY ${d2Duck("p.pe", "h.embedding")}, h.vec_id) AS rk
-       |  FROM gprobes p CROSS JOIN ghubs h) t WHERE rk <= $HnswSeeds),
-       |$rounds,
-       |gvisited AS ($visited),
+       |  FROM $probes p CROSS JOIN $hubs h) t WHERE rk <= $HnswSeeds)""".stripMargin
+
+  /** The measurement tail: top-10 from the final beam, visited counts,
+    * recall vs the shared exact arm.
+    */
+  private def hnswReadoutDuck(edgesUsed: String): String = {
+    val visited = (1 to HnswRounds)
+      .map(t => s"SELECT probe_id, node FROM gx$t").mkString(" UNION ")
+    s"""gvisited AS ($visited),
        |gtop10 AS (SELECT probe_id, node FROM (
        |  SELECT c.probe_id, c.node,
        |    row_number() OVER (PARTITION BY c.probe_id ORDER BY ${d2Duck("p.pe", "v.embedding")}, c.node) AS rk
@@ -1073,6 +1090,15 @@ object AnnQueries {
        |LEFT JOIN gtop10 t ON t.probe_id = e.probe_id AND t.node = e.cand_id
        |GROUP BY e.probe_id, gnv.n_visited ORDER BY e.probe_id""".stripMargin
   }
+
+  private val hnswDuck: String =
+    s"""WITH gcorp AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
+       |gprobes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+       |ghubs AS (SELECT vec_id, embedding FROM gcorp WHERE vec_id < 21),
+       |${hnswEdgesDuck("gcorp", "ghubs", "g")},
+       |${hnswSeedDuck("gc0", "gprobes", "ghubs")},
+       |${hnswRoundsDuck("g", "gprobes", "gedges", "gcorp")},
+       |${hnswReadoutDuck("gedges")}""".stripMargin
 
   /** Navigable-graph ANN — the production-default index family
     * (HNSW/NSW; the reference's faiss dependency anchors it,
@@ -1233,7 +1259,134 @@ object AnnQueries {
     }
   )
 
+  /** Greedy re-link of a delta batch into an existing navigable graph
+    * (the real HNSW insert algorithm, deterministic): each new node
+    * beam-searches the BASE graph for its neighborhood — seed at the
+    * [[HnswSeeds]] nearest base hubs, [[HnswRounds]] rounds of
+    * beam-[[HnswBeam]] expansion over the persisted base edges — and
+    * links to its [[HnswM]] nearest base nodes from the final beam,
+    * SYMMETRIZED (the reverse links are what make the new node
+    * reachable by later searches). No forced broadcasts: the delta
+    * batch grows with ingestion, so every join is key-partitioned and
+    * AQE picks broadcast when the batch is small (the VERDICT r12 #4
+    * frontier rule). Base edges are never rewritten — the refresh is
+    * base ∪ new links, the O(batch · beam) insert cost the full
+    * rebuild's corpus shuffle amortizes into.
+    */
+  private[graft] def hnswLinkEdges(delta: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame,
+      baseEdges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val probes = delta.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"))
+    val byId = base.select(col("vec_id").as("node"), col("embedding").as("ve"))
+    val hubs = base.filter(col("vec_id") < 21)
+      .select(col("vec_id").as("node"), col("embedding").as("ve"))
+    val wBeam = Window.partitionBy("probe_id").orderBy(col("d2"), col("node"))
+    def score(ids: org.apache.spark.sql.DataFrame) = ids
+      .join(byId, "node")
+      .join(probes, "probe_id")
+      .withColumn("d2", round(l2sq("pe", "ve"), 6))
+    var cand = probes.join(broadcast(hubs))
+      .withColumn("d2", round(l2sq("pe", "ve"), 6))
+      .withColumn("rk", row_number().over(wBeam))
+      .filter(col("rk") <= HnswSeeds)
+      .select("probe_id", "node")
+    for (_ <- 1 to HnswRounds) {
+      val expanded = cand.join(baseEdges, cand("node") === baseEdges("src"))
+        .select(col("probe_id"), col("dst").as("node"))
+      cand = score(cand.unionAll(expanded).distinct())
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= HnswBeam)
+        .select("probe_id", "node")
+    }
+    val linked = score(cand)
+      .withColumn("rk", row_number().over(wBeam))
+      .filter(col("rk") <= HnswM)
+      .select("probe_id", "node")
+    linked.select(col("probe_id").as("src"), col("node").as("dst"))
+      .unionAll(linked.select(col("node").as("src"), col("probe_id").as("dst")))
+  }
+
+  private val hnswDeltaDuck: String =
+    s"""WITH gcorp AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
+       |gprobes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+       |gbase AS (SELECT vec_id, embedding, label FROM gcorp
+       |          WHERE NOT (vec_id >= 100 AND vec_id % 11 = 0)),
+       |gdelta AS (SELECT vec_id AS probe_id, embedding AS pe FROM gcorp
+       |           WHERE vec_id >= 100 AND vec_id % 11 = 0),
+       |ghubs AS (SELECT vec_id, embedding FROM gbase WHERE vec_id < 21),
+       |${hnswEdgesDuck("gbase", "ghubs", "b")},
+       |${hnswSeedDuck("ic0", "gdelta", "ghubs")},
+       |${hnswRoundsDuck("i", "gdelta", "bedges", "gbase")},
+       |ilink AS (SELECT probe_id, node FROM (
+       |  SELECT c.probe_id, c.node,
+       |    row_number() OVER (PARTITION BY c.probe_id ORDER BY ${d2Duck("p.pe", "v.embedding")}, c.node) AS rk
+       |  FROM ic$HnswRounds c JOIN gdelta p ON p.probe_id = c.probe_id
+       |  JOIN gbase v ON v.vec_id = c.node) t WHERE rk <= $HnswM),
+       |redges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM bedges
+       |  UNION ALL SELECT probe_id AS src, node AS dst FROM ilink
+       |  UNION ALL SELECT node AS src, probe_id AS dst FROM ilink)),
+       |${hnswSeedDuck("gc0", "gprobes", "ghubs")},
+       |${hnswRoundsDuck("g", "gprobes", "redges", "gcorp")},
+       |${hnswReadoutDuck("redges")}""".stripMargin
+
+  /** Incremental graph-index maintenance (VERDICT r12 #9 — the graph
+    * twin of q_ann_ivf_refresh's partial-sum refresh and
+    * q_dedup_incremental's delta-vs-index probe): the persisted NSW
+    * edge table absorbs a new-vector batch (vec_id ≥ 100, mod-11
+    * slice — hubs and probes always stay base) by GREEDY RE-LINK
+    * ([[hnswLinkEdges]]) instead of a full rebuild, then the standard
+    * beam search probes the refreshed graph over the FULL corpus.
+    * Unlike IVF's decimal partials, a graph refresh is NOT exactly
+    * the rebuild (insertion order matters in real HNSW too) — so the
+    * contract is recall parity, not row identity: HnswDeltaSpec pins
+    * mean recall@10 within ε of the full-rebuild q_ann_hnsw and that
+    * new edges only ever touch delta endpoints.
+    *
+    * Scale: the insert costs O(batch · beam) broadcast-frontier work
+    * against the src-partitioned base edges — daily ingestion never
+    * re-shuffles the standing corpus; the base build amortizes the
+    * way q_ann_hnsw_persisted prices it.
+    */
+  private val annHnswDelta = QueryDef(
+    "q_ann_hnsw_delta",
+    "Incremental HNSW: a delta batch is inserted into the persisted " +
+      "NSW edge table by greedy beam-search re-link (no base " +
+      "rebuild), and the refreshed graph serves the standard top-10 " +
+      "probe over the full corpus; per probe the visited count and " +
+      "recall@10 vs the shared exact arm.",
+    Some(hnswDeltaDuck),
+    (s, d) => {
+      val e = embeddings(s, d)
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val isDelta = col("vec_id") >= 100 && col("vec_id") % 11 === 0
+      val base = corpus.filter(!isDelta)
+      val delta = corpus.filter(isDelta)
+      val sfTag = new java.io.File(d).getName.replace('.', '_')
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val idxPath = s"$wh/graft_hnsw_base_$sfTag"
+      // BASE BUILD: its own job (in production this ran yesterday)
+      hnswEdges(base).write.mode("overwrite").parquet(idxPath)
+      val baseEdges = s.read.parquet(idxPath)
+      // INSERT: beam re-link of the batch written as its OWN small
+      // delta edge file — the base index is untouched on disk, and
+      // materializing here keeps the insert-beam lineage out of the
+      // probe plan (the search joins the edge table once per round; an
+      // unmaterialized insert would re-execute per round). New edges
+      // always touch a delta endpoint, base edges never do, so the
+      // union needs no dedup.
+      val deltaPath = s"$wh/graft_hnsw_deltaedges_$sfTag"
+      hnswLinkEdges(delta, base, baseEdges)
+        .write.mode("overwrite").parquet(deltaPath)
+      val refreshed = baseEdges.unionAll(s.read.parquet(deltaPath))
+      hnswSearch(e, refreshed)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
     lshRecall, annFiltered, annPq, pqRecall, annIvfPq, annHnsw,
-    annHnswPersisted, annPersisted, annIvfRefresh, mmrRerank)
+    annHnswPersisted, annHnswDelta, annPersisted, annIvfRefresh, mmrRerank)
 }

@@ -1013,6 +1013,86 @@ object GraphQueries {
     }
   )
 
+  // ------------------------------------------------------------------- sssp
+
+  private val sssp = QueryDef(
+    "q_sssp",
+    "Weighted single-source shortest paths over the trade graph — the " +
+      "missing classic next to q_khop (unweighted reach) and " +
+      "q_betweenness (all-pairs centrality): edge weight (src+dst) " +
+      "mod 7 + 1, source = the minimum ordering customer, distances " +
+      "after exactly 6 Bellman-Ford relaxation rounds (a Δ-bounded " +
+      "contract, not a convergence loop — both engines run the " +
+      "IDENTICAL round count, so the semantics are engine-exact even " +
+      "on graphs whose diameter exceeds the bound). Per relaxation " +
+      "round: ONE co-partitioned join of the node-sized distance " +
+      "table against the src-partitioned persisted edge list + one " +
+      "map-side-combined min per destination; state materializes via " +
+      "localCheckpoint so round k+1 never re-executes round k's " +
+      "lineage (the q_kcore discipline). NO forced broadcast of the " +
+      "growing distance table (VERDICT r12 #4 frontier rule — AQE " +
+      "broadcasts while it is small, shuffles when it is not). " +
+      "Distances are exact BIGINTs; output is the per-side distance " +
+      "spectrum (counts + min witness node), bounded by 6·max-weight " +
+      "rows. The oracle unrolls the same 6 relaxations as chained " +
+      "CTEs.",
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, 100000 + l_suppkey AS sup
+           |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e0 AS (SELECT c AS src, sup AS dst FROM pairs UNION ALL SELECT sup, c FROM pairs),
+           |e AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e0),
+           |d0 AS (SELECT min(o_custkey) AS node, 0 AS dist FROM orders),
+           |d1 AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT * FROM d0 UNION ALL
+           |    SELECT e.dst AS node, d0.dist + e.w AS dist FROM d0 JOIN e ON e.src = d0.node) GROUP BY 1),
+           |d2 AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT * FROM d1 UNION ALL
+           |    SELECT e.dst AS node, d1.dist + e.w AS dist FROM d1 JOIN e ON e.src = d1.node) GROUP BY 1),
+           |d3 AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT * FROM d2 UNION ALL
+           |    SELECT e.dst AS node, d2.dist + e.w AS dist FROM d2 JOIN e ON e.src = d2.node) GROUP BY 1),
+           |d4 AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT * FROM d3 UNION ALL
+           |    SELECT e.dst AS node, d3.dist + e.w AS dist FROM d3 JOIN e ON e.src = d3.node) GROUP BY 1),
+           |d5 AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT * FROM d4 UNION ALL
+           |    SELECT e.dst AS node, d4.dist + e.w AS dist FROM d4 JOIN e ON e.src = d4.node) GROUP BY 1),
+           |d6 AS (SELECT node, min(dist) AS dist FROM (
+           |    SELECT * FROM d5 UNION ALL
+           |    SELECT e.dst AS node, d5.dist + e.w AS dist FROM d5 JOIN e ON e.src = d5.node) GROUP BY 1)
+           |SELECT CASE WHEN node < 100000 THEN 'customer' ELSE 'supplier' END AS side,
+           |       CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           |       CAST(min(node) AS BIGINT) AS min_node
+           |FROM d6 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val nShuffle = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val e = edges(s, d)
+        .select(col("src"), col("dst"),
+          (pmod(col("src") + col("dst"), lit(7L)) + 1L).as("w"))
+        .repartition(nShuffle, col("src"))
+        .persist()
+      e.count()
+      // single-value driver read (bounded O(1) by construction): the root
+      val root = orders(s, d).agg(min(col("o_custkey"))).head().getLong(0)
+      var dist = s.range(1)
+        .select(lit(root).as("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 6) {
+        val relaxed = dist.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      val out = dist
+        .select(when(col("node") < 100000L, lit("customer"))
+          .otherwise(lit("supplier")).as("side"), col("dist"), col("node"))
+        .groupBy("side", "dist")
+        .agg(lng(count(lit(1))).as("n_nodes"), lng(min(col("node"))).as("min_node"))
+        .orderBy("side", "dist")
+      materializeThenRelease(out, e)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard,
-    modularity, hits, labelProp, kcore, randomWalk, betweenness)
+    modularity, hits, labelProp, kcore, randomWalk, betweenness, sssp)
 }

@@ -415,6 +415,93 @@ object PipelineQueries {
     }
   )
 
+  // ---------------------------------------------------------- quantile_norm
+
+  private val quantileNorm = QueryDef(
+    "q_quantile_norm",
+    "Quantile normalization of per-source document-length " +
+      "distributions onto the pooled corpus distribution — the " +
+      "source-balancing transform next to q_mix_temperature (count " +
+      "rebalance) and q_dsir (importance weights): after mapping, " +
+      "every source's length distribution is the SAME distribution " +
+      "(the per-source sums in the output are identical — the " +
+      "normalizer's defining invariant, asserted by the oracle " +
+      "match). Each doc maps to the pooled order statistic at its " +
+      "within-source relative rank: rank rk of ns (window PARTITIONED " +
+      "by source — never global), pooled index (2rk−1)·N ÷ 2ns + 1 " +
+      "(exact BIGINT midpoint rank), resolved against the pooled " +
+      "VALUE-LEVEL CDF (lo, hi] by a range join. SCALE SHAPE: the " +
+      "CDF table is distinct-value-sized (zipfian-small at any " +
+      "corpus size) and broadcasts; the global N is one scalar; no " +
+      "global sort or global rank anywhere — at 100 TB the same plan " +
+      "runs with a KLL-sketch CDF at bounded error. Everything " +
+      "integer; no doubles at all.",
+    Some("""WITH pool AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+           |cdf AS (SELECT n_chars,
+           |          sum(c) OVER (ORDER BY n_chars
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+           |          coalesce(sum(c) OVER (ORDER BY n_chars
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+           |        FROM pool),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |r AS (SELECT source, n_chars,
+           |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+           |        count(*) OVER (PARTITION BY source) AS ns
+           |      FROM documents),
+           |idx AS (SELECT source, n_chars, ((2*rk - 1) * nn.n) // (2 * ns) + 1 AS ix
+           |        FROM r CROSS JOIN nn),
+           |m AS (SELECT i.source, i.n_chars, c.n_chars AS mapped
+           |      FROM idx i JOIN cdf c ON i.ix > c.lo AND i.ix <= c.hi)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_before,
+           |       CAST(sum(mapped) AS BIGINT) AS sum_after,
+           |       CAST(min(mapped) AS BIGINT) AS min_mapped,
+           |       CAST(max(mapped) AS BIGINT) AS max_mapped
+           |FROM m GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      val docs = documents(s, d).select("source", "doc_id", "n_chars")
+      val pool = docs.groupBy("n_chars").agg(count(lit(1)).as("c")).persist()
+      // CDF prefix sums WITHOUT a global window (the PlanSpec gate /
+      // ops/Sequence discipline): range-bucket the value domain by a
+      // pure function of the key, collect the ≤(domain/64)-row bucket
+      // totals (bounded by the VALUE RANGE of n_chars, not the corpus),
+      // broadcast cumulative offsets back as a literal map, and run the
+      // running sum per bucket — every window partition is one bucket
+      val bucket = expr("CAST(n_chars DIV 64 AS INT)")
+      val bTotals = pool.groupBy(bucket.as("b")).agg(sum(col("c")).as("bc"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offsets: Map[Int, Long] = bTotals.map { case (b, n) =>
+        val o = b -> acc; acc += n; o
+      }.toMap
+      val wb = Window.partitionBy("b").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = pool.withColumn("b", bucket)
+        .withColumn("hi",
+          element_at(typedLit(offsets), col("b")) + sum(col("c")).over(wb))
+        .withColumn("lo", col("hi") - col("c"))
+        .select(col("n_chars").as("pv"), col("lo"), col("hi"))
+      val nn = docs.agg(count(lit(1)).as("ntot"))
+      val ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val r = docs
+        .withColumn("rk", row_number().over(ws))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
+      val idx = r.crossJoin(broadcast(nn))
+        .select(col("source"), col("n_chars"),
+          (expr("((2*rk - 1) * ntot) DIV (2 * ns)") + 1).as("ix"))
+      val m = idx.join(broadcast(cdf),
+        col("ix") > col("lo") && col("ix") <= col("hi"))
+      val out = m.groupBy("source").agg(
+          lng(count(lit(1))).as("n_docs"),
+          lng(sum(col("n_chars"))).as("sum_before"),
+          lng(sum(col("pv"))).as("sum_after"),
+          lng(min(col("pv"))).as("min_mapped"),
+          lng(max(col("pv"))).as("max_mapped"))
+        .orderBy("source")
+      materializeThenRelease(out, pool)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences, shuffleShards, rendezvous,
-    datasetCard, dsir)
+    datasetCard, dsir, quantileNorm)
 }

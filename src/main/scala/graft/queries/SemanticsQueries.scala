@@ -192,6 +192,92 @@ object SemanticsQueries {
     }
   )
 
+  // ------------------------------------------------------------ variant_json
+
+  private val variantJson = QueryDef(
+    "q_variant_json",
+    "Semi-structured VARIANT fast path (Spark 4's parse-once binary " +
+      "encoding — the engine-native alternative to q_json_fns' " +
+      "per-path string re-parse): props parses ONCE into a variant, " +
+      "then typed paths extract without re-tokenizing — variant_get " +
+      "'$.k' as BIGINT, a nested '$.outer.k' through a constructed " +
+      "object, try_variant_get on a MISSING path (NULL, no error), " +
+      "and schema_of_variant pinning the inferred shape string. At " +
+      "100 TB the variant columnar binary beats string JSON on every " +
+      "repeated-path read (parse cost paid once at ingest, not per " +
+      "query); this query pins the semantics that make the swap safe. " +
+      "The oracle recomputes every extraction with DuckDB's JSON " +
+      "paths (schema string stated as the Spark-spec'd constant).",
+    Some("""WITH p AS (SELECT event_type,
+           |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           |         CAST(json_extract_string('{"outer": ' || props || '}',
+           |              '$.outer.k') AS BIGINT) AS outer_k
+           |       FROM events)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(k) AS BIGINT) AS sum_k,
+           |       CAST(min(k) AS BIGINT) AS min_k,
+           |       CAST(max(k) AS BIGINT) AS max_k,
+           |       CAST(sum(outer_k) AS BIGINT) AS sum_outer,
+           |       CAST(count(*) AS BIGINT) AS n_missing_null,
+           |       'OBJECT<k: BIGINT>' AS variant_schema
+           |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => events(s, d)
+      .withColumn("v", expr("parse_json(props)"))
+      .withColumn("vo", expr("parse_json('{\"outer\": ' || props || '}')"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+      .withColumn("outer_k", expr("variant_get(vo, '$.outer.k', 'bigint')"))
+      .withColumn("missing", expr("try_variant_get(v, '$.absent', 'bigint')"))
+      .withColumn("vschema", expr("schema_of_variant(v)"))
+      .groupBy("event_type")
+      .agg(lng(count(lit(1))).as("n"), lng(sum(col("k"))).as("sum_k"),
+        lng(min(col("k"))).as("min_k"), lng(max(col("k"))).as("max_k"),
+        lng(sum(col("outer_k"))).as("sum_outer"),
+        lng(count(when(col("missing").isNull, lit(1)))).as("n_missing_null"),
+        min(col("vschema")).as("variant_schema"))
+      .orderBy("event_type")
+  )
+
+  // -------------------------------------------------------------- collation
+
+  private val collation = QueryDef(
+    "q_collation",
+    "Collation-aware grouping (Spark 4 collations): event types with " +
+      "deterministically mixed case (UPPER on even event_ids) group " +
+      "under UTF8_LCASE collation — the engine-native case-" +
+      "insensitive GROUP BY that replaces the lower()-everywhere " +
+      "rewrite (and keeps pushdown/statistics on the original " +
+      "column). Per collated group: row count, how many raw-case " +
+      "variants collapsed (exactly 2 per type by construction), and " +
+      "a collated contains() probe ('ICK' matches 'click' only under " +
+      "the case-insensitive comparison). Output keys come from " +
+      "lower(min(raw)) — min under BINARY order, so the rendered key " +
+      "is engine-deterministic even though the collated group " +
+      "representative is not. The oracle is the lower()-rewrite the " +
+      "feature replaces, proving semantic equivalence.",
+    Some("""WITH mc AS (SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+           |                        ELSE event_type END AS m FROM events),
+           |g AS (SELECT lower(m) AS key_lc, count(*) AS n,
+           |             count(DISTINCT m) AS n_variants, min(m) AS sample
+           |      FROM mc GROUP BY lower(m))
+           |SELECT key_lc, CAST(n AS BIGINT) AS n,
+           |       CAST(n_variants AS BIGINT) AS n_variants,
+           |       contains(lower(sample), 'ick') AS has_ick
+           |FROM g ORDER BY key_lc""".stripMargin),
+    (s, d) => events(s, d)
+      .select(when(col("event_id") % 2 === 0, upper(col("event_type")))
+        .otherwise(col("event_type")).as("m"))
+      // the grouping key IS the collated column — Catalyst groups by
+      // the UTF8_LCASE sort key, not by a lower() projection
+      .groupBy(expr("collate(m, 'UTF8_LCASE')").as("mkey"))
+      .agg(lng(count(lit(1))).as("n"),
+        lng(countDistinct(expr("collate(m, 'UTF8_BINARY')"))).as("n_variants"),
+        min(expr("collate(m, 'UTF8_BINARY')")).as("sample"))
+      .select(lower(col("sample")).as("key_lc"), col("n"), col("n_variants"),
+        expr("contains(collate(sample, 'UTF8_LCASE'), 'ICK')").as("has_ick"))
+      .orderBy("key_lc")
+  )
+
   val defs: Seq[QueryDef] =
-    Seq(joinNullsafe, explodeOuter, rollCorr, fillForward)
+    Seq(joinNullsafe, explodeOuter, rollCorr, fillForward, variantJson,
+      collation)
 }

@@ -525,7 +525,238 @@ object StatsQueries {
     }
   )
 
+  // ------------------------------------------------------------ mann_whitney
+
+  private val mannWhitney = QueryDef(
+    "q_mann_whitney",
+    "Mann-Whitney / Wilcoxon rank-sum test of each treatment event " +
+      "type's value distribution against the 'view' control — the " +
+      "nonparametric A/B readout next to q_abtest (Welch on means), " +
+      "q_ks_test (CDF distance) and q_chisq (categorical): per " +
+      "treatment, n's, the doubled U statistic 2U₁ = 2R₁ − n₁(n₁+1) " +
+      "as an exact BIGINT (doubling keeps tie-averaged ranks integral " +
+      "— a tie group's average rank is a half-integer, so 2·rank is " +
+      "exact), and the tie-corrected normal z. SCALE SHAPE: ranks are " +
+      "NEVER computed per row — values aggregate to a (type, value) " +
+      "count table first (bounded by distinct 2-dp values, zipfian-" +
+      "small at any corpus size), tie-averaged doubled ranks come " +
+      "from ONE prefix-sum window over that table (2·pfx + tot + 1), " +
+      "and the treatment×{t,control} pairing is a ≤|types|-row " +
+      "broadcast against the value-level table — the fact table is " +
+      "touched exactly once. z is one shared double chain over exact " +
+      "BIGINTs, NULL-guarded on the all-tied degenerate case via the " +
+      "INTEGER test ties == N³−N (a float zero-test would be engine-" +
+      "dependent).",
+    Some("""WITH vl AS (SELECT event_type, value, count(*) AS c FROM events
+           |            WHERE value IS NOT NULL GROUP BY 1, 2),
+           |tr AS (SELECT DISTINCT event_type AS treatment FROM vl
+           |       WHERE event_type <> 'view'),
+           |comb AS (SELECT tr.treatment, vl.value,
+           |           sum(CASE WHEN vl.event_type = tr.treatment THEN vl.c ELSE 0 END) AS nt,
+           |           sum(CASE WHEN vl.event_type = 'view' THEN vl.c ELSE 0 END) AS nc
+           |         FROM tr JOIN vl ON vl.event_type = tr.treatment
+           |                        OR vl.event_type = 'view'
+           |         GROUP BY 1, 2),
+           |w AS (SELECT treatment, nt, nc, nt + nc AS tot,
+           |        coalesce(sum(nt + nc) OVER (PARTITION BY treatment ORDER BY value
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+           |      FROM comb),
+           |m AS (SELECT treatment, sum(nt) AS n1, sum(nc) AS n2,
+           |        sum(nt * (2*pfx + tot + 1)) AS r2,
+           |        sum(tot*tot*tot - tot) AS ties
+           |      FROM w GROUP BY 1)
+           |SELECT treatment, CAST(n1 AS BIGINT) AS n_treat,
+           |       CAST(n2 AS BIGINT) AS n_ctrl,
+           |       CAST(r2 - n1*(n1+1) AS BIGINT) AS u2,
+           |       CASE WHEN n1 = 0 OR n2 = 0
+           |                 OR ties = (n1+n2)*(n1+n2)*(n1+n2) - (n1+n2) THEN NULL
+           |            ELSE round((CAST(r2 - n1*(n1+1) AS DOUBLE)
+           |                        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           |                       / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 3e0
+           |                              * (CAST(n1+n2+1 AS DOUBLE)
+           |                                 - CAST(ties AS DOUBLE)
+           |                                   / (CAST(n1+n2 AS DOUBLE)
+           |                                      * CAST(n1+n2-1 AS DOUBLE)))), 6)
+           |       END AS z
+           |FROM m ORDER BY treatment""".stripMargin),
+    (s, d) => {
+      val vl = events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .persist() // two consumers (treatment list + pairing join)
+      val tr = vl.filter(col("event_type") =!= "view")
+        .select(col("event_type").as("treatment")).distinct()
+      // ≤|types|-row treatment list broadcast against the value-level
+      // aggregate (a non-equi pairing, but the nested-loop side is
+      // constant-sized — never the fact table)
+      val comb = broadcast(tr)
+        .join(vl, vl("event_type") === col("treatment") ||
+          vl("event_type") === "view")
+        .groupBy(col("treatment"), col("value"))
+        .agg(sum(when(col("event_type") === col("treatment"), col("c"))
+          .otherwise(0L)).as("nt"),
+          sum(when(col("event_type") === "view", col("c"))
+            .otherwise(0L)).as("nc"))
+      val w = Window.partitionBy("treatment").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = comb
+        .withColumn("tot", col("nt") + col("nc"))
+        .withColumn("pfx", coalesce(sum(col("tot")).over(w), lit(0L)))
+      val m = ranked.groupBy("treatment").agg(
+        sum("nt").as("n1"), sum("nc").as("n2"),
+        sum(col("nt") * (lit(2) * col("pfx") + col("tot") + 1)).as("r2"),
+        sum(col("tot") * col("tot") * col("tot") - col("tot")).as("ties"))
+      val nn = col("n1") + col("n2")
+      val u2 = col("r2") - col("n1") * (col("n1") + 1)
+      val z = (dbl(u2) - dbl(col("n1")) * dbl(col("n2"))) /
+        sqrt(dbl(col("n1")) * dbl(col("n2")) / lit(3.0) *
+          (dbl(nn + 1) - dbl(col("ties")) / (dbl(nn) * dbl(nn - 1))))
+      val out = m.select(col("treatment"), lng(col("n1")).as("n_treat"),
+        lng(col("n2")).as("n_ctrl"), lng(u2).as("u2"),
+        when(col("n1") === 0 || col("n2") === 0 ||
+          col("ties") === nn * nn * nn - nn, lit(null))
+          .otherwise(round(z, 6)).as("z"))
+        .orderBy("treatment")
+      materializeThenRelease(out, vl)
+    }
+  )
+
+  // ------------------------------------------------------------------ cusum
+
+  private val cusum = QueryDef(
+    "q_cusum",
+    "One-sided CUSUM drift alarm over hourly event counts per type — " +
+      "the sequential change detector next to q_changepoint (single " +
+      "retrospective split) and q_psi (distribution shift): S_i = " +
+      "max(0, S_{i-1} + x_i − μ − k) with allowance k = μ/4 and alarm " +
+      "threshold h = 2μ. THE SCALE TRICK: the clipped recursion is " +
+      "not window-expressible as written (max(0,·) is non-" +
+      "associative), but S_n ≡ RS_n − min(0, min_{j≤n} RS_j) where " +
+      "RS is the plain prefix sum of the drifts — so two stock " +
+      "windows (running sum + running min) over the tiny hour×type " +
+      "aggregate replace the sequential scan, and the whole detector " +
+      "parallelizes like any windowed query (identity replayed " +
+      "driver-side in Round13ShapesSpec). Everything is exact BIGINT " +
+      "in units scaled by 4n (drift D_i = 4n·x_i − 5T makes μ + μ/4 " +
+      "integral); the only double is the final normalization of the " +
+      "peak statistic back to original units.",
+    Some("""WITH h AS (SELECT event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+           |             count(*) AS cnt FROM events GROUP BY 1, 2),
+           |tot AS (SELECT event_type, count(*) AS n, sum(cnt) AS t FROM h GROUP BY 1),
+           |d AS (SELECT h.event_type, h.hr, 4*tot.n*h.cnt - 5*tot.t AS dd,
+           |             tot.n AS n, tot.t AS t
+           |      FROM h JOIN tot USING (event_type)),
+           |rs AS (SELECT event_type, hr, n, t,
+           |         sum(dd) OVER (PARTITION BY event_type ORDER BY hr
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+           |       FROM d),
+           |s AS (SELECT event_type, hr, n, t,
+           |        rsum - least(0, min(rsum) OVER (PARTITION BY event_type ORDER BY hr
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS stat
+           |      FROM rs)
+           |SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+           |       CAST(count(*) FILTER (WHERE stat > 8*t) AS BIGINT) AS n_alarms,
+           |       CAST(min(hr) FILTER (WHERE stat > 8*t) AS BIGINT) AS first_alarm_hr,
+           |       round(CAST(max(stat) AS DOUBLE) / CAST(4*max(n) AS DOUBLE), 6) AS max_stat
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val hourExpr =
+        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000"
+      val h = events(s, d)
+        .groupBy(col("event_type"), expr(hourExpr).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = h.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cnt").as("t"))
+      val dd = h.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("hr"), col("n"), col("t"),
+          (lit(4L) * col("n") * col("cnt") - lit(5L) * col("t")).as("dd"))
+      val wc = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val st = dd
+        .withColumn("rsum", sum(col("dd")).over(wc))
+        .withColumn("stat",
+          col("rsum") - least(lit(0L), min(col("rsum")).over(wc)))
+      val alarm = col("stat") > lit(8L) * col("t")
+      st.groupBy("event_type").agg(
+          lng(max(col("n"))).as("n_hours"),
+          lng(count(when(alarm, lit(1)))).as("n_alarms"),
+          lng(min(when(alarm, col("hr")))).as("first_alarm_hr"),
+          round(dbl(max(col("stat"))) / dbl(lit(4L) * max(col("n"))), 6)
+            .as("max_stat"))
+        .orderBy("event_type")
+    }
+  )
+
+  // -------------------------------------------------------------- theil_sen
+
+  private val theilSen = QueryDef(
+    "q_theil_sen",
+    "Theil-Sen robust trend per event type: the median (and quartile " +
+      "band) of all pairwise slopes (cnt_j − cnt_i)/(hr_j − hr_i) of " +
+      "hourly counts — the outlier-immune complement to q_regression's " +
+      "least-squares fit (one corrupted hour moves OLS arbitrarily, " +
+      "but not an order statistic of C(n,2) slopes). SCALE SHAPE: the " +
+      "pair enumeration self-joins the hour×type AGGREGATE, never the " +
+      "fact — its size is C(hours, 2) per type, a function of the time " +
+      "span, not the corpus (100× more rows land in the same hours). " +
+      "Each slope is ONE correctly-rounded IEEE division of two exact " +
+      "BIGINTs (bit-identical across engines), and the median is a " +
+      "LOWER order statistic selected by row_number under the total " +
+      "order (slope, hr_i, hr_j) — no interpolation, no float " +
+      "summation, so ties and equal slopes cannot flap between " +
+      "engines. Quartiles price the slope uncertainty band (the " +
+      "Sen-estimator confidence readout).",
+    Some("""WITH h AS (SELECT event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+           |             count(*) AS cnt FROM events GROUP BY 1, 2),
+           |p AS (SELECT a.event_type,
+           |        CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE) AS slope,
+           |        a.hr AS hi, b.hr AS hj
+           |      FROM h a JOIN h b ON a.event_type = b.event_type AND a.hr < b.hr),
+           |r AS (SELECT event_type, slope,
+           |        row_number() OVER (PARTITION BY event_type
+           |                           ORDER BY slope, hi, hj) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS np
+           |      FROM p)
+           |SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+           |       round(max(CASE WHEN rn = (np + 3) // 4 THEN slope END), 6) AS slope_q25,
+           |       round(max(CASE WHEN rn = (np + 1) // 2 THEN slope END), 6) AS slope_med,
+           |       round(max(CASE WHEN rn = (3 * np + 1) // 4 THEN slope END), 6) AS slope_q75
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val hourExpr =
+        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000"
+      val h = events(s, d)
+        .groupBy(col("event_type"), expr(hourExpr).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // self-joined; one upstream fact scan, not two
+      val a = h.select(col("event_type"), col("hr").as("hi"), col("cnt").as("ci"))
+      val b = h.select(col("event_type").as("et2"), col("hr").as("hj"),
+        col("cnt").as("cj"))
+      val p = a.join(b, col("event_type") === col("et2") && col("hi") < col("hj"))
+        .select(col("event_type"),
+          (dbl(col("cj") - col("ci")) / dbl(col("hj") - col("hi"))).as("slope"),
+          col("hi"), col("hj"))
+      val w = Window.partitionBy("event_type").orderBy("slope", "hi", "hj")
+      val r = p.withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      val out = r.groupBy("event_type").agg(
+          lng(max(col("np"))).as("n_pairs"),
+          // DIV, not `/`: Spark's `/` on integers is DOUBLE division,
+          // and rn == a fractional double would silently select nothing
+          round(max(when(col("rn") === expr("(np + 3) DIV 4"), col("slope"))), 6)
+            .as("slope_q25"),
+          round(max(when(col("rn") === expr("(np + 1) DIV 2"), col("slope"))), 6)
+            .as("slope_med"),
+          round(max(when(col("rn") === expr("(3 * np + 1) DIV 4"), col("slope"))), 6)
+            .as("slope_q75"))
+        .orderBy("event_type")
+      materializeThenRelease(out, h)
+    }
+  )
+
   val defs: Seq[QueryDef] =
     Seq(profile, chisq, autocorr, winsorize, skyline, madOutliers, crossCorr,
-      rankCorr)
+      rankCorr, mannWhitney, cusum, theilSen)
 }

@@ -318,6 +318,68 @@ object LayoutQueries {
     }
   )
 
+  // ------------------------------------------------------------ spatial_join
+
+  private val spatialJoin = QueryDef(
+    "q_spatial_join",
+    "Grid-bucketed ε-neighbor spatial join — the 2-D twin of the " +
+      "q_dedup_* band discipline and the multi-dim companion to " +
+      "q_zorder's clustering key: points (hash-derived integer " +
+      "coordinates in [0, 1e6)², ids reduced mod small primes BEFORE " +
+      "the Knuth multiply — the overflow rule) pair up when both " +
+      "coordinates differ by < ε = 500. THE SCALE SHAPE: candidates " +
+      "come from the standard grid join — side A explodes into its " +
+      "3×3 neighborhood of ε-cells, side B stays in its home cell, " +
+      "and the join is an EQUI-join on the cell key (never all-" +
+      "pairs; shuffle fan-in bounded by cell density, which ε " +
+      "controls). Each qualifying pair is found EXACTLY once: B's " +
+      "home cell is unique among A's nine, and the id ordering picks " +
+      "one orientation. Round13Wave2Spec replays a sweep-line brute " +
+      "force and proves the grid candidates lossless. Everything " +
+      "integer (L∞ distance, exact sums); output is the per-x-band " +
+      "pair census.",
+    Some("""WITH pts AS (SELECT event_id AS id,
+           |               ((event_id % 9973) * 2654435761) % 1000000 AS x,
+           |               ((event_id % 7919) * 2654435761) % 1000000 AS y
+           |             FROM events),
+           |ga AS (SELECT id, x, y, x // 500 + dx AS cx, y // 500 + dy AS cy
+           |       FROM pts CROSS JOIN (VALUES (-1),(0),(1)) dxs(dx)
+           |                CROSS JOIN (VALUES (-1),(0),(1)) dys(dy)),
+           |pairs AS (SELECT a.id AS ida, a.x AS xa, b.id AS idb,
+           |            greatest(abs(a.x - b.x), abs(a.y - b.y)) AS dist
+           |          FROM ga a JOIN pts b ON a.cx = b.x // 500 AND a.cy = b.y // 500
+           |          WHERE a.id < b.id
+           |            AND abs(a.x - b.x) < 500 AND abs(a.y - b.y) < 500)
+           |SELECT CAST(xa // 100000 AS BIGINT) AS band,
+           |       CAST(count(*) AS BIGINT) AS n_pairs,
+           |       CAST(sum(dist) AS BIGINT) AS sum_dist,
+           |       CAST(min(ida) AS BIGINT) AS min_ida
+           |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val pts = events(s, d).select(col("event_id").as("id"),
+        expr("((event_id % 9973) * 2654435761) % 1000000").as("x"),
+        expr("((event_id % 7919) * 2654435761) % 1000000").as("y"))
+      val ga = pts
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("id"), col("x"), col("y"),
+          (expr("x DIV 500") + col("dx")).as("cx"),
+          (expr("y DIV 500") + col("dy")).as("cy"))
+      val b = pts.select(col("id").as("idb"), col("x").as("xb"),
+        col("y").as("yb"), expr("x DIV 500").as("bcx"), expr("y DIV 500").as("bcy"))
+      val pairs = ga.join(b, col("cx") === col("bcx") && col("cy") === col("bcy"))
+        .filter(col("id") < col("idb") &&
+          abs(col("x") - col("xb")) < 500 && abs(col("y") - col("yb")) < 500)
+        .select(expr("x DIV 100000").as("band"),
+          greatest(abs(col("x") - col("xb")), abs(col("y") - col("yb"))).as("dist"),
+          col("id"))
+      pairs.groupBy("band")
+        .agg(lng(count(lit(1))).as("n_pairs"), lng(sum(col("dist"))).as("sum_dist"),
+          lng(min(col("id"))).as("min_ida"))
+        .orderBy("band")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(zorder, bloomJoin, scanPartitioned, dppJoin,
-    bucketPrune, compactionPlan)
+    bucketPrune, compactionPlan, spatialJoin)
 }

@@ -1146,7 +1146,54 @@ object Relational {
       .orderBy("o_orderpriority")
   )
 
+  // -------------------------------------------------------- schema evolution
+
+  private val schemaEvolution = QueryDef(
+    "q_schema_evolution",
+    "Schema-evolution scan (mergeSchema): two generations of a hive-" +
+      "partitioned parquet table written with DIFFERENT schemas — " +
+      "generation p=1 carries (doc_id, lang), generation p=2 carries " +
+      "(doc_id, n_chars, source) — read back through ONE merged-" +
+      "schema scan that unions the columns and nulls the gaps, the " +
+      "add-a-column-without-rewriting-history semantics every " +
+      "long-lived 100 TB table needs. Output pins the merge contract " +
+      "per generation: row counts, which columns are null in which " +
+      "generation (lang null exactly in p=2, n_chars exactly in " +
+      "p=1), and the exact sums that survive. Partition discovery " +
+      "types p from the directory name. The oracle reads the SAME " +
+      "files via union_by_name + hive_partitioning. Output dir keyed " +
+      "by sf name (q_scan_jsonl precedent) so correctness and bench " +
+      "runs never clobber each other.",
+    Some("""SELECT CAST(p AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+           |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nchars_nulls,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_docid
+           |FROM read_parquet('/root/repo/target/schema_evo/sf0.01/*/*.parquet',
+           |                  union_by_name=true, hive_partitioning=1)
+           |GROUP BY p ORDER BY p""".stripMargin),
+    (s, d) => {
+      // eager side effect at construction (q_scan_jsonl precedent):
+      // materialize both schema generations for this query and the oracle
+      val outDir = s"/root/repo/target/schema_evo/${new java.io.File(d).getName}"
+      val docs = documents(s, d)
+      docs.select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$outDir/p=1")
+      docs.select(col("doc_id"), col("n_chars"), col("source"))
+        .write.mode("overwrite").parquet(s"$outDir/p=2")
+      s.read.option("mergeSchema", "true").parquet(outDir)
+        .groupBy(lng(col("p")).as("p"))
+        .agg(lng(count(lit(1))).as("n"),
+          lng(sum(when(col("lang").isNull, 1L).otherwise(0L))).as("lang_nulls"),
+          lng(sum(when(col("n_chars").isNull, 1L).otherwise(0L))).as("nchars_nulls"),
+          lng(sum(col("n_chars"))).as("sum_nchars"),
+          lng(sum(col("doc_id"))).as("sum_docid"))
+        .orderBy("p")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(
+    schemaEvolution,
     scanParquet, scanJsonl, scanCsv, scanOrc, project, filterPred, filterNull, enrich,
     joinLookup, joinBroadcast, joinSmj, joinOuter, joinSemi, joinAnti,
     joinTheta, joinAsof, joinBand,

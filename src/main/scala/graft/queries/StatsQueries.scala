@@ -756,7 +756,75 @@ object StatsQueries {
     }
   )
 
+  // ------------------------------------------------------------ mann_kendall
+
+  private val mannKendall = QueryDef(
+    "q_mann_kendall",
+    "Mann-Kendall trend test per event type — the nonparametric IS-" +
+      "THERE-a-trend significance readout that pairs with q_theil_sen's " +
+      "HOW-MUCH slope (the standard tandem for monotonic trend " +
+      "detection): S = Σ_{i<j} sign(cnt_j − cnt_i) over hourly counts, " +
+      "tie-corrected variance n(n−1)(2n+5) − Σ t(t−1)(2t+5) all in " +
+      "exact BIGINT, continuity-corrected z = (S ∓ 1)/√(Var) as ONE " +
+      "shared double chain (zero exactly when S = 0 — an integer " +
+      "test). Same scale shape as q_theil_sen: the sign pairs " +
+      "enumerate C(hours, 2) rows of the hour×type AGGREGATE — a " +
+      "function of the time span, not the corpus — and the tie table " +
+      "is a value-level count of counts. The fact is touched once.",
+    Some("""WITH h AS (SELECT event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+           |             count(*) AS cnt FROM events GROUP BY 1, 2),
+           |p AS (SELECT a.event_type,
+           |        CASE WHEN b.cnt > a.cnt THEN 1 WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+           |      FROM h a JOIN h b ON a.event_type = b.event_type AND a.hr < b.hr),
+           |sg AS (SELECT event_type, sum(sgn) AS s FROM p GROUP BY 1),
+           |tz AS (SELECT event_type, sum(t*(t-1)*(2*t+5)) AS tcorr FROM (
+           |         SELECT event_type, cnt, count(*) AS t FROM h GROUP BY 1, 2)
+           |       GROUP BY 1),
+           |nn AS (SELECT event_type, count(*) AS n FROM h GROUP BY 1)
+           |SELECT nn.event_type, CAST(nn.n AS BIGINT) AS n_hours,
+           |       CAST(sg.s AS BIGINT) AS s,
+           |       CASE WHEN sg.s = 0 THEN 0e0
+           |            ELSE round((CAST(sg.s AS DOUBLE)
+           |                        - CASE WHEN sg.s > 0 THEN 1e0 ELSE -1e0 END)
+           |                 / sqrt(CAST(nn.n*(nn.n-1)*(2*nn.n+5) - tz.tcorr AS DOUBLE)
+           |                        / 18e0), 6)
+           |       END AS z
+           |FROM nn JOIN sg USING (event_type) JOIN tz USING (event_type)
+           |ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val hourExpr =
+        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000"
+      val h = events(s, d)
+        .groupBy(col("event_type"), expr(hourExpr).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // three consumers: pairs (twice) + ties + n
+      val a = h.select(col("event_type"), col("hr").as("hi"), col("cnt").as("ci"))
+      val b = h.select(col("event_type").as("et2"), col("hr").as("hj"),
+        col("cnt").as("cj"))
+      val sg = a.join(b, col("event_type") === col("et2") && col("hi") < col("hj"))
+        .select(col("event_type"),
+          when(col("cj") > col("ci"), 1L)
+            .when(col("cj") < col("ci"), -1L).otherwise(0L).as("sgn"))
+        .groupBy("event_type").agg(sum(col("sgn")).as("s"))
+      val tz = h.groupBy(col("event_type"), col("cnt"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tcorr"))
+      val nn = h.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val varNum = col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tcorr")
+      val z = (dbl(col("s")) - when(col("s") > 0, lit(1.0)).otherwise(lit(-1.0))) /
+        sqrt(dbl(varNum) / lit(18.0))
+      val out = nn.join(sg, "event_type").join(tz, "event_type")
+        .select(col("event_type"), lng(col("n")).as("n_hours"),
+          lng(col("s")).as("s"),
+          when(col("s") === 0, lit(0.0)).otherwise(round(z, 6)).as("z"))
+        .orderBy("event_type")
+      materializeThenRelease(out, h)
+    }
+  )
+
   val defs: Seq[QueryDef] =
     Seq(profile, chisq, autocorr, winsorize, skyline, madOutliers, crossCorr,
-      rankCorr, mannWhitney, cusum, theilSen)
+      rankCorr, mannWhitney, cusum, theilSen, mannKendall)
 }

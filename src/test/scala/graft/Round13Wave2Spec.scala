@@ -214,6 +214,77 @@ class Round13Wave2Spec extends AnyFunSuite {
     assert(ick == Seq("click"), s"collated contains('ICK') matched: $ick")
   }
 
+  // ------------------------------------------------------------ mann-kendall
+
+  test("q_mann_kendall matches a brute-force sign-pair replay") {
+    val hours = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) - pmod(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000)) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = q("q_mann_kendall").collect().map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Long]("n_hours"), r.getAs[Long]("s"), r.getAs[Double]("z"))).toMap
+    for (t <- hours.map(_._1).distinct.sorted) {
+      val series = hours.filter(_._1 == t).map(x => (x._2, x._3)).sortBy(_._1)
+      var s = 0L
+      for (i <- series.indices; j <- (i + 1) until series.length)
+        s += java.lang.Long.signum(series(j)._2 - series(i)._2)
+      val n = series.length.toLong
+      val tcorr = series.groupBy(_._2).values
+        .map(g => { val tt = g.length.toLong; tt * (tt - 1) * (2 * tt + 5) }).sum
+      val z =
+        if (s == 0) 0.0
+        else BigDecimal((s.toDouble - (if (s > 0) 1.0 else -1.0)) /
+          math.sqrt((n * (n - 1) * (2 * n + 5) - tcorr).toDouble / 18.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(t) == ((n, s, z)), s"$t: ${out(t)} vs ${(n, s, z)}")
+    }
+  }
+
+  // ------------------------------------------------------------ spatial join
+
+  test("q_spatial_join grid candidates are lossless vs a sweep-line brute force") {
+    val pts = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id").as("id"),
+        expr("((event_id % 9973) * 2654435761) % 1000000").as("x"),
+        expr("((event_id % 7919) * 2654435761) % 1000000").as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+      .sortBy(_._1)
+    // sweep over x (sorted), brute-check the y band — every ε-pair, no grid
+    val xs = pts.map(_._1)
+    var nPairs = 0L; var sumDist = 0L
+    for (k <- pts.indices) {
+      val (x, y, id) = pts(k)
+      var m = k + 1
+      while (m < pts.length && xs(m) - x < 500) {
+        val (x2, y2, id2) = pts(m)
+        if (math.abs(y2 - y) < 500 && id != id2) {
+          nPairs += 1
+          sumDist += math.max(math.abs(x2 - x), math.abs(y2 - y))
+        }
+        m += 1
+      }
+    }
+    val out = q("q_spatial_join").collect()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      s"pair count: grid ${out.map(_.getAs[Long]("n_pairs")).sum} vs brute $nPairs")
+    assert(out.map(_.getAs[Long]("sum_dist")).sum == sumDist,
+      "distance sum diverged — a pair was found twice or missed")
+  }
+
+  // -------------------------------------------------------- schema evolution
+
+  test("q_schema_evolution: merged scan nulls exactly the absent generation columns") {
+    val rows = q("q_schema_evolution").collect()
+      .map(r => r.getAs[Long]("p") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("lang_nulls"),
+          r.getAs[Long]("nchars_nulls")))).toMap
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // p=1 wrote (doc_id, lang): n_chars is the nulled gap; p=2 vice versa
+    assert(rows(1L) == ((nDocs, 0L, nDocs)), s"p=1: ${rows(1L)}")
+    assert(rows(2L) == ((nDocs, nDocs, 0L)), s"p=2: ${rows(2L)}")
+  }
+
   // ---------------------------------------------------------- quantile norm
 
   test("q_quantile_norm matches a driver-side nearest-rank replay") {

@@ -824,7 +824,68 @@ object StatsQueries {
     }
   )
 
+  // --------------------------------------------------------- hodges_lehmann
+
+  private val hodgesLehmann = QueryDef(
+    "q_hodges_lehmann",
+    "Hodges-Lehmann effect-size estimator per treatment type: the " +
+      "median (and quartile band) of ALL pairwise differences between " +
+      "treatment and control hourly rates — the robust HOW-MUCH " +
+      "companion to q_mann_whitney's IS-there significance, exactly " +
+      "as q_theil_sen pairs with q_mann_kendall (the estimator the " +
+      "rank test inverts to). Differences of hourly counts are exact " +
+      "BIGINTs and the estimator is a LOWER order statistic under the " +
+      "total order (diff, hr_t, hr_v) — the entire operator is " +
+      "integer end-to-end, no doubles anywhere. Same scale shape as " +
+      "the other pair queries: the cross of treatment hours × control " +
+      "hours runs on the hour×type AGGREGATE — C(hours)² is a " +
+      "function of the time span, not the corpus.",
+    Some("""WITH h AS (SELECT event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+           |             count(*) AS cnt FROM events GROUP BY 1, 2),
+           |p AS (SELECT a.event_type, a.cnt - b.cnt AS diff, a.hr AS ht, b.hr AS hv
+           |      FROM h a JOIN h b ON b.event_type = 'view' AND a.event_type <> 'view'),
+           |r AS (SELECT event_type, diff,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY diff, ht, hv) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS np
+           |      FROM p)
+           |SELECT event_type AS treatment, CAST(max(np) AS BIGINT) AS n_pairs,
+           |       CAST(max(CASE WHEN rn = (np + 3) // 4 THEN diff END) AS BIGINT) AS diff_q25,
+           |       CAST(max(CASE WHEN rn = (np + 1) // 2 THEN diff END) AS BIGINT) AS hl_diff,
+           |       CAST(max(CASE WHEN rn = (3 * np + 1) // 4 THEN diff END) AS BIGINT) AS diff_q75
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val hourExpr =
+        "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000"
+      val h = events(s, d)
+        .groupBy(col("event_type"), expr(hourExpr).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // both sides of the treatment × control pair join
+      val t = h.filter(col("event_type") =!= "view")
+        .select(col("event_type"), col("hr").as("ht"), col("cnt").as("ct"))
+      val v = h.filter(col("event_type") === "view")
+        .select(col("hr").as("hv"), col("cnt").as("cv"))
+      // control side is hours-sized (bounded by the time span) — broadcast
+      val p = t.join(broadcast(v))
+        .select(col("event_type"), (col("ct") - col("cv")).as("diff"),
+          col("ht"), col("hv"))
+      val w = Window.partitionBy("event_type").orderBy("diff", "ht", "hv")
+      val r = p.withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      val out = r.groupBy(col("event_type").as("treatment")).agg(
+          lng(max(col("np"))).as("n_pairs"),
+          lng(max(when(col("rn") === expr("(np + 3) DIV 4"), col("diff"))))
+            .as("diff_q25"),
+          lng(max(when(col("rn") === expr("(np + 1) DIV 2"), col("diff"))))
+            .as("hl_diff"),
+          lng(max(when(col("rn") === expr("(3 * np + 1) DIV 4"), col("diff"))))
+            .as("diff_q75"))
+        .orderBy("treatment")
+      materializeThenRelease(out, h)
+    }
+  )
+
   val defs: Seq[QueryDef] =
     Seq(profile, chisq, autocorr, winsorize, skyline, madOutliers, crossCorr,
-      rankCorr, mannWhitney, cusum, theilSen, mannKendall)
+      rankCorr, mannWhitney, cusum, theilSen, mannKendall, hodgesLehmann)
 }

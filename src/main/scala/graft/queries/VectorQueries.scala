@@ -355,6 +355,110 @@ object VectorQueries {
     }
   )
 
+  // -------------------------------------------------------------------- mmd
+
+  private val mmd = QueryDef(
+    "q_mmd",
+    "Maximum mean discrepancy (RBF kernel) between embedding batches — " +
+      "the kernel two-sample test that detects DISTRIBUTION shift where " +
+      "q_embed_drift's centroid distance only detects MEAN shift (a " +
+      "variance change or a mode split moves MMD but not the mean). " +
+      "Two arms: 'natural' compares label-0 vs label-1 vectors; " +
+      "'shifted' compares label-0 against a planted +0.5-on-dim-0 copy " +
+      "of itself — the spec pins mmd²(shifted) > mmd²(natural), the " +
+      "sensitivity readout that makes the statistic trustworthy. " +
+      "SCALE CONTRACT: MMD is quadratic in the sample, so each side is " +
+      "capped at the 512 smallest vec_ids (TakeOrdered, deterministic " +
+      "at any corpus size) — kernel work is ≤ 3·512² evaluations " +
+      "FOREVER, the fixed-budget two-sample pattern. Kernels are " +
+      "rounded to 9 decimals BEFORE DECIMAL(28,9) summation (the " +
+      "q_xentropy transcendental discipline: exp differs across libm " +
+      "in the last ulp; the 9-grid absorbs it and exact decimal " +
+      "addition kills float order-dependence). The planted shift is " +
+      "FLOAT-domain arithmetic (0.5 is exactly representable; IEEE " +
+      "single add is correctly rounded, so both engines produce the " +
+      "identical shifted vector).",
+    Some {
+      val l2 = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+      def k(aSrc: String, bSrc: String) =
+        s"""SELECT sum(CAST(round(exp(-($l2) / 128e0), 9) AS DECIMAL(28,9))) AS s,
+           |       count(*) AS n FROM $aSrc a JOIN $bSrc b ON true""".stripMargin
+      s"""WITH x AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0
+         |           ORDER BY vec_id LIMIT 512),
+         |y1 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1
+         |       ORDER BY vec_id LIMIT 512),
+         |y2 AS (SELECT vec_id, list_transform(embedding, (v, i) ->
+         |         CASE WHEN i = 1 THEN CAST(v + CAST(0.5 AS FLOAT) AS FLOAT)
+         |              ELSE v END) AS embedding FROM x),
+         |kxx AS (${k("x", "x")}),
+         |ky1 AS (${k("y1", "y1")}),
+         |kxy1 AS (${k("x", "y1")}),
+         |ky2 AS (${k("y2", "y2")}),
+         |kxy2 AS (${k("x", "y2")}),
+         |arm1 AS (SELECT 'natural' AS arm,
+         |           CAST((SELECT count(*) FROM x) AS BIGINT) AS n_x,
+         |           CAST((SELECT count(*) FROM y1) AS BIGINT) AS n_y,
+         |           round(CAST(kxx.s AS DOUBLE) / kxx.n, 9) AS k_xx,
+         |           round(CAST(ky1.s AS DOUBLE) / ky1.n, 9) AS k_yy,
+         |           round(CAST(kxy1.s AS DOUBLE) / kxy1.n, 9) AS k_xy,
+         |           round(CAST(kxx.s AS DOUBLE) / kxx.n + CAST(ky1.s AS DOUBLE) / ky1.n
+         |                 - 2e0 * CAST(kxy1.s AS DOUBLE) / kxy1.n, 9) AS mmd2
+         |         FROM kxx, ky1, kxy1),
+         |arm2 AS (SELECT 'shifted' AS arm,
+         |           CAST((SELECT count(*) FROM x) AS BIGINT) AS n_x,
+         |           CAST((SELECT count(*) FROM y2) AS BIGINT) AS n_y,
+         |           round(CAST(kxx.s AS DOUBLE) / kxx.n, 9) AS k_xx,
+         |           round(CAST(ky2.s AS DOUBLE) / ky2.n, 9) AS k_yy,
+         |           round(CAST(kxy2.s AS DOUBLE) / kxy2.n, 9) AS k_xy,
+         |           round(CAST(kxx.s AS DOUBLE) / kxx.n + CAST(ky2.s AS DOUBLE) / ky2.n
+         |                 - 2e0 * CAST(kxy2.s AS DOUBLE) / kxy2.n, 9) AS mmd2
+         |         FROM kxx, ky2, kxy2)
+         |SELECT * FROM arm1 UNION ALL SELECT * FROM arm2 ORDER BY arm""".stripMargin
+    },
+    (s, d) => {
+      val e = embeddings(s, d)
+      val x = e.filter(col("label") === 0)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(512)
+      val y1 = e.filter(col("label") === 1)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(512)
+      // planted +0.5f on dimension 0, in FLOAT domain (Spark lambdas
+      // index 0-based; the oracle's DuckDB lambda is 1-based)
+      val y2 = x.select(col("vec_id"), expr(
+        """transform(embedding, (v, i) ->
+          |  IF(i = 0, CAST(v + CAST(0.5 AS FLOAT) AS FLOAT), v))"""
+          .stripMargin).as("embedding"))
+      def kmean(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame) =
+        a.select(col("embedding").as("ea"))
+          .join(broadcast(b.select(col("embedding").as("eb"))))
+          .select(round(exp(-l2sq("ea", "eb") / lit(128.0)), 9)
+            .cast("decimal(28,9)").as("k"))
+          .agg(sum(col("k")).as("s"), count(lit(1)).as("n"))
+      def arm(name: String, b: org.apache.spark.sql.DataFrame) = {
+        val kxx = kmean(x, x).select(col("s").as("sxx"), col("n").as("nxx"))
+        val kyy = kmean(b, b).select(col("s").as("syy"), col("n").as("nyy"))
+        val kxy = kmean(x, b).select(col("s").as("sxy"), col("n").as("nxy"))
+        val nx = x.agg(count(lit(1)).as("n_x"))
+        val ny = b.agg(count(lit(1)).as("n_y"))
+        val mxx = dbl(col("sxx")) / col("nxx")
+        val myy = dbl(col("syy")) / col("nyy")
+        val mxy = dbl(col("sxy")) / col("nxy")
+        kxx.crossJoin(broadcast(kyy)).crossJoin(broadcast(kxy))
+          .crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+          .select(lit(name).as("arm"), lng(col("n_x")).as("n_x"),
+            lng(col("n_y")).as("n_y"),
+            round(mxx, 9).as("k_xx"), round(myy, 9).as("k_yy"),
+            round(mxy, 9).as("k_xy"),
+            round(mxx + myy - lit(2.0) * mxy, 9).as("mmd2"))
+      }
+      arm("natural", y1).unionByName(arm("shifted", y2)).orderBy("arm")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(topkKnn, knnJoin, vecCentroid, arrayFns,
-    vecQuant, embedDrift, coreset)
+    vecQuant, embedDrift, coreset, mmd)
 }

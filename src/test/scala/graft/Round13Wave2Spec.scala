@@ -285,6 +285,45 @@ class Round13Wave2Spec extends AnyFunSuite {
     assert(rows(2L) == ((nDocs, nDocs, 0L)), s"p=2: ${rows(2L)}")
   }
 
+  // ---------------------------------------------------------- hodges-lehmann
+
+  test("q_hodges_lehmann matches brute-force pairwise-difference order stats") {
+    val hours = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) - pmod(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000)) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ctrl = hours.filter(_._1 == "view").map(x => (x._2, x._3)).sortBy(_._1)
+    val out = q("q_hodges_lehmann").collect().map(r =>
+      r.getAs[String]("treatment") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("hl_diff"))).toMap
+    for (t <- hours.map(_._1).distinct.filter(_ != "view").sorted) {
+      val treat = hours.filter(_._1 == t).map(x => (x._2, x._3)).sortBy(_._1)
+      val diffs = (for {
+        (ht, ct) <- treat; (hv, cv) <- ctrl
+      } yield (ct - cv, ht, hv)).sortBy(x => (x._1, x._2, x._3))
+      val np = diffs.length
+      val hl = diffs((np + 1) / 2 - 1)._1
+      assert(out(t) == ((np.toLong, hl)), s"$t: ${out(t)} vs ${(np, hl)}")
+    }
+  }
+
+  // -------------------------------------------------------------------- mmd
+
+  test("q_mmd: planted shift dominates the natural arm; xx term is shared") {
+    val rows = q("q_mmd").collect()
+      .map(r => r.getAs[String]("arm") ->
+        ((r.getAs[Double]("k_xx"), r.getAs[Double]("mmd2")))).toMap
+    // both arms share the same x sample, so the xx kernel mean is identical
+    assert(rows("natural")._1 == rows("shifted")._1, "k_xx should be shared")
+    // the sensitivity contract: a planted +0.5 shift on one dimension
+    // must move MMD² far above the natural label-0-vs-label-1 level
+    assert(rows("shifted")._2 > 2.0 * rows("natural")._2,
+      s"planted shift not detected: $rows")
+    assert(rows("natural")._2 >= 0.0 && rows("shifted")._2 >= 0.0,
+      s"biased-V MMD² must be nonnegative: $rows")
+  }
+
   // ---------------------------------------------------------- quantile norm
 
   test("q_quantile_norm matches a driver-side nearest-rank replay") {

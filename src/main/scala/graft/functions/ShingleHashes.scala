@@ -132,7 +132,7 @@ object GraftFunctions {
 }
 
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GraftFunctions.shingleIdent,
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       { exprs: Seq[Expression] =>
@@ -142,4 +142,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
             s"shingle_hashes(array<string>, int literal), got $other")
         }
       }))
+    // length-ratio prefilter under high-threshold Jaro-Winkler predicates
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerPrefilter)
+  }
 }

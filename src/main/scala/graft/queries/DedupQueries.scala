@@ -1460,6 +1460,10 @@ object DedupQueries {
            |ORDER BY p_partkey""".stripMargin),
     (s, d) => {
       import graft.functions.JaroWinkler.jaroWinkler
+      // the JaroWinklerPrefilter rule (graft.plans) injects a provable
+      // length-ratio guard under the threshold filter below — installed
+      // here for driver-owned sessions (extensions cover cluster ones)
+      graft.plans.JaroWinklerPrefilter.install(s)
       val p = part(s, d)
       val clean = p.select(col("p_name")).distinct()
       val dirty = p.select(col("p_partkey"), col("p_name").as("orig"),
@@ -1467,14 +1471,19 @@ object DedupQueries {
           expr("substring(p_name, 1, 3 + pmod(p_partkey, length(p_name) - 3))"),
           expr("substring(p_name, 5 + pmod(p_partkey, length(p_name) - 3))"))
           .as("dname"))
+      // threshold BEFORE the best-match window: equivalent output (the
+      // overall best survives iff it clears the threshold) and the
+      // window sorts only surviving candidates; with the filter at this
+      // level the JW predicate is visible to JaroWinklerPrefilter
       val cand = dirty.join(broadcast(clean),
           substring(col("dname"), 1, 3) === substring(col("p_name"), 1, 3))
+        .filter(round(jaroWinkler(col("dname"), col("p_name")), 6) >= 0.9)
         .select(col("p_partkey"), col("orig"), col("dname"), col("p_name"),
           round(jaroWinkler(col("dname"), col("p_name")), 6).as("sim"))
       val w = Window.partitionBy("p_partkey")
         .orderBy(col("sim").desc, col("p_name"))
       cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("sim") >= 0.9)
+        .filter(col("rn") === 1)
         .select(lng(col("p_partkey")).as("p_partkey"), col("dname"),
           col("p_name").as("matched"), col("sim"),
           (col("p_name") === col("orig")).as("correct"))

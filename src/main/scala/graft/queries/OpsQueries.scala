@@ -593,6 +593,136 @@ object OpsQueries {
     }
   )
 
+  // ----------------------------------------------------------------- binseg
+
+  private val binseg = QueryDef(
+    "q_binseg",
+    "Two-level binary segmentation of hourly counts per type — the " +
+      "HIERARCHICAL changepoint next to q_changepoint's single CUSUM " +
+      "peak and q_cusum's sequential alarm: level 1 picks the split " +
+      "minimizing total within-segment SSE, level 2 picks the best " +
+      "second split on either side of it (greedy binseg, the textbook " +
+      "K-changepoint heuristic). THE CLOSED FORM that makes it " +
+      "window-expressible: SSE(a..b) = Σx² − (Σx)²/len over any " +
+      "segment is a pure function of two PREFIX SUMS, so every " +
+      "candidate split's cost is one row of the windowed hour table — " +
+      "no recursion, no per-split rescan (contrast q_changepoint's " +
+      "recursive-CTE oracle). Costs are one shared double chain over " +
+      "exact BIGINT prefix sums; argmin is row_number under the total " +
+      "order (cost, i). Everything runs on the hour×type aggregate; " +
+      "the level-1 winner table is ≤|types| rows and broadcasts back. " +
+      "Output pins the SSE ladder sse0 > sse1 > sse2 (each split " +
+      "strictly reduces variance) with both changepoint hours.",
+    Some("""WITH h AS (SELECT event_type,
+           |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+           |             count(*) AS cnt FROM events GROUP BY 1, 2),
+           |p AS (SELECT event_type, hr, cnt,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i,
+           |        sum(cnt) OVER (PARTITION BY event_type ORDER BY hr
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+           |        sum(cnt*cnt) OVER (PARTITION BY event_type ORDER BY hr
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS css,
+           |        count(*) OVER (PARTITION BY event_type) AS n,
+           |        sum(cnt) OVER (PARTITION BY event_type) AS cst,
+           |        sum(cnt*cnt) OVER (PARTITION BY event_type) AS csst
+           |      FROM h),
+           |c1 AS (SELECT *,
+           |         (CAST(css AS DOUBLE) - CAST(cs AS DOUBLE)*CAST(cs AS DOUBLE)/i)
+           |         + (CAST(csst - css AS DOUBLE)
+           |            - CAST(cst - cs AS DOUBLE)*CAST(cst - cs AS DOUBLE)/(n - i)) AS cost
+           |       FROM p WHERE i < n),
+           |k1 AS (SELECT event_type, i AS k1, hr AS cp1_hr, cost AS sse1, n, cst, csst,
+           |         cs AS cs_k1, css AS css_k1
+           |       FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+           |               ORDER BY cost, i) AS rn FROM c1) WHERE rn = 1),
+           |c2 AS (SELECT p.event_type, p.i AS j, p.hr,
+           |         CASE WHEN p.i < k1.k1 THEN 'left' ELSE 'right' END AS side,
+           |         CASE WHEN p.i < k1.k1 THEN
+           |           (CAST(p.css AS DOUBLE) - CAST(p.cs AS DOUBLE)*CAST(p.cs AS DOUBLE)/p.i)
+           |           + (CAST(k1.css_k1 - p.css AS DOUBLE)
+           |              - CAST(k1.cs_k1 - p.cs AS DOUBLE)*CAST(k1.cs_k1 - p.cs AS DOUBLE)/(k1.k1 - p.i))
+           |           + (CAST(k1.csst - k1.css_k1 AS DOUBLE)
+           |              - CAST(k1.cst - k1.cs_k1 AS DOUBLE)*CAST(k1.cst - k1.cs_k1 AS DOUBLE)/(k1.n - k1.k1))
+           |         ELSE
+           |           (CAST(k1.css_k1 AS DOUBLE) - CAST(k1.cs_k1 AS DOUBLE)*CAST(k1.cs_k1 AS DOUBLE)/k1.k1)
+           |           + (CAST(p.css - k1.css_k1 AS DOUBLE)
+           |              - CAST(p.cs - k1.cs_k1 AS DOUBLE)*CAST(p.cs - k1.cs_k1 AS DOUBLE)/(p.i - k1.k1))
+           |           + (CAST(k1.csst - p.css AS DOUBLE)
+           |              - CAST(k1.cst - p.cs AS DOUBLE)*CAST(k1.cst - p.cs AS DOUBLE)/(k1.n - p.i))
+           |         END AS cost
+           |       FROM p JOIN k1 ON p.event_type = k1.event_type
+           |       WHERE p.i < k1.n AND p.i <> k1.k1),
+           |k2 AS (SELECT event_type, hr AS cp2_hr, side, cost AS sse2
+           |       FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+           |               ORDER BY cost, j) AS rn FROM c2) WHERE rn = 1)
+           |SELECT k1.event_type, CAST(k1.n AS BIGINT) AS n_hours,
+           |       round(CAST(k1.csst AS DOUBLE)
+           |             - CAST(k1.cst AS DOUBLE)*CAST(k1.cst AS DOUBLE)/k1.n, 6) AS sse0,
+           |       CAST(k1.cp1_hr AS BIGINT) AS cp1_hr, round(k1.sse1, 6) AS sse1,
+           |       k2.side AS cp2_side, CAST(k2.cp2_hr AS BIGINT) AS cp2_hr,
+           |       round(k2.sse2, 6) AS sse2
+           |FROM k1 JOIN k2 USING (event_type) ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = events(s, d)
+        .groupBy(col("event_type"),
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val wo = Window.partitionBy("event_type").orderBy("hr")
+      val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy("event_type")
+      val p = h.select(col("event_type"), col("hr"), col("cnt"),
+          row_number().over(wo).as("i"),
+          sum(col("cnt")).over(wc).as("cs"),
+          sum(col("cnt") * col("cnt")).over(wc).as("css"),
+          count(lit(1)).over(wa).as("n"),
+          sum(col("cnt")).over(wa).as("cst"),
+          sum(col("cnt") * col("cnt")).over(wa).as("csst"))
+        .persist() // consumed by level 1 and the level-2 candidate join
+      def sse(ss: org.apache.spark.sql.Column, sm: org.apache.spark.sql.Column,
+              len: org.apache.spark.sql.Column) =
+        dbl(ss) - dbl(sm) * dbl(sm) / len
+      val c1 = p.filter(col("i") < col("n"))
+        .withColumn("cost",
+          sse(col("css"), col("cs"), col("i")) +
+          sse(col("csst") - col("css"), col("cst") - col("cs"), col("n") - col("i")))
+      val wk = Window.partitionBy("event_type").orderBy("cost", "i")
+      val k1 = c1.withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
+        .select(col("event_type"), col("i").as("k1"), col("hr").as("cp1_hr"),
+          col("cost").as("sse1"), col("n").as("n1"), col("cst").as("cst1"),
+          col("csst").as("csst1"), col("cs").as("cs_k1"), col("css").as("css_k1"))
+      val c2 = p.join(broadcast(k1), "event_type")
+        .filter(col("i") < col("n1") && col("i") =!= col("k1"))
+        .withColumn("side",
+          when(col("i") < col("k1"), lit("left")).otherwise(lit("right")))
+        .withColumn("cost",
+          when(col("i") < col("k1"),
+            sse(col("css"), col("cs"), col("i")) +
+            sse(col("css_k1") - col("css"), col("cs_k1") - col("cs"),
+              col("k1") - col("i")) +
+            sse(col("csst1") - col("css_k1"), col("cst1") - col("cs_k1"),
+              col("n1") - col("k1")))
+          .otherwise(
+            sse(col("css_k1"), col("cs_k1"), col("k1")) +
+            sse(col("css") - col("css_k1"), col("cs") - col("cs_k1"),
+              col("i") - col("k1")) +
+            sse(col("csst1") - col("css"), col("cst1") - col("cs"),
+              col("n1") - col("i"))))
+      val wj = Window.partitionBy("event_type").orderBy("cost", "i")
+      val k2 = c2.withColumn("rn", row_number().over(wj)).filter(col("rn") === 1)
+        .select(col("event_type"), col("hr").as("cp2_hr"), col("side"),
+          col("cost").as("sse2"))
+      val out = k1.join(k2, "event_type")
+        .select(col("event_type"), lng(col("n1")).as("n_hours"),
+          round(sse(col("csst1"), col("cst1"), col("n1")), 6).as("sse0"),
+          lng(col("cp1_hr")).as("cp1_hr"), round(col("sse1"), 6).as("sse1"),
+          col("side").as("cp2_side"), lng(col("cp2_hr")).as("cp2_hr"),
+          round(col("sse2"), 6).as("sse2"))
+        .orderBy("event_type")
+      materializeThenRelease(out, p)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(skewReport, integrity, holt, changepoint,
-    readability, snapshotDiff, filterFunnel, stl, ar1)
+    readability, snapshotDiff, filterFunnel, stl, ar1, binseg)
 }

@@ -324,6 +324,39 @@ class Round13Wave2Spec extends AnyFunSuite {
       s"biased-V MMD² must be nonnegative: $rows")
   }
 
+  // ------------------------------------------------------------------ binseg
+
+  test("q_binseg matches a driver-side exhaustive split search; SSE ladder holds") {
+    val hours = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"),
+        expr("(unix_micros(CAST(ts AS TIMESTAMP)) - pmod(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000)) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = q("q_binseg").collect().map(r => r.getAs[String]("event_type") ->
+      ((r.getAs[Long]("cp1_hr"), r.getAs[Double]("sse0"),
+        r.getAs[Double]("sse1"), r.getAs[Double]("sse2")))).toMap
+    def sse(xs: Seq[Long]): Double = {
+      val ss = xs.map(x => x * x).sum.toDouble
+      val sm = xs.sum.toDouble
+      ss - sm * sm / xs.length
+    }
+    for (t <- hours.map(_._1).distinct.sorted) {
+      val xs = hours.filter(_._1 == t).sortBy(_._2).map(_._3).toSeq
+      val hrs = hours.filter(_._1 == t).sortBy(_._2).map(_._2).toSeq
+      val splits = (1 until xs.length)
+        .map(i => (sse(xs.take(i)) + sse(xs.drop(i)), i))
+      val (bestCost, bestI) = splits.minBy(x => (x._1, x._2))
+      val (cp1, sse0, sse1, sse2) = out(t)
+      assert(cp1 == hrs(bestI - 1), s"$t: cp1 $cp1 vs ${hrs(bestI - 1)}")
+      val r6 = (x: Double) => BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(sse1 == r6(bestCost), s"$t: sse1 $sse1 vs ${r6(bestCost)}")
+      assert(sse0 == r6(sse(xs)), s"$t: sse0")
+      assert(sse0 > sse1 && sse1 > sse2,
+        s"$t: SSE ladder violated ($sse0, $sse1, $sse2)")
+    }
+  }
+
   // ---------------------------------------------------------- quantile norm
 
   test("q_quantile_norm matches a driver-side nearest-rank replay") {

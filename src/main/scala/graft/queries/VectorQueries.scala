@@ -459,6 +459,91 @@ object VectorQueries {
     }
   )
 
+  // -------------------------------------------------------------------- lof
+
+  private val lof = QueryDef(
+    "q_lof",
+    "Local Outlier Factor (k = 5) over the embedding corpus — the " +
+      "DENSITY-RELATIVE anomaly readout the global detectors miss: " +
+      "q_zscore/q_mad_outliers flag globally extreme values and " +
+      "q_dbscan labels sparse noise, but a point can sit at a " +
+      "perfectly ordinary distance from everything and still be " +
+      "anomalous FOR ITS NEIGHBORHOOD — LOF prices exactly that " +
+      "(reachability density vs the neighbors' densities; ≈1 = " +
+      "inlier). Distances are squared L2 (the bit-exact shared " +
+      "kernel; LOF on a squared metric is a well-defined variant and " +
+      "keeps the whole chain in the exact domain). Float-order " +
+      "discipline: reach-distances and density ratios round to the " +
+      "9-grid BEFORE DECIMAL(28,9) summation, so the two engines' " +
+      "k-sums cannot diverge by accumulation order. SCALE CONTRACT: " +
+      "the exact arm caps at the 1024 smallest vec_ids (TakeOrdered — " +
+      "the q_mmd fixed-budget pattern, ≤ 1024² kernel evals forever); " +
+      "at 100 TB the kNN stage swaps in the IVF/LSH candidate " +
+      "generation the ANN family provides, leaving the LOF algebra " +
+      "untouched. Output = top-15 outliers under the total order " +
+      "(lof DESC, vec_id).",
+    Some {
+      val l2 = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+      s"""WITH pts AS (SELECT vec_id, label, embedding FROM embeddings
+         |             ORDER BY vec_id LIMIT 1024),
+         |d AS (SELECT a.vec_id AS p, b.vec_id AS o, $l2 AS d2
+         |      FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+         |knn AS (SELECT *, row_number() OVER (PARTITION BY p ORDER BY d2, o) AS rn
+         |        FROM d),
+         |nn AS (SELECT p, o, d2 FROM knn WHERE rn <= 5),
+         |kd AS (SELECT p, max(d2) AS kdist FROM nn GROUP BY p),
+         |reach AS (SELECT nn.p, nn.o, round(greatest(nn.d2, kdo.kdist), 9) AS r
+         |          FROM nn JOIN kd kdo ON kdo.p = nn.o),
+         |lrd AS (SELECT p, 5e0 / CAST(sum(CAST(r AS DECIMAL(28,9))) AS DOUBLE) AS lrd
+         |        FROM reach GROUP BY p),
+         |lof AS (SELECT nn.p,
+         |          CAST(sum(CAST(round(lo.lrd / lp.lrd, 9) AS DECIMAL(28,9))) AS DOUBLE)
+         |            / 5e0 AS lof
+         |        FROM nn JOIN lrd lo ON lo.p = nn.o JOIN lrd lp ON lp.p = nn.p
+         |        GROUP BY nn.p)
+         |SELECT pts.vec_id, CAST(pts.label AS BIGINT) AS label,
+         |       round(lof.lof, 6) AS lof, round(kd.kdist, 6) AS kdist2
+         |FROM lof JOIN pts ON pts.vec_id = lof.p JOIN kd ON kd.p = lof.p
+         |ORDER BY lof.lof DESC, pts.vec_id LIMIT 15""".stripMargin
+    },
+    (s, d) => {
+      val pts = embeddings(s, d).orderBy("vec_id").limit(1024)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .persist() // both join sides + the final label join
+      val a = pts.select(col("vec_id").as("p"), col("embedding").as("ea"))
+      val b = pts.select(col("vec_id").as("o"), col("embedding").as("eb"))
+      val dd = a.join(broadcast(b), col("p") =!= col("o"))
+        .select(col("p"), col("o"), l2sq("ea", "eb").as("d2"))
+      val w = Window.partitionBy("p").orderBy("d2", "o")
+      val nn = dd.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select("p", "o", "d2")
+        .persist() // three consumers: kdist, reach, lof
+      val kd = nn.groupBy("p").agg(max(col("d2")).as("kdist"))
+      val reach = nn.join(kd.select(col("p").as("o2"), col("kdist")),
+          col("o") === col("o2"))
+        .select(col("p"), round(greatest(col("d2"), col("kdist")), 9).as("r"))
+      val lrd = reach.groupBy("p")
+        .agg((lit(5.0) / dbl(sum(col("r").cast("decimal(28,9)")))).as("lrd"))
+      val lofDf = nn
+        .join(lrd.select(col("p").as("o3"), col("lrd").as("lrd_o")),
+          col("o") === col("o3"))
+        .join(lrd.select(col("p").as("p2"), col("lrd").as("lrd_p")),
+          col("p") === col("p2"))
+        .groupBy("p")
+        .agg((dbl(sum(round(col("lrd_o") / col("lrd_p"), 9)
+          .cast("decimal(28,9)"))) / lit(5.0)).as("lof"))
+      val out = lofDf
+        .join(pts, col("p") === col("vec_id"))
+        .join(kd.select(col("p").as("p3"), col("kdist")), col("p") === col("p3"))
+        .select(col("vec_id"), lng(col("label")).as("label"),
+          round(col("lof"), 6).as("lof"), round(col("kdist"), 6).as("kdist2"))
+        .orderBy(col("lof").desc, col("vec_id")).limit(15)
+      materializeThenRelease(out, pts, nn)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(topkKnn, knnJoin, vecCentroid, arrayFns,
-    vecQuant, embedDrift, coreset, mmd)
+    vecQuant, embedDrift, coreset, mmd, lof)
 }

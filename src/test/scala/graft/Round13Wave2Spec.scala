@@ -357,6 +357,45 @@ class Round13Wave2Spec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------------------- lof
+
+  test("q_lof matches a driver-side textbook LOF replay") {
+    val pts = spark.read.parquet(s"$sf/embeddings.parquet")
+      .orderBy("vec_id").limit(1024)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2)))
+    def d2(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) {
+        val diff = x(i).toDouble - y(i).toDouble; s += diff * diff; i += 1
+      }
+      s
+    }
+    val ids = pts.map(_._1)
+    val knn: Map[Long, Seq[(Long, Double)]] = pts.map { case (p, ep, _) =>
+      p -> pts.filter(_._1 != p)
+        .map { case (o, eo, _) => (o, d2(ep, eo)) }
+        .sortBy(x => (x._2, x._1)).take(5).toSeq
+    }.toMap
+    val kdist = knn.map { case (p, nn) => p -> nn.map(_._2).max }
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val lrd = knn.map { case (p, nn) =>
+      p -> (5.0 / nn.map { case (o, dd) =>
+        r9(math.max(dd, kdist(o))) }.sum.toDouble)
+    }
+    val lofv = knn.map { case (p, nn) =>
+      p -> (nn.map { case (o, _) => r9(lrd(o) / lrd(p)) }.sum.toDouble / 5.0)
+    }
+    val r6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = lofv.toSeq.sortBy { case (p, l) => (-l, p) }.take(15)
+      .map { case (p, l) => (p, r6(l)) }
+    val got = q("q_lof").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("lof"))).toSeq
+    assert(got == want, s"\n got  $got\n want $want")
+  }
+
   // ---------------------------------------------------------- quantile norm
 
   test("q_quantile_norm matches a driver-side nearest-rank replay") {

@@ -502,6 +502,64 @@ object PipelineQueries {
     }
   )
 
+  // ------------------------------------------------------------- slice_audit
+
+  private val sliceAudit = QueryDef(
+    "q_slice_audit",
+    "Data-slice audit: rank (lang), (source) and (lang × source) " +
+      "slices of the corpus by how far their mean document length " +
+      "sits from the corpus mean, in standard-error units — the " +
+      "slice-finder pass every training-data pipeline runs to catch " +
+      "the one language × crawl-source cell whose documents are " +
+      "systematically truncated (or bloated) before the model " +
+      "memorizes the artifact. One GROUPING SETS aggregation " +
+      "(Catalyst expands to a single Expand + hash aggregate — one " +
+      "corpus pass for all three slice granularities, never three " +
+      "scans); the global moment row is a single-row broadcast. The " +
+      "z statistic is one shared double chain over exact BIGINT sums " +
+      "— (sum_s·N − S·n_s)·√n_s / (n_s·√(N·ss − S²)) — so both " +
+      "engines rank identically; top-10 by |z| under a total " +
+      "tiebreak. At 100 TB the same plan holds: slices are " +
+      "vocabulary-small, the Expand multiplies the scan ×3 and " +
+      "map-side combine collapses it.",
+    Some("""WITH g AS (SELECT count(*) AS nn, sum(n_chars) AS s,
+           |                  sum(n_chars*n_chars) AS ss FROM documents),
+           |sl AS (SELECT coalesce(lang, '*') AS lang_dim,
+           |         coalesce(source, '*') AS source_dim,
+           |         count(*) AS n_docs, sum(n_chars) AS sum_chars
+           |       FROM documents
+           |       GROUP BY GROUPING SETS ((lang), (source), (lang, source))),
+           |z AS (SELECT lang_dim, source_dim, n_docs, sum_chars,
+           |        round((CAST(sum_chars AS DOUBLE) * g.nn - CAST(g.s AS DOUBLE) * n_docs)
+           |              * sqrt(CAST(n_docs AS DOUBLE))
+           |              / (CAST(n_docs AS DOUBLE) * sqrt(CAST(g.nn AS DOUBLE) * g.ss
+           |                 - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))), 6) AS z
+           |      FROM sl CROSS JOIN g)
+           |SELECT lang_dim, source_dim, CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(sum_chars AS BIGINT) AS sum_chars, z
+           |FROM z ORDER BY abs(z) DESC, lang_dim, source_dim LIMIT 10""".stripMargin),
+    (s, d) => {
+      documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH g AS (SELECT count(*) AS nn, sum(n_chars) AS s,
+          |                  sum(n_chars*n_chars) AS ss FROM documents),
+          |sl AS (SELECT coalesce(lang, '*') AS lang_dim,
+          |         coalesce(source, '*') AS source_dim,
+          |         count(*) AS n_docs, sum(n_chars) AS sum_chars
+          |       FROM documents
+          |       GROUP BY GROUPING SETS ((lang), (source), (lang, source))),
+          |z AS (SELECT lang_dim, source_dim, n_docs, sum_chars,
+          |        round((CAST(sum_chars AS DOUBLE) * nn - CAST(s AS DOUBLE) * n_docs)
+          |              * sqrt(CAST(n_docs AS DOUBLE))
+          |              / (CAST(n_docs AS DOUBLE) * sqrt(CAST(nn AS DOUBLE) * ss
+          |                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS z
+          |      FROM sl CROSS JOIN g)
+          |SELECT lang_dim, source_dim, CAST(n_docs AS BIGINT) AS n_docs,
+          |       CAST(sum_chars AS BIGINT) AS sum_chars, z
+          |FROM z ORDER BY abs(z) DESC, lang_dim, source_dim LIMIT 10""".stripMargin)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pipelineQa, packSequences, shuffleShards, rendezvous,
-    datasetCard, dsir, quantileNorm)
+    datasetCard, dsir, quantileNorm, sliceAudit)
 }

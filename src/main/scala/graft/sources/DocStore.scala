@@ -589,7 +589,16 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean)
     // overwrite is expressed purely by the new manifest listing only
     // this job's files
     fs.mkdirs(p)
-    new DocStoreWriterFactory(dir, schema.toDDL)
+    // job-unique filename token: final names must be unique ACROSS JVMs
+    // and jobs, not just within one — snapshot isolation (r12 #6) keeps
+    // superseded .gds files on disk until vacuum, and Spark task ids
+    // restart per JVM, so a (partitionId, taskId) pair from a previous
+    // run can collide with a live leftover and fail the commit rename
+    // (seen as a ~1-in-3 full-suite flake in the r13 inventory sweep,
+    // intermittent because query-map iteration order shifts the task-id
+    // offset at which the docstore write runs)
+    new DocStoreWriterFactory(dir, schema.toDDL,
+      java.util.UUID.randomUUID().toString.take(8))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -631,21 +640,23 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean)
   }
 }
 
-class DocStoreWriterFactory(dir: String, schemaDdl: String)
+class DocStoreWriterFactory(dir: String, schemaDdl: String, jobToken: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocStoreDataWriter(dir, StructType.fromDDL(schemaDdl), partitionId, taskId)
+    new DocStoreDataWriter(dir, StructType.fromDDL(schemaDdl), partitionId,
+      taskId, jobToken)
 }
 
 class DocStoreDataWriter(
     dir: String,
     schema: StructType,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    jobToken: String)
     extends DataWriter[InternalRow] {
 
-  private val tmpPath = s"$dir/part-$partitionId-$taskId.tmp"
-  private val finalPath = s"$dir/part-$partitionId-$taskId.gds"
+  private val tmpPath = s"$dir/part-$partitionId-$taskId-$jobToken.tmp"
+  private val finalPath = s"$dir/part-$partitionId-$taskId-$jobToken.gds"
   private val out: DataOutputStream = {
     val p = new Path(tmpPath)
     new DataOutputStream(p.getFileSystem(new Configuration()).create(p, true))

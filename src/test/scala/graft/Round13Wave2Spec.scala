@@ -396,6 +396,40 @@ class Round13Wave2Spec extends AnyFunSuite {
     assert(got == want, s"\n got  $got\n want $want")
   }
 
+  // ------------------------------------------------------------- slice audit
+
+  test("q_slice_audit matches a driver replay and runs as ONE Expand pass") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nn = docs.length.toLong
+    val sTot = docs.map(_._3).sum
+    val ss = docs.map(x => x._3 * x._3).sum
+    def z(nS: Long, sumS: Long): Double = BigDecimal(
+      (sumS.toDouble * nn - sTot.toDouble * nS) * math.sqrt(nS.toDouble) /
+        (nS.toDouble * math.sqrt(nn.toDouble * ss - sTot.toDouble * sTot.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slices =
+      docs.groupBy(_._1).map { case (l, g) =>
+        (l, "*", g.length.toLong, g.map(_._3).sum) }.toSeq ++
+      docs.groupBy(_._2).map { case (src, g) =>
+        ("*", src, g.length.toLong, g.map(_._3).sum) }.toSeq ++
+      docs.groupBy(x => (x._1, x._2)).map { case ((l, src), g) =>
+        (l, src, g.length.toLong, g.map(_._3).sum) }.toSeq
+    val want = slices.map { case (l, src, n, sm) => (l, src, n, sm, z(n, sm)) }
+      .sortBy(x => (-math.abs(x._5), x._1, x._2)).take(10)
+    val got = q("q_slice_audit").collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want, s"\n got  $got\n want $want")
+    // the three slice granularities share ONE scan through a single
+    // Expand (never three scans); the global-moment row is its own
+    // (column-pruned) scan — two scans total
+    val plan = q("q_slice_audit").queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length >= 1 &&
+      "Scan parquet".r.findAllIn(plan).length == 2,
+      s"expected slices scan + moments scan, one Expand:\n$plan")
+  }
+
   // ---------------------------------------------------------- quantile norm
 
   test("q_quantile_norm matches a driver-side nearest-rank replay") {

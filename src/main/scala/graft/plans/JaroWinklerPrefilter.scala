@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression,
   LessThanOrEqual, Literal, Multiply, PredicateHelper, Round}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType}
 
 import graft.functions.JaroWinkler
 
@@ -53,31 +53,58 @@ object JaroWinklerPrefilter extends Rule[LogicalPlan] with PredicateHelper {
       Multiply(Literal(ratioBound(c)), Greatest(Seq(la, lb))))
   }
 
-  /** Extract (a, b, effective threshold) from a JW-threshold conjunct. */
+  /** Extract (a, b, effective threshold) from a JW-threshold conjunct.
+    *
+    * SQL-text entry points parse `0.9` as DECIMAL(1,1); type coercion
+    * then rewrites the comparison with casts around the JW side and/or
+    * leaves a decimal literal. Both are handled: a decimal literal is
+    * converted via toDouble, a lossless Cast-to-double around the JW
+    * child is unwrapped, and a Cast to DECIMAL(_, s) (which rounds to s
+    * decimals) relaxes the threshold by one 10^-s grid step — the same
+    * sound full-grid-slack argument as `round`.
+    */
   private def jwThreshold(e: Expression): Option[(Expression, Expression, Double)] = {
-    def viaRound(r: Expression): Option[(Expression, Expression, Double => Double)] =
+    def unwrapCasts(r: Expression): (Expression, Double => Double) = r match {
+      case c: Cast if c.dataType == DoubleType =>
+        unwrapCasts(c.child)
+      case c: Cast => c.dataType match {
+        case dt: DecimalType =>
+          val (inner, f) = unwrapCasts(c.child)
+          (inner, (x: Double) => f(x) - math.pow(10.0, -dt.scale))
+        case _ => (r, identity)
+      }
+      case other => (other, identity)
+    }
+    def viaRound(r0: Expression): Option[(Expression, Expression, Double => Double)] = {
+      val (r, castSlack) = unwrapCasts(r0)
       r match {
-        case JaroWinkler(a, b) => Some((a, b, identity))
-        case rd: Round => rd.child match {
+        case JaroWinkler(a, b) => Some((a, b, castSlack))
+        case rd: Round => unwrapCasts(rd.child)._1 match {
           case JaroWinkler(a, b) => rd.scale match {
             case Literal(p: Int, _) =>
               // round(jw, p) ≥ c only if jw ≥ c − 10^-p (full-grid slack)
-              Some((a, b, (c: Double) => c - math.pow(10.0, -p)))
+              Some((a, b, (c: Double) => castSlack(c) - math.pow(10.0, -p)))
             case _ => None
           }
           case _ => None
         }
         case _ => None
       }
+    }
+    def thresholdLit(l: Expression): Option[Double] = l match {
+      case Literal(c: Double, DoubleType) => Some(c)
+      case Literal(d: Decimal, _: DecimalType) => Some(d.toDouble)
+      case _ => None
+    }
     e match {
-      case GreaterThanOrEqual(l, Literal(c: Double, DoubleType)) =>
-        viaRound(l).map { case (a, b, f) => (a, b, f(c)) }
-      case GreaterThan(l, Literal(c: Double, DoubleType)) =>
-        viaRound(l).map { case (a, b, f) => (a, b, f(c)) }
-      case LessThanOrEqual(Literal(c: Double, DoubleType), r) =>
-        viaRound(r).map { case (a, b, f) => (a, b, f(c)) }
-      case LessThan(Literal(c: Double, DoubleType), r) =>
-        viaRound(r).map { case (a, b, f) => (a, b, f(c)) }
+      case GreaterThanOrEqual(l, r) => thresholdLit(r).flatMap(c =>
+        viaRound(l).map { case (a, b, f) => (a, b, f(c)) })
+      case GreaterThan(l, r) => thresholdLit(r).flatMap(c =>
+        viaRound(l).map { case (a, b, f) => (a, b, f(c)) })
+      case LessThanOrEqual(l, r) => thresholdLit(l).flatMap(c =>
+        viaRound(r).map { case (a, b, f) => (a, b, f(c)) })
+      case LessThan(l, r) => thresholdLit(l).flatMap(c =>
+        viaRound(r).map { case (a, b, f) => (a, b, f(c)) })
       case _ => None
     }
   }

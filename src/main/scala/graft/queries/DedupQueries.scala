@@ -1473,13 +1473,16 @@ object DedupQueries {
           .as("dname"))
       // threshold BEFORE the best-match window: equivalent output (the
       // overall best survives iff it clears the threshold) and the
-      // window sorts only surviving candidates; with the filter at this
-      // level the JW predicate is visible to JaroWinklerPrefilter
+      // window sorts only surviving candidates. sim is computed ONCE
+      // and the filter references the alias — when Catalyst pushes the
+      // predicate through the projection the substituted Round-wrapped
+      // JW shape stays visible to JaroWinklerPrefilter, so the cheap
+      // length-ratio guard still short-circuits the O(len²) kernel
       val cand = dirty.join(broadcast(clean),
           substring(col("dname"), 1, 3) === substring(col("p_name"), 1, 3))
-        .filter(round(jaroWinkler(col("dname"), col("p_name")), 6) >= 0.9)
         .select(col("p_partkey"), col("orig"), col("dname"), col("p_name"),
           round(jaroWinkler(col("dname"), col("p_name")), 6).as("sim"))
+        .filter(col("sim") >= 0.9)
       val w = Window.partitionBy("p_partkey")
         .orderBy(col("sim").desc, col("p_name"))
       cand.withColumn("rn", row_number().over(w))

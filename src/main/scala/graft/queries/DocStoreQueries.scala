@@ -96,5 +96,112 @@ object DocStoreQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot)
+  private val docstoreMerge = QueryDef(
+    "q_docstore_merge",
+    "Row-level MERGE (copy-on-write upsert) on the docstore DSv2 " +
+      "source — the Iceberg/Delta `MERGE INTO` primitive the snapshot " +
+      "seam was built for: an upsert batch (updates to doc_id%7==0 " +
+      "below 1000, inserts at doc_id+1000000 for doc_id%13==0 below " +
+      "1000) is applied by rewriting ONLY the data files whose " +
+      "block-stat key range intersects the batch (base files are " +
+      "range-partitioned on doc_id so pruning has teeth), and the new " +
+      "files + retired files commit in ONE atomic manifest rename " +
+      "(`replaceFiles`). The query reads BOTH snapshots — the pinned " +
+      "pre-merge version proving reader isolation under the mutation, " +
+      "the latest proving the merge semantics — as per-lang counts + " +
+      "exact char sums. SCALE: driver work is file-count-sized " +
+      "(broadcast file-range table joined against the distributed " +
+      "batch; block-header metadata only); the rewrite is a " +
+      "distributed anti-join + union over O(affected files), not " +
+      "O(corpus) — the daily-ingest shape at 100 TB. Oracle " +
+      "recomputes both states from the source parquet.",
+    Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+           |ups AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM base
+           |        WHERE doc_id % 7 = 0 AND doc_id < 1000
+           |        UNION ALL
+           |        SELECT doc_id + 1000000, lang, doc_id % 997 FROM base
+           |        WHERE doc_id % 13 = 0 AND doc_id < 1000),
+           |merged AS (SELECT * FROM base
+           |           WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+           |           UNION ALL SELECT * FROM ups)
+           |SELECT CAST(1 AS BIGINT) AS snapshot, lang,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM base GROUP BY lang
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), lang, CAST(count(*) AS BIGINT),
+           |       CAST(sum(n_chars) AS BIGINT)
+           |FROM merged GROUP BY lang
+           |ORDER BY snapshot, lang""".stripMargin),
+    (s, d) => {
+      // fresh table per run (q_scan_docstore_snapshot precedent) so the
+      // pre-merge snapshot is always version 1
+      val outDir = s"/root/repo/target/docstore_merge/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      // range-partitioned base: files carry disjoint doc_id ranges, so
+      // the merge's block-stat pruning rewrites only the low-range files
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore").mode("overwrite").save(outDir)
+      val v1 = graft.sources.DocStore.latestVersion(outDir).get
+      val batch = docs
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 1000)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(docs
+          .filter(col("doc_id") % 13 === 0 && col("doc_id") < 1000)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            (col("doc_id") % 997).as("n_chars")))
+      graft.sources.DocStoreOps.merge(s, outDir, batch, "doc_id")
+      def rollup(df: org.apache.spark.sql.DataFrame, snap: Long) =
+        df.groupBy(col("lang"))
+          .agg(lng(count(lit(1))).as("n_docs"), lng(sum("n_chars")).as("sum_chars"))
+          .select(lit(snap).as("snapshot"), col("lang"), col("n_docs"),
+            col("sum_chars"))
+      val pinned = s.read.format("docstore")
+        .option("snapshotVersion", v1.toString).load(outDir)
+      val latest = s.read.format("docstore").load(outDir)
+      rollup(pinned, 1L).unionAll(rollup(latest, 2L))
+        .orderBy("snapshot", "lang")
+    }
+  )
+
+  private val docstoreCompact = QueryDef(
+    "q_docstore_compact",
+    "Execute the small-file compaction q_compaction_plan only PLANS: " +
+      "the documents table lands as 32 task-sized .gds files (the " +
+      "streaming-ingest landing-zone shape), then DocStoreOps.compact " +
+      "bin-packs every file under the 64 KiB target into " +
+      "ceil(bytes/target) rewritten files and retires the originals " +
+      "in ONE atomic manifest commit (`replaceFiles`) — the OPTIMIZE " +
+      "job every lakehouse runs, with readers pinned on the old " +
+      "snapshot untouched mid-compaction (DocStoreSpec). The query " +
+      "reads the compacted table back in full, so ANY row lost, " +
+      "duplicated, or mangled by the rewrite fails the hash against " +
+      "the source-parquet oracle; the file-count collapse and " +
+      "concurrent-reader isolation are spec-pinned (they are not " +
+      "SQL-observable).",
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_compact/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(32, col("doc_id"))
+        .write.format("docstore").mode("overwrite").save(outDir)
+      graft.sources.DocStoreOps.compact(s, outDir, 64L * 1024)
+      s.read.format("docstore").load(outDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot,
+    docstoreMerge, docstoreCompact)
 }

@@ -506,7 +506,7 @@ object VectorQueries {
          |SELECT pts.vec_id, CAST(pts.label AS BIGINT) AS label,
          |       round(lof.lof, 6) AS lof, round(kd.kdist, 6) AS kdist2
          |FROM lof JOIN pts ON pts.vec_id = lof.p JOIN kd ON kd.p = lof.p
-         |ORDER BY lof.lof DESC, pts.vec_id LIMIT 15""".stripMargin
+         |ORDER BY round(lof.lof, 6) DESC, pts.vec_id LIMIT 15""".stripMargin
     },
     (s, d) => {
       val pts = embeddings(s, d).orderBy("vec_id").limit(1024)

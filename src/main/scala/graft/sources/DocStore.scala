@@ -262,6 +262,59 @@ object DocStore {
     }
   }
 
+  /** File-level min/max of a column from block headers only — the
+    * Iceberg-manifest-style metadata read behind [[DocStoreOps.merge]]'s
+    * affected-file pruning: block stats are aggregated without decoding
+    * a single column chunk (chunks are `skip`'d wholesale), so the cost
+    * is O(blocks), not O(rows). None when no block carries stats for
+    * the column (all-null or non-numeric) — callers must treat such a
+    * file as unprunable.
+    */
+  private[graft] def fileColumnStats(file: String,
+      column: String): Option[(Any, Any)] = {
+    val p = new Path(file)
+    val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+    try {
+      require(in.readInt() == Magic, s"not a GDS file: $file")
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val schema = StructType.fromDDL(new String(bytes, "UTF-8"))
+      val ci = schema.fieldNames.indexOf(column)
+      require(ci >= 0, s"docstore: no column $column in $file")
+      var mn: Any = null
+      var mx: Any = null
+      var done = false
+      while (!done) {
+        try in.readInt() // row count (unused for stats)
+        catch { case _: EOFException => done = true }
+        if (!done) {
+          var skip = 0L
+          var i = 0
+          while (i < schema.length) {
+            val tag = in.readByte()
+            val stats: (Any, Any) = tag match {
+              case 1 => (in.readLong(), in.readLong())
+              case 2 => (in.readDouble(), in.readDouble())
+              case _ => (null, null)
+            }
+            val bmn = stats._1
+            val bmx = stats._2
+            if (i == ci && tag != 0) {
+              if (mn == null || cmp(bmn, mn) < 0) mn = bmn
+              if (mx == null || cmp(bmx, mx) > 0) mx = bmx
+            }
+            skip += in.readInt()
+            i += 1
+          }
+          var left = skip
+          while (left > 0) left -= in.skip(left)
+        }
+      }
+      if (mn == null) None else Some((mn, mx))
+    } finally in.close()
+  }
+
   private[sources] def readFileSchema(file: String): StructType = {
     val p = new Path(file)
     val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
@@ -320,14 +373,20 @@ class DocStoreTable(dir: String, tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(dir, tableSchema,
-      Option(options.get("snapshotVersion")).map(_.toLong))
+      Option(options.get("snapshotVersion")).map(_.toLong),
+      Option(options.get("files"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DocStoreWriteBuilder(dir, info.schema())
+    new DocStoreWriteBuilder(dir, info.schema(),
+      Option(info.options.get("replaceFiles"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty))
 }
 
 class DocStoreScanBuilder(dir: String, fullSchema: StructType,
-    snapshotVersion: Option[Long])
+    snapshotVersion: Option[Long],
+    fileSubset: Option[Set[String]])
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -350,12 +409,22 @@ class DocStoreScanBuilder(dir: String, fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
+  override def build(): Scan = {
     // the snapshot resolves HERE, when the scan is planned: the file
     // list is pinned before execution, so a commit racing the read
-    // cannot hand it a mixed or shrinking file set
-    new DocStoreScan(dir, fullSchema, required, pushed,
-      DocStore.snapshotFiles(dir, snapshotVersion))
+    // cannot hand it a mixed or shrinking file set. The `files` option
+    // (a set of file NAMES) restricts the scan to a subset of the
+    // snapshot — the seam DocStoreOps.merge/compact use to read only
+    // the affected files of a copy-on-write rewrite.
+    val snap = DocStore.snapshotFiles(dir, snapshotVersion)
+    val planned = fileSubset match {
+      case Some(names) => snap.filter { case (f, _) =>
+        names.contains(new Path(f).getName)
+      }
+      case None => snap
+    }
+    new DocStoreScan(dir, fullSchema, required, pushed, planned)
+  }
 }
 
 /** One InputPartition per data file — the unit of parallelism a
@@ -558,14 +627,16 @@ class DocStorePartitionReader(
 
 // ---------------------------------------------------------------- write
 
-class DocStoreWriteBuilder(dir: String, schema: StructType)
+class DocStoreWriteBuilder(dir: String, schema: StructType,
+    replaceFiles: Set[String])
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new DocStoreBatchWrite(dir, schema, doTruncate)
+    override def toBatch: BatchWrite =
+      new DocStoreBatchWrite(dir, schema, doTruncate, replaceFiles)
   }
 }
 
@@ -576,7 +647,14 @@ case class DocStoreCommitMessage(tmpPath: String, finalPath: String)
   * the driver's job commit renames them to visible `.gds` names, so a
   * failed/speculative task never publishes partial data.
   */
-class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean)
+/** `replaceFiles`: file NAMES excluded from the inherited base when the
+  * new manifest commits — the one-atomic-rename file-swap primitive
+  * (Iceberg RewriteFiles): a MERGE or OPTIMIZE writes its rewritten
+  * rows as new files and retires the superseded ones in the SAME
+  * commit, so no reader can observe the duplicated intermediate state.
+  */
+class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
+    replaceFiles: Set[String])
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -607,12 +685,15 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean)
     // (manifest-less) directory adopts its current listing, a
     // versioned one extends its latest snapshot, a truncate starts
     // empty
-    val base: Seq[(String, Long)] =
+    val inherited: Seq[(String, Long)] =
       if (truncate) Seq.empty
       else DocStore.latestVersion(dir) match {
         case Some(v) => DocStore.readManifest(dir, v)
         case None    => DocStore.listDataFiles(dir)
       }
+    val base = inherited.filterNot { case (f, _) =>
+      replaceFiles.contains(new Path(f).getName)
+    }
     val newFiles = messages.map {
       case DocStoreCommitMessage(tmp, fin) =>
         val t = new Path(tmp)

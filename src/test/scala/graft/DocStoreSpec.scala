@@ -193,4 +193,74 @@ class DocStoreSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 4)
     assert(df.count() === 1000)
   }
+
+  private def manifestNames(dir: String): Set[String] =
+    DocStore.readManifest(dir, DocStore.latestVersion(dir).get)
+      .map { case (f, _) => new org.apache.hadoop.fs.Path(f).getName }.toSet
+
+  test("merge: copy-on-write rewrites only key-range-affected files; " +
+    "pinned reader isolated from the merge commit") {
+    val dir = tmpDir("gds_merge")
+    // 4 range-partitioned files with disjoint k ranges (sorted writes
+    // give tight per-block stats, so file ranges are exact)
+    spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val v1 = DocStore.latestVersion(dir).get
+    val before = manifestNames(dir)
+    assert(before.size === 4)
+    val pinned = spark.read.format("docstore")
+      .option("snapshotVersion", v1.toString).load(dir)
+    // batch: two updates in the LOW key range + one insert past the end
+    val batch = Seq((10L, -1L), (20L, -2L), (5000L, 55L)).toDF("k", "v")
+    sources.DocStoreOps.merge(spark, dir, batch, "k")
+    val after = manifestNames(dir)
+    // copy-on-write granularity: the three untouched range files are
+    // REUSED by the new manifest, not rewritten
+    assert((before & after).size === 3,
+      s"expected 3 reused files, manifest before=$before after=$after")
+    val got = spark.read.format("docstore").load(dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 1001)
+    assert(got(10L) === -1L && got(20L) === -2L && got(5000L) === 55L)
+    assert(got(11L) === 33L, "unmatched rows in a rewritten file survive")
+    assert(got(999L) === 2997L, "rows in untouched files survive")
+    // the reader pinned on v1 is untouched by the merge commit
+    val old = pinned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(old.size === 1000 && old(10L) === 30L && !old.contains(5000L))
+  }
+
+  test("merge with no stats-matching files inserts without rewriting") {
+    val dir = tmpDir("gds_merge_ins")
+    spark.range(100).select(col("id").as("k"), col("id").as("v"))
+      .write.format("docstore").mode("overwrite").save(dir)
+    val before = manifestNames(dir)
+    sources.DocStoreOps.merge(spark, dir,
+      Seq((900L, 9L)).toDF("k", "v"), "k")
+    assert((before -- manifestNames(dir)).isEmpty, "no base file retired")
+    assert(spark.read.format("docstore").load(dir).count() === 101)
+  }
+
+  test("compact: OPTIMIZE collapses small files in one commit; " +
+    "pinned reader mid-compaction isolated; rows preserved") {
+    val dir = tmpDir("gds_compact")
+    spark.range(2000).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartition(16)
+      .write.format("docstore").mode("overwrite").save(dir)
+    val v1 = DocStore.latestVersion(dir).get
+    assert(manifestNames(dir).size === 16)
+    val pinned = spark.read.format("docstore")
+      .option("snapshotVersion", v1.toString).load(dir)
+    val (nBefore, nAfter) = sources.DocStoreOps.compact(spark, dir, 64L * 1024)
+    assert(nBefore === 16 && nAfter < nBefore,
+      s"compaction must shrink the manifest ($nBefore -> $nAfter)")
+    assert(manifestNames(dir).size === nAfter)
+    // row multiset preserved exactly
+    val back = spark.read.format("docstore").load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back === (0L until 2000L))
+    // the pinned pre-compaction reader still sees its 16-file snapshot
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq === (0L until 2000L))
+    assert(pinned.rdd.getNumPartitions === 16)
+  }
 }

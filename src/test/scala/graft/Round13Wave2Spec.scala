@@ -389,8 +389,10 @@ class Round13Wave2Spec extends AnyFunSuite {
     }
     val r6 = (x: Double) =>
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val want = lofv.toSeq.sortBy { case (p, l) => (-l, p) }.take(15)
-      .map { case (p, l) => (p, r6(l)) }
+    // sort on the SAME 6-decimal-rounded key both engines emit — the
+    // unrounded order can flip near-ties at the LIMIT boundary
+    val want = lofv.toSeq.map { case (p, l) => (p, r6(l)) }
+      .sortBy { case (p, l) => (-l, p) }.take(15)
     val got = q("q_lof").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("lof"))).toSeq
     assert(got == want, s"\n got  $got\n want $want")

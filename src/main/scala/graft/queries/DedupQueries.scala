@@ -792,6 +792,66 @@ object DedupQueries {
     }
   )
 
+  /** EXACT repeated-substring detection — every-offset 64-char window
+    * fingerprints (the Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better" guarantee, without the suffix array): a
+    * shared passage of length ≥ 64 shares its full 64-gram at SOME
+    * offset pair, so emitting ALL offsets on both sides makes recall
+    * exactly 1.0 — no anchor-sampling miss like the content-defined
+    * variant ([[dedupSubstring]], recall 1−(31/32)^(L−71)). Exposed
+    * for ExactSubstringSpec, which plants misaligned copies and pins
+    * recall 1.0.
+    *
+    * SCALE CONTRACT: windows travel as md5 fingerprints (32 hex chars,
+    * engine-identical), the join is an equi-join on the fingerprint
+    * (the distributed suffix-GROUP: all offsets sharing a 64-gram land
+    * in one reducer), and groups wider than 32 distinct docs are
+    * dropped BOTH sides before pairing — the ubiquitous-boilerplate
+    * guard that keeps the per-group pair fan-out quadratic only in a
+    * constant (Lee et al. drop these too; a passage in >32 docs is
+    * boilerplate for q_boilerplate, not pairwise duplication). Work is
+    * O(total chars) fingerprints + O(collision groups ≤ 32²) pairs,
+    * never O(docs²).
+    */
+  private[graft] def exactSubstringPairs(docs: DataFrame): DataFrame = {
+    val g = docs.filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 63)")).as("p"))
+      .select(col("doc_id"), expr("md5(substr(text, p, 64))").as("h"))
+      .distinct()
+    val ok = g.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= 32).select("h")
+    val g2 = g.join(ok, "h")
+    g2.as("a").join(g2.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(lng(count(lit(1))).as("n_shared"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupSubstringExact = QueryDef(
+    "q_dedup_substring_exact",
+    "Exact substring dedup (Lee et al. shape): every-offset 64-char " +
+      "window fingerprints on BOTH sides of the group join, so any " +
+      "shared passage of length >= 64 is found with recall exactly " +
+      "1.0 (the content-defined q_dedup_substring trades that recall " +
+      "for 1/32 the fingerprints); per pair the count of distinct " +
+      "shared windows. Fingerprints are md5 (engine-identical); " +
+      "fingerprint groups wider than 32 docs are dropped both sides " +
+      "(the boilerplate guard bounding group fan-out).",
+    Some("""WITH g AS (SELECT DISTINCT doc_id, md5(substr(text, p, 64)) AS h
+           |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 63)) AS p
+           |        FROM documents WHERE len(text) >= 64)),
+           |ok AS (SELECT h FROM (SELECT h, count(*) AS nd FROM g GROUP BY h)
+           |       WHERE nd <= 32),
+           |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+           |      JOIN ok ON ok.h = a.h)
+           |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM j GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => exactSubstringPairs(documentsSpread(s, d))
+  )
+
   /** Sketch-accuracy audit: MinHash ESTIMATED Jaccard (matching
     * signature positions / 16) against the EXACT Jaccard on every
     * band-candidate pair. The companion measurement to q_ann_recall —
@@ -1496,6 +1556,6 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(boilerplate, dedupIncremental, streamDedupMinhash, dedupMinhash, dedupNgram, dedupSimhash,
     dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
-    dedupContain, dedupSubstring, minhashEst, dedupSweep, dedupSemantic, dedupEval,
+    dedupContain, dedupSubstring, dedupSubstringExact, minhashEst, dedupSweep, dedupSemantic, dedupEval,
     dedupPhash, entityResolution, fuzzyJoin)
 }

@@ -29,6 +29,77 @@ import graft.util.Det._
   */
 object LinalgQueries {
 
+  /** HALF_UP double rounding — the BigDecimal.valueOf chain Spark's and
+    * DuckDB's round() apply to doubles, shared by both PCA drivers.
+    */
+  private def roundD(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** ONE distributed pass: the corpus Gram XᵀX as exact integer
+    * picounts — upper-triangle outer products generated in-task,
+    * map-side combined — collected as the (dims, dense matrix) pair
+    * both PCA queries iterate on driver-side (dims² = 4096 cells, the
+    * bounded-collect contract documented at [[pcaPower]]).
+    */
+  private def collectGram(s: org.apache.spark.sql.SparkSession,
+      d: String): (Array[Int], Array[Array[Long]]) = {
+    val outer = expr(
+      """flatten(transform(embedding, (x, i) ->
+        |  transform(slice(embedding, i + 1, size(embedding) - i), (y, j0) -> struct(
+        |    i + 1 AS i, i + j0 + 1 AS j,
+        |    CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000000, 0) AS BIGINT) AS p))))"""
+        .stripMargin)
+    val gHalf = embeddings(s, d)
+      .select(col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(outer).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("m"))
+    val cells = gHalf.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val dims = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val n = dims.length
+    val idx = dims.zipWithIndex.toMap
+    val m = Array.ofDim[Long](n, n)
+    cells.foreach { case (i, j, p) =>
+      m(idx(i))(idx(j)) = p
+      m(idx(j))(idx(i)) = p // symmetry mirrors the lower half
+    }
+    (dims, m)
+  }
+
+  /** One power step w = G·v in picounts (exact integer adds). */
+  private def gramStep(m: Array[Array[Long]], v: Array[Double]): Array[Long] = {
+    val n = v.length
+    Array.tabulate(n) { i =>
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc += roundD(m(i)(j).toDouble / 1000000000000L * v(j) *
+          1000000000000L, 0).toLong
+        j += 1
+      }
+      acc
+    }
+  }
+
+  private def picountNorm(w: Array[Long]): Double = {
+    var acc = 0L
+    var i = 0
+    while (i < w.length) {
+      val wd = w(i).toDouble / 1000000000000L
+      acc += roundD(wd * wd * 1000000000000L, 0).toLong
+      i += 1
+    }
+    math.sqrt(acc.toDouble / 1000000000000L)
+  }
+
+  private def picountRenorm(w: Array[Long], scale: Int): Array[Double] = {
+    val nn = picountNorm(w)
+    w.map(x => roundD(x.toDouble / 1000000000000L / nn, scale))
+  }
+
   private val pcaPower = QueryDef(
     "q_pca_power",
     "Top principal direction of the (uncentered) embedding corpus " +
@@ -69,80 +140,150 @@ object LinalgQueries {
            |FROM w3, nn3 ORDER BY dim""".stripMargin),
     (s, d) => {
       import s.implicits._
-      // upper-triangle outer products in-task; integer picount terms
-      val outer = expr(
-        """flatten(transform(embedding, (x, i) ->
-          |  transform(slice(embedding, i + 1, size(embedding) - i), (y, j0) -> struct(
-          |    i + 1 AS i, i + j0 + 1 AS j,
-          |    CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000000, 0) AS BIGINT) AS p))))"""
-          .stripMargin)
-      // CPU-bound outer-product stage on a skinny scan that may arrive
-      // in very few partitions — spread it first (centroidDistances
-      // precedent); the shuffled payload is just the vectors
-      val gHalf = embeddings(s, d)
-        .select(col("embedding"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(outer).as("t"))
-        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-        .agg(sum(col("t.p")).as("m"))
-      // The corpus appears in exactly ONE distributed aggregation; what
-      // remains is dim(dim+1)/2 cells (64 dims → 2080 rows) — a bounded
-      // driver collect (Sequence.scala's precedent), far cheaper than
-      // running 3 iterations × (join + agg + norm + renormalize) as ~12
-      // separate Spark jobs over 64-row tables, which was pure
-      // scheduling overhead (~6 s of wall-clock for ~16 KB of state).
-      // EAGER: constructing this DataFrame runs the corpus job.
-      // Arithmetic below mirrors the former Spark expression chain
-      // operation-for-operation (same left-to-right IEEE order, same
-      // BigDecimal.valueOf HALF_UP rounding Spark's round() applies to
-      // doubles), so the output is bit-identical to the distributed
-      // formulation and to the oracle.
-      val cells = gHalf.collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      val dims = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+      // The corpus appears in exactly ONE distributed aggregation
+      // ([[collectGram]]); what remains is dim(dim+1)/2 cells (64 dims
+      // → 2080 rows) — a bounded driver collect (Sequence.scala's
+      // precedent), far cheaper than running 3 iterations × (join +
+      // agg + norm + renormalize) as ~12 separate Spark jobs over
+      // 64-row tables, which was pure scheduling overhead (~6 s of
+      // wall-clock for ~16 KB of state). Arithmetic mirrors the former
+      // Spark expression chain operation-for-operation (same
+      // left-to-right IEEE order, same BigDecimal.valueOf HALF_UP
+      // rounding Spark's round() applies to doubles), so the output is
+      // bit-identical to the distributed formulation and to the oracle.
+      val (dims, m) = collectGram(s, d)
       val n = dims.length
-      val idx = dims.zipWithIndex.toMap
-      val m = Array.ofDim[Long](n, n)
-      cells.foreach { case (i, j, p) =>
-        m(idx(i))(idx(j)) = p
-        m(idx(j))(idx(i)) = p // symmetry mirrors the lower half
-      }
-      def roundD(x: Double, scale: Int): Double =
-        java.math.BigDecimal.valueOf(x)
-          .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
-      def step(v: Array[Double]): Array[Long] =
-        Array.tabulate(n) { i =>
-          var acc = 0L // exact integer adds — order-free like the SQL sum
-          var j = 0
-          while (j < n) {
-            acc += roundD(m(i)(j).toDouble / 1000000000000L * v(j) *
-              1000000000000L, 0).toLong
-            j += 1
-          }
-          acc
-        }
-      def normOf(w: Array[Long]): Double = {
-        var acc = 0L
-        var i = 0
-        while (i < n) {
-          val wd = w(i).toDouble / 1000000000000L
-          acc += roundD(wd * wd * 1000000000000L, 0).toLong
-          i += 1
-        }
-        math.sqrt(acc.toDouble / 1000000000000L)
-      }
-      def renorm(w: Array[Long], scale: Int): Array[Double] = {
-        val nn = normOf(w)
-        w.map(x => roundD(x.toDouble / 1000000000000L / nn, scale))
-      }
-      val w1 = step(Array.fill(n)(0.125))
-      val w2 = step(renorm(w1, 9))
-      val w3 = step(renorm(w2, 9))
-      val nn3 = normOf(w3)
-      val loadings = renorm(w3, 6)
+      val w1 = gramStep(m, Array.fill(n)(0.125))
+      val w2 = gramStep(m, picountRenorm(w1, 9))
+      val w3 = gramStep(m, picountRenorm(w2, 9))
+      val nn3 = picountNorm(w3)
+      val loadings = picountRenorm(w3, 6)
       dims.indices.map(k => (dims(k).toLong, loadings(k), roundD(nn3, 3)))
         .toDF("dim", "loading", "eigenvalue_est")
         .orderBy("dim")
+    }
+  )
+
+  /** Top-k components: [[PcaK]]-vector orthogonal iteration — per
+    * component 3 power steps on the SAME one-pass Gram, each step
+    * classical-Gram-Schmidt-projected against every already-extracted
+    * component (computed on the raw step output, all dots from the
+    * pre-projection iterate), all in the picount integer discipline so
+    * both engines' sums are order-free. Component 0 is therefore
+    * EXACTLY q_pca_power's direction; each later one converges to the
+    * dominant direction of the orthogonal complement, so eigenvalue
+    * estimates come out non-increasing (PcaTopkSpec pins ordering and
+    * pairwise orthogonality ≤ 1e-5).
+    */
+  private val PcaK = 4
+  private val PcaIters = 3
+
+  /** Generated oracle: the [[pcaPower]] CTE chain replayed per
+    * component with Gram-Schmidt subtraction CTEs between step and
+    * normalization — built by the same loop indices as the driver, so
+    * the two cannot drift.
+    */
+  private def pcaTopkDuck: String = {
+    val U = "1000000000000"
+    def w(c: Int, t: Int) = s"w${c}_$t"
+    def sb = new StringBuilder
+    val b = sb
+    b ++= """WITH el AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+            |              CAST(unnest(embedding) AS DOUBLE) AS x
+            |            FROM embeddings),
+            |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+            |        sum(CAST(round(a.x * b.x * 1000000000000, 0) AS BIGINT)) AS m
+            |      FROM el a JOIN el b ON a.vec_id = b.vec_id
+            |      GROUP BY 1, 2),
+            |dims AS MATERIALIZED (SELECT DISTINCT i AS j FROM g),
+            |""".stripMargin
+    for (c <- 0 until PcaK) {
+      b ++= s"v${c}_0 AS MATERIALIZED (SELECT j, 0.125 AS v FROM dims),\n"
+      for (t <- 1 to PcaIters) {
+        // raw power step
+        b ++= s"${w(c, t)}r AS MATERIALIZED (SELECT g.i, sum(CAST(round(CAST(g.m AS DOUBLE) / $U * v.v * $U, 0) AS BIGINT)) AS w" +
+          s" FROM g JOIN v${c}_${t - 1} v ON g.j = v.j GROUP BY 1),\n"
+        if (c == 0) {
+          b ++= s"${w(c, t)} AS MATERIALIZED (SELECT i, w FROM ${w(c, t)}r),\n"
+        } else {
+          // classical GS: every dot taken against the RAW step output
+          for (p <- 0 until c)
+            b ++= s"d${c}_${t}_$p AS MATERIALIZED (SELECT sum(CAST(round((CAST(w.w AS DOUBLE) / $U) * f.v * $U, 0) AS BIGINT)) AS d" +
+              s" FROM ${w(c, t)}r w JOIN vf$p f ON f.j = w.i),\n"
+          val subs = (0 until c).map(p =>
+            s" - CAST(round(CAST(d$p.d AS DOUBLE) / $U * f$p.v * $U, 0) AS BIGINT)").mkString
+          val joins = (0 until c).map(p =>
+            s" JOIN vf$p f$p ON f$p.j = w.i CROSS JOIN d${c}_${t}_$p d$p").mkString
+          b ++= s"${w(c, t)} AS MATERIALIZED (SELECT w.i, w.w$subs AS w FROM ${w(c, t)}r w$joins),\n"
+        }
+        b ++= s"nn${c}_$t AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round((CAST(w AS DOUBLE) / $U) * (CAST(w AS DOUBLE) / $U) * $U, 0) AS BIGINT)) AS DOUBLE) / $U) AS n FROM ${w(c, t)}),\n"
+        if (t < PcaIters)
+          b ++= s"v${c}_$t AS MATERIALIZED (SELECT w.i AS j, round(CAST(w.w AS DOUBLE) / $U / nn.n, 9) AS v FROM ${w(c, t)} w, nn${c}_$t nn),\n"
+      }
+      b ++= s"vf$c AS MATERIALIZED (SELECT w.i AS j, round(CAST(w.w AS DOUBLE) / $U / nn.n, 9) AS v FROM ${w(c, PcaIters)} w, nn${c}_$PcaIters nn),\n"
+      b ++= s"out$c AS (SELECT CAST($c AS BIGINT) AS component, CAST(w.i AS BIGINT) AS dim, " +
+        s"round(CAST(w.w AS DOUBLE) / $U / nn.n, 6) AS loading, round(nn.n, 3) AS eigenvalue_est " +
+        s"FROM ${w(c, PcaIters)} w, nn${c}_$PcaIters nn),\n"
+    }
+    b.setLength(b.length - 2) // trailing ",\n"
+    b ++= "\n" + (0 until PcaK).map(c => s"SELECT * FROM out$c")
+      .mkString("", " UNION ALL ", " ORDER BY component, dim")
+    b.result()
+  }
+
+  private val pcaTopk = QueryDef(
+    "q_pca_topk",
+    s"Top-$PcaK principal components by orthogonal iteration on the " +
+      "one-pass exact-picount Gram: per component 3 power steps, each " +
+      "classical-Gram-Schmidt-projected against the already-extracted " +
+      "components (dots and subtractions in the same integer-picount " +
+      "grid), then renormalized; component 0 equals q_pca_power " +
+      "exactly, eigenvalue estimates come out non-increasing, and " +
+      "pairwise orthogonality is spec-pinned. The corpus is touched " +
+      "ONCE; all iteration state is dims-sized.",
+    Some(pcaTopkDuck),
+    (s, d) => {
+      import s.implicits._
+      val (dims, m) = collectGram(s, d)
+      val n = dims.length
+      val out = Seq.newBuilder[(Long, Long, Double, Double)]
+      var prev = List.empty[Array[Double]] // vf vectors, 9-rounded
+      for (c <- 0 until PcaK) {
+        var v = Array.fill(n)(0.125)
+        var w: Array[Long] = null
+        for (t <- 1 to PcaIters) {
+          w = gramStep(m, v)
+          // classical GS: all dots from the raw step output (matches
+          // the generated oracle's d-CTEs, which join the r-step)
+          val dots = prev.map { f =>
+            var acc = 0L
+            var i = 0
+            while (i < n) {
+              acc += roundD(w(i).toDouble / 1000000000000L * f(i) *
+                1000000000000L, 0).toLong
+              i += 1
+            }
+            acc
+          }
+          prev.zip(dots).foreach { case (f, dp) =>
+            var i = 0
+            while (i < n) {
+              w(i) -= roundD(dp.toDouble / 1000000000000L * f(i) *
+                1000000000000L, 0).toLong
+              i += 1
+            }
+          }
+          if (t < PcaIters) v = picountRenorm(w, 9)
+        }
+        val nn = picountNorm(w)
+        val l6 = picountRenorm(w, 6)
+        prev = prev :+ picountRenorm(w, 9)
+        dims.indices.foreach { k =>
+          out += ((c.toLong, dims(k).toLong, l6(k), roundD(nn, 3)))
+        }
+      }
+      out.result().toDF("component", "dim", "loading", "eigenvalue_est")
+        .orderBy("component", "dim")
     }
   )
 
@@ -246,5 +387,5 @@ object LinalgQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(pcaPower, ridgeSolve)
+  val defs: Seq[QueryDef] = Seq(pcaPower, pcaTopk, ridgeSolve)
 }

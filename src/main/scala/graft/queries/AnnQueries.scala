@@ -1686,8 +1686,198 @@ object AnnQueries {
     }
   )
 
+  // ------------------------------------------------------- ANN deletes
+
+  /** Deterministic tombstone slice: past the probes (< 5) and hub
+    * landmarks (< 21), every 17th vector — ~5.5% of the corpus, the
+    * daily takedown/dedup-removal batch.
+    */
+  private[graft] val annDelPred = "vec_id >= 100 AND vec_id % 17 = 0"
+
+  /** The delete paths for both persisted index families, exposed so
+    * AnnDeleteSpec can assert zero tombstoned ids in any top-10.
+    * Returns (readout, ivfTop10, graphTop10, tombstones).
+    */
+  private[graft] def annDeleteParts(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = embeddings(s, d)
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val sfTag = new java.io.File(d).getName.replace('.', '_')
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    // deletes arrive as a tombstone FILE (takedown list), not a filter
+    val tombPath = s"$wh/graft_ann_tombstones_$sfTag"
+    corpus.filter(expr(annDelPred)).select(col("vec_id"))
+      .write.mode("overwrite").parquet(tombPath)
+    val tombs = s.read.parquet(tombPath)
+    val survivors = corpus.join(tombs, Seq("vec_id"), "left_anti")
+
+    // ---- IVF arm: persisted per-(label, dim) decimal partials (built
+    // BEFORE the delete, over the full corpus) refreshed by partial-sum
+    // SUBTRACT of the tombstoned rows — decimal addition is associative,
+    // so refreshed centroids equal a survivors-only rebuild EXACTLY
+    def partials(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy("label", "pos")
+      .agg(sum(col("val").cast("decimal(20,10)")).as("sv"), count(lit(1)).as("n"))
+    val basePath = s"$wh/graft_ann_del_partials_$sfTag"
+    partials(corpus).write.mode("overwrite").parquet(basePath)
+    val delRows = corpus.join(tombs, Seq("vec_id"), "left_semi")
+    val cent = s.read.parquet(basePath)
+      .unionByName(partials(delRows)
+        .select(col("label"), col("pos"), (-col("sv")).as("sv"), (-col("n")).as("n")))
+      .groupBy("label", "pos")
+      .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+      .select(col("label"), col("pos"), round(dbl(col("sv")) / col("n"), 6).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
+    val top2 = ivfTop2Cent(cent, probes)
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
+    // candidate scan anti-joined the tombstone table upstream: a
+    // deleted id cannot appear in any result
+    val ivfTop10 = survivors
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce2"), col("label"))
+      .join(broadcast(top2), "label")
+      .withColumn("d2", round(l2sq("pe", "ce2"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("probe_id", "cand_id")
+
+    // ---- graph arm: the persisted base edge table (built pre-delete)
+    // is NOT rewritten — the probe filters tombstones at search time by
+    // scoring only survivor nodes (the survivor join drops deleted
+    // nodes before any beam, so they can neither rank nor expand)
+    val edgePath = s"$wh/graft_ann_del_edges_$sfTag"
+    hnswEdges(corpus).write.mode("overwrite").parquet(edgePath)
+    val edges = s.read.parquet(edgePath)
+    val byIdS = survivors.select(col("vec_id").as("node"), col("embedding").as("ve"))
+    val hubs = survivors.filter(col("vec_id") < 21)
+      .select(col("vec_id").as("node"), col("embedding").as("ve"))
+    val wBeam = Window.partitionBy("probe_id").orderBy(col("d2"), col("node"))
+    def score(ids: org.apache.spark.sql.DataFrame) = ids
+      .join(byIdS, "node")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("d2", round(l2sq("pe", "ve"), 6))
+    var cand = hubs.join(broadcast(probes))
+      .withColumn("d2", round(l2sq("pe", "ve"), 6))
+      .withColumn("rk", row_number().over(wBeam))
+      .filter(col("rk") <= HnswSeeds)
+      .select("probe_id", "node")
+    for (_ <- 1 to HnswRounds) {
+      val expanded = broadcast(cand)
+        .join(edges, cand("node") === edges("src"))
+        .select(col("probe_id"), col("dst").as("node"))
+      cand = score(cand.unionAll(expanded).distinct().localCheckpoint())
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= HnswBeam)
+        .select("probe_id", "node")
+    }
+    val gTop10 = score(cand)
+      .withColumn("rk", row_number().over(wBeam))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("node").as("cand_id"))
+
+    // ---- readout: recall of each arm vs the exact arm on SURVIVORS
+    val sexact = survivors
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce2"))
+      .join(broadcast(probes))
+      .withColumn("d2", round(l2sq("pe", "ce2"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("probe_id", "cand_id")
+    val ivfh = sexact
+      .join(ivfTop10.withColumn("h", lit(1)), Seq("probe_id", "cand_id"), "left")
+      .groupBy("probe_id").agg(lng(count(col("h"))).as("ivf_hits"))
+    val gh = sexact
+      .join(gTop10.withColumn("h", lit(1)), Seq("probe_id", "cand_id"), "left")
+      .groupBy("probe_id").agg(lng(count(col("h"))).as("g_hits"))
+    val out = ivfh.join(gh, "probe_id")
+      .select(col("probe_id"), col("ivf_hits"),
+        round(dbl(col("ivf_hits")) / lit(10.0), 6).as("ivf_recall"),
+        col("g_hits"),
+        round(dbl(col("g_hits")) / lit(10.0), 6).as("g_recall"))
+      .orderBy("probe_id")
+    (out, ivfTop10, gTop10, tombs)
+  }
+
+  private val annDeleteDuck: String =
+    s"""WITH gcorp AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
+       |gprobes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+       |ghubs AS (SELECT vec_id, embedding FROM gcorp WHERE vec_id < 21),
+       |gsurv AS (SELECT * FROM gcorp WHERE NOT ($annDelPred)),
+       |scentl AS (SELECT label, ord,
+       |    round(CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS c
+       |  FROM (SELECT label, unnest(generate_series(1, len(embedding))) AS ord,
+       |          unnest(embedding) AS val FROM gsurv) t GROUP BY label, ord),
+       |scent AS (SELECT label, list(c ORDER BY ord) AS ce FROM scentl GROUP BY label),
+       |stop2 AS (SELECT probe_id, clabel FROM (
+       |  SELECT p.probe_id, c.label AS clabel,
+       |    row_number() OVER (PARTITION BY p.probe_id ORDER BY ${d2Duck("p.pe", "c.ce")}, c.label) AS cr
+       |  FROM gprobes p CROSS JOIN scent c) t WHERE cr <= 2),
+       |itop10 AS (SELECT probe_id, cand_id FROM (
+       |  SELECT t.probe_id, v.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY t.probe_id ORDER BY ${d2Duck("p.pe", "v.embedding")}, v.vec_id) AS rk
+       |  FROM stop2 t JOIN gprobes p ON p.probe_id = t.probe_id
+       |  JOIN gsurv v ON v.label = t.clabel) t WHERE rk <= 10),
+       |${hnswEdgesDuck("gcorp", "ghubs", "g")},
+       |${hnswSeedDuck("gc0", "gprobes", "ghubs")},
+       |${hnswRoundsDuck("g", "gprobes", "gedges", "gsurv")},
+       |gtop10 AS (SELECT probe_id, node AS cand_id FROM (
+       |  SELECT c.probe_id, c.node,
+       |    row_number() OVER (PARTITION BY c.probe_id ORDER BY ${d2Duck("p.pe", "v.embedding")}, c.node) AS rk
+       |  FROM gc$HnswRounds c JOIN gprobes p ON p.probe_id = c.probe_id
+       |  JOIN gsurv v ON v.vec_id = c.node) t WHERE rk <= 10),
+       |sexact AS (SELECT probe_id, cand_id FROM (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY p.probe_id ORDER BY ${d2Duck("p.pe", "c.embedding")}, c.vec_id) AS rk
+       |  FROM gprobes p CROSS JOIN gsurv c) t WHERE rk <= 10),
+       |ivfh AS (SELECT e.probe_id, CAST(count(t.cand_id) AS BIGINT) AS ivf_hits
+       |  FROM sexact e LEFT JOIN itop10 t
+       |    ON t.probe_id = e.probe_id AND t.cand_id = e.cand_id GROUP BY 1),
+       |gh AS (SELECT e.probe_id, CAST(count(t.cand_id) AS BIGINT) AS g_hits
+       |  FROM sexact e LEFT JOIN gtop10 t
+       |    ON t.probe_id = e.probe_id AND t.cand_id = e.cand_id GROUP BY 1)
+       |SELECT i.probe_id, i.ivf_hits, round(i.ivf_hits / 10.0, 6) AS ivf_recall,
+       |       g.g_hits, round(g.g_hits / 10.0, 6) AS g_recall
+       |FROM ivfh i JOIN gh g ON g.probe_id = i.probe_id
+       |ORDER BY i.probe_id""".stripMargin
+
+  /** Delete/tombstone path for the persisted ANN indexes (VERDICT r13
+    * #3): inserts have refresh stories (q_ann_ivf_refresh partial-sum
+    * merge, q_ann_hnsw_delta greedy re-link) — this closes the other
+    * half of daily index maintenance. The IVF partial table absorbs a
+    * tombstone batch by partial-sum SUBTRACT (decimal associativity ⇒
+    * refreshed centroids equal a survivors-only rebuild EXACTLY — the
+    * oracle computes them from survivors); the graph's persisted edge
+    * table is NOT rewritten — the probe filters tombstones at search
+    * time (survivor-join before any beam), the standard
+    * tombstone-mask-at-read design every production index uses.
+    * AnnDeleteSpec pins zero deleted ids in any top-10 and recall
+    * floors on the surviving corpus.
+    *
+    * Scale: the refresh touches O(tombstones) rows + the labels×dims
+    * partial table; the graph delete is O(0) write — the mask rides
+    * the probe's survivor join; periodic re-link compaction is the
+    * q_ann_hnsw_delta machinery run in reverse.
+    */
+  private val annDelete = QueryDef(
+    "q_ann_delete",
+    "ANN index deletes: a deterministic tombstone slice (vec_id >= " +
+      "100, every 17th) leaves the persisted indexes consistent — " +
+      "IVF per-(label,dim) partials refreshed by exact decimal " +
+      "SUBTRACT (== survivors-only rebuild), the persisted NSW edge " +
+      "table untouched with tombstones masked at search time; per " +
+      "probe each arm's hits and recall@10 vs the exact arm on the " +
+      "SURVIVING corpus.",
+    Some(annDeleteDuck),
+    (s, d) => annDeleteParts(s, d)._1
+  )
+
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
     lshRecall, annFiltered, annPq, pqRecall, annIvfPq, annHnsw,
     annHnswPersisted, annHnswDelta, annHnswLayered, annPersisted,
-    annIvfRefresh, mmrRerank)
+    annIvfRefresh, annDelete, mmrRerank)
 }

@@ -278,7 +278,36 @@ object Multimodal {
       byteAt(4, 0x0d) && byteAt(5, 0x0a) && byteAt(6, 0x1a) && byteAt(7, 0x0a))
       "image/png"
     else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"
+    else if (byteAt(0, 0xff) && byteAt(1, 0xd8) && byteAt(2, 0xff))
+      sniffJpegSof(payload)
     else "unknown"
+  }
+
+  /** JPEG frame-type triage: walk the marker chain (bounded — headers
+    * precede entropy data, and each hop reads 4 bytes) to the first
+    * start-of-frame and split baseline (SOF0/1, sequential DCT) from
+    * progressive (SOF2) — web corpora are ~10–20% progressive, and the
+    * baseline-only decoder ([[graft.ops.Jpeg]]) must never be handed
+    * one. Anything else frame-typed (SOF3..15) or truncated before a
+    * SOF routes as plain "image/jpeg".
+    */
+  private def sniffJpegSof(payload: Array[Byte]): String = {
+    var i = 2 // past SOI
+    var steps = 0
+    while (i + 3 < payload.length && steps < 64 &&
+        (payload(i) & 0xff) == 0xff) {
+      val m = payload(i + 1) & 0xff
+      if (m == 0xc0 || m == 0xc1) return "image/jpeg"
+      if (m == 0xc2) return "image/jpeg;progressive"
+      if (m == 0xda || m == 0xd9) return "image/jpeg" // scan/EOI: no SOF seen
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // bare markers
+      else {
+        val len = ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+        i += 2 + len
+      }
+      steps += 1
+    }
+    "image/jpeg"
   }
 
   /** Polynomial byte hash — same fold as TextAnalysis (portable). */

@@ -637,28 +637,48 @@ object TextAnalysisQueries {
   private val mediaSniff = QueryDef(
     "q_media_sniff",
     "Magic-byte format detection over a planted mixed media column " +
-      "(real BMP, WAV, PNG, %PDF blob, junk by doc_id mod 5): per " +
-      "(source, detected format) counts and byte totals, sniffed from " +
-      "header prefixes only — the catalog triage before any decode.",
+      "(real BMP, WAV, PNG, %PDF blob, baseline-JPEG and " +
+      "progressive-JPEG headers, junk by doc_id mod 7): per (source, " +
+      "detected format) counts and byte totals, sniffed from header " +
+      "prefixes only — the catalog triage before any decode. JPEGs " +
+      "are frame-typed by a bounded marker walk to the first SOF " +
+      "(SOF0/1 baseline vs SOF2 progressive — the split that keeps " +
+      "progressive files away from the baseline-only decoder).",
     Some("""SELECT source,
-           |       CASE doc_id % 5 WHEN 0 THEN 'image/bmp'
+           |       CASE doc_id % 7 WHEN 0 THEN 'image/bmp'
            |                       WHEN 1 THEN 'audio/wav'
            |                       WHEN 2 THEN 'application/pdf'
            |                       WHEN 4 THEN 'image/png'
+           |                       WHEN 5 THEN 'image/jpeg'
+           |                       WHEN 6 THEN 'image/jpeg;progressive'
            |                       ELSE 'unknown' END AS format,
            |       CAST(count(*) AS BIGINT) AS n,
-           |       CAST(sum(CASE doc_id % 5 WHEN 0 THEN 78
+           |       CAST(sum(CASE doc_id % 7 WHEN 0 THEN 78
            |                                WHEN 1 THEN 64
            |                                WHEN 2 THEN 9 + doc_id % 32
            |                                WHEN 4 THEN 88
+           |                                WHEN 5 THEN 21 + doc_id % 16
+           |                                WHEN 6 THEN 21 + doc_id % 16
            |                                ELSE 16 END) AS BIGINT) AS total_bytes
            |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     (s, d) => {
       implicit val sp: SparkSession = s
       import s.implicits._
+      // closed-form 21-byte JPEG header chain (SOI + APP0(len 4) +
+      // SOF(len 11)) + id-sized filler: the marker WALK is what's
+      // under test (APP0 must be skipped to reach the SOF), and the
+      // oracle needs the byte length in closed form
+      def jpegHeader(id: Long, sof: Int): Array[Byte] = {
+        val b = Array.newBuilder[Byte]
+        b ++= Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46).map(_.toByte)
+        b ++= Array(0xff, sof, 0x00, 0x0b, 0x08, 0x00, 0x20, 0x00,
+          0x30, 0x03, 0x01, 0x02, 0x03).map(_.toByte)
+        b ++= Array.tabulate((id % 16).toInt)(i => ((id + i) % 251).toByte)
+        b.result()
+      }
       val media = documents(s, d).select(col("doc_id"), col("source"))
         .as[(Long, String)].map { case (id, src) =>
-          val payload: Array[Byte] = (id % 5) match {
+          val payload: Array[Byte] = (id % 7) match {
             case 0 => Bmp.encode24(4, 2, (x, y) => (
               ((id + x) % 256).toInt, ((id + y) % 256).toInt, (id % 256).toInt))
             case 1 => Wav.encodePcm16(8000, 1,
@@ -668,6 +688,8 @@ object TextAnalysisQueries {
             // 3x2 RGB: closed-form 88 bytes (Png.encodedLen(3, 2))
             case 4 => Png.encodeRgb8(3, 2, (x, y) => (
               ((id + x) % 256).toInt, ((id + y) % 256).toInt, (id % 256).toInt))
+            case 5 => jpegHeader(id, 0xc0)
+            case 6 => jpegHeader(id, 0xc2)
             case _ => Array.tabulate(16)(i => ((id + i) % 251).toByte)
           }
           (id, src, payload)

@@ -26,7 +26,7 @@ class DedupBoundedSpec extends AnyFunSuite {
     val mem = MemoryStream[Ev]
     val q = StreamingOps.dedupBounded(
       mem.toDF().withWatermark("ts", "10 minutes"))
-      .writeStream.outputMode("append").format("memory").queryName("dedupb").start()
+      .writeStream.outputMode("append").format("memory").queryName("dedupb").option("checkpointLocation", TestSpark.ckpt()).start()
     try {
       mem.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(1), 1, "view", 1.0),
         Ev(1, t(2), 1, "click", 1.0)) // dup of id 1 within the delay

@@ -33,7 +33,7 @@ class RocksDBStateSpec extends AnyFunSuite {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"))
       val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName("rocks").start()
+        .format("memory").queryName("rocks").option("checkpointLocation", TestSpark.ckpt()).start()
       try {
         def t(min: Int): Timestamp =
           Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")

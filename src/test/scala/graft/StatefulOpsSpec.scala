@@ -32,7 +32,7 @@ class StatefulOpsSpec extends AnyFunSuite {
       .withWatermark("ts", "10 minutes").as[SessionEvent]
     val out = StatefulOps.userSessions(withWm, gapMs)
     val q = out.writeStream.format("memory").queryName("sess_out")
-      .outputMode("append").start()
+      .outputMode("append").option("checkpointLocation", TestSpark.ckpt()).start()
     try {
       // user 1: two events 10m apart (one session), then a 40m gap →
       // in-batch split closes the first session; user 2: single event
@@ -71,7 +71,7 @@ class StatefulOpsSpec extends AnyFunSuite {
       .withWatermark("ts", "0 seconds").as[SessionEvent]
     val q = StatefulOps.userSessions(withWm, gapMs)
       .writeStream.format("memory").queryName("sess_eq")
-      .outputMode("append").start()
+      .outputMode("append").option("checkpointLocation", TestSpark.ckpt()).start()
     try {
       input.addData(evs: _*)
       q.processAllAvailable()

@@ -46,7 +46,7 @@ class StreamCusumSpec extends AnyFunSuite {
       val input = MemoryStream[CusumEvent]
       val q = StreamCusum.cusum(input.toDS())
         .writeStream.format("memory").queryName("cusum_out")
-        .outputMode("update").start()
+        .outputMode("update").option("checkpointLocation", TestSpark.ckpt()).start()
       try {
         evs.grouped((evs.length + 2) / 3).foreach { chunk =>
           input.addData(chunk.toSeq: _*)

@@ -31,7 +31,7 @@ class StreamDedupMinhashSpec extends AnyFunSuite {
       val input = MemoryStream[DocWords]
       val q = StreamMinhash.bandMatches(input.toDS())
         .writeStream.format("memory").queryName("smh_out")
-        .outputMode("append").start()
+        .outputMode("append").option("checkpointLocation", TestSpark.ckpt()).start()
       try {
         // feed in doc_id order across several triggers: the state
         // must carry earlier chunks' band lists into later ones

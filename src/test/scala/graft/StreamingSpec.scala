@@ -32,7 +32,7 @@ class StreamingSpec extends AnyFunSuite {
     val agg = StreamingOps.tumbling(
       mem.toDF().withWatermark("ts", "10 minutes"), "1 hour")
     val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName("tumb").start()
+      .format("memory").queryName("tumb").option("checkpointLocation", TestSpark.ckpt()).start()
     try {
       mem.addData(
         Ev(1, t(5), 1, "click", 1.0), Ev(2, t(20), 1, "click", 2.0),
@@ -63,7 +63,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
     val q = StreamingOps.dedup(mem.toDF())
-      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+      .writeStream.outputMode("append").format("memory").queryName("dedup").option("checkpointLocation", TestSpark.ckpt()).start()
     try {
       mem.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(1), 1, "view", 1.0))
       drain(q)
@@ -80,7 +80,7 @@ class StreamingSpec extends AnyFunSuite {
     val agg = StreamingOps.sessions(
       mem.toDF().withWatermark("ts", "10 minutes"), "30 minutes")
     val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName("sess").start()
+      .format("memory").queryName("sess").option("checkpointLocation", TestSpark.ckpt()).start()
     try {
       // user 1: events at 10:00, 10:20 (one session); 11:30 (new session)
       mem.addData(Ev(1, t(0), 1, "a", 1.0), Ev(2, t(20), 1, "a", 1.0),
@@ -104,7 +104,7 @@ class StreamingSpec extends AnyFunSuite {
       Ev(3, t(70), 2, "view", 3.0), Ev(4, t(75), 2, "click", 0.5))
     val mem = MemoryStream[Ev]
     val q = StreamingOps.tumbling(mem.toDF(), "1 hour")
-      .writeStream.outputMode("complete").format("memory").queryName("twin").start()
+      .writeStream.outputMode("complete").format("memory").queryName("twin").option("checkpointLocation", TestSpark.ckpt()).start()
     try {
       mem.addData(evs: _*)
       drain(q)
@@ -141,7 +141,7 @@ class StreamingSpec extends AnyFunSuite {
       clicks.toDF().withWatermark("ts", "10 minutes"),
       purchases.toDF().withWatermark("ts", "10 minutes"))
     val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName("ssj").start()
+      .format("memory").queryName("ssj").option("checkpointLocation", TestSpark.ckpt()).start()
     val cs = Seq(
       Ev(10, t(0), 1, "click", 0), Ev(11, t(25), 1, "click", 0),
       Ev(12, t(50), 1, "click", 0), Ev(13, t(10), 2, "click", 0))
@@ -175,7 +175,7 @@ class StreamingSpec extends AnyFunSuite {
     val agg = StreamingOps.windowedTopK(
       mem.toDF().withWatermark("ts", "10 minutes"), k = 2)
     val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName("wtopk").start()
+      .format("memory").queryName("wtopk").option("checkpointLocation", TestSpark.ckpt()).start()
     try {
       mem.addData(evs: _*)
       drain(q)

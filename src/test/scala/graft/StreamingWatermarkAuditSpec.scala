@@ -45,7 +45,7 @@ class StreamingWatermarkAuditSpec extends AnyFunSuite {
       val input = MemoryStream[AuditEvent]
       val q = WatermarkAudit.audit(input.toDS())
         .writeStream.format("memory").queryName("wm_audit_out")
-        .outputMode("update").start()
+        .outputMode("update").option("checkpointLocation", TestSpark.ckpt()).start()
       try {
         evs.grouped((evs.length + 2) / 3).foreach { chunk =>
           input.addData(chunk.toSeq: _*)
@@ -74,7 +74,7 @@ class StreamingWatermarkAuditSpec extends AnyFunSuite {
       val input = MemoryStream[AuditEvent]
       val q = WatermarkAudit.audit(input.toDS())
         .writeStream.format("memory").queryName("wm_audit_incr")
-        .outputMode("update").start()
+        .outputMode("update").option("checkpointLocation", TestSpark.ckpt()).start()
       try {
         // batch 1 raises the high-water mark to 10_000 s
         input.addData(AuditEvent(7L, 1L, 10000000000L, 1000L))

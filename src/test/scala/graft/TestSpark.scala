@@ -17,6 +17,17 @@ object TestSpark {
   }
   val sf: String = "/root/testdata/sf0.001"
 
+  /** Fresh EXPLICIT checkpoint dir for a streaming-spec query. A query
+    * started without one gets a TEMP checkpoint that `stop()` deletes
+    * — and that deletion races the async ExecutionListenerBus still
+    * processing the final micro-batch, logging spurious
+    * `PATH_NOT_FOUND .../state` ERRORs into green test runs. Explicit
+    * (non-temp) checkpoints are never deleted on stop; /tmp is
+    * reclaimed with the container.
+    */
+  def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+
   /** Set session confs for `body`, restoring previous values (or
     * unsetting) afterwards — the shared session must not leak one
     * suite's tuning into the next.

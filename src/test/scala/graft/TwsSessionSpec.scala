@@ -37,7 +37,7 @@ class TwsSessionSpec extends AnyFunSuite {
         .withWatermark("ts", "10 minutes").as[SessionEvent]
       val q = TwsOps.userSessions(withWm, gapMs)
         .writeStream.format("memory").queryName("tws_out")
-        .outputMode("append").start()
+        .outputMode("append").option("checkpointLocation", TestSpark.ckpt()).start()
       try {
         input.addData(
           SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(10), 2.0),
@@ -78,7 +78,7 @@ class TwsSessionSpec extends AnyFunSuite {
           .withColumn("ts", col("ts").cast("timestamp"))
           .withWatermark("ts", "0 seconds").as[SessionEvent]
         val q = mk(withWm).writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
+          .outputMode("append").option("checkpointLocation", TestSpark.ckpt()).start()
         try {
           input.addData(evs: _*)
           q.processAllAvailable()

@@ -54,6 +54,7 @@ def main():
             continue
         sql = sql.replace("/jsonl_scan/sf0.01/", f"/jsonl_scan/{sf_name}/")
         sql = sql.replace("/csv_scan/sf0.01/", f"/csv_scan/{sf_name}/")
+        sql = sql.replace("/schema_evo/sf0.01/", f"/schema_evo/{sf_name}/")
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-/** Table-maintenance operations on the `docstore` DSv2 source — the two
+/** Table-maintenance operations on the `docstore` DSv2 source — the
   * lakehouse primitives a 100 TB corpus store runs daily on top of the
   * snapshot-manifest seam ([[DocStore]]):
   *
@@ -16,9 +16,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     reference pipeline has no mutation story at all — its corpus is
   *     re-derived wholesale (app/main.py:19-111); at 100 TB the daily
   *     ingest must touch O(changed files), not O(corpus).
+  *   - [[delete]] — row-level DELETE FROM by key set, the takedown
+  *     batch, with the same copy-on-write affected-file pruning.
   *   - [[compact]] — the OPTIMIZE job: bin-packs small files into
   *     target-sized ones and retires the originals, executing the plan
   *     `q_compaction_plan` only computes.
+  *   - [[changeFeed]] — the change data feed (Delta CDF / Iceberg
+  *     changelog): row-level NET diff between two snapshots computed
+  *     from the MANIFEST diff, reading only removed/added files.
   *
   * Both commit through the `replaceFiles` write option: new files land
   * and superseded files leave the manifest in ONE atomic rename, so a
@@ -35,20 +40,18 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object DocStoreOps {
 
-  /** MERGE `batch` into the docstore table at `dir` on long key `key`:
-    * rows whose key matches an existing row replace it; the rest
-    * insert. Single-concurrent-writer discipline (the manifest-commit
-    * contract). `batch` must carry exactly the table's columns.
+  /** Metadata-only affected-file detection shared by [[merge]] and
+    * [[delete]]: per-file [min, max] of `key` from block headers
+    * (no chunks decoded); a file with no stats (empty/all-null) is
+    * conservatively affected. The file-range table is metadata-small →
+    * broadcast; `keys` stays distributed; the only collect is bounded
+    * by the FILE count.
     */
-  def merge(spark: SparkSession, dir: String, batch: DataFrame,
-      key: String): Unit = {
+  private def affectedFiles(spark: SparkSession, dir: String,
+      keys: DataFrame, key: String): Set[String] = {
     val v = DocStore.latestVersion(dir).getOrElse(
       throw new IllegalStateException(s"docstore: no snapshot under $dir"))
     val files = DocStore.readManifest(dir, v)
-
-    // metadata-only affected-file pruning: per-file [min, max] of the
-    // key from block headers; a file with no stats (empty/all-null) is
-    // conservatively affected
     val withStats = files.map { case (f, _) =>
       (new Path(f).getName, DocStore.fileColumnStats(f, key))
     }
@@ -61,14 +64,21 @@ object DocStoreOps {
       StructType(Seq(StructField("file", StringType, nullable = false),
         StructField("kmin", LongType, nullable = false),
         StructField("kmax", LongType, nullable = false))))
-    // file-range table is metadata-small → broadcast; batch keys stay
-    // distributed. The collect below is bounded by the FILE count.
-    val hit = batch.select(col(key).as("mk")).distinct()
+    val hit = keys.select(col(key).as("mk")).distinct()
       .join(broadcast(rangeDf),
         col("mk") >= col("kmin") && col("mk") <= col("kmax"))
       .select("file").distinct().collect().map(_.getString(0))
-    val affected = (hit ++ statless).toSet
+    (hit ++ statless).toSet
+  }
 
+  /** MERGE `batch` into the docstore table at `dir` on long key `key`:
+    * rows whose key matches an existing row replace it; the rest
+    * insert. Single-concurrent-writer discipline (the manifest-commit
+    * contract). `batch` must carry exactly the table's columns.
+    */
+  def merge(spark: SparkSession, dir: String, batch: DataFrame,
+      key: String): Unit = {
+    val affected = affectedFiles(spark, dir, batch, key)
     val tableCols = spark.read.format("docstore").load(dir).columns
     val out =
       if (affected.isEmpty) batch.select(tableCols.map(col).toSeq: _*)
@@ -83,6 +93,95 @@ object DocStoreOps {
     out.write.format("docstore").mode("append")
       .option("replaceFiles", affected.mkString(","))
       .save(dir)
+  }
+
+  /** DELETE FROM: remove every row whose `key` appears in `keys`
+    * (single long-typed column named `key`), as copy-on-write file
+    * rewrites — only files whose block-stat key range intersects the
+    * delete set are rewritten (survivor anti-join + replaceFiles
+    * commit); the takedown-batch shape at 100 TB. A no-overlap delete
+    * set commits nothing.
+    */
+  def delete(spark: SparkSession, dir: String, keys: DataFrame,
+      key: String): Unit = {
+    val affected = affectedFiles(spark, dir, keys, key)
+    if (affected.isEmpty) return
+    val tableCols = spark.read.format("docstore").load(dir).columns
+    val touched = spark.read.format("docstore")
+      .option("files", affected.mkString(","))
+      .load(dir)
+    touched.join(keys.select(col(key)), Seq(key), "left_anti")
+      .select(tableCols.map(col).toSeq: _*)
+      .write.format("docstore").mode("append")
+      .option("replaceFiles", affected.mkString(","))
+      .save(dir)
+  }
+
+  /** The manifest-level file diff behind [[changeFeed]], exposed so
+    * specs can pin that unchanged files are excluded from BOTH sides:
+    * (removed file names, added file names) between two versions.
+    */
+  private[graft] def manifestDiff(dir: String, vFrom: Long,
+      vTo: Long): (Set[String], Set[String]) = {
+    def names(v: Long): Set[String] =
+      DocStore.readManifest(dir, v).map { case (f, _) =>
+        new Path(f).getName
+      }.toSet
+    val f1 = names(vFrom)
+    val f2 = names(vTo)
+    (f1 -- f2, f2 -- f1)
+  }
+
+  /** Change data feed (Delta CDF / Iceberg changelog shape): the
+    * row-level NET difference between snapshots `vFrom` and `vTo`,
+    * computed from the MANIFEST diff — only files removed or added
+    * between the two versions are ever read; files present in both
+    * manifests are untouched by definition and never scanned. Rows
+    * co-located in a rewritten file but themselves unchanged cancel in
+    * the full-row comparison and emit nothing (exactly how Delta
+    * computes CDF for rewrites committed without explicit CDC files).
+    *
+    * Output = the table's columns plus `change_type` ∈ {'insert',
+    * 'delete', 'update_preimage', 'update_postimage'}; an intermediate
+    * state that was created and superseded strictly between the two
+    * versions appears only through its NET effect (update-then-delete
+    * → one delete row carrying the vFrom image).
+    *
+    * SCALE: cost is O(changed files) read + one key-partitioned
+    * full-outer join of the two changed-row sets; `key` must be unique
+    * per snapshot (the MERGE/DELETE key discipline).
+    */
+  def changeFeed(spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
+      key: String): DataFrame = {
+    val (removed, added) = manifestDiff(dir, vFrom, vTo)
+    val tableCols = spark.read.format("docstore").load(dir).columns
+    def side(v: Long, names: Set[String]): DataFrame = {
+      val base = spark.read.format("docstore")
+        .option("snapshotVersion", v.toString)
+      val df =
+        if (names.isEmpty)
+          base.load(dir).filter(lit(false)) // empty, schema-preserving
+        else base.option("files", names.mkString(",")).load(dir)
+      df.select(tableCols.map(col).toSeq: _*)
+    }
+    val nonKey = tableCols.filterNot(_ == key)
+    def packed(df: DataFrame, tag: String): DataFrame =
+      df.select(col(key),
+        struct(nonKey.map(col).toSeq: _*).as(s"row_$tag"))
+    val oldRows = packed(side(vFrom, removed), "old")
+    val newRows = packed(side(vTo, added), "new")
+    val j = oldRows.join(newRows, Seq(key), "full_outer")
+    val del = j.filter(col("row_new").isNull)
+      .select(lit("delete").as("change_type"), col(key), col("row_old.*"))
+    val ins = j.filter(col("row_old").isNull)
+      .select(lit("insert").as("change_type"), col(key), col("row_new.*"))
+    val updBoth = j.filter(col("row_old").isNotNull && col("row_new").isNotNull
+      && col("row_old") =!= col("row_new"))
+    val pre = updBoth.select(lit("update_preimage").as("change_type"),
+      col(key), col("row_old.*"))
+    val post = updBoth.select(lit("update_postimage").as("change_type"),
+      col(key), col("row_new.*"))
+    del.unionByName(ins).unionByName(pre).unionByName(post)
   }
 
   /** OPTIMIZE: rewrite every data file smaller than `targetBytes` into

@@ -263,4 +263,61 @@ class DocStoreSpec extends AnyFunSuite {
     assert(pinned.collect().map(_.getLong(0)).sorted.toSeq === (0L until 2000L))
     assert(pinned.rdd.getNumPartitions === 16)
   }
+
+  test("delete: copy-on-write removes matched keys, rewrites only " +
+    "affected files; no-overlap delete set commits nothing") {
+    val dir = tmpDir("gds_delete")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val before = manifestNames(dir)
+    sources.DocStoreOps.delete(spark, dir,
+      Seq(10L, 20L).toDF("k"), "k")
+    val after = manifestNames(dir)
+    assert((before & after).size === 3,
+      "only the one low-range file holding both keys is rewritten")
+    val got = spark.read.format("docstore").load(dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 998 && !got.contains(10L) && !got.contains(20L))
+    assert(got(11L) === 33L, "survivors in the rewritten file intact")
+    // delete set entirely outside every file's key range: no new commit
+    val v = DocStore.latestVersion(dir).get
+    sources.DocStoreOps.delete(spark, dir, Seq(777777L).toDF("k"), "k")
+    assert(DocStore.latestVersion(dir).get === v, "no-op delete commits nothing")
+  }
+
+  test("changeFeed: manifest-diff CDF — net semantics, unchanged " +
+    "co-located rows cancel, unchanged files excluded from both sides") {
+    val dir = tmpDir("gds_cdf")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val v1 = DocStore.latestVersion(dir).get
+    // v2: update k=10 (later deleted — must net to ONE delete with the
+    // v1 image), update k=20, insert k=5000
+    sources.DocStoreOps.merge(spark, dir,
+      Seq((10L, -1L), (20L, -2L), (5000L, 55L)).toDF("k", "v"), "k")
+    // v3: delete k=10 (the updated row) and k=500 (an untouched row)
+    sources.DocStoreOps.delete(spark, dir, Seq(10L, 500L).toDF("k"), "k")
+    val v3 = DocStore.latestVersion(dir).get
+    // unchanged files are excluded from BOTH sides of the diff: the 4
+    // base range files minus the ones the merge/delete rewrote
+    val (removed, added) = sources.DocStoreOps.manifestDiff(dir, v1, v3)
+    val unchanged = manifestNames(dir) &
+      DocStore.readManifest(dir, v1)
+        .map { case (f, _) => new org.apache.hadoop.fs.Path(f).getName }.toSet
+    assert(unchanged.nonEmpty, "some base file must survive untouched")
+    assert((removed & unchanged).isEmpty && (added & unchanged).isEmpty)
+    val feed = sources.DocStoreOps.changeFeed(spark, dir, v1, v3, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(feed === Set(
+      ("delete", 10L, 30L),             // updated-then-deleted: v1 image
+      ("delete", 500L, 1500L),
+      ("update_preimage", 20L, 60L),
+      ("update_postimage", 20L, -2L),
+      ("insert", 5000L, 55L)),
+      s"unexpected feed: $feed")        // co-located unchanged rows: none
+    // self-diff is empty
+    assert(sources.DocStoreOps.changeFeed(spark, dir, v3, v3, "k").count() === 0)
+  }
 }

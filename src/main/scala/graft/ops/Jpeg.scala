@@ -2,24 +2,42 @@ package graft.ops
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Dependency-free baseline JPEG/JFIF codec (VERDICT r12 #5) — the
-  * dominant image container of any web-scale multimodal corpus, and
-  * the lossy-compressed corner BMP (raw) and PNG (lossless deflate) do
-  * not cover. Follows the `graft.ops.Png` precedent: a from-scratch
-  * encoder (so queries can plant synthetic payloads with closed-form
-  * oracles) plus a general decoder behind the same
-  * [[Multimodal.Decoder]] seam, with JpegSpec pinning golden bytes and
-  * the decoder's marker/stuffing/restart handling independently.
+/** Dependency-free JPEG/JFIF codec (VERDICT r12 #5, progressive decode
+  * VERDICT r13 #10) — the dominant image container of any web-scale
+  * multimodal corpus, and the lossy-compressed corner BMP (raw) and PNG
+  * (lossless deflate) do not cover. Follows the `graft.ops.Png`
+  * precedent: a from-scratch encoder (so queries can plant synthetic
+  * payloads with closed-form oracles) plus a general decoder behind the
+  * same [[Multimodal.Decoder]] seam, with JpegSpec pinning golden bytes
+  * and the decoder's marker/stuffing/restart handling independently.
   *
-  * Spec coverage (ITU-T T.81 baseline sequential DCT):
+  * Spec coverage (ITU-T T.81 baseline sequential + progressive DCT):
   *   - encoder: SOI/DQT/SOF0/DHT/DRI/SOS/EOI, 4:2:0 subsampling
   *     (2×2/1×1/1×1), standard Annex K Huffman tables, DC DPCM +
   *     AC run-length (ZRL/EOB), byte stuffing (FF→FF00), restart
   *     markers RST0..7 with byte-aligned 1-padding and DC reset;
-  *   - decoder: baseline SOF0 with 1 or 3 components and sampling
-  *     factors in {1,2}, multi-table DQT/DHT segments, DRI, stuffed-
-  *     byte removal, restart resync, dequantize, float IDCT,
-  *     replicated chroma upsampling, YCbCr→RGB.
+  *   - progressive encoder ([[encodeProgressive420]]): SOF2 with the
+  *     libjpeg standard 10-scan script — interleaved DC first scan
+  *     (Al=1) + DC refinement, per-component AC spectral-selection
+  *     first scans (Al=2/1) + successive-approximation refinement
+  *     scans (Ah=2→1→0), EOB-run accumulation with buffered correction
+  *     bits, and PER-SCAN OPTIMIZED Huffman tables built by the T.81
+  *     Annex K.2 procedure (mandatory in practice: the Annex K fixed
+  *     tables carry no EOBn>0 symbols, so real progressive streams —
+  *     libjpeg's included — always ship custom DHTs);
+  *   - decoder: SOF0 baseline AND SOF2 progressive with 1 or 3
+  *     components and sampling factors in {1,2}, multi-scan decode
+  *     into a persistent coefficient store (DC first/refine, AC
+  *     first/refine with EOB runs, per T.81 G.2 / the jdphuff
+  *     reference structure), multi-table DQT/DHT segments with
+  *     between-scan redefinition, DRI, stuffed-byte removal, restart
+  *     resync, dequantize, float IDCT, replicated chroma upsampling,
+  *     YCbCr→RGB. Progressive and baseline share every stage after
+  *     entropy decode, so `decode(encodeProgressive420(img)) ==
+  *     decode(encode420(img))` BIT-FOR-BIT on arbitrary images (the
+  *     two codings carry identical coefficients) — the JpegSpec gate
+  *     that pins the whole progressive entropy path against the
+  *     baseline one.
   *
   * Exactness contract the decode query leans on: with all-ones
   * quantization tables, block-constant planes survive
@@ -310,6 +328,329 @@ object Jpeg {
     out.toArray
   }
 
+  // ------------------------------------------- progressive encoder
+
+  /** Optimal Huffman table from symbol frequencies — the T.81 Annex
+    * K.2 procedure (code-size merge, 16-bit length adjustment, one
+    * reserved all-ones symbol). Returns (BITS[0..16], HUFFVAL).
+    */
+  private def buildOptimalTable(freqIn: Array[Long]): (Array[Int], Array[Byte]) = {
+    val freq = java.util.Arrays.copyOf(freqIn, 257)
+    freq(256) = 1 // reserved: guarantees no real symbol gets all-ones
+    val codesize = new Array[Int](257)
+    val others = Array.fill(257)(-1)
+    var merging = true
+    while (merging) {
+      var v1 = -1; var least = Long.MaxValue
+      var i = 0
+      while (i <= 256) { // least freq; ties to the HIGHER symbol value
+        if (freq(i) > 0 && freq(i) <= least) { v1 = i; least = freq(i) }
+        i += 1
+      }
+      var v2 = -1; least = Long.MaxValue
+      i = 0
+      while (i <= 256) {
+        if (i != v1 && freq(i) > 0 && freq(i) <= least) { v2 = i; least = freq(i) }
+        i += 1
+      }
+      if (v2 < 0) merging = false
+      else {
+        freq(v1) += freq(v2); freq(v2) = 0
+        codesize(v1) += 1
+        while (others(v1) >= 0) { v1 = others(v1); codesize(v1) += 1 }
+        others(v1) = v2
+        codesize(v2) += 1
+        while (others(v2) >= 0) { v2 = others(v2); codesize(v2) += 1 }
+      }
+    }
+    val bits = new Array[Int](33)
+    var s = 0
+    while (s <= 256) { if (codesize(s) > 0) bits(codesize(s)) += 1; s += 1 }
+    var i = 32 // limit code lengths to 16 (K.2 Figure K.3)
+    while (i > 16) {
+      while (bits(i) > 0) {
+        var j = i - 2
+        while (bits(j) == 0) j -= 1
+        bits(i) -= 2; bits(i - 1) += 1; bits(j + 1) += 2; bits(j) -= 1
+      }
+      i -= 1
+    }
+    while (bits(i) == 0) i -= 1
+    bits(i) -= 1 // drop the reserved symbol
+    val vals = (0 until 256).filter(codesize(_) > 0)
+      .sortBy(v => (codesize(v), v)).map(_.toByte).toArray
+    (java.util.Arrays.copyOf(bits, 17), vals)
+  }
+
+  /** Two-pass scan emitter: pass 1 counts symbol frequencies (bits
+    * ignored), pass 2 Huffman-codes against the per-scan optimal
+    * tables built from those counts.
+    */
+  private sealed trait SymSink {
+    def sym(tbl: Int, s: Int): Unit
+    def bits(v: Int, n: Int): Unit
+  }
+  private final class FreqSink(val freq: Array[Array[Long]]) extends SymSink {
+    def sym(tbl: Int, s: Int): Unit = freq(tbl)(s) += 1
+    def bits(v: Int, n: Int): Unit = ()
+  }
+  private final class EmitSink(bw: BitWriter,
+      codes: Array[Map[Int, (Int, Int)]]) extends SymSink {
+    def sym(tbl: Int, s: Int): Unit = {
+      val (c, l) = codes(tbl)(s); bw.put(c, l)
+    }
+    def bits(v: Int, n: Int): Unit = if (n > 0) bw.put(v, n)
+  }
+
+  /** One progressive scan: spectral band [ss, se], successive
+    * approximation ah→al, over `comps` (component indices; >1 ⇒
+    * interleaved DC scan). `nTables` = distinct Huffman tables used
+    * (interleaved DC: 0 luma / 1 chroma; AC scans: table 0 only).
+    */
+  private final case class ProgScan(comps: Seq[Int], ss: Int, se: Int,
+      ah: Int, al: Int, nTables: Int)
+
+  /** The libjpeg standard 3-component progressive script (jcparam.c):
+    * DC first (Al=1) interleaved → Y low-band AC → chroma full-band AC
+    * → Y high-band AC → Y AC refine (2→1) → DC refine → chroma AC
+    * refine → Y AC refine (1→0).
+    */
+  private val ProgScript = Seq(
+    ProgScan(Seq(0, 1, 2), 0, 0, 0, 1, 2),
+    ProgScan(Seq(0), 1, 5, 0, 2, 1),
+    ProgScan(Seq(2), 1, 63, 0, 1, 1),
+    ProgScan(Seq(1), 1, 63, 0, 1, 1),
+    ProgScan(Seq(0), 6, 63, 0, 2, 1),
+    ProgScan(Seq(0), 1, 63, 2, 1, 1),
+    ProgScan(Seq(0, 1, 2), 0, 0, 1, 0, 0),
+    ProgScan(Seq(2), 1, 63, 1, 0, 1),
+    ProgScan(Seq(1), 1, 63, 1, 0, 1),
+    ProgScan(Seq(0), 1, 63, 1, 0, 1))
+
+  /** Encode a 4:2:0 PROGRESSIVE (SOF2) JFIF image from YCbCr planes —
+    * same plane contract as [[encode420]]; the DCT coefficients are
+    * identical to the baseline encoding (progressive differs only in
+    * entropy-coding order), which is the JpegSpec equality gate.
+    */
+  def encodeProgressive420(w: Int, h: Int, yPlane: Array[Int],
+      cbPlane: Array[Int], crPlane: Array[Int]): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, s"dims must be MCU-aligned: ${w}x$h")
+    require(yPlane.length == w * h && cbPlane.length == w * h / 4 &&
+      crPlane.length == w * h / 4, "plane sizes")
+    // phase 1: FDCT every block into per-component stores (raster order)
+    val bw8 = Array(w / 8, w / 16, w / 16) // blocks across, per comp
+    val bh8 = Array(h / 8, h / 16, h / 16)
+    val planes = Array(yPlane, cbPlane, crPlane)
+    val pw = Array(w, w / 2, w / 2)
+    val store: Array[Array[Array[Int]]] = Array.tabulate(3) { ci =>
+      val block = new Array[Int](64)
+      Array.tabulate(bw8(ci) * bh8(ci)) { bi =>
+        val bx = bi % bw8(ci); val by = bi / bw8(ci)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            block(yy * 8 + xx) =
+              planes(ci)((by * 8 + yy) * pw(ci) + bx * 8 + xx) - 128
+            xx += 1
+          }
+          yy += 1
+        }
+        fdctQuant(block)
+      }
+    }
+
+    val out = ArrayBuffer.empty[Byte]
+    out += 0xff.toByte; out += 0xd8.toByte // SOI
+    seg(out, 0xdb, (Array(0x00.toByte) ++ Array.fill(64)(1.toByte)))
+    seg(out, 0xdb, (Array(0x01.toByte) ++ Array.fill(64)(1.toByte)))
+    // SOF2: progressive, 8-bit, 3 components, 2x2 / 1x1 / 1x1
+    seg(out, 0xc2, Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+
+    /** Emit one scan's symbol/bit stream into `sink`. The DC-scan MCU
+      * walk mirrors the decoder's interleaved order; AC scans are
+      * single-component raster walks per T.81 A.2.2.
+      */
+    def runScan(sc: ProgScan, sink: SymSink): Unit = {
+      if (sc.ss == 0 && sc.ah == 0) {
+        // DC first: interleaved MCU order, DPCM of the Al-shifted DC
+        val pred = new Array[Int](3)
+        val mcusY = h / 16; val mcusX = w / 16
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            def one(ci: Int, bx: Int, by: Int): Unit = {
+              val v = store(ci)(by * bw8(ci) + bx)(0) >> sc.al // arith shift (G.1.2.1)
+              val diff = v - pred(ci); pred(ci) = v
+              val cat = magnitudeCategory(diff)
+              sink.sym(if (ci == 0) 0 else 1, cat)
+              if (cat > 0)
+                sink.bits(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+            }
+            var v = 0
+            while (v < 2) {
+              var hh = 0
+              while (hh < 2) { one(0, mx * 2 + hh, my * 2 + v); hh += 1 }
+              v += 1
+            }
+            one(1, mx, my); one(2, mx, my)
+            mx += 1
+          }
+          my += 1
+        }
+      } else if (sc.ss == 0) {
+        // DC refine: one raw bit per block, interleaved MCU order
+        val mcusY = h / 16; val mcusX = w / 16
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            def one(ci: Int, bx: Int, by: Int): Unit =
+              sink.bits((store(ci)(by * bw8(ci) + bx)(0) >> sc.al) & 1, 1)
+            var v = 0
+            while (v < 2) {
+              var hh = 0
+              while (hh < 2) { one(0, mx * 2 + hh, my * 2 + v); hh += 1 }
+              v += 1
+            }
+            one(1, mx, my); one(2, mx, my)
+            mx += 1
+          }
+          my += 1
+        }
+      } else if (sc.ah == 0) {
+        // AC first (G.1.2.2): magnitude-shifted band, ZRL + EOB runs
+        val ci = sc.comps.head
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          var nb = 0; var t = eobrun
+          while ({ t >>= 1; t != 0 }) nb += 1
+          sink.sym(0, nb << 4)
+          if (nb > 0) sink.bits(eobrun & ((1 << nb) - 1), nb)
+          eobrun = 0
+        }
+        var bi = 0
+        while (bi < store(ci).length) {
+          val cf = store(ci)(bi)
+          var r = 0
+          var k = sc.ss
+          while (k <= sc.se) {
+            val c = cf(Zigzag(k))
+            val v = if (c >= 0) c >> sc.al else -((-c) >> sc.al) // point transform
+            if (v == 0) r += 1
+            else {
+              flushEob()
+              while (r > 15) { sink.sym(0, 0xf0); r -= 16 }
+              val sz = magnitudeCategory(v)
+              sink.sym(0, (r << 4) | sz)
+              sink.bits(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+          bi += 1
+        }
+        flushEob()
+      } else {
+        // AC refine (G.1.2.3 / the jcphuff structure): newly
+        // significant coefs as (run,1) symbols, already-significant
+        // coefs as buffered correction bits, EOB runs carrying their
+        // pending corrections
+        val ci = sc.comps.head
+        var eobrun = 0
+        val pend = ArrayBuffer.empty[Int] // correction bits riding the EOB run
+        def flushEob(): Unit = if (eobrun > 0 || pend.nonEmpty) {
+          var nb = 0; var t = eobrun
+          while ({ t >>= 1; t != 0 }) nb += 1
+          sink.sym(0, nb << 4)
+          if (nb > 0) sink.bits(eobrun & ((1 << nb) - 1), nb)
+          pend.foreach(b => sink.bits(b, 1))
+          pend.clear()
+          eobrun = 0
+        }
+        var bi = 0
+        while (bi < store(ci).length) {
+          val cf = store(ci)(bi)
+          val absv = Array.tabulate(sc.se + 1) { k =>
+            if (k < sc.ss) 0 else math.abs(cf(Zigzag(k))) >> sc.al
+          }
+          var eobIdx = sc.ss - 1
+          var k = sc.ss
+          while (k <= sc.se) { if (absv(k) == 1) eobIdx = k; k += 1 }
+          var r = 0
+          val br = ArrayBuffer.empty[Int]
+          k = sc.ss
+          while (k <= sc.se) {
+            val t = absv(k)
+            if (t == 0) r += 1
+            else {
+              // fold trailing ZRLs into the EOB run when no newly
+              // significant coef follows (k <= eobIdx guard, jcphuff)
+              while (r > 15 && k <= eobIdx) {
+                flushEob()
+                sink.sym(0, 0xf0); r -= 16
+                br.foreach(b => sink.bits(b, 1)); br.clear()
+              }
+              if (t > 1) br += (t & 1) // correction bit
+              else { // newly significant
+                flushEob()
+                sink.sym(0, (r << 4) | 1)
+                sink.bits(if (cf(Zigzag(k)) < 0) 0 else 1, 1)
+                br.foreach(b => sink.bits(b, 1)); br.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || br.nonEmpty) {
+            eobrun += 1
+            pend ++= br
+            if (eobrun == 0x7fff || pend.length > 900) flushEob()
+          }
+          bi += 1
+        }
+        flushEob()
+      }
+    }
+
+    for (sc <- ProgScript) {
+      // pass 1: per-scan optimal Huffman tables from symbol counts
+      val codes: Array[Map[Int, (Int, Int)]] =
+        if (sc.nTables == 0) Array.empty
+        else {
+          val fs = new FreqSink(Array.fill(sc.nTables)(new Array[Long](257)))
+          runScan(sc, fs)
+          Array.tabulate(sc.nTables) { t =>
+            val (bits, vals) = buildOptimalTable(fs.freq(t))
+            val tc = if (sc.ss == 0) 0 else 1 // DC vs AC table class
+            seg(out, 0xc4, dhtBody((tc << 4) | t, bits, vals))
+            buildCodes(bits, vals)
+          }
+        }
+      // SOS header: per-component (id, TdTa), then Ss/Se/AhAl
+      val hdr = ArrayBuffer[Byte](sc.comps.length.toByte)
+      for (c <- sc.comps) {
+        val tbl = if (c == 0) 0 else if (sc.comps.length > 1) 1 else 0
+        val tdta = if (sc.ss == 0) tbl << 4 else tbl
+        hdr += (c + 1).toByte; hdr += tdta.toByte
+      }
+      hdr += sc.ss.toByte; hdr += sc.se.toByte
+      hdr += ((sc.ah << 4) | sc.al).toByte
+      seg(out, 0xda, hdr.toArray)
+      // pass 2: emit
+      val bw = new BitWriter(out)
+      runScan(sc, new EmitSink(bw, codes))
+      bw.flush()
+    }
+    out += 0xff.toByte; out += 0xd9.toByte // EOI
+    out.toArray
+  }
+
   // ------------------------------------------------------------ decoder
 
   /** Per-length canonical decode tables (T.81 F.2.2.3). */
@@ -395,15 +736,254 @@ object Jpeg {
     val dcTables = new Array[HuffDecoder](4)
     val acTables = new Array[HuffDecoder](4)
     var comps: Array[Component] = null
-    var scanComps: Array[(Int, Int, Int)] = null // (compIdx, dcId, acId)
     var w = 0; var h = 0
     var restartInterval = 0
-    var scanStart = -1
+    var progressive = false
+    // persistent RAW (unquantized) coefficient store, one 64-int array
+    // per block per component, raster over the padded MCU block grid —
+    // progressive scans accumulate into it; reconstruction dequantizes
+    // at the end. Baseline decodes through the same store.
+    var store: Array[Array[Array[Int]]] = null
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    var mcusX = 0; var mcusY = 0
+    var sawScan = false
 
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
 
-    while (scanStart < 0) {
-      require(pos + 3 < bytes.length, "jpeg: truncated header")
+    def onSof(prog: Boolean): Unit = {
+      require(pos + u16(pos) <= bytes.length, "jpeg: truncated SOF")
+      val n = bytes(pos + 7) & 0xff
+      require((bytes(pos + 2) & 0xff) == 8, "jpeg: 8-bit precision only")
+      h = u16(pos + 3); w = u16(pos + 5)
+      progressive = prog
+      comps = Array.tabulate(n) { i =>
+        val o = pos + 8 + i * 3
+        Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,
+          bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
+      }
+      require(comps.forall(c => c.hSamp >= 1 && c.hSamp <= 2 &&
+        c.vSamp >= 1 && c.vSamp <= 2), "jpeg: sampling factors 1-2 only")
+      val hMax = comps.map(_.hSamp).max
+      val vMax = comps.map(_.vSamp).max
+      mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      blocksW = comps.map(c => mcusX * c.hSamp)
+      blocksH = comps.map(c => mcusY * c.vSamp)
+      store = comps.indices.map(i =>
+        Array.fill(blocksW(i) * blocksH(i))(new Array[Int](64))).toArray
+      pos += u16(pos)
+    }
+
+    /** Decode one scan's entropy data; returns the position just past
+      * it (at the next marker). Implements T.81 F.2 (sequential) and
+      * G.2 (progressive DC/AC first/refine with EOB runs).
+      */
+    def decodeScan(): Int = {
+      val n = bytes(pos + 2) & 0xff
+      val scanComps = Array.tabulate(n) { i =>
+        val o = pos + 3 + i * 2
+        val cid = bytes(o) & 0xff
+        val ci = comps.indexWhere(_.id == cid)
+        require(ci >= 0, s"jpeg: scan names unknown component $cid")
+        (ci, (bytes(o + 1) & 0xff) >> 4, bytes(o + 1) & 0x0f)
+      }
+      val o2 = pos + 3 + n * 2
+      val ss = bytes(o2) & 0xff
+      val se = bytes(o2 + 1) & 0xff
+      val ah = (bytes(o2 + 2) & 0xff) >> 4
+      val al = bytes(o2 + 2) & 0x0f
+      if (progressive) {
+        require(ss <= 63 && se <= 63 && (if (ss == 0) se == 0 else se >= ss),
+          s"jpeg: invalid progressive spectral band $ss..$se")
+        require(ss == 0 || n == 1, "jpeg: progressive AC scans are single-component")
+      } else require(ss == 0 && se == 63 && ah == 0 && al == 0,
+        "jpeg: baseline scan must cover the full spectrum")
+
+      val br = new BitReader(bytes, pos + u16(pos))
+      val dcPred = new Array[Int](comps.length)
+      var eobrun = 0
+      var mcuCount = 0
+
+      def restartIfDue(): Unit =
+        if (restartInterval > 0 && mcuCount > 0 &&
+            mcuCount % restartInterval == 0) {
+          br.resync()
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+
+      def readBits(nb: Int): Int = {
+        var v = 0; var i = 0
+        while (i < nb) { v = (v << 1) | br.bit(); i += 1 }
+        v
+      }
+
+      // ---- per-block decoders into the raw store
+      def fullBlock(ci: Int, dcId: Int, acId: Int, bi: Int): Unit = {
+        val cf = store(ci)(bi)
+        val t = dcTables(dcId).decode(br)
+        dcPred(ci) += br.receiveExtend(t)
+        cf(0) = dcPred(ci)
+        var k = 1
+        while (k < 64) {
+          val rs = acTables(acId).decode(br)
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += r
+            require(k < 64, "jpeg: AC index overflow")
+            cf(Zigzag(k)) = br.receiveExtend(s)
+            k += 1
+          }
+        }
+      }
+      def dcFirst(ci: Int, dcId: Int, bi: Int): Unit = {
+        val t = dcTables(dcId).decode(br)
+        dcPred(ci) += br.receiveExtend(t)
+        store(ci)(bi)(0) = dcPred(ci) << al
+      }
+      def dcRefine(ci: Int, bi: Int): Unit =
+        if (br.bit() == 1) store(ci)(bi)(0) |= (1 << al)
+      def acFirst(ci: Int, acId: Int, bi: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        val cf = store(ci)(bi)
+        var k = ss
+        while (k <= se) {
+          val rs = acTables(acId).decode(br)
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += readBits(r)
+              k = 64 // end of block
+            }
+          } else {
+            k += r
+            require(k <= se, "jpeg: AC index past spectral band")
+            cf(Zigzag(k)) = br.receiveExtend(s) << al
+            k += 1
+          }
+        }
+      }
+      def acRefine(ci: Int, acId: Int, bi: Int): Unit = {
+        val cf = store(ci)(bi)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(z: Int): Unit =
+          if (br.bit() == 1 && (cf(z) & p1) == 0)
+            cf(z) += (if (cf(z) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (!done && k <= se) {
+            val rs = acTables(acId).decode(br)
+            var r = rs >> 4
+            val s = rs & 0x0f
+            var newval = 0
+            if (s == 0) {
+              if (r != 15) { // EOBn: run of r-coded blocks ends here
+                eobrun = 1 << r
+                if (r > 0) eobrun += readBits(r)
+                done = true
+              } // r == 15: ZRL — skip 16 zero-history coefs below
+            } else {
+              require(s == 1, "jpeg: refinement scan magnitude must be 1")
+              newval = if (br.bit() == 1) p1 else m1
+            }
+            if (!done) {
+              var placed = false
+              while (!placed && k <= se) {
+                val z = Zigzag(k)
+                if (cf(z) != 0) correct(z)
+                else if (r == 0) {
+                  if (newval != 0) cf(z) = newval
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+              // ZRL with trailing zeros short of 16 simply exhausts the
+              // band (placed stays false) — valid per G.2
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) { // correction bits to the band end
+            val z = Zigzag(k)
+            if (cf(z) != 0) correct(z)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      if (scanComps.length > 1 || !progressive) {
+        // interleaved MCU walk (baseline full blocks, or progressive DC)
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            restartIfDue()
+            scanComps.foreach { case (ci, dcId, acId) =>
+              val c = comps(ci)
+              var v = 0
+              while (v < c.vSamp) {
+                var hh = 0
+                while (hh < c.hSamp) {
+                  val bi = (my * c.vSamp + v) * blocksW(ci) + mx * c.hSamp + hh
+                  if (!progressive) fullBlock(ci, dcId, acId, bi)
+                  else if (ah == 0) dcFirst(ci, dcId, bi)
+                  else dcRefine(ci, bi)
+                  hh += 1
+                }
+                v += 1
+              }
+            }
+            mcuCount += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component scan: blocks of the COMPONENT's own grid in
+        // raster order (T.81 A.2.2 — ceil(comp dims / 8), NOT the
+        // padded MCU grid), one block per restart-counted MCU
+        val (ci, dcId, acId) = scanComps(0)
+        val c = comps(ci)
+        val hMax = comps.map(_.hSamp).max
+        val vMax = comps.map(_.vSamp).max
+        val cw = (w * c.hSamp + hMax - 1) / hMax
+        val ch = (h * c.vSamp + vMax - 1) / vMax
+        val bw = (cw + 7) / 8
+        val bh = (ch + 7) / 8
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            restartIfDue()
+            val bi = by * blocksW(ci) + bx
+            if (!progressive) fullBlock(ci, dcId, acId, bi)
+            else if (ss == 0 && ah == 0) dcFirst(ci, dcId, bi)
+            else if (ss == 0) dcRefine(ci, bi)
+            else if (ah == 0) acFirst(ci, acId, bi)
+            else acRefine(ci, acId, bi)
+            mcuCount += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      br.pos
+    }
+
+    var done = false
+    while (!done) {
+      require(pos + 1 < bytes.length, "jpeg: truncated stream")
       require((bytes(pos) & 0xff) == 0xff, "jpeg: expected marker")
       val m = bytes(pos + 1) & 0xff
       pos += 2
@@ -423,7 +1003,8 @@ object Jpeg {
             p += 65
           }
           pos = end
-        case 0xc4 => // DHT, possibly several tables
+        case 0xc4 => // DHT, possibly several tables (progressive streams
+          // redefine table slots between scans)
           val end = pos + u16(pos)
           require(end <= bytes.length, "jpeg: truncated DHT")
           var p = pos + 2
@@ -440,128 +1021,68 @@ object Jpeg {
             p += 17 + total
           }
           pos = end
-        case 0xc0 => // SOF0 baseline
-          require(pos + u16(pos) <= bytes.length, "jpeg: truncated SOF0")
-          val n = bytes(pos + 7) & 0xff
-          require((bytes(pos + 2) & 0xff) == 8, "jpeg: 8-bit precision only")
-          h = u16(pos + 3); w = u16(pos + 5)
-          comps = Array.tabulate(n) { i =>
-            val o = pos + 8 + i * 3
-            Component(bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4,
-              bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
-          }
-          require(comps.forall(c => c.hSamp >= 1 && c.hSamp <= 2 &&
-            c.vSamp >= 1 && c.vSamp <= 2), "jpeg: sampling factors 1-2 only")
-          pos += u16(pos)
-        case 0xc2 => throw new IllegalArgumentException(
-          "jpeg: progressive (SOF2) not supported — baseline only")
+        case 0xc0 | 0xc1 => onSof(prog = false) // baseline / ext. sequential
+        case 0xc2 => onSof(prog = true) // progressive
         case 0xdd => restartInterval = u16(pos + 2); pos += u16(pos)
-        case 0xda => // SOS
-          val n = bytes(pos + 2) & 0xff
-          scanComps = Array.tabulate(n) { i =>
-            val o = pos + 3 + i * 2
-            val cid = bytes(o) & 0xff
-            val ci = comps.indexWhere(_.id == cid)
-            require(ci >= 0, s"jpeg: scan names unknown component $cid")
-            (ci, (bytes(o + 1) & 0xff) >> 4, bytes(o + 1) & 0x0f)
-          }
-          scanStart = pos + u16(pos)
-        case 0xd9 => throw new IllegalArgumentException("jpeg: EOI before SOS")
+        case 0xda =>
+          require(comps != null, "jpeg: SOS before SOF")
+          pos = decodeScan()
+          sawScan = true
+        case 0xd9 =>
+          require(sawScan, "jpeg: EOI before SOS")
+          done = true
         case _ => pos += u16(pos) // APPn / COM / anything skippable
       }
     }
 
     val hMax = comps.map(_.hSamp).max
     val vMax = comps.map(_.vSamp).max
-    val mcuW = 8 * hMax
-    val mcuH = 8 * vMax
-    val mcusX = (w + mcuW - 1) / mcuW
-    val mcusY = (h + mcuH - 1) / mcuH
     // per-component padded planes at native (subsampled) resolution
     val planeW = comps.map(c => mcusX * 8 * c.hSamp)
     val planeH = comps.map(c => mcusY * 8 * c.vSamp)
     val planes = comps.indices.map(i => new Array[Int](planeW(i) * planeH(i))).toArray
 
-    val br = new BitReader(bytes, scanStart)
-    val dcPred = new Array[Int](comps.length)
+    // reconstruction: dequantize the raw store + IDCT (float,
+    // floor(x+0.5) rounding, clamp) into the planes — identical
+    // arithmetic for baseline and progressive
     val coefs = new Array[Int](64)
-    val pix = new Array[Double](64)
-
-    def decodeBlock(ci: Int, dcId: Int, acId: Int, bx: Int, by: Int): Unit = {
-      java.util.Arrays.fill(coefs, 0)
+    for (ci <- comps.indices) {
       val q = qTables(comps(ci).qId)
-      val t = dcTables(dcId).decode(br)
-      dcPred(ci) += br.receiveExtend(t)
-      coefs(0) = dcPred(ci) * q(0)
-      var k = 1
-      while (k < 64) {
-        val rs = acTables(acId).decode(br)
-        val r = rs >> 4
-        val s = rs & 0x0f
-        if (s == 0) {
-          if (r == 15) k += 16 // ZRL
-          else k = 64 // EOB
-        } else {
-          k += r
-          require(k < 64, "jpeg: AC index overflow")
-          coefs(Zigzag(k)) = br.receiveExtend(s) * q(Zigzag(k))
-          k += 1
-        }
-      }
-      // IDCT (float, floor(x+0.5) rounding, clamp) into the plane
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var s2 = 0.0
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              val c = coefs(v * 8 + u)
-              if (c != 0) {
-                val cu = if (u == 0) InvSqrt2 else 1.0
-                val cv = if (v == 0) InvSqrt2 else 1.0
-                s2 += cu * cv * c * CosTable(x * 8 + u) * CosTable(y * 8 + v)
+      var bi = 0
+      while (bi < store(ci).length) {
+        val raw = store(ci)(bi)
+        var i = 0
+        while (i < 64) { coefs(i) = raw(i) * q(i); i += 1 }
+        val bx = bi % blocksW(ci)
+        val by = bi / blocksW(ci)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s2 = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                val c = coefs(v * 8 + u)
+                if (c != 0) {
+                  val cu = if (u == 0) InvSqrt2 else 1.0
+                  val cv = if (v == 0) InvSqrt2 else 1.0
+                  s2 += cu * cv * c * CosTable(x * 8 + u) * CosTable(y * 8 + v)
+                }
+                v += 1
               }
-              v += 1
+              u += 1
             }
-            u += 1
+            val value = math.floor(0.25 * s2 + 128.0 + 0.5).toInt
+            val clamped = if (value < 0) 0 else if (value > 255) 255 else value
+            planes(ci)((by * 8 + y) * planeW(ci) + bx * 8 + x) = clamped
+            x += 1
           }
-          val value = math.floor(0.25 * s2 + 128.0 + 0.5).toInt
-          val clamped = if (value < 0) 0 else if (value > 255) 255 else value
-          planes(ci)((by * 8 + y) * planeW(ci) + bx * 8 + x) = clamped
-          x += 1
+          y += 1
         }
-        y += 1
+        bi += 1
       }
-    }
-
-    var mcuCount = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcuCount > 0 && mcuCount % restartInterval == 0) {
-          br.resync()
-          java.util.Arrays.fill(dcPred, 0)
-        }
-        scanComps.foreach { case (ci, dcId, acId) =>
-          val c = comps(ci)
-          var v = 0
-          while (v < c.vSamp) {
-            var hh = 0
-            while (hh < c.hSamp) {
-              decodeBlock(ci, dcId, acId, mx * c.hSamp + hh, my * c.vSamp + v)
-              hh += 1
-            }
-            v += 1
-          }
-        }
-        mcuCount += 1
-        mx += 1
-      }
-      my += 1
     }
 
     // upsample + color-convert, cropped to the declared dimensions.

@@ -141,15 +141,90 @@ class JpegSpec extends AnyFunSuite {
     assert(px.length == 3, s"expected one constant color, got $px")
   }
 
-  test("decoder rejects progressive and truncated input loudly") {
+  test("decoder rejects malformed progressive (baseline-shaped scan) and truncated input loudly") {
     val (y, cb, cr) = plant(16, 16, 3L)
     val bytes = Jpeg.encode420(16, 16, y, cb, cr)
-    // flip SOF0 -> SOF2
+    // flip SOF0 -> SOF2: the baseline Ss=0..Se=63 interleaved scan is
+    // ILLEGAL under a progressive frame (G.1: DC scans have Se=0, AC
+    // scans are single-component) — supported progressive must still
+    // reject this corruption
     val prog = bytes.clone()
     val sof = prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
     prog(sof + 1) = 0xc2.toByte
     assertThrows[IllegalArgumentException](Jpeg.decode(prog))
     assertThrows[IllegalArgumentException](Jpeg.decode(bytes.take(20)))
     assertThrows[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3)))
+  }
+
+  // ---------------------------------------------------- progressive
+
+  /** Deterministic full-energy pixel plant (every AC path exercised:
+    * runs, ZRLs, EOB runs, refinement corrections and newly
+    * significant coefs at every successive-approximation level).
+    */
+  private def noisyPlant(w: Int, h: Int, seed: Long):
+      (Array[Int], Array[Int], Array[Int]) = {
+    def v(a: Long, b: Long, c: Long): Int =
+      (((a * 1103515245L + b * 12345L + c * 2654435761L + seed) >>> 7) % 256).toInt
+    val y = Array.tabulate(w * h)(i => v(1, i / w, i % w))
+    val cb = Array.tabulate(w / 2 * (h / 2))(i => v(2, i / (w / 2), i % (w / 2)))
+    val cr = Array.tabulate(w / 2 * (h / 2))(i => v(3, i / (w / 2), i % (w / 2)))
+    (y, cb, cr)
+  }
+
+  test("progressive == baseline decode, bit-for-bit, on full-energy images") {
+    // progressive reorders the ENTROPY CODING of the same quantized
+    // coefficients, so the decoded RGB must match the baseline decode
+    // exactly — one gate pinning the whole 10-scan script (DC first +
+    // refine, AC spectral bands, AC successive approximation) against
+    // the independently-tested baseline path
+    for (seed <- 1L to 5L) {
+      val (y, cb, cr) = noisyPlant(48, 32, seed)
+      val base = Jpeg.decode(Jpeg.encode420(48, 32, y, cb, cr))
+      val prog = Jpeg.decode(Jpeg.encodeProgressive420(48, 32, y, cb, cr))
+      assert(prog.width == base.width && prog.height == base.height)
+      for (r <- base.rows.indices)
+        assert(java.util.Arrays.equals(prog.rows(r), base.rows(r)),
+          s"seed $seed row $r differs between progressive and baseline")
+    }
+  }
+
+  test("progressive container: SOF2, ten scans, per-scan optimized DHTs") {
+    val (y, cb, cr) = noisyPlant(16, 16, 9L)
+    val bytes = Jpeg.encodeProgressive420(16, 16, y, cb, cr)
+    def countMarker(m: Int): Int =
+      bytes.sliding(2).count(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(countMarker(0xc2) == 1, "one SOF2")
+    assert(countMarker(0xc0) == 0, "no SOF0")
+    assert(countMarker(0xda) == 10, "libjpeg standard 10-scan script")
+    // 9 Huffman-coded scans (DC refine is raw bits): scan 1 ships two
+    // tables, scans 2-6 and 8-10 one each — 10 DHT segments
+    assert(countMarker(0xc4) == 10, "per-scan optimized tables")
+  }
+
+  test("block-constant plants round-trip pixel-exact through the progressive pipeline") {
+    // the q_jpeg_progressive closed-form-oracle property: DC-only
+    // spectra survive the successive-approximation DC scans exactly
+    for (seed <- Seq(1L, 7L, 12L)) {
+      val (y, cb, cr) = plant(48, 32, seed)
+      val dec = Jpeg.decode(Jpeg.encodeProgressive420(48, 32, y, cb, cr))
+      val want = expectedRgb(48, 32, seed)
+      for (yy <- 0 until 32; xx <- 0 until 48) {
+        val row = dec.rows(yy)
+        val exp = want(yy * 48 + xx)
+        assert((row(xx * 3) & 0xff) == exp(0) &&
+          (row(xx * 3 + 1) & 0xff) == exp(1) &&
+          (row(xx * 3 + 2) & 0xff) == exp(2),
+          s"seed $seed pixel ($xx,$yy)")
+      }
+    }
+  }
+
+  test("detectFormat routes real progressive payloads separately from baseline") {
+    val (y, cb, cr) = noisyPlant(16, 16, 4L)
+    assert(graft.ops.Multimodal.detectFormat(
+      Jpeg.encodeProgressive420(16, 16, y, cb, cr)) == "image/jpeg;progressive")
+    assert(graft.ops.Multimodal.detectFormat(
+      Jpeg.encode420(16, 16, y, cb, cr)) == "image/jpeg")
   }
 }

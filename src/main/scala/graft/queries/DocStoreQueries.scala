@@ -268,6 +268,41 @@ object DocStoreQueries {
     }
   )
 
+  private val docstoreZorder = QueryDef(
+    "q_docstore_zorder",
+    "Execute OPTIMIZE ZORDER BY (doc_id, n_chars) on the docstore " +
+      "DSv2 source: the documents table lands hash-scattered (16 " +
+      "files, no dimension clustered), then DocStoreOps.zorder " +
+      "rewrites the WHOLE table range-partitioned + sorted on the " +
+      "Morton interleave of the two min/max-quantized dimensions in " +
+      "ONE atomic full-manifest replacement — q_zorder computes the " +
+      "clustering readout, this executes it against the store. The " +
+      "query reads the clustered table back through a 2-D range " +
+      "predicate (doc_id < 2000 AND n_chars in [100, 300]), so any " +
+      "row lost, duplicated or mangled by the rewrite fails the " +
+      "source-parquet hash; the block-skip improvement (the point of " +
+      "the layout) and mid-rewrite reader isolation are spec-pinned " +
+      "in DocStoreSpec — they are not SQL-observable.",
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+           |WHERE doc_id < 2000 AND n_chars >= 100 AND n_chars <= 300
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_zorder/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(16, col("doc_id"))
+        .write.format("docstore").mode("overwrite").save(outDir)
+      graft.sources.DocStoreOps.zorder(s, outDir, "doc_id", "n_chars", 16)
+      s.read.format("docstore").load(outDir)
+        .filter(col("doc_id") < 2000L && col("n_chars") >= 100L &&
+          col("n_chars") <= 300L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot,
-    docstoreMerge, docstoreCompact, docstoreCdf)
+    docstoreMerge, docstoreCompact, docstoreCdf, docstoreZorder)
 }

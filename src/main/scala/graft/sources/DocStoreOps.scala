@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -114,6 +114,47 @@ object DocStoreOps {
       .select(tableCols.map(col).toSeq: _*)
       .write.format("docstore").mode("append")
       .option("replaceFiles", affected.mkString(","))
+      .save(dir)
+  }
+
+  /** OPTIMIZE ZORDER BY (colX, colY): rewrite the WHOLE table clustered
+    * by the Morton interleave of the two min/max-quantized long
+    * columns, committed as one atomic full-manifest replacement. After
+    * the rewrite, each data file (and each 512-row block inside it)
+    * covers a tight rectangle in BOTH dimensions, so the reader's
+    * block-stat skipping prunes 2-D range predicates — a 1-D sort
+    * gives tight ranges on one column and useless ones on the other
+    * (q_zorder states the same property as a readout; this executes
+    * it against the store). Driver work: one 1-row bounds collect;
+    * the rewrite is one distributed range-partitioned sort — the
+    * weekly clustering job at 100 TB, with readers pinned on the old
+    * snapshot isolated throughout (the replaceFiles contract).
+    */
+  def zorder(spark: SparkSession, dir: String, colX: String, colY: String,
+      files: Int): Unit = {
+    val v = DocStore.latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"docstore: no snapshot under $dir"))
+    val all = DocStore.readManifest(dir, v)
+      .map { case (f, _) => new Path(f).getName }
+    val df = spark.read.format("docstore").load(dir)
+    val cols = df.columns
+    val b = df.agg(min(col(colX)).as("x0"), max(col(colX)).as("x1"),
+      min(col(colY)).as("y0"), max(col(colY)).as("y1")).collect()(0)
+    def q(c: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else least(lit(255L), floor((col(c).cast("double") - lit(lo.toDouble)) *
+        lit(256.0) / lit((hi - lo).toDouble)).cast("long"))
+    def spread(c: String, off: Int): String =
+      (0 until 8).map(i => s"((($c >> $i) & 1) * ${1L << (2 * i + off)})")
+        .mkString(" + ")
+    df.withColumn("__xq", q(colX, b.getLong(0), b.getLong(1)))
+      .withColumn("__yq", q(colY, b.getLong(2), b.getLong(3)))
+      .withColumn("__zkey", expr(s"${spread("__xq", 0)} + ${spread("__yq", 1)}"))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .select(cols.map(col).toSeq: _*)
+      .write.format("docstore").mode("append")
+      .option("replaceFiles", all.mkString(","))
       .save(dir)
   }
 

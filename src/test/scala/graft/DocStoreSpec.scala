@@ -320,4 +320,41 @@ class DocStoreSpec extends AnyFunSuite {
     // self-diff is empty
     assert(sources.DocStoreOps.changeFeed(spark, dir, v3, v3, "k").count() === 0)
   }
+
+  test("zorder: OPTIMIZE ZORDER improves 2-D block skipping; rows " +
+    "preserved; pinned reader mid-rewrite isolated") {
+    val dir = tmpDir("gds_zorder")
+    // two independent dimensions, hash-scattered across 8 files: every
+    // file (and block) spans nearly the full range of BOTH dims, so a
+    // selective 2-D predicate can skip almost nothing
+    spark.range(16384).select(col("id").as("k"),
+        ((col("id") * 2654435761L) % 16384L).as("j"))
+      .repartition(8, col("id"))
+      .write.format("docstore").mode("overwrite").save(dir)
+    val v1 = DocStore.latestVersion(dir).get
+    val pinned = spark.read.format("docstore")
+      .option("snapshotVersion", v1.toString).load(dir)
+    def probe(): (Long, Long, Seq[(Long, Long)]) = {
+      DocStore.blocksRead.reset()
+      DocStore.blocksSkipped.reset()
+      val rows = spark.read.format("docstore").load(dir)
+        .filter(col("k") >= 1000L && col("k") < 3000L &&
+          col("j") >= 1000L && col("j") < 3000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      (DocStore.blocksRead.sum(), DocStore.blocksSkipped.sum(), rows)
+    }
+    val (readBefore, skipBefore, rowsBefore) = probe()
+    sources.DocStoreOps.zorder(spark, dir, "k", "j", 8)
+    val (readAfter, skipAfter, rowsAfter) = probe()
+    assert(rowsAfter.sorted === rowsBefore.sorted, "row set preserved")
+    assert(rowsBefore.nonEmpty, "probe must not be vacuous")
+    assert(skipAfter > skipBefore && readAfter < readBefore,
+      s"z-order must prune the 2-D probe: read $readBefore->$readAfter, " +
+        s"skipped $skipBefore->$skipAfter")
+    // full-table read-back intact (multiset by key)
+    assert(spark.read.format("docstore").load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq === (0L until 16384L))
+    // the pinned pre-rewrite reader still sees its scattered snapshot
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq === (0L until 16384L))
+  }
 }

@@ -303,6 +303,56 @@ object DocStoreQueries {
     }
   )
 
+  private val docstoreStream = QueryDef(
+    "q_docstore_stream",
+    "Streaming read of the docstore commit log (the Delta streaming-" +
+      "source shape): the documents table lands in THREE append " +
+      "commits (doc_id mod 3 slices), a readStream tail drains them " +
+      "AvailableNow through foreachBatch into a parquet landing zone " +
+      "(the stream-to-table shape — no driver-sized collect), and the " +
+      "landed rows roll up per lang. The manifest version IS the " +
+      "offset; each micro-batch plans exactly the files ADDED between " +
+      "two versions, so the drained union must equal the full table — " +
+      "which the source-parquet oracle recomputes. Restart-from-" +
+      "checkpoint, non-append rejection and ignoreChanges re-emission " +
+      "are DocStoreStreamSpec's (not SQL-observable).",
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    (s, d) => {
+      val sfTag = new java.io.File(d).getName
+      val outDir = s"/root/repo/target/docstore_stream/$sfTag"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val tableDir = s"$outDir/table"
+      val stage = s"$outDir/landed"
+      val ckpt = s"$outDir/ckpt"
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 3 === 0)
+        .write.format("docstore").mode("overwrite").save(tableDir)
+      docs.filter(col("doc_id") % 3 === 1)
+        .write.format("docstore").mode("append").save(tableDir)
+      docs.filter(col("doc_id") % 3 === 2)
+        .write.format("docstore").mode("append").save(tableDir)
+      val q = s.readStream.format("docstore").load(tableDir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(stage)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(stage)
+        .groupBy(col("lang"))
+        .agg(lng(count(lit(1))).as("n_docs"), lng(sum("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot,
-    docstoreMerge, docstoreCompact, docstoreCdf, docstoreZorder)
+    docstoreMerge, docstoreCompact, docstoreCdf, docstoreZorder,
+    docstoreStream)
 }

@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -369,13 +370,15 @@ class DocStoreTable(dir: String, tableSchema: StructType)
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(dir, tableSchema,
       Option(options.get("snapshotVersion")).map(_.toLong),
       Option(options.get("files"))
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet),
+      options.getBoolean("ignoreChanges", false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DocStoreWriteBuilder(dir, info.schema(),
@@ -386,7 +389,8 @@ class DocStoreTable(dir: String, tableSchema: StructType)
 
 class DocStoreScanBuilder(dir: String, fullSchema: StructType,
     snapshotVersion: Option[Long],
-    fileSubset: Option[Set[String]])
+    fileSubset: Option[Set[String]],
+    ignoreChanges: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -423,7 +427,7 @@ class DocStoreScanBuilder(dir: String, fullSchema: StructType,
       }
       case None => snap
     }
-    new DocStoreScan(dir, fullSchema, required, pushed, planned)
+    new DocStoreScan(dir, fullSchema, required, pushed, planned, ignoreChanges)
   }
 }
 
@@ -439,11 +443,16 @@ class DocStoreScan(
     fullSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    files: Seq[(String, Long)])
+    files: Seq[(String, Long)],
+    ignoreChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocStoreMicroBatchStream(dir, fullSchema, required, pushed,
+      ignoreChanges)
 
   override def description(): String =
     s"docstore $dir, PushedFilters: [${pushed.mkString(", ")}], " +
@@ -466,6 +475,73 @@ class DocStoreScan(
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
+}
+
+/** Stream offset = manifest version: the commit log IS the stream. */
+case class DocStoreOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** Streaming read of the docstore commit log (the Delta streaming-
+  * source shape): each micro-batch plans exactly the data files ADDED
+  * between two manifest versions, so appends flow through with no
+  * rescans — the offset is the manifest version itself, and restart
+  * resumes from the checkpointed version. Non-append commits (merge /
+  * delete / compact / zorder rewrites retire files) fail loudly unless
+  * `ignoreChanges=true`, in which case the REWRITTEN files' rows
+  * re-emit (exactly Delta's documented ignoreChanges semantics —
+  * downstream must dedup by key).
+  *
+  * Scale: per trigger the driver reads two manifests (file-count-sized)
+  * and diffs names; data work is one task per new file. Vacuumed
+  * starting versions fail loudly on restart, the standard retention
+  * trade.
+  */
+class DocStoreMicroBatchStream(
+    dir: String,
+    fullSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    ignoreChanges: Boolean)
+    extends MicroBatchStream {
+
+  private def filesOf(v: Long): Seq[(String, Long)] =
+    if (v <= 0) Nil else DocStore.readManifest(dir, v)
+
+  override def initialOffset(): Offset = DocStoreOffset(0L)
+
+  override def latestOffset(): Offset =
+    DocStoreOffset(DocStore.latestVersion(dir).getOrElse(0L))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val v0 = start.asInstanceOf[DocStoreOffset].v
+    val v1 = end.asInstanceOf[DocStoreOffset].v
+    if (v1 <= v0) return Array.empty
+    val beforeNames = filesOf(v0).map { case (f, _) =>
+      new Path(f).getName
+    }.toSet
+    val after = filesOf(v1)
+    val removed = beforeNames --
+      after.map { case (f, _) => new Path(f).getName }.toSet
+    require(removed.isEmpty || ignoreChanges,
+      s"docstore streaming: non-append commit between versions $v0 and " +
+        s"$v1 (${removed.size} file(s) retired by a rewrite); pass " +
+        "ignoreChanges=true to stream the added files anyway " +
+        "(rewritten rows re-emit; downstream must dedup by key)")
+    after.filter { case (f, _) => !beforeNames.contains(new Path(f).getName) }
+      .map { case (f, len) => DocStoreInputPartition(f, len) }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocStoreReaderFactory(fullSchema.json, required.json, pushed)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def deserializeOffset(json: String): Offset =
+    DocStoreOffset(json.toLong)
+
+  override def stop(): Unit = ()
 }
 
 class DocStoreReaderFactory(

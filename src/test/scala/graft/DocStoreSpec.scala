@@ -321,6 +321,34 @@ class DocStoreSpec extends AnyFunSuite {
     assert(sources.DocStoreOps.changeFeed(spark, dir, v3, v3, "k").count() === 0)
   }
 
+  test("changeFeed apply-identity: feed(v1->v3) applied to the pinned " +
+    "v1 snapshot reproduces v3 exactly") {
+    val dir = tmpDir("gds_cdf_apply")
+    spark.range(500).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val v1 = DocStore.latestVersion(dir).get
+    sources.DocStoreOps.merge(spark, dir,
+      Seq((7L, -7L), (100L, -100L), (9000L, 9L)).toDF("k", "v"), "k")
+    sources.DocStoreOps.delete(spark, dir, Seq(7L, 250L).toDF("k"), "k")
+    val v3 = DocStore.latestVersion(dir).get
+    val feed = sources.DocStoreOps.changeFeed(spark, dir, v1, v3, "k")
+    // the downstream-sync contract: base minus (deletes + update keys)
+    // plus (inserts + post-images) == the target snapshot
+    val base = spark.read.format("docstore")
+      .option("snapshotVersion", v1.toString).load(dir)
+    val removeKeys = feed.filter(col("change_type")
+        .isin("delete", "update_preimage")).select("k")
+    val addRows = feed.filter(col("change_type")
+        .isin("insert", "update_postimage")).select("k", "v")
+    val applied = base.join(removeKeys, Seq("k"), "left_anti")
+      .unionByName(addRows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val target = spark.read.format("docstore").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(applied === target, "apply(feed, v1) must equal v3")
+  }
+
   test("zorder: OPTIMIZE ZORDER improves 2-D block skipping; rows " +
     "preserved; pinned reader mid-rewrite isolated") {
     val dir = tmpDir("gds_zorder")

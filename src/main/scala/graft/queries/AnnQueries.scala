@@ -1686,6 +1686,57 @@ object AnnQueries {
     }
   )
 
+  /** Persisted HIERARCHICAL graph-index lifecycle — the layered twin
+    * of [[annHnswPersisted]], so every index family in the inventory
+    * (IVF, flat NSW, hierarchical HNSW) has the build-once/probe-many
+    * story: BOTH layer edge tables are written as parquet index files
+    * by a separate build job, and the probe is [[hnswLayeredSearch]]
+    * over fresh scans of those files — row-identical to
+    * q_ann_hnsw_layered (same oracle; HnswSpec also pins the parity
+    * directly). Unlike the flat probe there is no single lazy plan to
+    * gate (the frontier-only rounds localCheckpoint, executing
+    * eagerly), so the spec contract is row parity + the index files
+    * being the probe's only non-corpus inputs by construction.
+    *
+    * Scale: the layered build is per-layer shardable (each layer's
+    * 2-nearest-cluster kNN generation is independent), and upper
+    * layers shrink geometrically — at 100 TB the build amortizes over
+    * every probing query exactly as the flat persisted row argues.
+    */
+  private val annHnswLayeredPersisted = QueryDef(
+    "q_ann_hnsw_layered_persisted",
+    "Build-then-probe HIERARCHICAL graph-ANN lifecycle: both layer " +
+      "edge tables (base navigable graph + mod-8 upper layer) are " +
+      "written to parquet index files by a separate build job, and " +
+      "the log-style descent probe reads them back with fresh scans " +
+      "(no build stages) — row-identical to q_ann_hnsw_layered.",
+    annHnswLayered.oracle,
+    (s, d) => {
+      val e = embeddings(s, d)
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val sfTag = new java.io.File(d).getName.replace('.', '_')
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val l0Path = s"$wh/graft_hnswl_l0_$sfTag"
+      val l1Path = s"$wh/graft_hnswl_l1_$sfTag"
+      // BUILD: two independent jobs, one per layer graph
+      hnswNavEdges(corpus).write.mode("overwrite").parquet(l0Path)
+      hnswNavEdges(corpus.filter(col("vec_id") % HnswL1Mod === 0),
+        HnswNavMUpper).write.mode("overwrite").parquet(l1Path)
+      // PROBE: corpus scan + the two persisted layer-edge scans. The
+      // index scans are cached for the descent's rounds (the in-query
+      // twin persists its built edges the same way) — the search
+      // materializes its output before returning, so the unpersist is
+      // safe
+      val l0 = s.read.parquet(l0Path).persist()
+      val l1 = s.read.parquet(l1Path).persist()
+      val res = hnswLayeredSearch(e, l0, l1)
+      l0.unpersist()
+      l1.unpersist()
+      res
+    }
+  )
+
   // ------------------------------------------------------- ANN deletes
 
   /** Deterministic tombstone slice: past the probes (< 5) and hub
@@ -1878,6 +1929,6 @@ object AnnQueries {
 
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
     lshRecall, annFiltered, annPq, pqRecall, annIvfPq, annHnsw,
-    annHnswPersisted, annHnswDelta, annHnswLayered, annPersisted,
-    annIvfRefresh, annDelete, mmrRerank)
+    annHnswPersisted, annHnswDelta, annHnswLayered, annHnswLayeredPersisted,
+    annPersisted, annIvfRefresh, annDelete, mmrRerank)
 }

@@ -98,4 +98,23 @@ class HnswSpec extends AnyFunSuite {
     assert(layRec / layered.length >= 0.9,
       s"layered mean recall ${layRec / layered.length} below floor")
   }
+
+  test("persisted layered probe matches the intra-query layered twin row-for-row") {
+    // build-once/probe-many for the hierarchy: both layer edge tables
+    // come back from parquet index files, and the descent over fresh
+    // scans must reproduce the in-query build exactly
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val persisted =
+      SparkEntry.queries("q_ann_hnsw_layered_persisted")(spark, sf).collect()
+    val twin = SparkEntry.queries("q_ann_hnsw_layered")(spark, sf).collect()
+    assert(persisted.nonEmpty)
+    assert(canon(persisted) == canon(twin))
+    // the index files exist as independent artifacts a later session
+    // (or another cluster) can probe without rebuilding
+    val sfTag = new java.io.File(sf).getName.replace('.', '_')
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    for (p <- Seq(s"$wh/graft_hnswl_l0_$sfTag", s"$wh/graft_hnswl_l1_$sfTag"))
+      assert(spark.read.parquet(p).count() > 0, s"missing index table $p")
+  }
 }

@@ -352,7 +352,56 @@ object DocStoreQueries {
     }
   )
 
+  private val docstoreEvolve = QueryDef(
+    "q_docstore_evolve",
+    "Schema evolution on the docstore DSv2 source itself — the " +
+      "parquet-mergeSchema twin (q_schema_evolution) brought to the " +
+      "store: generation 1 (even doc_ids) lands as (doc_id, lang), " +
+      "generation 2 (odd doc_ids) APPENDS as (doc_id, n_chars, " +
+      "source) without rewriting generation 1; every .gds file is " +
+      "self-describing, the table schema is the by-name union of the " +
+      "live files' schemas (absent-anywhere columns forced nullable " +
+      "so Catalyst cannot constant-fold IS NULL on them), and old " +
+      "files read added columns as null. Output pins the merge " +
+      "contract per generation: counts, which columns are null in " +
+      "which generation, surviving exact sums. Block stats still " +
+      "prune on added columns inside the generation that carries " +
+      "them; filters on a column a file lacks reject or pass the " +
+      "whole file through one null evaluation (spec-pinned).",
+    Some("""WITH g1 AS (SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+           |            FROM documents WHERE doc_id % 2 = 0),
+           |g2 AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars
+           |       FROM documents WHERE doc_id % 2 = 1)
+           |SELECT doc_id % 2 AS gen, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+           |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nchars_nulls,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_docid
+           |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+           |GROUP BY 1 ORDER BY gen""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_evolve/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.format("docstore").mode("overwrite").save(outDir)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .write.format("docstore").mode("append").save(outDir)
+      s.read.format("docstore").load(outDir)
+        .groupBy((col("doc_id") % 2).as("gen"))
+        .agg(lng(count(lit(1))).as("n"),
+          lng(sum(when(col("lang").isNull, 1L).otherwise(0L))).as("lang_nulls"),
+          lng(sum(when(col("n_chars").isNull, 1L).otherwise(0L))).as("nchars_nulls"),
+          lng(sum(col("n_chars"))).as("sum_nchars"),
+          lng(sum(col("doc_id"))).as("sum_docid"))
+        .orderBy("gen")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot,
     docstoreMerge, docstoreCompact, docstoreCdf, docstoreZorder,
-    docstoreStream)
+    docstoreStream, docstoreEvolve)
 }

@@ -282,7 +282,10 @@ object DocStore {
       in.readFully(bytes)
       val schema = StructType.fromDDL(new String(bytes, "UTF-8"))
       val ci = schema.fieldNames.indexOf(column)
-      require(ci >= 0, s"docstore: no column $column in $file")
+      // a file written before the column existed (schema evolution)
+      // carries no stats for it — unprunable, callers treat it as
+      // conservatively affected
+      if (ci < 0) return None
       var mn: Any = null
       var mx: Any = null
       var done = false
@@ -344,10 +347,38 @@ class DocStoreDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = DocStore.listDataFiles(path(options))
+    // the table schema is the BY-NAME UNION of the live files' schemas
+    // (schema evolution: appending files with added columns widens the
+    // table; older files read the new columns as null). Same-name
+    // columns must agree on type. Driver cost is one header read per
+    // live file — a production variant would persist the merged schema
+    // in the manifest the way Delta logs it.
+    val dir = path(options)
+    val files = DocStore.snapshotFiles(dir, None)
     require(files.nonEmpty,
-      s"docstore: no .gds files under ${path(options)} and no schema given")
-    DocStore.readFileSchema(files.head._1)
+      s"docstore: no .gds files under $dir and no schema given")
+    val schemas = files.map(f => DocStore.readFileSchema(f._1))
+    val merged = schemas.reduceLeft { (acc, s) =>
+      s.fields.foldLeft(acc) { (a, f) =>
+        a.fields.find(_.name == f.name) match {
+          case Some(ex) =>
+            require(ex.dataType == f.dataType,
+              s"docstore: column ${f.name} has conflicting types " +
+                s"${ex.dataType} vs ${f.dataType} across files")
+            a
+          case None => a.add(f)
+        }
+      }
+    }
+    // a column absent from ANY live file reads as null there, so the
+    // merged field must be nullable even if every carrying file wrote
+    // it non-null — otherwise Catalyst constant-folds `IS NULL` on it
+    StructType(merged.fields.map { f =>
+      val everywhere = schemas.forall(_.fieldNames.contains(f.name))
+      val anyNullable = schemas.exists(_.fields.exists(x =>
+        x.name == f.name && x.nullable))
+      f.copy(nullable = !everywhere || anyNullable)
+    })
   }
 
   override def getTable(
@@ -571,23 +602,46 @@ class DocStorePartitionReader(
     val p = new Path(file)
     new DataInputStream(p.getFileSystem(new Configuration()).open(p))
   }
-  // header: magic + embedded schema (trusted to match table schema —
-  // written by this source; a mixed-schema dir fails decode loudly)
-  locally {
+  // header: magic + THIS FILE's embedded schema. Each file is
+  // self-describing, so the wire layout follows the file schema and
+  // table columns map by NAME — a table column absent from an older
+  // file reads as all-null (schema evolution: add a column without
+  // rewriting history). A same-name column must keep its type.
+  private val fileSchema: StructType = {
     require(in.readInt() == DocStore.Magic, s"not a GDS file: $file")
-    in.skipBytes(in.readInt())
+    val len = in.readInt()
+    val bytes = new Array[Byte](len)
+    in.readFully(bytes)
+    StructType.fromDDL(new String(bytes, "UTF-8"))
+  }
+  locally {
+    fileSchema.fields.foreach { f =>
+      fullSchema.fields.find(_.name == f.name).foreach { tf =>
+        require(tf.dataType == f.dataType,
+          s"docstore: column ${f.name} is ${f.dataType} in $file but " +
+            s"${tf.dataType} in the table schema")
+      }
+    }
   }
 
-  private val nCols = fullSchema.length
+  private val nCols = fileSchema.length
   private val fieldIdx: Map[String, Int] =
-    fullSchema.fieldNames.zipWithIndex.toMap
-  // columns that must be decoded: projected ∪ filtered
+    fileSchema.fieldNames.zipWithIndex.toMap
+  // columns that must be decoded: (projected ∪ filtered) ∩ present
   private val neededIdx: Set[Int] =
-    (required.fieldNames.map(fieldIdx) ++
-      pushed.flatMap(DocStore.filterColumn).map(fieldIdx)).toSet
-  private val requiredIdx: Array[Int] = required.fieldNames.map(fieldIdx)
-  private val filtersByCol: Map[Int, Array[Filter]] =
-    pushed.groupBy(f => fieldIdx(DocStore.filterColumn(f).get))
+    (required.fieldNames.flatMap(fieldIdx.get) ++
+      pushed.flatMap(DocStore.filterColumn).flatMap(fieldIdx.get)).toSet
+  // per required output column: its file index, or -1 (absent → null)
+  private val requiredIdx: Array[Int] =
+    required.fieldNames.map(n => fieldIdx.getOrElse(n, -1))
+  private val filtersByCol: Map[Int, Array[Filter]] = pushed
+    .filter(f => DocStore.filterColumn(f).exists(fieldIdx.contains))
+    .groupBy(f => fieldIdx(DocStore.filterColumn(f).get))
+  // filters on columns this file does not carry evaluate against null
+  // ONCE: if any fails, the whole file emits nothing
+  private val absentColumnsPass: Boolean = pushed
+    .filter(f => DocStore.filterColumn(f).exists(c => !fieldIdx.contains(c)))
+    .forall(f => DocStore.rowMatches(f, null))
 
   private var block: Array[Array[Any]] = _ // decoded needed columns
   private var blockRows = 0
@@ -648,7 +702,7 @@ class DocStorePartitionReader(
     in.readFully(bitmap)
     def isNull(r: Int): Boolean = (bitmap(r >> 3) & (1 << (r & 7))) != 0
     val out = new Array[Any](rows)
-    val dt = fullSchema.fields(ci).dataType
+    val dt = fileSchema.fields(ci).dataType
     var r = 0
     while (r < rows) {
       if (!isNull(r)) {
@@ -668,6 +722,7 @@ class DocStorePartitionReader(
   }
 
   override def next(): Boolean = {
+    if (!absentColumnsPass) return false // a null-column filter rejects all
     while (true) {
       if (block == null || rowInBlock >= blockRows) {
         if (!loadBlock()) return false
@@ -682,7 +737,7 @@ class DocStorePartitionReader(
           val vals = new Array[Any](requiredIdx.length)
           var i = 0
           while (i < vals.length) {
-            val v = block(requiredIdx(i))(r)
+            val v = if (requiredIdx(i) < 0) null else block(requiredIdx(i))(r)
             vals(i) = v match {
               case s: String => UTF8String.fromString(s)
               case other => other

@@ -349,6 +349,39 @@ class DocStoreSpec extends AnyFunSuite {
     assert(applied === target, "apply(feed, v1) must equal v3")
   }
 
+  test("schema evolution: appended files with an added column widen the " +
+    "table; old files read the column as null; stats prune on it still") {
+    val dir = tmpDir("gds_evolve")
+    // generation 1: (k, v)
+    spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    // generation 2: (k, v, w) — the added column, appended WITHOUT
+    // rewriting generation 1
+    spark.range(1000, 2000).select(col("id").as("k"), (col("id") * 2).as("v"),
+        (col("id") * 7).as("w"))
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("docstore").mode("append").save(dir)
+    val df = spark.read.format("docstore").load(dir)
+    assert(df.columns.toSeq === Seq("k", "v", "w"), "merged table schema")
+    // old rows: w null exactly; new rows: w populated
+    assert(df.filter(col("w").isNull).count() === 1000)
+    assert(df.filter(col("k") < 1000L && col("w").isNotNull).count() === 0)
+    val got = df.filter(col("k") === 1500L).collect()
+    assert(got.length === 1 && got(0).getLong(2) === 10500L)
+    // a comparison filter on the NEW column: generation-1 blocks carry
+    // no w chunk at all — the whole old file rejects via the
+    // null-column fast path, and block stats prune inside gen 2
+    DocStore.blocksRead.reset()
+    DocStore.blocksSkipped.reset()
+    val hit = df.filter(col("w") >= 13000L).collect()
+    assert(hit.length === 142 && hit.map(_.getLong(0)).min === 1858L)
+    assert(DocStore.blocksSkipped.sum() > 0,
+      "stats must prune gen-2 blocks below the w threshold")
+    // IsNull on the new column selects exactly generation 1
+    assert(df.filter(col("w").isNull).agg(max("k")).collect()(0).getLong(0) === 999L)
+  }
+
   test("zorder: OPTIMIZE ZORDER improves 2-D block skipping; rows " +
     "preserved; pinned reader mid-rewrite isolated") {
     val dir = tmpDir("gds_zorder")

@@ -1093,6 +1093,136 @@ object GraphQueries {
     }
   )
 
+  /** One SYNCHRONOUS Louvain local-move round: every node evaluates,
+    * against the SAME incoming community assignment, the exact
+    * modularity gain of joining each neighbor community (or staying),
+    * and the argmax wins. The gain of moving node i into community C
+    * is ΔQ = k_in(i,C\i)/m − k_i·Σtot(C\i)/(2m²); scaling by the
+    * positive constant 2m² gives the INTEGER score
+    * 2m·k_in − k_i·Σtot' — so move selection is exact BIGINT
+    * arithmetic, bit-identical across engines, partitionings and
+    * retries (the microrank discipline applied to community
+    * detection). Σtot' subtracts k_i when C is i's own community
+    * (i must not count against itself); the stay candidate is always
+    * present via a zero-weight union. Tiebreak: (score DESC, c ASC).
+    *
+    * Shape per round: one edge⋈community join + a (node, community)
+    * count (map-side combined), a community-sized degree rollup, and
+    * a per-node argmax window — everything key-partitioned, nothing
+    * quadratic; m broadcasts as one row.
+    */
+  private def louvainRound(e2: DataFrame, deg: DataFrame, m: DataFrame,
+      comm: DataFrame): DataFrame = {
+    // comm/deg are NODE-sized and tot is COMMUNITY-sized — all orders
+    // of magnitude below the edge list, so they ride broadcasts and
+    // the edge-sized stream is never shuffled for a join: the only
+    // exchanges per round are the two map-side-combined aggregations
+    // (the q_pagerank broadcast-regime argument; at a node count where
+    // these outgrow broadcast, drop the hints and the joins degrade to
+    // the co-partitioned regime with the same arithmetic)
+    val wic = e2.join(broadcast(comm.select(col("i").as("dst"), col("c"))), "dst")
+      .groupBy(col("src").as("i"), col("c"))
+      .agg(lng(count(lit(1))).as("w"))
+    val tot = comm.join(broadcast(deg), "i")
+      .groupBy("c").agg(lng(sum(col("k"))).as("tot"))
+    // stay candidate as a zero-weight row; if i also has intra-
+    // community edges the (i, c_self) pair appears TWICE (w > 0 and
+    // w = 0) — harmless, the struct max keeps the higher-score copy,
+    // so no dedup shuffle is spent on it
+    val cands = wic
+      .unionByName(comm.select(col("i"), col("c"), lit(0L).as("w")))
+    val selfC = comm.select(col("i"), col("c").as("c_self"))
+    cands
+      .join(broadcast(deg), "i")
+      .join(broadcast(selfC), "i")
+      .join(broadcast(tot), "c")
+      .crossJoin(broadcast(m))
+      .withColumn("score", lit(2L) * col("m") * col("w") -
+        col("k") * (col("tot") -
+          when(col("c") === col("c_self"), col("k")).otherwise(lit(0L))))
+      // argmax by (score DESC, c ASC) as a MAP-SIDE-COMBINABLE struct
+      // max (lexicographic; -c flips the tiebreak) — each task reduces
+      // its candidates to one row per node before the exchange, where
+      // a row_number window would sort whole partitions
+      .groupBy("i")
+      .agg(max(struct(col("score"), (-col("c")).as("negc"))).as("b"))
+      .select(col("i"), (-col("b.negc")).as("c"))
+  }
+
+  /** The round template as a DuckDB CTE block, parameterized by the
+    * incoming community CTE name — spliced twice so the two engines'
+    * rounds cannot drift.
+    */
+  private def louvainRoundDuck(n: Int, inComm: String): String =
+    s"""w$n AS (SELECT e2.src AS i, cm.c AS c, CAST(count(*) AS BIGINT) AS w
+       |        FROM e2 JOIN $inComm cm ON cm.i = e2.dst GROUP BY 1, 2),
+       |t$n AS (SELECT cm.c AS c, CAST(sum(deg.k) AS BIGINT) AS tot
+       |        FROM $inComm cm JOIN deg ON deg.i = cm.i GROUP BY 1),
+       |cand$n AS (SELECT i, c, max(w) AS w FROM (
+       |  SELECT i, c, w FROM w$n
+       |  UNION ALL SELECT i, c, CAST(0 AS BIGINT) AS w FROM $inComm) GROUP BY 1, 2),
+       |sc$n AS (SELECT cand$n.i, cand$n.c,
+       |          2 * m.m * cand$n.w - deg.k *
+       |            (t$n.tot - CASE WHEN cand$n.c = cm.c THEN deg.k ELSE 0 END) AS score
+       |         FROM cand$n JOIN deg ON deg.i = cand$n.i
+       |         JOIN $inComm cm ON cm.i = cand$n.i
+       |         JOIN t$n ON t$n.c = cand$n.c CROSS JOIN m),
+       |c$n AS (SELECT i, c FROM (
+       |  SELECT i, c, row_number() OVER (PARTITION BY i ORDER BY score DESC, c) AS rn
+       |  FROM sc$n) WHERE rn = 1)""".stripMargin
+
+  private val louvain = QueryDef(
+    "q_louvain",
+    "Two synchronous Louvain local-move rounds from singleton " +
+      "communities over the customer-supplier trade graph (the " +
+      "bipartite graph q_pagerank ranks — sparse enough to carry " +
+      "real community structure, unlike the near-complete co-part " +
+      "graph): per node the exact integer modularity-gain score " +
+      "2m*k_in - k_i*Sigma_tot' decides the argmax move, stay " +
+      "candidate included, ties to the lowest community id; output " +
+      "per node its degree and the communities after rounds 1 and 2.",
+    Some(s"""WITH pairs AS (SELECT DISTINCT o_custkey AS s1, 100000 + l_suppkey AS s2
+            |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            |e2 AS (SELECT s1 AS src, s2 AS dst FROM pairs UNION ALL SELECT s2, s1 FROM pairs),
+            |deg AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS k FROM e2 GROUP BY 1),
+            |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+            |c0 AS (SELECT i, i AS c FROM deg),
+            |${louvainRoundDuck(1, "c0")},
+            |${louvainRoundDuck(2, "c1")}
+            |SELECT CAST(deg.i AS BIGINT) AS node, deg.k AS degree,
+            |       CAST(c1.c AS BIGINT) AS comm1, CAST(c2.c AS BIGINT) AS comm2
+            |FROM deg JOIN c1 ON c1.i = deg.i JOIN c2 ON c2.i = deg.i
+            |ORDER BY node""".stripMargin),
+    (s, d) => {
+      val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(when(col("o_custkey") < 100000L, col("o_custkey"))
+          .otherwise(raise_error(lit(
+            "graph node namespace collision: o_custkey >= 100000"))).as("s1"),
+          (col("l_suppkey") + 100000L).as("s2"))
+        .distinct()
+        .persist() // m + both directions of e2 + two rounds
+      val e2 = pairs.select(col("s1").as("src"), col("s2").as("dst"))
+        .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+        .persist()
+      val deg = e2.groupBy(col("src").as("i"))
+        .agg(lng(count(lit(1))).as("k")).persist()
+      val m = pairs.agg(lng(count(lit(1))).as("m"))
+      val c0 = deg.select(col("i"), col("i").as("c"))
+      val c1 = louvainRound(e2, deg, m, c0).localCheckpoint()
+      val c2 = louvainRound(e2, deg, m, c1)
+      val out = deg
+        .join(c1.withColumnRenamed("c", "comm1"), "i")
+        .join(c2.withColumnRenamed("c", "comm2"), "i")
+        .select(lng(col("i")).as("node"), col("k").as("degree"),
+          lng(col("comm1")).as("comm1"), lng(col("comm2")).as("comm2"))
+        .orderBy("node")
+      materializeThenRelease(out, pairs, e2, deg)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard,
-    modularity, hits, labelProp, kcore, randomWalk, betweenness, sssp)
+    modularity, hits, labelProp, kcore, randomWalk, betweenness, sssp,
+    louvain)
 }

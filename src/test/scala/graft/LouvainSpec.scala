@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.{sf, spark}
+
+/** q_louvain gates: a driver-side replay of the two synchronous
+  * local-move rounds (exact integer gain scores, same tiebreak) must
+  * reproduce the distributed result node-for-node, and the rounds must
+  * genuinely coarsen the partition (no vacuous singleton output).
+  */
+class LouvainSpec extends AnyFunSuite {
+
+  test("distributed rounds equal a driver-side replay; partition coarsens") {
+    // the graph, straight from the tables (the query's own edge rule)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(o("o_custkey"), l("l_suppkey"))
+      .collect().map(r => (r.getLong(0), 100000L + r.getLong(1))).distinct
+    val e2 = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val deg = e2.groupBy(_._1).map { case (i, es) => i -> es.length.toLong }
+    val m = pairs.length.toLong
+
+    def round(comm: Map[Long, Long]): Map[Long, Long] = {
+      // w(i, C) over edges; stay candidate with w = 0
+      val w = e2.groupBy { case (i, j) => (i, comm(j)) }
+        .map { case (k, es) => k -> es.length.toLong }
+      val tot = comm.toSeq.groupBy(_._2)
+        .map { case (c, ms) => c -> ms.map(x => deg(x._1)).sum }
+      deg.map { case (i, ki) =>
+        val cands = (w.collect { case ((x, c), wc) if x == i => (c, wc) } ++
+          Seq((comm(i), 0L))).groupBy(_._1)
+          .map { case (c, ws) => c -> ws.map(_._2).max }
+        val best = cands.map { case (c, wc) =>
+          val adjTot = tot(c) - (if (c == comm(i)) ki else 0L)
+          (c, 2L * m * wc - ki * adjTot)
+        }.toSeq.sortBy { case (c, s) => (-s, c) }.head._1
+        i -> best
+      }
+    }
+
+    val c0 = deg.keys.map(i => i -> i).toMap
+    val c1 = round(c0)
+    val c2 = round(c1)
+
+    val got = SparkEntry.queries("q_louvain")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == deg.size)
+    got.foreach { case (node, k, g1, g2) =>
+      assert(k == deg(node), s"degree mismatch at $node")
+      assert(g1 == c1(node), s"round-1 community mismatch at $node")
+      assert(g2 == c2(node), s"round-2 community mismatch at $node")
+    }
+    // the local moves must coarsen a singleton start, strictly
+    val n1 = c1.values.toSet.size
+    val n2 = c2.values.toSet.size
+    assert(n1 < deg.size, s"round 1 left the partition singleton ($n1)")
+    assert(n2 < n1, s"round 2 did not coarsen further ($n1 -> $n2)")
+  }
+}

@@ -1,0 +1,322 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Dependency-free GIF89a codec — the palette+LZW container class the
+  * other real decoders don't cover (BMP = raw truecolor, PNG =
+  * filtered deflate, JPEG = lossy DCT baseline+progressive, WAV =
+  * PCM audio). From-scratch encoder (so queries can plant synthetic
+  * payloads with closed-form oracles) plus a general decoder behind
+  * the same [[Multimodal.Decoder]] seam.
+  *
+  * Format notes (public spec, GIF89a + the LZW appendix):
+  *   - header `GIF89a`, logical screen descriptor, 256-entry global
+  *     color table, image descriptor, LZW-compressed 8-bit index
+  *     stream in ≤255-byte sub-blocks, trailer;
+  *   - GIF-LZW: initial code size 9 (min 8 + 1), CLEAR = 256,
+  *     EOI = 257, codes packed LSB-FIRST (PNG/JPEG pack MSB-first —
+  *     the classic cross-codec trap), dictionary capped at 12 bits;
+  *   - THE OFF-BY-ONE the spec appendix warns about: the encoder
+  *     widens the code size when its next-free code reaches 2^width
+  *     (it is one entry AHEAD at emission time), while the decoder —
+  *     whose table lags one entry behind — must widen when ITS
+  *     next-free code reaches 2^width − 1. GifSpec's round-trip over
+  *     dictionary-filling noise images would desync on the first
+  *     boundary if either side drifted;
+  *   - KwKwK (code == next-free): the entry is prev + prev.head —
+  *     exercised deterministically by any constant-color run;
+  *   - encoder emits CLEAR and resets when the table hits 4095,
+  *     sidestepping the deferred-clear ambiguity some decoders
+  *     mishandle.
+  *
+  * Scale: encode/decode are per-payload byte loops inside the executor
+  * (mapPartitions batch), payloads never leave the scan stage —
+  * identical altitude to Bmp/Png/Jpeg.
+  */
+object Gif {
+
+  private final val Clear = 256
+  private final val Eoi = 257
+  private final val MaxCode = 4095 // 12-bit dictionary cap
+
+  // ---------------------------------------------------------- encoder
+
+  private final class LsbBitWriter {
+    val out = ArrayBuffer.empty[Byte]
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, width: Int): Unit = {
+      acc |= code << nbits
+      nbits += width
+      while (nbits >= 8) {
+        out += (acc & 0xff).toByte
+        acc >>>= 8
+        nbits -= 8
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { out += (acc & 0xff).toByte; acc = 0; nbits = 0 }
+  }
+
+  /** GIF-variant LZW over 8-bit symbols. */
+  private def lzwEncode(indices: Array[Int]): Array[Byte] = {
+    val bw = new LsbBitWriter
+    var codeSize = 9
+    var next = Eoi + 1
+    var dict = new java.util.HashMap[Long, Integer]()
+    def key(prefix: Int, k: Int): Long = (prefix.toLong << 8) | k
+    bw.put(Clear, codeSize)
+    var w = indices(0)
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i)
+      val e = dict.get(key(w, k))
+      if (e != null) w = e.intValue()
+      else {
+        bw.put(w, codeSize)
+        if (next == MaxCode) { // table full: clear and restart
+          bw.put(Clear, codeSize)
+          codeSize = 9
+          next = Eoi + 1
+          dict = new java.util.HashMap[Long, Integer]()
+        } else {
+          dict.put(key(w, k), Integer.valueOf(next))
+          next += 1
+          // encoder is one entry AHEAD of the decoder: widen when the
+          // next-free code reaches the current limit
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        w = k
+      }
+      i += 1
+    }
+    bw.put(w, codeSize)
+    // the decoder adds a dictionary entry after EVERY data code (it
+    // lags one behind), including the last one — mirror that phantom
+    // add so the EOI is written at the width the decoder will read it
+    if (next < MaxCode) {
+      next += 1
+      if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+    }
+    bw.put(Eoi, codeSize)
+    bw.flush()
+    bw.out.toArray
+  }
+
+  /** Encode a width×height 8-bit-palette GIF89a. `palette(i)` gives
+    * (r, g, b) for index i ∈ [0, 256); `index(x, y)` the pixel's
+    * palette index (y = 0 is the TOP row).
+    */
+  def encode8(width: Int, height: Int, palette: Int => (Int, Int, Int),
+      index: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = ArrayBuffer.empty[Byte]
+    out ++= "GIF89a".getBytes("US-ASCII")
+    def u16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+    u16(width); u16(height)
+    out += 0xf7.toByte // GCT present, 8-bit color resolution, 256 entries
+    out += 0x00.toByte // background color index
+    out += 0x00.toByte // pixel aspect ratio
+    var i = 0
+    while (i < 256) {
+      val (r, g, b) = palette(i)
+      out += r.toByte; out += g.toByte; out += b.toByte
+      i += 1
+    }
+    out += 0x2c.toByte // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out += 0x00.toByte // no local color table, not interlaced
+    out += 8.toByte // LZW minimum code size
+    val indices = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = index(x, y)
+        require(v >= 0 && v < 256, s"palette index out of range: $v")
+        indices(y * width + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    val lzw = lzwEncode(indices)
+    var off = 0
+    while (off < lzw.length) { // ≤255-byte sub-blocks
+      val n = math.min(255, lzw.length - off)
+      out += n.toByte
+      out ++= java.util.Arrays.copyOfRange(lzw, off, off + n)
+      off += n
+    }
+    out += 0x00.toByte // block terminator
+    out += 0x3b.toByte // trailer
+    out.toArray
+  }
+
+  // ---------------------------------------------------------- decoder
+
+  private final class LsbBitReader(data: Array[Byte]) {
+    private var pos = 0
+    private var acc = 0
+    private var nbits = 0
+    def read(width: Int): Int = {
+      while (nbits < width) {
+        require(pos < data.length, "gif: truncated LZW stream")
+        acc |= (data(pos) & 0xff) << nbits
+        pos += 1
+        nbits += 8
+      }
+      val v = acc & ((1 << width) - 1)
+      acc >>>= width
+      nbits -= width
+      v
+    }
+  }
+
+  private def lzwDecode(data: Array[Byte], expected: Int): Array[Int] = {
+    val br = new LsbBitReader(data)
+    val out = new Array[Int](expected)
+    var n = 0
+    // dictionary as prefix/suffix chains; entries 0..255 are literals
+    val prefix = new Array[Int](MaxCode + 1)
+    val suffix = new Array[Int](MaxCode + 1)
+    val stack = new Array[Int](MaxCode + 2)
+    var codeSize = 9
+    var next = Eoi + 1
+    var prev = -1
+    def headOf(code: Int): Int = {
+      var c = code
+      while (c >= 256) c = prefix(c)
+      c
+    }
+    /** Write string(code), then `extra` if ≥ 0 (the KwKwK tail);
+      * returns the string's head symbol.
+      */
+    def emit(code: Int, extra: Int): Int = {
+      var c = code
+      var sp = 0
+      while (c >= 256) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val total = 1 + sp + (if (extra >= 0) 1 else 0)
+      require(n + total <= expected, "gif: more pixels than declared")
+      out(n) = c; n += 1
+      while (sp > 0) { sp -= 1; out(n) = stack(sp); n += 1 }
+      if (extra >= 0) { out(n) = extra; n += 1 }
+      c
+    }
+    var done = false
+    while (!done) {
+      val code = br.read(codeSize)
+      if (code == Clear) {
+        codeSize = 9; next = Eoi + 1; prev = -1
+      } else if (code == Eoi) {
+        done = true
+      } else if (prev < 0) {
+        require(code < 256, "gif: first code after clear must be a literal")
+        emit(code, -1)
+        prev = code
+      } else {
+        require(code <= next, s"gif: code $code beyond dictionary ($next)")
+        val head =
+          if (code < next) emit(code, -1)
+          else emit(prev, headOf(prev)) // KwKwK: string(prev) + head(prev)
+        if (next <= MaxCode) {
+          prefix(next) = prev
+          suffix(next) = head
+          next += 1
+          // decoder table lags the encoder by one entry, so it widens
+          // ONE EARLY — at 2^width − 1, not 2^width (spec appendix)
+          if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    require(n == expected, s"gif: decoded $n pixels, expected $expected")
+    out
+  }
+
+  /** Decoded image: top-down RGB24 rows (the Bmp/Png/Jpeg contract). */
+  final case class Decoded(width: Int, height: Int, rows: Vector[Array[Byte]])
+
+  def decode(bytes: Array[Byte]): Decoded =
+    try decodeImpl(bytes)
+    catch { // a truncated stream fails mid-walk: surface it as the
+      // same loud IllegalArgumentException the other codecs throw
+      case e: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("gif: truncated stream", e)
+    }
+
+  private def decodeImpl(bytes: Array[Byte]): Decoded = {
+    require(bytes.length > 13 &&
+      new String(bytes, 0, 6, "US-ASCII").matches("GIF8[79]a"),
+      "gif: missing GIF87a/GIF89a header")
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    var pos = 6
+    val sw = u16(pos); val sh = u16(pos + 2)
+    val packed = bytes(pos + 4) & 0xff
+    pos += 7
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val sz = 3 * (2 << (packed & 7))
+      gct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
+      pos += sz
+    }
+    // walk blocks to the first image descriptor, skipping extensions
+    while ((bytes(pos) & 0xff) == 0x21) {
+      pos += 2 // extension introducer + label
+      while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+      pos += 1
+    }
+    require((bytes(pos) & 0xff) == 0x2c, "gif: expected image descriptor")
+    val ix = u16(pos + 1); val iy = u16(pos + 3)
+    val iw = u16(pos + 5); val ih = u16(pos + 7)
+    val ipacked = bytes(pos + 9) & 0xff
+    require(ix == 0 && iy == 0 && iw == sw && ih == sh,
+      "gif: only full-frame images supported")
+    require((ipacked & 0x40) == 0, "gif: interlaced images not supported")
+    pos += 10
+    var ct = gct
+    if ((ipacked & 0x80) != 0) { // local color table wins
+      val sz = 3 * (2 << (ipacked & 7))
+      ct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
+      pos += sz
+    }
+    require(ct != null, "gif: no color table")
+    val minCode = bytes(pos) & 0xff
+    require(minCode == 8, s"gif: only 8-bit index streams supported ($minCode)")
+    pos += 1
+    val lzw = ArrayBuffer.empty[Byte]
+    var blockLen = bytes(pos) & 0xff
+    while (blockLen != 0) {
+      pos += 1
+      lzw ++= java.util.Arrays.copyOfRange(bytes, pos, pos + blockLen)
+      pos += blockLen
+      blockLen = bytes(pos) & 0xff
+    }
+    val indices = lzwDecode(lzw.toArray, iw * ih)
+    val rows = Vector.newBuilder[Array[Byte]]
+    var y = 0
+    while (y < ih) {
+      val row = new Array[Byte](iw * 3)
+      var x = 0
+      while (x < iw) {
+        val idx = indices(y * iw + x)
+        require(idx * 3 + 2 < ct.length, s"gif: palette index $idx out of table")
+        row(x * 3) = ct(idx * 3)
+        row(x * 3 + 1) = ct(idx * 3 + 1)
+        row(x * 3 + 2) = ct(idx * 3 + 2)
+        x += 1
+      }
+      rows += row
+      y += 1
+    }
+    Decoded(iw, ih, rows.result())
+  }
+
+  /** [[Multimodal.Decoder]] over GIF payloads (the Bmp/Png/Jpeg
+    * RowDecoder contract: top-down RGB24 rows).
+    */
+  final case class RowDecoder() extends Multimodal.Decoder {
+    def frameStride: Int = 0
+    def frameLen: Int = 0
+    def sampleFrames(payload: Array[Byte]): Vector[Array[Byte]] =
+      decode(payload).rows
+  }
+}

@@ -278,6 +278,8 @@ object Multimodal {
       byteAt(4, 0x0d) && byteAt(5, 0x0a) && byteAt(6, 0x1a) && byteAt(7, 0x0a))
       "image/png"
     else if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F')) "application/pdf"
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8') &&
+      (at(4, '7') || at(4, '9')) && at(5, 'a')) "image/gif"
     else if (byteAt(0, 0xff) && byteAt(1, 0xd8) && byteAt(2, 0xff))
       sniffJpegSof(payload)
     else "unknown"

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
-import graft.ops.{Bmp, Jpeg, Multimodal, Png, Wav}
+import graft.ops.{Bmp, Gif, Jpeg, Multimodal, Png, Wav}
 import graft.util.Det._
 
 /** Text-analysis + multimodal inventory (north-star: language-ID,
@@ -617,6 +617,60 @@ object TextAnalysisQueries {
     }
   )
 
+  /** Real GIF (palette + LZW) decode through the multimodal seam —
+    * the fifth real codec and the container class the others miss:
+    * BMP is raw truecolor, PNG filtered deflate, JPEG lossy DCT
+    * (baseline + progressive), WAV PCM; GIF is indexed color through
+    * a variable-width LZW stream packed LSB-FIRST (the others pack
+    * MSB-first). Payloads synthesize from planted palette + index
+    * functions; the decode is lossless, so the oracle recomputes the
+    * palette lookup in closed form. GifSpec kills the codec blind
+    * spots the constant oracle can't reach (code-width growth across
+    * 9→12 bits with the spec-appendix off-by-one, KwKwK, table-full
+    * CLEAR/reset, truncation rejection).
+    *
+    * Scale: identical altitude to q_media_decode — one mapPartitions
+    * batch pass, payloads never leave the scan stage.
+    */
+  private val gifDecode = QueryDef(
+    "q_gif_decode",
+    "Real GIF89a (256-color palette, variable-width LZW) decode " +
+      "through the multimodal seam: per-document synthesized GIFs " +
+      "from planted palette + index functions, parsed by the " +
+      "dependency-free LZW decoder; geometry, exact channel sums and " +
+      "a position-weighted checksum out — the oracle recomputes the " +
+      "lossless palette lookup in closed form.",
+    Some("""WITH px AS (
+           |  SELECT doc_id, y, x,
+           |    (doc_id * 13 + x * 17 + y * 23) % 256 AS i
+           |  FROM documents,
+           |       unnest(generate_series(0, 15)) AS yy(y),
+           |       unnest(generate_series(0, 23)) AS xx(x)),
+           |rgb AS (
+           |  SELECT doc_id, y, x,
+           |    (i * 7) % 256 AS r, (i * 13) % 256 AS g, (i * 29) % 256 AS b
+           |  FROM px)
+           |SELECT doc_id AS media_id, CAST(24 AS BIGINT) AS width,
+           |       CAST(16 AS BIGINT) AS height, CAST(384 AS BIGINT) AS n_pixels,
+           |       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+           |       CAST(sum(b) AS BIGINT) AS sum_b,
+           |       CAST(sum(((y*24 + x)*3 + 1) * r + ((y*24 + x)*3 + 2) * g
+           |                + ((y*24 + x)*3 + 3) * b) AS BIGINT) AS checksum
+           |FROM rgb GROUP BY doc_id ORDER BY media_id""".stripMargin),
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val payload = Gif.encode8(24, 16,
+          i => ((i * 7) % 256, (i * 13) % 256, (i * 29) % 256),
+          (x, y) => ((id * 13 + x * 17 + y * 23) % 256).toInt)
+        Multimodal.MediaRow(id, "image", payload, payload.length.toLong)
+      }
+      Multimodal.decodeRgbReadout(media, Gif.RowDecoder())
+        .orderBy("media_id")
+    }
+  )
+
   /** Real PROGRESSIVE JPEG decode through the multimodal seam —
     * completing VERDICT r13 #10 past the sniff-and-route triage:
     * web corpora are ~10–20% progressive (SOF2), and a pipeline that
@@ -719,7 +773,7 @@ object TextAnalysisQueries {
   private val mediaSniff = QueryDef(
     "q_media_sniff",
     "Magic-byte format detection over a planted mixed media column " +
-      "(real BMP, WAV, PNG, %PDF blob, baseline-JPEG and " +
+      "(real BMP, WAV, PNG, %PDF blob, GIF, baseline-JPEG and " +
       "progressive-JPEG headers, junk by doc_id mod 7): per (source, " +
       "detected format) counts and byte totals, sniffed from header " +
       "prefixes only — the catalog triage before any decode. JPEGs " +
@@ -727,20 +781,22 @@ object TextAnalysisQueries {
       "(SOF0/1 baseline vs SOF2 progressive — the split that keeps " +
       "progressive files away from the baseline-only decoder).",
     Some("""SELECT source,
-           |       CASE doc_id % 7 WHEN 0 THEN 'image/bmp'
+           |       CASE doc_id % 8 WHEN 0 THEN 'image/bmp'
            |                       WHEN 1 THEN 'audio/wav'
            |                       WHEN 2 THEN 'application/pdf'
            |                       WHEN 4 THEN 'image/png'
            |                       WHEN 5 THEN 'image/jpeg'
            |                       WHEN 6 THEN 'image/jpeg;progressive'
+           |                       WHEN 7 THEN 'image/gif'
            |                       ELSE 'unknown' END AS format,
            |       CAST(count(*) AS BIGINT) AS n,
-           |       CAST(sum(CASE doc_id % 7 WHEN 0 THEN 78
+           |       CAST(sum(CASE doc_id % 8 WHEN 0 THEN 78
            |                                WHEN 1 THEN 64
            |                                WHEN 2 THEN 9 + doc_id % 32
            |                                WHEN 4 THEN 88
            |                                WHEN 5 THEN 21 + doc_id % 16
            |                                WHEN 6 THEN 21 + doc_id % 16
+           |                                WHEN 7 THEN 6 + doc_id % 16
            |                                ELSE 16 END) AS BIGINT) AS total_bytes
            |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     (s, d) => {
@@ -760,7 +816,7 @@ object TextAnalysisQueries {
       }
       val media = documents(s, d).select(col("doc_id"), col("source"))
         .as[(Long, String)].map { case (id, src) =>
-          val payload: Array[Byte] = (id % 7) match {
+          val payload: Array[Byte] = (id % 8) match {
             case 0 => Bmp.encode24(4, 2, (x, y) => (
               ((id + x) % 256).toInt, ((id + y) % 256).toInt, (id % 256).toInt))
             case 1 => Wav.encodePcm16(8000, 1,
@@ -772,6 +828,10 @@ object TextAnalysisQueries {
               ((id + x) % 256).toInt, ((id + y) % 256).toInt, (id % 256).toInt))
             case 5 => jpegHeader(id, 0xc0)
             case 6 => jpegHeader(id, 0xc2)
+            // GIF magic + id-sized filler: sniffing reads 6 bytes, the
+            // oracle needs the byte length in closed form
+            case 7 => "GIF89a".getBytes("US-ASCII") ++
+              Array.tabulate((id % 16).toInt)(i => ((id + i) % 251).toByte)
             case _ => Array.tabulate(16)(i => ((id + i) % 251).toByte)
           }
           (id, src, payload)
@@ -1741,6 +1801,6 @@ object TextAnalysisQueries {
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
     distinctN, distinctNSketch, mediaDecode, wavDecode, pngDecode,
-    jpegDecode, jpegProgressive, mediaSniff,
+    gifDecode, jpegDecode, jpegProgressive, mediaSniff,
     fixEncoding, bleu, rougeN, chrf, cer, c4Gopher)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Gif
+
+/** GIF codec gates: container structure, LZW round-trips that force
+  * every decoder path — dictionary growth across code widths (the
+  * spec-appendix off-by-one), KwKwK, table-full CLEAR/reset — plus
+  * format routing and loud rejection of unsupported shapes.
+  */
+class GifSpec extends AnyFunSuite {
+
+  private def pal(i: Int): (Int, Int, Int) =
+    ((i * 7) % 256, (i * 13) % 256, (i * 29) % 256)
+
+  private def decodeToIdx(bytes: Array[Byte], w: Int, h: Int): Array[Int] = {
+    // invert the palette (injective here: i*7 mod 256 is a bijection)
+    val inv = (0 until 256).map(i => (pal(i)._1 & 0xff) -> i).toMap
+    val d = Gif.decode(bytes)
+    assert(d.width == w && d.height == h)
+    d.rows.flatMap(r => r.grouped(3).map(px => inv(px(0) & 0xff))).toArray
+  }
+
+  test("container structure: header, screen descriptor, GCT, trailer") {
+    val bytes = Gif.encode8(4, 3, pal, (x, y) => (x + y * 4) % 256)
+    assert(new String(bytes, 0, 6, "US-ASCII") == "GIF89a")
+    assert((bytes(10) & 0x80) != 0, "global color table flag")
+    assert((bytes(bytes.length - 1) & 0xff) == 0x3b, "trailer")
+    assert(graft.ops.Multimodal.detectFormat(bytes) == "image/gif")
+  }
+
+  test("palette round-trip: structured image decodes pixel-exact") {
+    val w = 13; val h = 9
+    def idx(x: Int, y: Int): Int = (x * 11 + y * 37) % 256
+    val d = Gif.decode(Gif.encode8(w, h, pal, idx))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pal(idx(x, y))
+      val row = d.rows(y)
+      assert((row(x * 3) & 0xff) == r && (row(x * 3 + 1) & 0xff) == g &&
+        (row(x * 3 + 2) & 0xff) == b, s"pixel ($x,$y)")
+    }
+  }
+
+  test("KwKwK: constant and two-symbol runs decode exactly") {
+    // a constant image hits code == next on the second data code and
+    // repeatedly after; aabb-style runs hit it at staggered offsets
+    for ((w, h, f) <- Seq(
+      (16, 8, (x: Int, y: Int) => 5),
+      (16, 8, (x: Int, y: Int) => if (((x + y * 16) / 2) % 2 == 0) 3 else 250),
+      (33, 7, (x: Int, y: Int) => if (x < 20) 9 else x % 4))) {
+      val idx = decodeToIdx(Gif.encode8(w, h, pal, f), w, h)
+      val want = Array.tabulate(w * h)(i => f(i % w, i / w))
+      assert(idx.sameElements(want), s"${w}x$h run image")
+    }
+  }
+
+  test("code-width growth and table-full CLEAR: dictionary-filling noise round-trips") {
+    // deterministic 8-bit noise barely compresses, so the dictionary
+    // marches through 9/10/11/12-bit codes and hits the 4095 CLEAR —
+    // any width off-by-one (either side) desyncs at the first boundary
+    val w = 192; val h = 128
+    def f(x: Int, y: Int): Int =
+      (((x * 1103515245L + y * 2654435761L + 12345) >>> 9) % 256).toInt
+    val idx = decodeToIdx(Gif.encode8(w, h, pal, f), w, h)
+    val want = Array.tabulate(w * h)(i => f(i % w, i / w))
+    assert(idx.sameElements(want), "noise image round-trip")
+  }
+
+  test("rejects truncated and alien input loudly") {
+    val ok = Gif.encode8(8, 8, pal, (x, y) => x)
+    assertThrows[IllegalArgumentException](Gif.decode(ok.take(20)))
+    assertThrows[IllegalArgumentException](Gif.decode(Array[Byte](1, 2, 3)))
+    // interlaced flag set -> reject (not silently wrong)
+    val bad = ok.clone()
+    // image descriptor: after 6 header + 7 LSD + 768 GCT = offset 781
+    assert((bad(781) & 0xff) == 0x2c)
+    bad(781 + 9) = (bad(781 + 9) | 0x40).toByte
+    assertThrows[IllegalArgumentException](Gif.decode(bad))
+  }
+}

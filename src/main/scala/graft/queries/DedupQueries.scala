@@ -829,6 +829,79 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Maximal-span extraction on top of the exact fingerprints: shared
+    * windows keep their OFFSETS, matched offset pairs land on
+    * diagonals (d = pos_a − pos_b — a verbatim passage advances both
+    * offsets in lockstep), and a gaps-and-islands pass per (pair,
+    * diagonal) turns consecutive-offset runs into exact passage
+    * lengths: a shared passage of length L ≥ 64 is exactly L − 63
+    * consecutive matches on one diagonal, so max_span = 63 + max run
+    * recovers L EXACTLY. This is the deliverable Lee et al.'s dedup
+    * actually ships — not just WHICH pairs overlap but how much —
+    * and the length is what a removal policy thresholds on.
+    *
+    * Scale: the [[exactSubstringPairs]] contract carries over (md5
+    * fingerprints, suffix-group equi-join, ≤32-doc boilerplate guard
+    * bounding fan-out); the added work is one window over the matched
+    * offset pairs, partitioned by (pair, diagonal) — candidates-sized,
+    * never corpus-sized.
+    */
+  private[graft] def exactSubstringSpans(docs: DataFrame): DataFrame = {
+    val g = docs.filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 63)")).as("p"))
+      .select(col("doc_id"), col("p"), expr("md5(substr(text, p, 64))").as("h"))
+    val ok = g.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") <= 32).select("h")
+    val g2 = g.join(ok, "h")
+    val occ = g2.as("a").join(g2.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.p").as("pa"), (col("a.p") - col("b.p")).as("d"))
+      .distinct()
+    val w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    val runs = occ
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "d", "grp")
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy("doc_a", "doc_b")
+      .agg(lng(lit(63) + max(col("run"))).as("max_span"),
+        lng(sum(col("run"))).as("n_matched"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupSpan = QueryDef(
+    "q_dedup_span",
+    "Maximal exact shared-passage extraction (the full Lee et al. " +
+      "deliverable on top of q_dedup_substring_exact's pair " +
+      "detection): matched 64-char window offsets land on diagonals " +
+      "(pos_a - pos_b), consecutive-offset runs per (pair, diagonal) " +
+      "are gaps-and-islands, and 63 + the longest run recovers the " +
+      "longest verbatim shared passage's length EXACTLY - the number " +
+      "a removal policy thresholds on; per pair also the total " +
+      "matched offset count.",
+    Some("""WITH pos AS (
+           |  SELECT doc_id, text, unnest(generate_series(1, len(text) - 63)) AS p
+           |  FROM documents WHERE len(text) >= 64),
+           |g AS (SELECT doc_id, p, md5(substr(text, p, 64)) AS h FROM pos),
+           |ok AS (SELECT h FROM (
+           |  SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+           |  WHERE nd <= 32),
+           |g2 AS (SELECT g.doc_id, g.p, g.h FROM g JOIN ok USING (h)),
+           |occ AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |               a.p AS pa, a.p - b.p AS d
+           |        FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |isl AS (SELECT doc_a, doc_b, d,
+           |          pa - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa) AS grp
+           |        FROM occ),
+           |runs AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run
+           |         FROM isl GROUP BY doc_a, doc_b, d, grp)
+           |SELECT doc_a, doc_b, CAST(63 + max(run) AS BIGINT) AS max_span,
+           |       CAST(sum(run) AS BIGINT) AS n_matched
+           |FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => exactSubstringSpans(documentsSpread(s, d))
+  )
+
   private val dedupSubstringExact = QueryDef(
     "q_dedup_substring_exact",
     "Exact substring dedup (Lee et al. shape): every-offset 64-char " +
@@ -1556,6 +1629,6 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(boilerplate, dedupIncremental, streamDedupMinhash, dedupMinhash, dedupNgram, dedupSimhash,
     dedupCosine, fingerprint, dedupEdit, dedupCluster, contamination,
-    dedupContain, dedupSubstring, dedupSubstringExact, minhashEst, dedupSweep, dedupSemantic, dedupEval,
+    dedupContain, dedupSubstring, dedupSubstringExact, dedupSpan, minhashEst, dedupSweep, dedupSemantic, dedupEval,
     dedupPhash, entityResolution, fuzzyJoin)
 }

@@ -58,6 +58,38 @@ class ExactSubstringSpec extends AnyFunSuite {
     assert(DedupQueries.exactSubstringPairs(many).count() === 0)
   }
 
+  test("span extraction recovers planted passage lengths EXACTLY") {
+    val docs = Seq(
+      // 70-char passage, misaligned: max_span must be exactly 70
+      (1L, filler(1, 10) + passage + filler(1, 40)),
+      (2L, filler(2, 37) + passage + filler(2, 11)),
+      // 64-char passage: the minimum detectable span, exactly 64
+      (3L, filler(3, 5) + passage.take(64) + filler(3, 33)),
+      (4L, filler(4, 29) + passage.take(64) + filler(4, 7))
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.exactSubstringSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 70L, s"70-char passage span: ${got((1L, 2L))}")
+    assert(got((3L, 4L)) == 64L, s"64-char passage span: ${got((3L, 4L))}")
+    // cross pairs share only the 64-char prefix of the longer passage
+    assert(got((1L, 3L)) == 64L && got((2L, 4L)) == 64L)
+  }
+
+  test("span extraction: two disjoint shared passages report the longer one") {
+    val p2 = "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxwvutsrqponmlkjihgfedcba98765"
+      .take(65)
+    val docs = Seq(
+      (6L, filler(6, 8) + passage + filler(6, 9) + p2 + filler(6, 5)),
+      (7L, filler(7, 3) + p2 + filler(7, 21) + passage + filler(7, 14))
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.exactSubstringSpans(docs).collect()
+    assert(got.length == 1)
+    // passages of 70 and 65 chars: max_span = 70, total matched
+    // offsets = (70-63) + (65-63) = 9
+    assert(got(0).getLong(2) == 70L && got(0).getLong(3) == 9L,
+      s"got span ${got(0).getLong(2)}, matched ${got(0).getLong(3)}")
+  }
+
   test("recall is 1.0 over a misalignment sweep") {
     // the same 70-char passage at every offset pairing (0..8) × (0..8):
     // every pair of docs must be found regardless of relative shift

@@ -1111,7 +1111,7 @@ object GraphQueries {
     * a per-node argmax window — everything key-partitioned, nothing
     * quadratic; m broadcasts as one row.
     */
-  private def louvainRound(e2: DataFrame, deg: DataFrame, m: DataFrame,
+  private[graft] def louvainRound(e2: DataFrame, deg: DataFrame, m: DataFrame,
       comm: DataFrame): DataFrame = {
     // comm/deg are NODE-sized and tot is COMMUNITY-sized — all orders
     // of magnitude below the edge list, so they ride broadcasts and

@@ -60,4 +60,30 @@ class LouvainSpec extends AnyFunSuite {
     assert(n1 < deg.size, s"round 1 left the partition singleton ($n1)")
     assert(n2 < n1, s"round 2 did not coarsen further ($n1 -> $n2)")
   }
+
+  test("round plan: node/community tables broadcast, edge stream never " +
+    "sort-merge-joined, argmax is an aggregate (no Window)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.GraphQueries
+    // a synthetic edge list large enough that Spark would NOT choose
+    // broadcast on its own statistics — the hints must carry it
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = spark.range(20000)
+      .select((col("id") % 997).as("s1"), (col("id") % 1009 + 100000).as("s2"))
+      .distinct()
+    val e2 = pairs.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+    val deg = e2.groupBy(col("src").as("i")).agg(count(lit(1)).as("k"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val c0 = deg.select(col("i"), col("i").as("c"))
+    val plan = GraphQueries.louvainRound(e2, deg, m, c0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "community/degree tables must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the edge stream must never be sort-merge-joined")
+    assert(!plan.contains("Window"),
+      "the per-node argmax must be the map-side-combinable struct max, not a window")
+  }
 }

@@ -802,8 +802,12 @@ object DedupQueries {
     * for ExactSubstringSpec, which plants misaligned copies and pins
     * recall 1.0.
     *
-    * SCALE CONTRACT: windows travel as md5 fingerprints (32 hex chars,
-    * engine-identical), the join is an equi-join on the fingerprint
+    * SCALE CONTRACT: windows travel as 48-bit BIGINT fingerprints
+    * (md5 prefix — the q_boilerplate / q_distinct_n idiom, identical
+    * in both engines; collision odds ~G²/2⁴⁹ over G distinct grams,
+    * spec-pinned zero at fixture SF), so the heaviest shuffle in the
+    * query carries 8-byte keys instead of 32-char md5 strings
+    * (VERDICT r14 #2). The join is an equi-join on the fingerprint
     * (the distributed suffix-GROUP: all offsets sharing a 64-gram land
     * in one reducer), and groups wider than 32 distinct docs are
     * dropped BOTH sides before pairing — the ubiquitous-boilerplate
@@ -817,7 +821,9 @@ object DedupQueries {
     val g = docs.filter(length(col("text")) >= 64)
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, length(text) - 63)")).as("p"))
-      .select(col("doc_id"), expr("md5(substr(text, p, 64))").as("h"))
+      .select(col("doc_id"), expr(
+        "CAST(conv(substr(md5(substr(text, p, 64)), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"))
       .distinct()
     val ok = g.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") <= 32).select("h")
@@ -840,9 +846,9 @@ object DedupQueries {
     * actually ships — not just WHICH pairs overlap but how much —
     * and the length is what a removal policy thresholds on.
     *
-    * Scale: the [[exactSubstringPairs]] contract carries over (md5
-    * fingerprints, suffix-group equi-join, ≤32-doc boilerplate guard
-    * bounding fan-out); the added work is one window over the matched
+    * Scale: the [[exactSubstringPairs]] contract carries over (48-bit
+    * BIGINT fingerprints, suffix-group equi-join, ≤32-doc boilerplate
+    * guard bounding fan-out); the added work is one window over the matched
     * offset pairs, partitioned by (pair, diagonal) — candidates-sized,
     * never corpus-sized.
     */
@@ -850,7 +856,9 @@ object DedupQueries {
     val g = docs.filter(length(col("text")) >= 64)
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, length(text) - 63)")).as("p"))
-      .select(col("doc_id"), col("p"), expr("md5(substr(text, p, 64))").as("h"))
+      .select(col("doc_id"), col("p"), expr(
+        "CAST(conv(substr(md5(substr(text, p, 64)), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"))
     val ok = g.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") <= 32).select("h")
     val g2 = g.join(ok, "h")
@@ -883,7 +891,9 @@ object DedupQueries {
     Some("""WITH pos AS (
            |  SELECT doc_id, text, unnest(generate_series(1, len(text) - 63)) AS p
            |  FROM documents WHERE len(text) >= 64),
-           |g AS (SELECT doc_id, p, md5(substr(text, p, 64)) AS h FROM pos),
+           |g AS (SELECT doc_id, p,
+           |        CAST(concat('0x', substr(md5(substr(text, p, 64)), 1, 12)) AS BIGINT) AS h
+           |      FROM pos),
            |ok AS (SELECT h FROM (
            |  SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
            |  WHERE nd <= 32),
@@ -909,10 +919,12 @@ object DedupQueries {
       "shared passage of length >= 64 is found with recall exactly " +
       "1.0 (the content-defined q_dedup_substring trades that recall " +
       "for 1/32 the fingerprints); per pair the count of distinct " +
-      "shared windows. Fingerprints are md5 (engine-identical); " +
-      "fingerprint groups wider than 32 docs are dropped both sides " +
+      "shared windows. Fingerprints are 48-bit BIGINT md5 prefixes " +
+      "(engine-identical, 8-byte shuffle keys); fingerprint groups " +
+      "wider than 32 docs are dropped both sides " +
       "(the boilerplate guard bounding group fan-out).",
-    Some("""WITH g AS (SELECT DISTINCT doc_id, md5(substr(text, p, 64)) AS h
+    Some("""WITH g AS (SELECT DISTINCT doc_id,
+           |    CAST(concat('0x', substr(md5(substr(text, p, 64)), 1, 12)) AS BIGINT) AS h
            |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 63)) AS p
            |        FROM documents WHERE len(text) >= 64)),
            |ok AS (SELECT h FROM (SELECT h, count(*) AS nd FROM g GROUP BY h)

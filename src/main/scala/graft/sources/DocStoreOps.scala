@@ -73,8 +73,12 @@ object DocStoreOps {
 
   /** MERGE `batch` into the docstore table at `dir` on long key `key`:
     * rows whose key matches an existing row replace it; the rest
-    * insert. Single-concurrent-writer discipline (the manifest-commit
-    * contract). `batch` must carry exactly the table's columns.
+    * insert. Concurrency: the commit is optimistic (r15) — racing
+    * commits that touch DISJOINT files rebase and both land; a racing
+    * commit that retired one of this merge's affected files aborts
+    * this merge loudly with ConcurrentModificationException (rerun
+    * against the new snapshot). `batch` must carry exactly the
+    * table's columns.
     */
   def merge(spark: SparkSession, dir: String, batch: DataFrame,
       key: String): Unit = {

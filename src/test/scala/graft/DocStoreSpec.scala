@@ -418,4 +418,104 @@ class DocStoreSpec extends AnyFunSuite {
     // the pinned pre-rewrite reader still sees its scattered snapshot
     assert(pinned.collect().map(_.getLong(0)).sorted.toSeq === (0L until 16384L))
   }
+
+  test("OCC: disjoint racing commits — the loser's CAS fails, it " +
+    "rebases onto the winner's snapshot, and BOTH mutations land") {
+    val dir = tmpDir("gds_occ")
+    // 4 range-partitioned files over ids 0..4095: file boundaries near
+    // 1024/2048/3072, so a low-range merge and a high-range delete
+    // touch provably disjoint files
+    spark.range(0, 4096)
+      .select(col("id").as("k"), (col("id") % 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val v1 = DocStore.latestVersion(dir).get
+    val batch = spark.range(0, 100)
+      .select(col("id").as("k"), lit(999L).as("v"))
+    val delKeys = spark.range(4000, 4096).select(col("id").as("k"))
+    // the delete commits inside the merge-commit's CAS window: the
+    // merge reads latest=v_base, the delete publishes v_base+1 under
+    // it, the merge's writeManifest(v_base+1) LOSES, and the retry
+    // rebases onto the delete's manifest
+    DocStore.commitRaceHook = Some(() =>
+      sources.DocStoreOps.delete(spark, dir, delKeys, "k"))
+    try sources.DocStoreOps.merge(spark, dir, batch, "k")
+    finally DocStore.commitRaceHook = None
+    // two commits landed on top of v1
+    assert(DocStore.latestVersion(dir).get === v1 + 2,
+      "both the delete and the rebased merge must have committed")
+    val fin = spark.read.format("docstore").load(dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin.size === 4000, "delete landed: 96 high keys gone")
+    assert((4000L until 4096L).forall(k => !fin.contains(k)))
+    assert((0L until 100L).forall(k => fin(k) === 999L),
+      "merge landed: low keys updated despite losing the race")
+    assert(fin(2000L) === 0L, "untouched rows intact")
+  }
+
+  test("OCC: overlapping racing commits abort LOUDLY and leave the " +
+    "winner's state + no orphan files from the loser") {
+    val dir = tmpDir("gds_occ_conflict")
+    spark.range(0, 2048)
+      .select(col("id").as("k"), (col("id") % 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    // both writers rewrite the SAME low-range file: the winner (hook)
+    // updates k<50 to 111, the loser tries k<100 -> 222 from the stale
+    // base and must abort — blindly rebasing would resurrect the
+    // winner's pre-image rows
+    val winner = spark.range(0, 50).select(col("id").as("k"), lit(111L).as("v"))
+    val loser = spark.range(0, 100).select(col("id").as("k"), lit(222L).as("v"))
+    DocStore.commitRaceHook = Some(() =>
+      sources.DocStoreOps.merge(spark, dir, winner, "k"))
+    val ex = intercept[Exception] {
+      try sources.DocStoreOps.merge(spark, dir, loser, "k")
+      finally DocStore.commitRaceHook = None
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected ConcurrentModificationException in the cause chain, got $ex")
+    // final state is exactly the winner's commit
+    val fin = spark.read.format("docstore").load(dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin.size === 2048)
+    assert((0L until 50L).forall(k => fin(k) === 111L), "winner intact")
+    assert(!fin.values.exists(_ === 222L), "no loser rows leaked")
+    // the loser's data files were cleaned up: everything on disk is
+    // referenced by SOME manifest (the base snapshot's retired file
+    // legitimately stays for pinned readers until vacuum) — nothing
+    // from the loser's aborted rewrite remains
+    val referenced = DocStore.manifestVersions(dir).flatMap { v =>
+      DocStore.readManifest(dir, v).map { case (f, _) =>
+        new org.apache.hadoop.fs.Path(f).getName
+      }
+    }.toSet
+    val onDisk = DocStore.listDataFiles(dir)
+      .map { case (f, _) => new org.apache.hadoop.fs.Path(f).getName }.toSet
+    assert(onDisk === referenced,
+      s"loser's aborted commit left orphan files: ${onDisk -- referenced}")
+  }
+
+  test("OCC: pure appends racing a rewrite always rebase and land") {
+    val dir = tmpDir("gds_occ_append")
+    spark.range(0, 1024)
+      .select(col("id").as("k"), (col("id") % 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    // a compaction-style rewrite commits under a racing plain append;
+    // the append retires nothing, so it can never conflict
+    DocStore.commitRaceHook = Some(() => {
+      sources.DocStoreOps.compact(spark, dir, 1L << 20)
+      ()
+    })
+    try spark.range(5000, 5010).select(col("id").as("k"), lit(7L).as("v"))
+      .write.format("docstore").mode("append").save(dir)
+    finally DocStore.commitRaceHook = None
+    val ks = spark.read.format("docstore").load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks === ((0L until 1024L) ++ (5000L until 5010L)),
+      "append must land on top of the racing compaction")
+  }
 }

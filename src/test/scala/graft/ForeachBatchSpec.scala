@@ -28,9 +28,15 @@ class ForeachBatchSpec extends AnyFunSuite {
       val incoming = batch.groupBy("user_id")
         .agg(max(struct(col("seq"), col("status"))).as("m"))
         .select(col("user_id"), col("m.seq").as("seq"), col("m.status").as("status"))
+      // probe existence instead of catching PATH_NOT_FOUND: the thrown
+      // analysis error is also reported to the async
+      // ExecutionListenerBus, which logs it AFTER the suite tears down
+      // — the one residual ERROR line in an otherwise green r14 log
+      // (VERDICT r14 task #8)
       val existing =
-        try spark.read.parquet(table)
-        catch { case _: Throwable => spark.emptyDataFrame }
+        if (!Files.exists(java.nio.file.Paths.get(table)))
+          spark.emptyDataFrame
+        else spark.read.parquet(table)
       val merged =
         if (existing.isEmpty) incoming
         else existing.join(incoming.select(col("user_id").as("u2")),

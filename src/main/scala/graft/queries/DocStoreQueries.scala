@@ -469,7 +469,58 @@ object DocStoreQueries {
     }
   )
 
+  private val docstoreTimetravel = QueryDef(
+    "q_docstore_timetravel",
+    "Time travel BY TIMESTAMP on the docstore DSv2 source — the other " +
+      "half of the Delta/Iceberg time-travel API next to the pinned " +
+      "snapshotVersion read (q_scan_docstore_snapshot): every commit " +
+      "embeds its timestamp in the manifest header (`#ts`, the " +
+      "in-commit-timestamp shape — immune to FS mtime loss on " +
+      "copy/restore), and a snapshotTimestamp read resolves to the " +
+      "LATEST commit at or before the asked-for instant. Three append " +
+      "commits land at pinned timestamps 1e6/2e6/3e6 ms (doc_id mod 3 " +
+      "slices); the query reads the table as-of 2.5e6 — resolving the " +
+      "second commit, so exactly slices 0 and 1 — and as-of 9e6 — " +
+      "resolving the third, the full table. An instant before the " +
+      "first commit fails loudly (spec-pinned, not SQL-observable). " +
+      "Oracle recomputes both as-of states from the source parquet.",
+    Some("""WITH s2 AS (SELECT lang, n_chars FROM documents WHERE doc_id % 3 < 2),
+           |s3 AS (SELECT lang, n_chars FROM documents)
+           |SELECT CAST(1 AS BIGINT) AS as_of, lang,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM s2 GROUP BY lang
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), lang, CAST(count(*) AS BIGINT),
+           |       CAST(sum(n_chars) AS BIGINT)
+           |FROM s3 GROUP BY lang
+           |ORDER BY as_of, lang""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_tt/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      def land(slice: Int, ts: Long, mode: String): Unit =
+        docs.filter(col("doc_id") % 3 === slice)
+          .write.format("docstore").mode(mode)
+          .option("commitTimestamp", ts.toString).save(outDir)
+      land(0, 1000000L, "overwrite")
+      land(1, 2000000L, "append")
+      land(2, 3000000L, "append")
+      def rollup(asOfMs: Long, tag: Long) =
+        s.read.format("docstore")
+          .option("snapshotTimestamp", asOfMs.toString).load(outDir)
+          .groupBy(col("lang"))
+          .agg(lng(count(lit(1))).as("n_docs"), lng(sum("n_chars")).as("sum_chars"))
+          .select(lit(tag).as("as_of"), col("lang"), col("n_docs"),
+            col("sum_chars"))
+      rollup(2500000L, 1L).unionAll(rollup(9000000L, 2L))
+        .orderBy("as_of", "lang")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot,
     docstoreMerge, docstoreCompact, docstoreCdf, docstoreZorder,
-    docstoreStream, docstoreEvolve, docstoreConcurrent)
+    docstoreStream, docstoreEvolve, docstoreConcurrent, docstoreTimetravel)
 }

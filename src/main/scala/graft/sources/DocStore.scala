@@ -269,7 +269,8 @@ object DocStore {
     * would swap this for a conditional PUT, same contract.
     */
   private[graft] def writeManifest(dir: String, v: Long,
-      files: Seq[(String, Long)]): Boolean = {
+      files: Seq[(String, Long)],
+      commitTs: Long = System.currentTimeMillis()): Boolean = {
     val fs = fsFor(dir)
     val fin = new Path(dir, manifestName(v))
     if (fs.exists(fin)) return false
@@ -277,9 +278,13 @@ object DocStore {
       s"${manifestName(v)}.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try {
-      val body = files.map { case (f, len) =>
+      // `#ts` header = in-commit timestamp (Delta's ICT shape): time
+      // travel by timestamp must not depend on FS mtimes surviving
+      // copies/restores. Readers predating the header already skip
+      // `#` lines
+      val body = (s"#ts\t$commitTs" +: files.map { case (f, len) =>
         s"${new Path(f).getName}\t$len"
-      }.mkString("", "\n", "\n")
+      }).mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     if (fs.rename(tmp, fin)) true
@@ -459,18 +464,29 @@ class DocStoreTable(dir: String, tableSchema: StructType)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreScanBuilder(dir, tableSchema,
-      Option(options.get("snapshotVersion")).map(_.toLong),
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val byVersion = Option(options.get("snapshotVersion")).map(_.toLong)
+    val byTs = Option(options.get("snapshotTimestamp")).map(_.toLong)
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "docstore: snapshotVersion and snapshotTimestamp are mutually " +
+        "exclusive")
+    // timestamp resolves to a version HERE (option-parse time) — the
+    // other half of the time-travel API (Delta timestampAsOf): the
+    // latest commit at or before the instant, loud if none
+    val pinned = byVersion.orElse(
+      byTs.map(ts => DocStore.versionForTimestamp(dir, ts)))
+    new DocStoreScanBuilder(dir, tableSchema, pinned,
       Option(options.get("files"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet),
       options.getBoolean("ignoreChanges", false))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DocStoreWriteBuilder(dir, info.schema(),
       Option(info.options.get("replaceFiles"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty))
+        .getOrElse(Set.empty),
+      Option(info.options.get("commitTimestamp")).map(_.toLong))
 }
 
 class DocStoreScanBuilder(dir: String, fullSchema: StructType,
@@ -822,7 +838,7 @@ class DocStorePartitionReader(
 // ---------------------------------------------------------------- write
 
 class DocStoreWriteBuilder(dir: String, schema: StructType,
-    replaceFiles: Set[String])
+    replaceFiles: Set[String], commitTs: Option[Long] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -830,7 +846,7 @@ class DocStoreWriteBuilder(dir: String, schema: StructType,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new DocStoreBatchWrite(dir, schema, doTruncate, replaceFiles)
+      new DocStoreBatchWrite(dir, schema, doTruncate, replaceFiles, commitTs)
   }
 }
 
@@ -848,7 +864,7 @@ case class DocStoreCommitMessage(tmpPath: String, finalPath: String)
   * commit, so no reader can observe the duplicated intermediate state.
   */
 class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
-    replaceFiles: Set[String])
+    replaceFiles: Set[String], commitTs: Option[Long] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -956,7 +972,8 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
         replaceFiles.contains(new Path(f).getName)
       }
       val v = latest.getOrElse(0L) + 1
-      committed = DocStore.writeManifest(dir, v, base ++ newFiles)
+      committed = DocStore.writeManifest(dir, v, base ++ newFiles,
+        commitTs.getOrElse(System.currentTimeMillis()))
     }
   }
 

@@ -419,6 +419,44 @@ class DocStoreSpec extends AnyFunSuite {
     assert(pinned.collect().map(_.getLong(0)).sorted.toSeq === (0L until 16384L))
   }
 
+  test("time travel by timestamp: as-of resolves the floor commit, " +
+    "equals the version-pinned read, and pre-history instants fail") {
+    val dir = tmpDir("gds_tt")
+    def land(lo: Long, hi: Long, ts: Long, mode: String): Unit =
+      spark.range(lo, hi).select(col("id").as("k"))
+        .write.format("docstore").mode(mode)
+        .option("commitTimestamp", ts.toString).save(dir)
+    land(0, 10, 5000L, "overwrite") // v1 @ t=5000
+    land(10, 20, 7000L, "append")   // v2 @ t=7000
+    land(20, 30, 9000L, "append")   // v3 @ t=9000
+    def asOf(ts: Long): Seq[Long] =
+      spark.read.format("docstore")
+        .option("snapshotTimestamp", ts.toString).load(dir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // floor semantics: between commits → the earlier one; exact hit →
+    // that commit; far future → latest
+    assert(asOf(6999L) === (0L until 10L))
+    assert(asOf(7000L) === (0L until 20L))
+    assert(asOf(8999L) === (0L until 20L))
+    assert(asOf(Long.MaxValue) === (0L until 30L))
+    // ts-resolved == version-pinned (the API halves agree)
+    val byVersion = spark.read.format("docstore")
+      .option("snapshotVersion", "2").load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(asOf(7500L) === byVersion)
+    // an instant before the first commit has no table state: loud
+    val ex = intercept[Exception](asOf(4999L))
+    assert(ex.getMessage.contains("no snapshot at or before"),
+      s"expected loud pre-history failure, got: ${ex.getMessage}")
+    // version + timestamp together is a contradiction: loud
+    val ex2 = intercept[Exception] {
+      spark.read.format("docstore")
+        .option("snapshotVersion", "1")
+        .option("snapshotTimestamp", "7000").load(dir).collect()
+    }
+    assert(ex2.getMessage.contains("mutually exclusive"))
+  }
+
   test("OCC: disjoint racing commits — the loser's CAS fails, it " +
     "rebases onto the winner's snapshot, and BOTH mutations land") {
     val dir = tmpDir("gds_occ")

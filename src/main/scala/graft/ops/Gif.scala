@@ -35,8 +35,6 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Gif {
 
-  private final val Clear = 256
-  private final val Eoi = 257
   private final val MaxCode = 4095 // 12-bit dictionary cap
 
   // ---------------------------------------------------------- encoder
@@ -57,14 +55,20 @@ object Gif {
     def flush(): Unit = if (nbits > 0) { out += (acc & 0xff).toByte; acc = 0; nbits = 0 }
   }
 
-  /** GIF-variant LZW over 8-bit symbols. */
-  private def lzwEncode(indices: Array[Int]): Array[Byte] = {
+  /** GIF-variant LZW over `minCode`-bit symbols (r15: generalized
+    * from the hard-wired 8 — real-world GIFs with palettes under 256
+    * colors use min code sizes 2–7): CLEAR = 2^minCode,
+    * EOI = CLEAR + 1, initial code width = minCode + 1.
+    */
+  private def lzwEncode(indices: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
     val bw = new LsbBitWriter
-    var codeSize = 9
-    var next = Eoi + 1
+    var codeSize = minCode + 1
+    var next = eoi + 1
     var dict = new java.util.HashMap[Long, Integer]()
     def key(prefix: Int, k: Int): Long = (prefix.toLong << 8) | k
-    bw.put(Clear, codeSize)
+    bw.put(clear, codeSize)
     var w = indices(0)
     var i = 1
     while (i < indices.length) {
@@ -74,9 +78,9 @@ object Gif {
       else {
         bw.put(w, codeSize)
         if (next == MaxCode) { // table full: clear and restart
-          bw.put(Clear, codeSize)
-          codeSize = 9
-          next = Eoi + 1
+          bw.put(clear, codeSize)
+          codeSize = minCode + 1
+          next = eoi + 1
           dict = new java.util.HashMap[Long, Integer]()
         } else {
           dict.put(key(w, k), Integer.valueOf(next))
@@ -97,7 +101,7 @@ object Gif {
       next += 1
       if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
     }
-    bw.put(Eoi, codeSize)
+    bw.put(eoi, codeSize)
     bw.flush()
     bw.out.toArray
   }
@@ -107,8 +111,24 @@ object Gif {
     * palette index (y = 0 is the TOP row).
     */
   def encode8(width: Int, height: Int, palette: Int => (Int, Int, Int),
-      index: (Int, Int) => Int): Array[Byte] = {
-    require(width > 0 && height > 0)
+      index: (Int, Int) => Int, minCodeSize: Int = 8): Array[Byte] =
+    encodeFrames(width, height, palette, Seq(index), minCodeSize)
+
+  /** Encode an (optionally animated) GIF89a: one full-frame image
+    * descriptor per entry of `frames`, each preceded by a Graphic
+    * Control Extension (as real animation encoders emit — also
+    * exercising the decoder's between-frame extension skip).
+    * `minCodeSize` ∈ [2, 8] is the LZW minimum code size (r15: real
+    * GIFs with palettes under 256 colors use 2–7); every palette
+    * index must be < 2^minCodeSize.
+    */
+  def encodeFrames(width: Int, height: Int,
+      palette: Int => (Int, Int, Int),
+      frames: Seq[(Int, Int) => Int],
+      minCodeSize: Int = 8): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty)
+    require(minCodeSize >= 2 && minCodeSize <= 8,
+      s"gif: LZW minimum code size out of range: $minCodeSize")
     val out = ArrayBuffer.empty[Byte]
     out ++= "GIF89a".getBytes("US-ASCII")
     def u16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
@@ -122,31 +142,37 @@ object Gif {
       out += r.toByte; out += g.toByte; out += b.toByte
       i += 1
     }
-    out += 0x2c.toByte // image descriptor
-    u16(0); u16(0); u16(width); u16(height)
-    out += 0x00.toByte // no local color table, not interlaced
-    out += 8.toByte // LZW minimum code size
-    val indices = new Array[Int](width * height)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val v = index(x, y)
-        require(v >= 0 && v < 256, s"palette index out of range: $v")
-        indices(y * width + x) = v
-        x += 1
+    frames.foreach { index =>
+      // graphic control extension (delay 10 cs, no disposal/transparency)
+      out += 0x21.toByte; out += 0xf9.toByte; out += 0x04.toByte
+      out += 0x00.toByte; u16(10); out += 0x00.toByte; out += 0x00.toByte
+      out += 0x2c.toByte // image descriptor
+      u16(0); u16(0); u16(width); u16(height)
+      out += 0x00.toByte // no local color table, not interlaced
+      out += minCodeSize.toByte // LZW minimum code size
+      val indices = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = index(x, y)
+          require(v >= 0 && v < (1 << minCodeSize),
+            s"palette index out of range for min code $minCodeSize: $v")
+          indices(y * width + x) = v
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+      val lzw = lzwEncode(indices, minCodeSize)
+      var off = 0
+      while (off < lzw.length) { // ≤255-byte sub-blocks
+        val n = math.min(255, lzw.length - off)
+        out += n.toByte
+        out ++= java.util.Arrays.copyOfRange(lzw, off, off + n)
+        off += n
+      }
+      out += 0x00.toByte // block terminator
     }
-    val lzw = lzwEncode(indices)
-    var off = 0
-    while (off < lzw.length) { // ≤255-byte sub-blocks
-      val n = math.min(255, lzw.length - off)
-      out += n.toByte
-      out ++= java.util.Arrays.copyOfRange(lzw, off, off + n)
-      off += n
-    }
-    out += 0x00.toByte // block terminator
     out += 0x3b.toByte // trailer
     out.toArray
   }
@@ -171,20 +197,25 @@ object Gif {
     }
   }
 
-  private def lzwDecode(data: Array[Byte], expected: Int): Array[Int] = {
+  private def lzwDecode(data: Array[Byte], expected: Int,
+      minCode: Int): Array[Int] = {
+    require(minCode >= 2 && minCode <= 8,
+      s"gif: LZW minimum code size out of range: $minCode")
+    val clear = 1 << minCode
+    val eoi = clear + 1
     val br = new LsbBitReader(data)
     val out = new Array[Int](expected)
     var n = 0
-    // dictionary as prefix/suffix chains; entries 0..255 are literals
+    // dictionary as prefix/suffix chains; entries 0..clear-1 are literals
     val prefix = new Array[Int](MaxCode + 1)
     val suffix = new Array[Int](MaxCode + 1)
     val stack = new Array[Int](MaxCode + 2)
-    var codeSize = 9
-    var next = Eoi + 1
+    var codeSize = minCode + 1
+    var next = eoi + 1
     var prev = -1
     def headOf(code: Int): Int = {
       var c = code
-      while (c >= 256) c = prefix(c)
+      while (c >= clear) c = prefix(c)
       c
     }
     /** Write string(code), then `extra` if ≥ 0 (the KwKwK tail);
@@ -193,7 +224,7 @@ object Gif {
     def emit(code: Int, extra: Int): Int = {
       var c = code
       var sp = 0
-      while (c >= 256) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
       val total = 1 + sp + (if (extra >= 0) 1 else 0)
       require(n + total <= expected, "gif: more pixels than declared")
       out(n) = c; n += 1
@@ -204,12 +235,12 @@ object Gif {
     var done = false
     while (!done) {
       val code = br.read(codeSize)
-      if (code == Clear) {
-        codeSize = 9; next = Eoi + 1; prev = -1
-      } else if (code == Eoi) {
+      if (code == clear) {
+        codeSize = minCode + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
         done = true
       } else if (prev < 0) {
-        require(code < 256, "gif: first code after clear must be a literal")
+        require(code < clear, "gif: first code after clear must be a literal")
         emit(code, -1)
         prev = code
       } else {
@@ -235,7 +266,24 @@ object Gif {
   /** Decoded image: top-down RGB24 rows (the Bmp/Png/Jpeg contract). */
   final case class Decoded(width: Int, height: Int, rows: Vector[Array[Byte]])
 
-  def decode(bytes: Array[Byte]): Decoded =
+  /** Single-image decode. LOUD on animations (r15, ADVICE r14): a
+    * multi-frame file through a single-image API would silently drop
+    * every frame after the first — callers that expect animations use
+    * [[decodeFrames]].
+    */
+  def decode(bytes: Array[Byte]): Decoded = {
+    val fs = decodeFrames(bytes)
+    require(fs.length == 1,
+      s"gif: ${fs.length} frames — use decodeFrames for animated GIFs")
+    fs.head
+  }
+
+  /** Decode EVERY image descriptor up to the trailer (r15: animated
+    * GIFs). Frames must be full-logical-screen (the animation shape
+    * our encoder emits; partial-frame compositing with disposal
+    * methods is rejected loudly, not approximated).
+    */
+  def decodeFrames(bytes: Array[Byte]): Vector[Decoded] =
     try decodeImpl(bytes)
     catch { // a truncated stream fails mid-walk: surface it as the
       // same loud IllegalArgumentException the other codecs throw
@@ -243,7 +291,7 @@ object Gif {
         throw new IllegalArgumentException("gif: truncated stream", e)
     }
 
-  private def decodeImpl(bytes: Array[Byte]): Decoded = {
+  private def decodeImpl(bytes: Array[Byte]): Vector[Decoded] = {
     require(bytes.length > 13 &&
       new String(bytes, 0, 6, "US-ASCII").matches("GIF8[79]a"),
       "gif: missing GIF87a/GIF89a header")
@@ -258,56 +306,69 @@ object Gif {
       gct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
       pos += sz
     }
-    // walk blocks to the first image descriptor, skipping extensions
-    while ((bytes(pos) & 0xff) == 0x21) {
-      pos += 2 // extension introducer + label
-      while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
-      pos += 1
-    }
-    require((bytes(pos) & 0xff) == 0x2c, "gif: expected image descriptor")
-    val ix = u16(pos + 1); val iy = u16(pos + 3)
-    val iw = u16(pos + 5); val ih = u16(pos + 7)
-    val ipacked = bytes(pos + 9) & 0xff
-    require(ix == 0 && iy == 0 && iw == sw && ih == sh,
-      "gif: only full-frame images supported")
-    require((ipacked & 0x40) == 0, "gif: interlaced images not supported")
-    pos += 10
-    var ct = gct
-    if ((ipacked & 0x80) != 0) { // local color table wins
-      val sz = 3 * (2 << (ipacked & 7))
-      ct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
-      pos += sz
-    }
-    require(ct != null, "gif: no color table")
-    val minCode = bytes(pos) & 0xff
-    require(minCode == 8, s"gif: only 8-bit index streams supported ($minCode)")
-    pos += 1
-    val lzw = ArrayBuffer.empty[Byte]
-    var blockLen = bytes(pos) & 0xff
-    while (blockLen != 0) {
-      pos += 1
-      lzw ++= java.util.Arrays.copyOfRange(bytes, pos, pos + blockLen)
-      pos += blockLen
-      blockLen = bytes(pos) & 0xff
-    }
-    val indices = lzwDecode(lzw.toArray, iw * ih)
-    val rows = Vector.newBuilder[Array[Byte]]
-    var y = 0
-    while (y < ih) {
-      val row = new Array[Byte](iw * 3)
-      var x = 0
-      while (x < iw) {
-        val idx = indices(y * iw + x)
-        require(idx * 3 + 2 < ct.length, s"gif: palette index $idx out of table")
-        row(x * 3) = ct(idx * 3)
-        row(x * 3 + 1) = ct(idx * 3 + 1)
-        row(x * 3 + 2) = ct(idx * 3 + 2)
-        x += 1
+    val frames = Vector.newBuilder[Decoded]
+    var done = false
+    while (!done) {
+      // skip extensions (graphic control, comment, application, …)
+      while ((bytes(pos) & 0xff) == 0x21) {
+        pos += 2 // extension introducer + label
+        while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+        pos += 1
       }
-      rows += row
-      y += 1
+      (bytes(pos) & 0xff) match {
+        case 0x3b => done = true // trailer
+        case 0x2c =>
+          val ix = u16(pos + 1); val iy = u16(pos + 3)
+          val iw = u16(pos + 5); val ih = u16(pos + 7)
+          val ipacked = bytes(pos + 9) & 0xff
+          require(ix == 0 && iy == 0 && iw == sw && ih == sh,
+            "gif: only full-frame images supported")
+          require((ipacked & 0x40) == 0, "gif: interlaced images not supported")
+          pos += 10
+          var ct = gct
+          if ((ipacked & 0x80) != 0) { // local color table wins
+            val sz = 3 * (2 << (ipacked & 7))
+            ct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
+            pos += sz
+          }
+          require(ct != null, "gif: no color table")
+          val minCode = bytes(pos) & 0xff
+          pos += 1
+          val lzw = ArrayBuffer.empty[Byte]
+          var blockLen = bytes(pos) & 0xff
+          while (blockLen != 0) {
+            pos += 1
+            lzw ++= java.util.Arrays.copyOfRange(bytes, pos, pos + blockLen)
+            pos += blockLen
+            blockLen = bytes(pos) & 0xff
+          }
+          pos += 1 // block terminator
+          val indices = lzwDecode(lzw.toArray, iw * ih, minCode)
+          val rows = Vector.newBuilder[Array[Byte]]
+          var y = 0
+          while (y < ih) {
+            val row = new Array[Byte](iw * 3)
+            var x = 0
+            while (x < iw) {
+              val idx = indices(y * iw + x)
+              require(idx * 3 + 2 < ct.length,
+                s"gif: palette index $idx out of table")
+              row(x * 3) = ct(idx * 3)
+              row(x * 3 + 1) = ct(idx * 3 + 1)
+              row(x * 3 + 2) = ct(idx * 3 + 2)
+              x += 1
+            }
+            rows += row
+            y += 1
+          }
+          frames += Decoded(iw, ih, rows.result())
+        case other => throw new IllegalArgumentException(
+          f"gif: unexpected block 0x$other%02x at offset $pos")
+      }
     }
-    Decoded(iw, ih, rows.result())
+    val out = frames.result()
+    require(out.nonEmpty, "gif: no image descriptor before trailer")
+    out
   }
 
   /** [[Multimodal.Decoder]] over GIF payloads (the Bmp/Png/Jpeg

@@ -175,6 +175,143 @@ object Multimodal {
     }.toDF()
   }
 
+  /** [[frameHistograms]] over REAL decoded frames (r15, VERDICT r14
+    * task #2): `decodeLum` turns a payload into per-frame luminance
+    * arrays (each exactly [[frameLenPx]] pixels — e.g. an animated-GIF
+    * decode of 8×8 frames), and the readout is the same 8-bin
+    * histogram / adjacent-L1 dup screen / integer-ppb entropy as the
+    * stub path — same contract, pixels instead of encoded bytes. One
+    * mapPartitions batch pass; payloads never leave the scan.
+    */
+  def frameHistogramsOf(media: Dataset[MediaRow],
+      decodeLum: Array[Byte] => Seq[Array[Int]])
+      (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val frames = decodeLum(m.payload)
+        val nf = frames.length
+        require(nf >= 1, s"media ${m.media_id}: no frames decoded")
+        val hists = Array.ofDim[Long](nf, 8)
+        var f = 0
+        while (f < nf) {
+          val px = frames(f)
+          require(px.length == frameLenPx,
+            s"media ${m.media_id}: frame $f has ${px.length} px, " +
+              s"expected $frameLenPx")
+          var j = 0
+          while (j < frameLenPx) { hists(f)(px(j) / 32) += 1L; j += 1 }
+          f += 1
+        }
+        var entropySum = 0L
+        f = 0
+        while (f < nf) {
+          var b = 0
+          while (b < 8) {
+            val n = hists(f)(b)
+            if (n > 0L) {
+              val p = n.toDouble / frameLenPx
+              entropySum += math.round(-p * math.log(p) * 1e9)
+            }
+            b += 1
+          }
+          f += 1
+        }
+        var dups = 0L
+        var minL1 = Long.MaxValue
+        f = 1
+        while (f < nf) {
+          var l1 = 0L
+          var b = 0
+          while (b < 8) {
+            l1 += math.abs(hists(f)(b) - hists(f - 1)(b))
+            b += 1
+          }
+          if (l1 <= dupL1Threshold) dups += 1L
+          if (l1 < minL1) minL1 = l1
+          f += 1
+        }
+        FrameHist(m.media_id, nf.toLong, dups,
+          if (nf > 1) Some(minL1) else None, entropySum / nf)
+      }
+    }.toDF()
+  }
+
+  /** dHash geometry: the canonical 9-wide × 8-tall grayscale grid
+    * (64 horizontal gradient-sign bits). */
+  val dhashCols = 9
+  val dhashRows = 8
+
+  /** Decoded-pixel dHash grid (r15, VERDICT r14 #2): integer
+    * luminance ((299R+587G+114B)/1000 — exact when R=G=B) + area-mean
+    * box resize of a decoded RGB frame stack (frames = pixel rows, 3
+    * bytes/px, the [[Decoder]] row convention) down to 8×9. For an
+    * image that is ALREADY 9×8 the resize is the identity, which is
+    * what keeps q_dedup_phash's oracle closed-form; for larger images
+    * (PhashPixelSpec's 48×32 PNG-vs-JPEG twin) each cell is the mean
+    * of its pixel box — the smoothing that makes dHash robust to
+    * lossy re-encoding.
+    */
+  def dhashGrid(rows: Vector[Array[Byte]]): Array[Int] = {
+    val h = rows.length
+    val w = if (h == 0) 0 else rows.head.length / 3
+    require(h >= dhashRows && w >= dhashCols,
+      s"dhashGrid: image ${w}x$h smaller than the ${dhashCols}x$dhashRows grid")
+    val out = new Array[Int](dhashRows * dhashCols)
+    var r = 0
+    while (r < dhashRows) {
+      val y0 = r * h / dhashRows
+      val y1 = (r + 1) * h / dhashRows
+      var c = 0
+      while (c < dhashCols) {
+        val x0 = c * w / dhashCols
+        val x1 = (c + 1) * w / dhashCols
+        var sum = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1) {
+          val row = rows(y)
+          var x = x0
+          while (x < x1) {
+            val rr = row(x * 3) & 0xff
+            val gg = row(x * 3 + 1) & 0xff
+            val bb = row(x * 3 + 2) & 0xff
+            sum += (299L * rr + 587L * gg + 114L * bb) / 1000L
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(r * dhashCols + c) = (sum / n).toInt
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** 64 dHash gradient-sign bits (row r, col c: grid(r,c) > grid(r,c+1))
+    * folded MSB-first into two 32-bit halves — two BIGINTs instead of
+    * one 64-bit fold because a*2+b over 64 bits overflows signed
+    * BIGINT in both engines (the q_dedup_phash convention).
+    */
+  def dhashSig(grid: Array[Int]): (Long, Long) = {
+    var hi = 0L
+    var lo = 0L
+    var r = 0
+    while (r < dhashRows) {
+      var c = 0
+      while (c < 8) {
+        val bit =
+          if (grid(r * dhashCols + c) > grid(r * dhashCols + c + 1)) 1L else 0L
+        if (r * 8 + c < 32) hi = hi * 2 + bit else lo = lo * 2 + bit
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
+  }
+
   /** Channel readout of a decoded RGB image. */
   final case class RgbReadout(media_id: Long, width: Long, height: Long,
                               n_pixels: Long, sum_r: Long, sum_g: Long,

@@ -230,49 +230,45 @@ object TextAnalysisQueries {
   )
 
   /** Image/video-shaped multimodal CONTENT op — the duplicate-frame
-    * screen (q_multimodal_meta stub convention: text bytes stand in
-    * for the opaque payload; a real codec drops in behind
-    * graft.ops.Multimodal.Decoder with no plan change). Each media's
-    * payload is stub-decoded into ≤8 cycled 64-px frames, each frame
-    * reduced to an 8-bin luminance histogram; the readouts are what a
-    * video curation pass keys on: adjacent-frame histogram L1
-    * distances (static/duplicated content collapses to L1 ≈ 0 — the
-    * screen that drops slideshows and frozen streams before expensive
-    * per-frame models run) and mean frame entropy (flat/synthetic
-    * frames score low).
+    * screen, PIXEL-TRUE since r15 (VERDICT r14 task #2): each media
+    * payload is a REAL animated GIF89a (the [[graft.ops.Gif]] codec —
+    * grayscale identity palette, 1–8 full-logical-screen 8×8 frames,
+    * graphic-control extensions between them), decoded executor-side
+    * by the multi-frame LZW decoder back to per-frame pixels; each
+    * decoded frame reduces to an 8-bin luminance histogram. Planted
+    * content: frame f's pixels are md5-48("id_cf_j") mod 256 where cf
+    * collapses f onto f−1 whenever (id+f) % 4 == 0 — the planted
+    * duplicate frames (exact repeats, L1 = 0) the screen exists to
+    * catch (slideshows, frozen streams), closed-form so the DuckDB
+    * oracle recomputes every histogram without a codec. Readouts:
+    * adjacent-frame histogram L1 distances (dup pair = L1 ≤ 16, plus
+    * the min) and mean frame entropy in exact integer ppb (the
+    * q_perplexity ln-grid discipline — per-bin −p·ln p rounded once on
+    * the 1e-9 grid from ≤64 distinct (count, 64) rationals, then
+    * integer-summed).
     *
     * Scale: one mapPartitions batch pass (graft.ops.Multimodal
-    * .frameHistograms); per media the state is 8 ints × ≤8 frames
-    * regardless of payload size and payloads never leave the scan.
-    * Histogram/L1 arithmetic is all-BIGINT; the only float op is the
-    * per-bin −p·ln p entropy term, rounded once on the 1e-9 grid from
-    * ≤64 distinct (count, 64) rationals then integer-summed — the
-    * q_perplexity ln-grid discipline, so no ordered float
-    * accumulation exists.
-    *
-    * Oracle-parity invariant (stub convention): the payload is the
-    * UTF-8 encoding of `text`, and Spark bins BYTES (`& 0xff`, byte
-    * length) while the DuckDB twin bins CHARACTERS (`ascii`, char
-    * length) — identical only while the corpus is pure ASCII.
-    * MultimodalSpec pins that invariant against the fixtures; a
-    * non-ASCII corpus needs the oracle rewritten over `encode(text)`
-    * bytes before this query's hash can be trusted.
+    * .frameHistogramsOf); per media the state is 8 ints × ≤8 frames
+    * and payloads never leave the scan stage.
     */
   private val frameHist = QueryDef(
     "q_frame_hist",
-    "Duplicate-frame screen over multimodal payloads: 8-bin luminance " +
-      "histograms per cycled 64-px stub frame, adjacent-frame L1 " +
-      "distances (dup pair = L1 <= 16, plus the min), and mean frame " +
-      "entropy in exact integer ppb.",
-    Some("""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len,
-           |         least(greatest((length(text)+63)//64, 1), 8) AS nf FROM documents),
+    "Duplicate-frame screen over REAL animated-GIF payloads decoded " +
+      "back to per-frame pixels: 8-bin luminance histograms per " +
+      "decoded 8x8 frame (planted closed-form pixels with exact-" +
+      "repeat frames), adjacent-frame L1 distances (dup pair = L1 <= " +
+      "16, plus the min), and mean frame entropy in exact integer ppb.",
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+           |         CAST(1 + doc_id % 8 AS BIGINT) AS nf FROM documents),
+           |fr AS (SELECT media_id, nf, f,
+           |         f - CASE WHEN f > 0 AND (media_id + f) % 4 = 0 THEN 1 ELSE 0 END AS cf
+           |       FROM m, unnest(generate_series(0, CAST(nf - 1 AS INT))) AS u(f)),
            |h AS (SELECT media_id, nf, f,
-           |        CASE WHEN len = 0 THEN list_transform(generate_series(0, 7), b -> CAST(0 AS BIGINT))
-           |        ELSE list_transform(generate_series(0, 7), b -> CAST(len(list_filter(
+           |        list_transform(generate_series(0, 7), b -> CAST(len(list_filter(
            |          list_transform(generate_series(0, 63),
-           |            j -> ascii(substr(text, CAST((f*64+j) % len AS INT) + 1, 1)) // 32),
-           |          v -> v = b)) AS BIGINT)) END AS hist
-           |      FROM m, unnest(generate_series(0, CAST(nf-1 AS INT))) AS u(f)),
+           |            j -> (CAST(concat('0x', substr(md5(concat(media_id, '_', cf, '_', j)), 1, 12)) AS BIGINT) % 256) // 32),
+           |          v -> v = b)) AS BIGINT)) AS hist
+           |      FROM fr),
            |e AS (SELECT media_id, nf, f, hist,
            |        CAST(list_sum(list_transform(hist, n -> CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
            |          ELSE CAST(round(-(CAST(n AS DOUBLE)/64)*ln(CAST(n AS DOUBLE)/64)*1e9) AS BIGINT) END)) AS BIGINT) AS ent_e9
@@ -295,14 +291,32 @@ object TextAnalysisQueries {
     (s, d) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
       import s.implicits._
-      val media = documents(s, d).select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3).cast("int") + 1).as("modality"),
-        encode(col("text"), "UTF-8").as("payload"),
-        lng(length(col("text"))).as("byte_len"))
-        .as[Multimodal.MediaRow]
-      Multimodal.frameHistograms(media)
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def px(cf: Int, j: Int): Int = {
+          val hex = md.digest(s"${id}_${cf}_$j".getBytes("UTF-8"))
+            .take(6).map(b => f"$b%02x").mkString
+          (java.lang.Long.parseLong(hex, 16) % 256L).toInt
+        }
+        val nf = (1 + id % 8).toInt
+        val frames = (0 until nf).map { f =>
+          // planted duplicate frames: every (id+f) % 4 == 0 frame is an
+          // exact repeat of its predecessor — the dup the screen catches
+          val cf = if (f > 0 && (id + f) % 4 == 0) f - 1 else f
+          (x: Int, y: Int) => px(cf, y * 8 + x)
+        }
+        val payload = graft.ops.Gif.encodeFrames(8, 8, i => (i, i, i), frames)
+        Multimodal.MediaRow(id, "video", payload, payload.length.toLong)
+      }
+      // decode: animated GIF -> per-frame 64-px luminance (identity
+      // grayscale palette makes luminance == palette index exactly)
+      val decodeLum = (payload: Array[Byte]) =>
+        graft.ops.Gif.decodeFrames(payload).map { dec =>
+          dec.rows.flatMap(_.grouped(3).map(p =>
+            (299 * (p(0) & 0xff) + 587 * (p(1) & 0xff) +
+              114 * (p(2) & 0xff)) / 1000)).toArray
+        }
+      Multimodal.frameHistogramsOf(media, decodeLum)
         .select(col("media_id"), col("n_frames"), col("n_dup_pairs"),
           col("min_l1"), col("mean_entropy_ppb"))
         .orderBy("media_id")

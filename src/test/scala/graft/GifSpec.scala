@@ -73,9 +73,49 @@ class GifSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Gif.decode(Array[Byte](1, 2, 3)))
     // interlaced flag set -> reject (not silently wrong)
     val bad = ok.clone()
-    // image descriptor: after 6 header + 7 LSD + 768 GCT = offset 781
-    assert((bad(781) & 0xff) == 0x2c)
-    bad(781 + 9) = (bad(781 + 9) | 0x40).toByte
+    // image descriptor: after 6 header + 7 LSD + 768 GCT + 8-byte GCE
+    val desc = 6 + 7 + 768 + 8
+    assert((bad(desc) & 0xff) == 0x2c)
+    bad(desc + 9) = (bad(desc + 9) | 0x40).toByte
     assertThrows[IllegalArgumentException](Gif.decode(bad))
+  }
+
+  test("LZW minimum code sizes 2-7 round-trip (r15: small palettes)") {
+    // real-world GIFs with <256-color palettes: initial width = min+1,
+    // CLEAR = 1<<min — the hard-wired-8 decoder rejected all of these
+    for (mc <- 2 to 7) {
+      val nColors = 1 << mc
+      val w = 37; val h = 23
+      def f(x: Int, y: Int): Int =
+        (((x * 31 + y * 17 + mc * 7) * 2654435761L >>> 8) % nColors).toInt
+      val d = Gif.decode(Gif.encode8(w, h, pal, f, minCodeSize = mc))
+      assert(d.width == w && d.height == h)
+      val want = Array.tabulate(w * h) { i =>
+        val (r, g, b) = pal(f(i % w, i / w)); Array(r, g, b)
+      }.flatten.map(_.toByte)
+      assert(d.rows.flatten.toArray.sameElements(want),
+        s"min code $mc round-trip")
+    }
+  }
+
+  test("animated GIF: decodeFrames returns every frame, in order") {
+    val w = 11; val h = 7
+    val frames = (0 until 5).map { f => (x: Int, y: Int) =>
+      (f * 40 + x * 3 + y) % 256
+    }
+    val fs = Gif.decodeFrames(Gif.encodeFrames(w, h, pal, frames))
+    assert(fs.length == 5)
+    fs.zipWithIndex.foreach { case (d, f) =>
+      assert(d.width == w && d.height == h)
+      val want = Array.tabulate(w * h) { i =>
+        val (r, g, b) = pal((f * 40 + (i % w) * 3 + i / w) % 256)
+        Array(r, g, b)
+      }.flatten.map(_.toByte)
+      assert(d.rows.flatten.toArray.sameElements(want), s"frame $f")
+    }
+    // the single-image API must not silently drop frames 2..5
+    val ex = intercept[IllegalArgumentException](
+      Gif.decode(Gif.encodeFrames(w, h, pal, frames)))
+    assert(ex.getMessage.contains("decodeFrames"))
   }
 }

@@ -328,6 +328,83 @@ object Jpeg {
     out.toArray
   }
 
+  /** Encode the same 4:2:0 baseline image as THREE NON-INTERLEAVED
+    * sequential scans (one SOS per component — T.81 A.2.2: each scan
+    * walks its component's own block grid in raster order, and the
+    * restart-MCU is ONE block). Same plane contract and identical DCT
+    * coefficients as [[encode420]], so decodes of the two encodings
+    * must agree bit-for-bit — the JpegSpec gate for the r14-ADVICE
+    * decoder fix (single-component baseline scans previously walked
+    * MCU-tile order and counted restarts per 4-block tile).
+    */
+  def encodeSequentialPlanar420(w: Int, h: Int, yPlane: Array[Int],
+      cbPlane: Array[Int], crPlane: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, s"dims must be MCU-aligned: ${w}x$h")
+    require(yPlane.length == w * h && cbPlane.length == w * h / 4 &&
+      crPlane.length == w * h / 4, "plane sizes")
+    val out = ArrayBuffer.empty[Byte]
+    out += 0xff.toByte; out += 0xd8.toByte // SOI
+    seg(out, 0xdb, (Array(0x00.toByte) ++ Array.fill(64)(1.toByte)))
+    seg(out, 0xdb, (Array(0x01.toByte) ++ Array.fill(64)(1.toByte)))
+    // SOF0: baseline, 8-bit, 3 components, 2x2 / 1x1 / 1x1
+    seg(out, 0xc0, Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(out, 0xc4, dhtBody(0x00, DcLumBits, DcLumVals))
+    seg(out, 0xc4, dhtBody(0x10, AcLumBits, AcLumVals))
+    seg(out, 0xc4, dhtBody(0x01, DcChrBits, DcChrVals))
+    seg(out, 0xc4, dhtBody(0x11, AcChrBits, AcChrVals))
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte](((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
+    val planes = Array(yPlane, cbPlane, crPlane)
+    val pw = Array(w, w / 2, w / 2)
+    val bw8 = Array(w / 8, w / 16, w / 16)
+    val bh8 = Array(h / 8, h / 16, h / 16)
+    val block = new Array[Int](64)
+    var ci = 0
+    while (ci < 3) {
+      val tbl: Byte = if (ci == 0) 0x00 else 0x11
+      seg(out, 0xda, Array[Byte](1, (ci + 1).toByte, tbl, 0, 63, 0))
+      val bw = new BitWriter(out)
+      val dcCodes = if (ci == 0) DcLumCodes else DcChrCodes
+      val acCodes = if (ci == 0) AcLumCodes else AcChrCodes
+      var pred = 0
+      var rstIdx = 0
+      var cnt = 0
+      var bi = 0
+      val nBlocks = bw8(ci) * bh8(ci)
+      while (bi < nBlocks) {
+        if (restartInterval > 0 && cnt > 0 && cnt % restartInterval == 0) {
+          bw.flush()
+          out += 0xff.toByte; out += (0xd0 + rstIdx).toByte
+          rstIdx = (rstIdx + 1) % 8
+          pred = 0
+        }
+        val bx = bi % bw8(ci); val by = bi / bw8(ci)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            block(yy * 8 + xx) =
+              planes(ci)((by * 8 + yy) * pw(ci) + bx * 8 + xx) - 128
+            xx += 1
+          }
+          yy += 1
+        }
+        pred = encodeBlock(bw, fdctQuant(block), pred, dcCodes, acCodes)
+        cnt += 1
+        bi += 1
+      }
+      bw.flush()
+      ci += 1
+    }
+    out += 0xff.toByte; out += 0xd9.toByte // EOI
+    out.toArray
+  }
+
   // ------------------------------------------- progressive encoder
 
   /** Optimal Huffman table from symbol frequencies — the T.81 Annex
@@ -922,8 +999,13 @@ object Jpeg {
         }
       }
 
-      if (scanComps.length > 1 || !progressive) {
-        // interleaved MCU walk (baseline full blocks, or progressive DC)
+      if (scanComps.length > 1) {
+        // interleaved MCU walk (multi-component scans: baseline full
+        // blocks, or progressive DC). Single-component scans — BASELINE
+        // INCLUDED (ADVICE r14: a non-interleaved sequential scan of a
+        // subsampled component walks the component's own raster grid
+        // and counts one restart-MCU per block, T.81 A.2.2) — take the
+        // component-raster branch below.
         var my = 0
         while (my < mcusY) {
           var mx = 0

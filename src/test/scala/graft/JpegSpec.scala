@@ -189,6 +189,28 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("non-interleaved sequential == interleaved decode, with restarts " +
+    "(r14 ADVICE: single-component baseline scans walk the component " +
+    "raster, one restart-MCU per block)") {
+    // same quantized coefficients, different scan structure: three
+    // single-component SOS in T.81 A.2.2 raster order. Noisy plants
+    // make every block distinct, so the OLD MCU-tile walk (which
+    // visited Y blocks in 2×2 tile order and counted restarts per
+    // tile) would scramble block placement AND desync on RST markers
+    for (seed <- 11L to 13L) {
+      val (y, cb, cr) = noisyPlant(48, 32, seed)
+      val base = Jpeg.decode(Jpeg.encode420(48, 32, y, cb, cr))
+      for (rst <- Seq(0, 3)) {
+        val plan = Jpeg.decode(Jpeg.encodeSequentialPlanar420(
+          48, 32, y, cb, cr, restartInterval = rst))
+        assert(plan.width == base.width && plan.height == base.height)
+        for (r <- base.rows.indices)
+          assert(java.util.Arrays.equals(plan.rows(r), base.rows(r)),
+            s"seed $seed rst $rst row $r differs between planar and interleaved")
+      }
+    }
+  }
+
   test("progressive container: SOF2, ten scans, per-scan optimized DHTs") {
     val (y, cb, cr) = noisyPlant(16, 16, 9L)
     val bytes = Jpeg.encodeProgressive420(16, 16, y, cb, cr)

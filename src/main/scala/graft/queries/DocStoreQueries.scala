@@ -520,7 +520,104 @@ object DocStoreQueries {
     }
   )
 
+  private val docstoreRestore = QueryDef(
+    "q_docstore_restore",
+    "RESTORE TABLE TO VERSION on the docstore DSv2 source — the " +
+      "rollback half of the time-travel story (pinned reads inspect " +
+      "history; restore makes an old state the LIVE one): the base " +
+      "table lands at v1, a MERGE upsert mutates it at v2, and " +
+      "DocStoreOps.restore re-publishes v1's manifest as v3 — a " +
+      "METADATA-ONLY commit (no data file read, written, or deleted; " +
+      "one manifest CAS), so rolling back a bad ingest at 100 TB is " +
+      "O(1) in corpus size. The query reads the restored head (== the " +
+      "base state) AND the still-pinnable undone v2 (history is " +
+      "preserved until vacuum) — both recomputed by the oracle from " +
+      "source parquet. That no .gds file is touched by the restore " +
+      "commit is spec-pinned (not SQL-observable).",
+    Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+           |ups AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM base
+           |        WHERE doc_id % 7 = 0 AND doc_id < 1000),
+           |merged AS (SELECT * FROM base
+           |           WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+           |           UNION ALL SELECT * FROM ups)
+           |SELECT CAST(1 AS BIGINT) AS state, lang,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM base GROUP BY lang
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), lang, CAST(count(*) AS BIGINT),
+           |       CAST(sum(n_chars) AS BIGINT)
+           |FROM merged GROUP BY lang
+           |ORDER BY state, lang""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_restore/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore").mode("overwrite").save(outDir)
+      val v1 = graft.sources.DocStore.latestVersion(outDir).get
+      val batch = docs
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 1000)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000L).as("n_chars"))
+      graft.sources.DocStoreOps.merge(s, outDir, batch, "doc_id")
+      val v2 = graft.sources.DocStore.latestVersion(outDir).get
+      graft.sources.DocStoreOps.restore(outDir, v1)
+      def rollup(df: org.apache.spark.sql.DataFrame, tag: Long) =
+        df.groupBy(col("lang"))
+          .agg(lng(count(lit(1))).as("n_docs"), lng(sum("n_chars")).as("sum_chars"))
+          .select(lit(tag).as("state"), col("lang"), col("n_docs"),
+            col("sum_chars"))
+      val restored = s.read.format("docstore").load(outDir)
+      val undone = s.read.format("docstore")
+        .option("snapshotVersion", v2.toString).load(outDir)
+      rollup(restored, 1L).unionAll(rollup(undone, 2L))
+        .orderBy("state", "lang")
+    }
+  )
+
+  private val docstoreVacuum = QueryDef(
+    "q_docstore_vacuum",
+    "VACUUM on the docstore DSv2 source — the retention end of the " +
+      "lakehouse lifecycle (every copy-on-write mutation strands the " +
+      "files it retires; something must reclaim them): the base table " +
+      "lands range-partitioned at v1, a DELETE takedown batch rewrites " +
+      "the affected files at v2, and DocStore.vacuum physically " +
+      "deletes every data file the LATEST manifest no longer " +
+      "references plus all older manifests. The query reads the " +
+      "surviving table back in FULL, so a vacuum that deletes a LIVE " +
+      "file (the catastrophic failure mode) fails the source-parquet " +
+      "hash loudly. That retired files are physically gone, old " +
+      "manifests dropped, and a pinned v1 read now fails loudly is " +
+      "spec-pinned (not SQL-observable). SCALE: vacuum is a listing + " +
+      "set-difference against one manifest — file-count-sized driver " +
+      "work, zero data reads.",
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+           |WHERE NOT (doc_id % 13 = 0 AND doc_id < 1000)
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_vacuum/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore").mode("overwrite").save(outDir)
+      graft.sources.DocStoreOps.delete(s, outDir,
+        docs.filter(col("doc_id") % 13 === 0 && col("doc_id") < 1000)
+          .select(col("doc_id")), "doc_id")
+      graft.sources.DocStore.vacuum(outDir)
+      s.read.format("docstore").load(outDir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot,
     docstoreMerge, docstoreCompact, docstoreCdf, docstoreZorder,
-    docstoreStream, docstoreEvolve, docstoreConcurrent, docstoreTimetravel)
+    docstoreStream, docstoreEvolve, docstoreConcurrent, docstoreTimetravel,
+    docstoreRestore, docstoreVacuum)
 }

@@ -229,6 +229,25 @@ object DocStoreOps {
     del.unionByName(ins).unionByName(pre).unionByName(post)
   }
 
+  /** RESTORE TABLE TO VERSION (Delta `RESTORE` / Iceberg rollback):
+    * re-publish snapshot `toVersion`'s file list as a NEW version at
+    * the head of the commit chain. Metadata-only — no data file is
+    * read, written, or deleted; the commit is one manifest CAS (same
+    * optimistic retry as every writer), so a racing append simply
+    * pushes the restore to the next version number. History is
+    * preserved: the undone versions stay pinnable until [[DocStore
+    * .vacuum]] reclaims them — which is exactly why restore must NOT
+    * delete anything itself (a reader may be pinned mid-rollback).
+    * The 100 TB shape: rolling back a bad ingest is O(1) regardless
+    * of corpus size. Returns the new head version.
+    */
+  def restore(dir: String, toVersion: Long): Long = {
+    val files = DocStore.readManifest(dir, toVersion) // loud if absent
+    var v = DocStore.latestVersion(dir).getOrElse(0L) + 1
+    while (!DocStore.writeManifest(dir, v, files)) v += 1
+    v
+  }
+
   /** OPTIMIZE: rewrite every data file smaller than `targetBytes` into
     * ~`ceil(totalSmallBytes / targetBytes)` bin-packed files, retiring
     * the originals in the same commit. Returns (filesBefore,

@@ -556,4 +556,68 @@ class DocStoreSpec extends AnyFunSuite {
     assert(ks === ((0L until 1024L) ++ (5000L until 5010L)),
       "append must land on top of the racing compaction")
   }
+
+  test("restore: metadata-only rollback — no data file touched, head " +
+    "equals the restored snapshot, undone version stays pinnable") {
+    val dir = tmpDir("gds_restore")
+    spark.range(0, 1024)
+      .select(col("id").as("k"), (col("id") % 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val v1 = DocStore.latestVersion(dir).get
+    val batch = spark.range(0, 100).filter(col("id") % 7 === 0)
+      .select(col("id").as("k"), lit(99L).as("v"))
+    sources.DocStoreOps.merge(spark, dir, batch, "k")
+    val v2 = DocStore.latestVersion(dir).get
+    val filesBefore = DocStore.listDataFiles(dir).map(_._1).toSet
+    val v3 = sources.DocStoreOps.restore(dir, v1)
+    assert(v3 === v2 + 1, "restore commits a NEW head version")
+    assert(DocStore.listDataFiles(dir).map(_._1).toSet === filesBefore,
+      "restore is metadata-only: no data file created or deleted")
+    assert(manifestNames(dir) ===
+      DocStore.readManifest(dir, v1).map { case (f, _) =>
+        new org.apache.hadoop.fs.Path(f).getName
+      }.toSet, "head manifest equals the restored snapshot's file list")
+    // head reads the pre-merge state
+    val head = spark.read.format("docstore").load(dir)
+      .filter(col("k") % 7 === 0 && col("k") < 100)
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(head === (0 to 9).map(_.toLong).toSet,
+      "restored head serves the v1 values (k % 10), not the merge's 99s")
+    assert(!head.contains(99L))
+    // undone v2 remains pinnable until vacuum
+    val undone = spark.read.format("docstore")
+      .option("snapshotVersion", v2.toString).load(dir)
+      .filter(col("k") === 0L).select("v").collect().map(_.getLong(0)).toSeq
+    assert(undone === Seq(99L), "history preserved: v2 still pinnable")
+  }
+
+  test("restore then vacuum: undone files reclaimed, pinned read of a " +
+    "vacuumed version fails loudly, head intact") {
+    val dir = tmpDir("gds_restore_vac")
+    spark.range(0, 512)
+      .select(col("id").as("k"), (col("id") % 10).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format("docstore").mode("overwrite").save(dir)
+    val v1 = DocStore.latestVersion(dir).get
+    sources.DocStoreOps.merge(spark, dir,
+      spark.range(0, 50).select(col("id").as("k"), lit(99L).as("v")), "k")
+    val v2 = DocStore.latestVersion(dir).get
+    sources.DocStoreOps.restore(dir, v1)
+    val liveBefore = manifestNames(dir)
+    DocStore.vacuum(dir)
+    assert(DocStore.listDataFiles(dir).map { case (f, _) =>
+      new org.apache.hadoop.fs.Path(f).getName
+    }.toSet === liveBefore, "vacuum keeps exactly the live set")
+    assert(DocStore.manifestVersions(dir).length === 1,
+      "older manifests dropped")
+    intercept[Exception] {
+      spark.read.format("docstore")
+        .option("snapshotVersion", v2.toString).load(dir).collect()
+    }
+    val head = spark.read.format("docstore").load(dir)
+    assert(head.count() === 512L)
+    assert(head.filter(col("v") === 99L).count() === 0L,
+      "head still serves the restored (pre-merge) state after vacuum")
+  }
 }

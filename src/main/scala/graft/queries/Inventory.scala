@@ -17,7 +17,7 @@ object Inventory {
       CorpusQueries.defs ++ MiningQueries.defs ++ MlEvalQueries.defs ++
       OpsQueries.defs ++ RecsysQueries.defs ++ StatsScaleQueries.defs ++
       PatternQueries.defs ++ SemanticsQueries.defs ++ LinalgQueries.defs ++
-      LayoutQueries.defs
+      LayoutQueries.defs ++ ArchiveQueries.defs
 
   require(all.map(_.key).distinct.size == all.size,
     "duplicate query keys in inventory")

@@ -1927,8 +1927,82 @@ object AnnQueries {
     (s, d) => annDeleteParts(s, d)._1
   )
 
+  /** Late-interaction (ColBERT-style MaxSim) retrieval — the
+    * MULTI-VECTOR scoring model next to the single-vector families
+    * above: a document is a BAG of token vectors, and score(q, d) =
+    * Σ_{query token} max_{doc token} ⟨qt, dt⟩, which preserves
+    * token-level matching that pooled single vectors average away.
+    * Token bags derive deterministically by slicing each 64-d
+    * embedding into 8 contiguous 8-d token vectors (the fixture
+    * convention — at production scale the bag IS the per-token
+    * encoder output).
+    *
+    * Plan shape: the probe token table (probes × 8 rows) BROADCASTS
+    * into the corpus token table (corpus × 8, partitioned with the
+    * corpus — token explosion never shuffles the corpus); the inner
+    * max is a map-side-combinable (probe, cand, ti) aggregate, the
+    * outer sum an exact DECIMAL(18,6) fold over the 8 rounded maxima
+    * (order-independent, engine-identical). At 100 TB the exact
+    * MaxSim runs over a candidate set from a first-stage filter
+    * (q_ann_ivf / q_ann_hnsw supply it) — the ColBERTv2/PLAID
+    * two-stage shape; the scoring plan here is unchanged by that
+    * composition, only its input shrinks.
+    */
+  private val annMaxsim = QueryDef(
+    "q_ann_maxsim",
+    "Late-interaction multi-vector retrieval (ColBERT MaxSim): each " +
+      "vector sliced into 8 token vectors of 8 dims; score(q,d) = " +
+      "sum over query tokens of the max dot product over doc tokens; " +
+      "exact top-3 docs per probe. Probe tokens broadcast, the inner " +
+      "max map-side combines, the outer sum folds exact decimals.",
+    Some("""WITH toks AS (SELECT i FROM unnest(generate_series(0, 7)) AS t(i)),
+           |pt AS (SELECT vec_id AS probe_id, i AS ti,
+           |              embedding[i*8+1:i*8+8] AS pv
+           |       FROM embeddings, toks WHERE vec_id < 5),
+           |ct AS (SELECT vec_id AS cand_id, i AS tj,
+           |              embedding[i*8+1:i*8+8] AS cv
+           |       FROM embeddings, toks WHERE vec_id >= 5),
+           |best AS (SELECT probe_id, cand_id, ti,
+           |    max(round(list_sum(list_transform(list_zip(pv, cv),
+           |          q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))), 6)) AS b
+           |  FROM pt, ct GROUP BY 1, 2, 3),
+           |scored AS (SELECT probe_id, cand_id,
+           |    CAST(sum(CAST(b AS DECIMAL(18,6))) AS DOUBLE) AS score
+           |  FROM best GROUP BY 1, 2),
+           |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY score DESC, cand_id) AS BIGINT) AS rk FROM scored)
+           |SELECT probe_id, rk, cand_id, score
+           |FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin),
+    (s, d) => {
+      import graft.functions.VectorFunctions.vecDot
+      val e = embeddings(s, d)
+      def tokens(df: org.apache.spark.sql.DataFrame, id: String, ti: String,
+          tv: String) = df
+        .select(col("vec_id").as(id), explode(sequence(lit(0), lit(7))).as(ti),
+          col("embedding"))
+        .withColumn(tv, slice(col("embedding"), col(ti) * 8 + 1, lit(8)))
+        .drop("embedding")
+      val pt = tokens(e.filter(col("vec_id") < 5), "probe_id", "ti", "pv")
+      val ct = tokens(e.filter(col("vec_id") >= 5), "cand_id", "tj", "cv")
+      val best = ct.join(broadcast(pt))
+        .select(col("probe_id"), col("cand_id"), col("ti"),
+          round(vecDot(col("pv"), col("cv")), 6).as("dot"))
+        .groupBy("probe_id", "cand_id", "ti")
+        .agg(max(col("dot")).as("b"))
+      val scored = best.groupBy("probe_id", "cand_id")
+        .agg(dbl(sum(col("b").cast(
+          org.apache.spark.sql.types.DecimalType(18, 6)))).as("score"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("cand_id"))
+      scored.withColumn("rk", lng(row_number().over(w)))
+        .filter(col("rk") <= 3)
+        .select("probe_id", "rk", "cand_id", "score")
+        .orderBy("probe_id", "rk")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
     lshRecall, annFiltered, annPq, pqRecall, annIvfPq, annHnsw,
     annHnswPersisted, annHnswDelta, annHnswLayered, annHnswLayeredPersisted,
-    annPersisted, annIvfRefresh, annDelete, mmrRerank)
+    annPersisted, annIvfRefresh, annDelete, mmrRerank, annMaxsim)
 }

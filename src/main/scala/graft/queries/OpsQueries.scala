@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -723,6 +724,96 @@ object OpsQueries {
     }
   )
 
+  /** Matrix profile (exact, brute-force) of the daily order-revenue
+    * series — the MOTIF/DISCORD member of the time-series family
+    * (q_autocorr measures global dependence, q_binseg/q_cusum find
+    * level changes; the matrix profile finds the nearest NEIGHBOR of
+    * every subsequence, whose minima are repeated motifs and maxima
+    * are discords/anomalies — Yeh et al., ICDM'16). For each length-16
+    * window i, the smallest z-normalized distance to any window j
+    * with |i−j| ≥ 8 (the standard m/2 trivial-match exclusion), plus
+    * that neighbor's index.
+    *
+    * THE DETERMINISM TRICK (the Louvain/microrank discipline applied
+    * to a float-heavy algorithm): daily revenue in CENTS is an exact
+    * DECIMAL, so every window sum S_i, sum-of-squares Q_i and sliding
+    * dot product QT(i,j) is EXACT integer arithmetic — the only
+    * doubles are one shared final chain, dist² = 2m(1 − (m·QT −
+    * S_i·S_j) / (√(m·Q_i − S_i²)·√(m·Q_j − S_j²))), written in the
+    * same IEEE order in both engines and rounded once.
+    *
+    * PLAN SHAPE = the SCAMP/SCRIMP parallelization: QT(i,j) along a
+    * DIAGONAL d = i−j is a sliding sum of the product series
+    * v_p·v_{p−d}, so the O(n²) work partitions by diagonal — each
+    * diagonal is one independent windowed-sum task, which is exactly
+    * how GPU/cluster matrix-profile engines shard. The corpus-sized
+    * work is only the daily rollup (map-side combined); everything
+    * after is series²-sized (n ≈ 2400 DAYS — fixed by the calendar,
+    * not the corpus: at 100× the data the rollup grows and the
+    * profile does not).
+    */
+  private val matrixProfile = QueryDef(
+    "q_matrix_profile",
+    "Exact matrix profile (window 16, exclusion 8) of the daily " +
+      "revenue series: per window the z-normalized distance^2 to its " +
+      "nearest non-trivial neighbor and that neighbor's index — " +
+      "motifs at the minima, discords at the maxima. All window " +
+      "sums/dots exact decimal; one shared IEEE chain at the end; " +
+      "O(n^2) work partitioned by diagonal (the SCAMP sharding).",
+    Some("""WITH dly AS (SELECT o_orderdate AS d,
+           |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+           |              AS DECIMAL(12,0)) AS v
+           |       FROM orders GROUP BY 1),
+           |idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+           |               v FROM dly),
+           |w AS (SELECT i,
+           |        CAST(sum(v) OVER win AS DECIMAL(14,0)) AS s,
+           |        CAST(sum(CAST(v AS DECIMAL(25,0)) * v) OVER win
+           |             AS DECIMAL(27,0)) AS q2,
+           |        count(*) OVER win AS cnt
+           |      FROM idx
+           |      WINDOW win AS (ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)),
+           |wv AS (SELECT i, s, q2 FROM w WHERE cnt = 16),
+           |prod AS (SELECT a.i AS pi, b.i AS pj,
+           |                CAST(a.v AS DECIMAL(25,0)) * b.v AS p
+           |         FROM idx a, idx b),
+           |qt AS (SELECT pi AS i, pj AS j,
+           |         CAST(sum(p) OVER dwin AS DECIMAL(28,0)) AS qt,
+           |         count(*) OVER dwin AS cnt
+           |       FROM prod
+           |       WINDOW dwin AS (PARTITION BY pi - pj ORDER BY pi
+           |                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)),
+           |pairs AS (SELECT q.i, q.j, q.qt,
+           |                 -- width >= 19 forces DuckDB's hugeint multiply
+           |                 -- path (14x14 would clamp to DECIMAL(18) and
+           |                 -- overflow on si*si)
+           |                 CAST(wa.s AS DECIMAL(19,0)) AS si, wa.q2 AS qi,
+           |                 CAST(wb.s AS DECIMAL(19,0)) AS sj, wb.q2 AS qj
+           |          FROM qt q JOIN wv wa ON wa.i = q.i
+           |                    JOIN wv wb ON wb.i = q.j
+           |          WHERE q.cnt = 16 AND abs(q.i - q.j) >= 8),
+           |dist AS (SELECT i, j,
+           |    round(32e0 * (1e0 - CAST(16 * qt - si * sj AS DOUBLE)
+           |      / (sqrt(CAST(16 * qi - si * si AS DOUBLE))
+           |         * sqrt(CAST(16 * qj - sj * sj AS DOUBLE)))), 6) AS d2
+           |  FROM pairs
+           |  WHERE 16 * qi - si * si > 0 AND 16 * qj - sj * sj > 0),
+           |prof AS (SELECT i, j, d2,
+           |           row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rk
+           |         FROM dist)
+           |SELECT i, CAST(j AS BIGINT) AS nn, d2 AS dist2
+           |FROM prof WHERE rk = 1 ORDER BY i""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val idx = orders(s, d).groupBy(col("o_orderdate").as("d"))
+        .agg((sum(money(col("o_totalprice"))) * 100)
+          .cast(DecimalType(12, 0)).as("v"))
+        .withColumn("i", lng(row_number().over(Window.orderBy("d"))))
+        .select("i", "v")
+      graft.ops.MatrixProfile.profile(idx, m = 16, excl = 8)
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(skewReport, integrity, holt, changepoint,
-    readability, snapshotDiff, filterFunnel, stl, ar1, binseg)
+    readability, snapshotDiff, filterFunnel, stl, ar1, binseg, matrixProfile)
 }

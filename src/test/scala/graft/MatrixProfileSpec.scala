@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MatrixProfile
+
+/** MatrixProfile / q_matrix_profile (SURVEY.md §2.40): planted-motif
+  * recovery, exclusion-zone discipline, z-normalization invariance,
+  * and repartition determinism — the properties the table-derived
+  * oracle can't state directly.
+  */
+class MatrixProfileSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def series(vals: Seq[Long], parts: Int = 4) = {
+    import spark.implicits._
+    vals.zipWithIndex.map { case (v, k) => (k + 1L, v) }
+      .toDF("i", "raw").repartition(parts)
+      .select(col("i"), col("raw").cast(DecimalType(12, 0)).as("v"))
+  }
+
+  // pseudo-random base wiggle, deterministic. Must be properly MIXED:
+  // a near-affine sequence (e.g. a truncated LCG) makes whole windows
+  // arithmetic progressions, and any two affine windows z-normalize to
+  // the SAME profile (distance 0) — correct matrix-profile behavior
+  // that would make a "non-motif windows don't match" assertion false.
+  private def noise(k: Int): Long = {
+    val x = k.toLong * 2654435761L
+    ((x ^ (x >>> 13) ^ (x << 7)) % 97 + 97) % 97
+  }
+
+  test("planted identical motifs are mutual nearest neighbors at dist 0") {
+    val motif = Seq[Long](10, 90, 20, 80, 30, 70, 40, 60)
+    val base = (0 until 64).map(k => 200 + noise(k))
+    // plant the motif at positions 5 and 40 (0-based)
+    val vals = base.zipWithIndex.map { case (v, k) =>
+      if (k >= 5 && k < 13) motif(k - 5)
+      else if (k >= 40 && k < 48) motif(k - 40)
+      else v
+    }
+    val mp = MatrixProfile.profile(series(vals), m = 8, excl = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // windows are 1-based: starts 6 and 41
+    assert(mp(6L) === ((41L, 0.0)), "motif at 6 matches its twin exactly")
+    assert(mp(41L) === ((6L, 0.0)), "and vice versa")
+    // an arbitrary non-motif window must NOT report a zero distance
+    assert(mp(20L)._2 > 0.0)
+  }
+
+  test("z-normalization: a scaled+shifted copy of the motif still " +
+    "matches at distance 0") {
+    val motif = Seq[Long](10, 90, 20, 80, 30, 70, 40, 60)
+    val scaled = motif.map(v => 3 * v + 1000) // affine image, same z-profile
+    val base = (0 until 64).map(k => 200 + noise(k))
+    val vals = base.zipWithIndex.map { case (v, k) =>
+      if (k >= 5 && k < 13) motif(k - 5)
+      else if (k >= 40 && k < 48) scaled(k - 40)
+      else v
+    }
+    val mp = MatrixProfile.profile(series(vals), m = 8, excl = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(mp(6L)._1 === 41L)
+    assert(mp(6L)._2 === 0.0,
+      "z-normalized distance is affine-invariant")
+  }
+
+  test("exclusion zone: trivial self-overlap never reported; neighbor " +
+    "index always a valid window start") {
+    val vals = (0 until 60).map(k => 100 + noise(k) * 3)
+    val n = vals.length
+    val m = 8; val excl = 4
+    val rows = MatrixProfile.profile(series(vals), m, excl).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val i = r.getLong(0); val j = r.getLong(1)
+      assert(math.abs(i - j) >= excl, s"trivial match $i -> $j")
+      assert(j >= 1 && j <= n - m + 1, s"nn $j out of window range")
+      assert(r.getDouble(2) >= 0.0)
+    }
+    assert(rows.map(_.getLong(0)).toSet === (1L to (n - m + 1)).toSet,
+      "every valid window gets a profile entry")
+  }
+
+  test("repartition invariance: profile identical at 1 and 13 input " +
+    "partitions") {
+    val vals = (0 until 50).map(k => 500 + noise(k) * 7)
+    def run(parts: Int) =
+      MatrixProfile.profile(series(vals, parts), m = 6, excl = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(run(1) === run(13))
+  }
+}

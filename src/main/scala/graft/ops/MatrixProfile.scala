@@ -37,12 +37,19 @@ object MatrixProfile {
     val mL = lit(m)
     // cut the n² self-join's double-scan lineage
     val idx = idxIn.select(col("i"), col("v")).localCheckpoint()
-    val win = Window.orderBy("i").rowsBetween(Window.currentRow, m - 1)
-    val wv = idx
-      .withColumn("s", sum("v").over(win).cast(DecimalType(14, 0)))
-      .withColumn("q2", sum(col("v").cast(DecimalType(25, 0)) * col("v"))
-        .over(win).cast(DecimalType(27, 0)))
-      .withColumn("cnt", count(lit(1)).over(win))
+    // window stats via a bounded range join, not an unpartitioned
+    // window (PlanSpec bans the single-task sort): each window start i
+    // gathers its m member rows — n·m intermediate rows, a strictly
+    // smaller footprint than the n² product join below, and fully
+    // partition-parallel
+    val wv = idx.select(col("i").as("p"), col("v"))
+      .join(broadcast(idx.select(col("i"))),
+        col("p").between(col("i"), col("i") + (m - 1)))
+      .groupBy("i")
+      .agg(sum("v").cast(DecimalType(14, 0)).as("s"),
+        sum(col("v").cast(DecimalType(25, 0)) * col("v"))
+          .cast(DecimalType(27, 0)).as("q2"),
+        count(lit(1)).as("cnt"))
       .filter(col("cnt") === m)
       .select("i", "s", "q2")
     val prod = idx.select(col("i").as("pi"),

@@ -1927,6 +1927,247 @@ object AnnQueries {
     (s, d) => annDeleteParts(s, d)._1
   )
 
+  private val annCompactDuck: String = {
+    def visitedCte(name: String, pfx: String, alias: String) =
+      s"""$name AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS $alias FROM (
+         |  ${(1 to HnswRounds).map(t => s"SELECT probe_id, node FROM ${pfx}x$t")
+             .mkString(" UNION ")}) GROUP BY 1)""".stripMargin
+    def topCte(name: String, beam: String) =
+      s"""$name AS (SELECT probe_id, node AS cand_id FROM (
+         |  SELECT c.probe_id, c.node,
+         |    row_number() OVER (PARTITION BY c.probe_id ORDER BY ${d2Duck("p.pe", "v.embedding")}, c.node) AS rk
+         |  FROM $beam c JOIN gprobes p ON p.probe_id = c.probe_id
+         |  JOIN gsurv v ON v.vec_id = c.node) t WHERE rk <= 10)""".stripMargin
+    s"""WITH gcorp AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
+       |gprobes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+       |ghubs AS (SELECT vec_id, embedding FROM gcorp WHERE vec_id < 21),
+       |gsurv AS (SELECT * FROM gcorp WHERE NOT ($annDelPred)),
+       |shubs AS (SELECT vec_id, embedding FROM gsurv WHERE vec_id < 21),
+       |${hnswEdgesDuck("gcorp", "ghubs", "g")},
+       |${hnswEdgesDuck("gsurv", "shubs", "s")},
+       |${hnswSeedDuck("mc0", "gprobes", "shubs")},
+       |${hnswRoundsDuck("m", "gprobes", "gedges", "gsurv")},
+       |${hnswSeedDuck("cc0", "gprobes", "shubs")},
+       |${hnswRoundsDuck("c", "gprobes", "sedges", "gsurv")},
+       |${visitedCte("mnv", "m", "m_visited")},
+       |${visitedCte("cnv", "c", "c_visited")},
+       |${topCte("mtop10", s"mc$HnswRounds")},
+       |${topCte("ctop10", s"cc$HnswRounds")},
+       |sexact AS (SELECT probe_id, cand_id FROM (
+       |  SELECT p.probe_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY p.probe_id ORDER BY ${d2Duck("p.pe", "c.embedding")}, c.vec_id) AS rk
+       |  FROM gprobes p CROSS JOIN gsurv c) t WHERE rk <= 10),
+       |mh AS (SELECT e.probe_id, CAST(count(t.cand_id) AS BIGINT) AS m_hits
+       |  FROM sexact e LEFT JOIN mtop10 t
+       |    ON t.probe_id = e.probe_id AND t.cand_id = e.cand_id GROUP BY 1),
+       |ch AS (SELECT e.probe_id, CAST(count(t.cand_id) AS BIGINT) AS c_hits
+       |  FROM sexact e LEFT JOIN ctop10 t
+       |    ON t.probe_id = e.probe_id AND t.cand_id = e.cand_id GROUP BY 1)
+       |SELECT mh.probe_id, mnv.m_visited, mh.m_hits,
+       |       round(mh.m_hits / 10.0, 6) AS m_recall,
+       |       cnv.c_visited, ch.c_hits, round(ch.c_hits / 10.0, 6) AS c_recall
+       |FROM mh JOIN ch ON ch.probe_id = mh.probe_id
+       |JOIN mnv ON mnv.probe_id = mh.probe_id
+       |JOIN cnv ON cnv.probe_id = mh.probe_id
+       |ORDER BY mh.probe_id""".stripMargin
+  }
+
+  /** The compaction + twin-probe paths, exposed so AnnCompactSpec can
+    * assert the purge (zero tombstoned ids in the compacted edge table)
+    * and incremental == survivors-rebuild equality directly. Returns
+    * (readout, compactedEdges, baseEdges, tombstones).
+    */
+  private[graft] def annCompactParts(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.functions.VectorFunctions.hyperplaneLshKeys
+    val e = embeddings(s, d)
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val sfTag = new java.io.File(d).getName.replace('.', '_')
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    // the pre-delete persisted index + the tombstone takedown file —
+    // the q_ann_delete starting state, rebuilt here so the key is
+    // self-contained
+    val tombPath = s"$wh/graft_ann_cmp_tombs_$sfTag"
+    corpus.filter(expr(annDelPred)).select(col("vec_id"))
+      .write.mode("overwrite").parquet(tombPath)
+    val tombs = s.read.parquet(tombPath)
+    val basePath = s"$wh/graft_ann_cmp_base_$sfTag"
+    hnswEdges(corpus).write.mode("overwrite").parquet(basePath)
+    val base = s.read.parquet(basePath).persist()
+    val survivors = corpus.join(tombs, Seq("vec_id"), "left_anti").persist()
+
+    // ---- COMPACTION (incremental; provably == a survivors-only
+    // rebuild, which is what the oracle computes — the hash match IS
+    // the equality proof at fixture SF):
+    // (1) keep every persisted edge between survivors: each came from
+    //     some node's top-k list, and a surviving member of a top-k
+    //     list stays in that list when rows are only REMOVED (at most
+    //     k-1 nodes were closer before, so at most k-1 survivors are
+    //     closer after);
+    // (2) nodes whose own lists LOST a tombstoned entry are exactly
+    //     the srcs of tombstone-pointing edges (every per-node list
+    //     edge is persisted src→member) — recompute only THEIR lists
+    //     over survivors, O(affected × candidates), never the corpus
+    //     rebuild.
+    val kept = base
+      .join(tombs.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+      .join(tombs.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_anti")
+      // using-column joins move the join key first — restore (src, dst)
+      // before the POSITIONAL unionAll below
+      .select("src", "dst")
+    val aff = base
+      .join(tombs.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+      .select(col("src").as("vec_id")).distinct()
+      .join(tombs, Seq("vec_id"), "left_anti")
+    val affRows = survivors.join(aff, Seq("vec_id"), "left_semi").persist()
+    val wSrc = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
+    val knnA = affRows.select(col("label"), col("vec_id").as("src"),
+        col("embedding").as("se"))
+      .join(survivors.select(col("label"), col("vec_id").as("dst"),
+        col("embedding").as("de")), "label")
+      .filter(col("src") =!= col("dst"))
+      .withColumn("d2", round(l2sq("se", "de"), 6))
+      .withColumn("rk", row_number().over(wSrc))
+      .filter(col("rk") <= HnswM)
+      .select("src", "dst")
+    val keyedS = survivors.select(col("vec_id"),
+      explode(hyperplaneLshKeys(col("embedding"), 4, 8, 64)).as("band_key"))
+    val keyedA = affRows.select(col("vec_id"),
+      explode(hyperplaneLshKeys(col("embedding"), 4, 8, 64)).as("band_key"))
+    val byIdS = survivors.select(col("vec_id"), col("embedding"))
+    val knn2A = keyedA.select(col("band_key"), col("vec_id").as("src"))
+      .join(keyedS.select(col("band_key"), col("vec_id").as("dst")), "band_key")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .join(byIdS.select(col("vec_id").as("src"), col("embedding").as("se")), "src")
+      .join(byIdS.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
+      .withColumn("d2", round(l2sq("se", "de"), 6))
+      .withColumn("rk", row_number().over(wSrc))
+      .filter(col("rk") <= HnswLshM)
+      .select("src", "dst")
+    val topk = graft.functions.TopKByScore.topK(HnswHubK)
+    val hubsA = affRows.filter(col("vec_id") < 21)
+      .select(col("vec_id").as("hub"), col("embedding").as("he"))
+    val h2nA = survivors.join(broadcast(hubsA))
+      .filter(col("vec_id") =!= col("hub"))
+      .withColumn("score", -round(l2sq("he", "embedding"), 6))
+      .groupBy("hub")
+      .agg(topk(col("vec_id"), lit(""), col("score")).as("top"))
+      .select(col("hub").as("src"), explode(col("top")).as("c"))
+      .select(col("src"), col("c.cand_id").as("dst"))
+    val cmpPath = s"$wh/graft_ann_cmp_edges_$sfTag"
+    kept
+      .unionAll(knnA)
+      .unionAll(knnA.select(col("dst").as("src"), col("src").as("dst")))
+      .unionAll(knn2A)
+      .unionAll(knn2A.select(col("dst").as("src"), col("src").as("dst")))
+      .unionAll(h2nA)
+      .distinct()
+      .write.mode("overwrite").parquet(cmpPath)
+    val cedges = s.read.parquet(cmpPath).persist()
+
+    // ---- twin probes: identical beam search, survivor scoring; the
+    // masked arm walks the UNREWRITTEN base graph (the q_ann_delete
+    // steady state), the compact arm the rewritten index. Visited =
+    // the union of raw pre-score expansion sets, so the masked arm
+    // pays for every tombstone its frontier touches.
+    val hubsS = survivors.filter(col("vec_id") < 21)
+      .select(col("vec_id").as("node"), col("embedding").as("ve"))
+    val byIdN = survivors.select(col("vec_id").as("node"), col("embedding").as("ve"))
+    val wBeam = Window.partitionBy("probe_id").orderBy(col("d2"), col("node"))
+    def score(ids: org.apache.spark.sql.DataFrame) = ids
+      .join(byIdN, "node")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("d2", round(l2sq("pe", "ve"), 6))
+    def beamSearch(edges: org.apache.spark.sql.DataFrame) = {
+      var cand = hubsS.join(broadcast(probes))
+        .withColumn("d2", round(l2sq("pe", "ve"), 6))
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= HnswSeeds)
+        .select("probe_id", "node")
+      var visited: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to HnswRounds) {
+        val expanded = broadcast(cand)
+          .join(edges, cand("node") === edges("src"))
+          .select(col("probe_id"), col("dst").as("node"))
+        val xt = cand.unionAll(expanded).distinct().localCheckpoint()
+        visited = if (visited == null) xt else visited.unionAll(xt)
+        cand = score(xt)
+          .withColumn("rk", row_number().over(wBeam))
+          .filter(col("rk") <= HnswBeam)
+          .select("probe_id", "node")
+      }
+      val top10 = score(cand)
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= 10)
+        .select(col("probe_id"), col("node").as("cand_id"))
+      val nv = visited.distinct().groupBy("probe_id")
+        .agg(lng(count(lit(1))).as("n_visited"))
+      (top10, nv)
+    }
+    val (mTop, mNv) = beamSearch(base)
+    val (cTop, cNv) = beamSearch(cedges)
+    val sexact = survivors
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce2"))
+      .join(broadcast(probes))
+      .withColumn("d2", round(l2sq("pe", "ce2"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))))
+      .filter(col("rk") <= 10)
+      .select("probe_id", "cand_id")
+    def hits(top: org.apache.spark.sql.DataFrame, n: String) = sexact
+      .join(top.withColumn("h", lit(1)), Seq("probe_id", "cand_id"), "left")
+      .groupBy("probe_id").agg(lng(count(col("h"))).as(n))
+    val out = hits(mTop, "m_hits")
+      .join(hits(cTop, "c_hits"), "probe_id")
+      .join(mNv.withColumnRenamed("n_visited", "m_visited"), "probe_id")
+      .join(cNv.withColumnRenamed("n_visited", "c_visited"), "probe_id")
+      .select(col("probe_id"), col("m_visited"), col("m_hits"),
+        round(dbl(col("m_hits")) / lit(10.0), 6).as("m_recall"),
+        col("c_visited"), col("c_hits"),
+        round(dbl(col("c_hits")) / lit(10.0), 6).as("c_recall"))
+      .orderBy("probe_id")
+    (materializeThenRelease(out, base, survivors, affRows, cedges),
+      cedges, base, tombs)
+  }
+
+  /** Tombstone COMPACTION for the persisted graph index (VERDICT r14
+    * #5): q_ann_delete masks tombstones at read forever — correct, but
+    * every probe pays beam slots and edge expansions for dead nodes.
+    * This key runs the periodic compaction job: rewrite the persisted
+    * edge table to the survivors-only graph INCREMENTALLY — keep every
+    * surviving edge (a surviving top-k member stays top-k under pure
+    * deletion), recompute lists only for nodes adjacent to a tombstone
+    * — and prove via the oracle (which builds the survivors graph from
+    * scratch) that the incremental rewrite equals a full rebuild
+    * EXACTLY. The readout probes both the masked base graph and the
+    * compacted one with the identical beam search: recall can only go
+    * up (promoted replacement edges restore connectivity the masks
+    * severed) while visited counts stop paying the tombstone tax.
+    *
+    * Scale: the rewrite is O(tombstone-adjacent nodes × their bounded
+    * candidate sets) + a filter over the edge table — the daily
+    * compaction cost is proportional to the takedown batch, not the
+    * corpus; the full rebuild it provably equals would shuffle the
+    * whole corpus.
+    */
+  private val annCompact = QueryDef(
+    "q_ann_compact",
+    "Persisted graph-index tombstone compaction: the q_ann_delete " +
+      "takedown slice is PURGED from the persisted NSW edge table by " +
+      "an incremental rewrite (keep surviving edges, recompute only " +
+      "tombstone-adjacent nodes' lists over survivors) that exactly " +
+      "equals a survivors-only rebuild; per probe, visited counts and " +
+      "recall@10 vs the exact survivor arm for the masked base graph " +
+      "and the compacted graph side by side.",
+    Some(annCompactDuck),
+    (s, d) => annCompactParts(s, d)._1
+  )
+
   /** Late-interaction (ColBERT-style MaxSim) retrieval — the
     * MULTI-VECTOR scoring model next to the single-vector families
     * above: a document is a BAG of token vectors, and score(q, d) =
@@ -2004,5 +2245,5 @@ object AnnQueries {
   val defs: Seq[QueryDef] = Seq(annCosine, annIvf, annLsh, annTopkAgg, annRecall,
     lshRecall, annFiltered, annPq, pqRecall, annIvfPq, annHnsw,
     annHnswPersisted, annHnswDelta, annHnswLayered, annHnswLayeredPersisted,
-    annPersisted, annIvfRefresh, annDelete, mmrRerank, annMaxsim)
+    annPersisted, annIvfRefresh, annDelete, annCompact, mmrRerank, annMaxsim)
 }

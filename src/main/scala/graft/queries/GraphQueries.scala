@@ -1151,9 +1151,14 @@ object GraphQueries {
 
   /** The round template as a DuckDB CTE block, parameterized by the
     * incoming community CTE name — spliced twice so the two engines'
-    * rounds cannot drift.
+    * rounds cannot drift. `materialized` pins the round's output CTE
+    * as MATERIALIZED — required once a THIRD level stacks on top
+    * (q_louvain_coarse): un-materialized, every downstream reference
+    * re-expands the whole round chain and DuckDB's plan explodes
+    * multiplicatively (observed OOM at sf0.001).
     */
-  private def louvainRoundDuck(n: Int, inComm: String): String =
+  private def louvainRoundDuck(n: Int, inComm: String,
+      materialized: Boolean = false): String =
     s"""w$n AS (SELECT e2.src AS i, cm.c AS c, CAST(count(*) AS BIGINT) AS w
        |        FROM e2 JOIN $inComm cm ON cm.i = e2.dst GROUP BY 1, 2),
        |t$n AS (SELECT cm.c AS c, CAST(sum(deg.k) AS BIGINT) AS tot
@@ -1167,7 +1172,7 @@ object GraphQueries {
        |         FROM cand$n JOIN deg ON deg.i = cand$n.i
        |         JOIN $inComm cm ON cm.i = cand$n.i
        |         JOIN t$n ON t$n.c = cand$n.c CROSS JOIN m),
-       |c$n AS (SELECT i, c FROM (
+       |c$n AS ${if (materialized) "MATERIALIZED " else ""}(SELECT i, c FROM (
        |  SELECT i, c, row_number() OVER (PARTITION BY i ORDER BY score DESC, c) AS rn
        |  FROM sc$n) WHERE rn = 1)""".stripMargin
 
@@ -1222,7 +1227,232 @@ object GraphQueries {
     }
   )
 
+  /** One WEIGHTED synchronous local-move round — [[louvainRound]]
+    * generalized to a weighted edge list (src, dst, w), which is what
+    * the contraction step produces. Differences from the unweighted
+    * template: k_in sums weights instead of counting rows, self-loops
+    * (the contracted intra-community mass) are excluded from the
+    * neighbor-community stream (a node's self-loop moves WITH it, so
+    * it never scores a destination) but their weight stays in k_i (the
+    * doubled edge list counts each intra pair twice, so summing row
+    * weights per src reproduces the standard 2·w_self degree term
+    * exactly). Scores stay pure BIGINT: weights are counts, m is the
+    * original pair count (contraction preserves total weight).
+    */
+  private[graft] def louvainRoundW(ce: DataFrame, deg: DataFrame, m: DataFrame,
+      comm: DataFrame): DataFrame = {
+    val wic = ce.filter(col("src") =!= col("dst"))
+      .join(broadcast(comm.select(col("i").as("dst"), col("c"))), "dst")
+      .groupBy(col("src").as("i"), col("c"))
+      .agg(lng(sum(col("w"))).as("w"))
+    val tot = comm.join(broadcast(deg), "i")
+      .groupBy("c").agg(lng(sum(col("k"))).as("tot"))
+    val cands = wic
+      .unionByName(comm.select(col("i"), col("c"), lit(0L).as("w")))
+    val selfC = comm.select(col("i"), col("c").as("c_self"))
+    cands
+      .join(broadcast(deg), "i")
+      .join(broadcast(selfC), "i")
+      .join(broadcast(tot), "c")
+      .crossJoin(broadcast(m))
+      .withColumn("score", lit(2L) * col("m") * col("w") -
+        col("k") * (col("tot") -
+          when(col("c") === col("c_self"), col("k")).otherwise(lit(0L))))
+      .groupBy("i")
+      .agg(max(struct(col("score"), (-col("c")).as("negc"))).as("b"))
+      .select(col("i"), (-col("b.negc")).as("c"))
+  }
+
+  /** Hierarchical Louvain (VERDICT r14 #6): the contraction step that
+    * gives Louvain its power. Two synchronous node-level local-move
+    * rounds (the q_louvain template), then the community graph is
+    * COARSENED — every community becomes one meta-node, edges re-keyed
+    * to community ids with weights summed (intra-community mass lands
+    * on self-loops) — and a third, WEIGHTED local-move round runs on
+    * the contracted graph, where a single argmax move relocates an
+    * entire community at once: the moves a node-level round cannot
+    * express. Meta-assignments project back through the level-2
+    * mapping. Modularity is invariant under contraction, so meta-graph
+    * gains are gains on the original graph.
+    *
+    * Two deliberate departures from q_louvain:
+    *
+    *  - **The graph carries planted multi-scale structure**: customers
+    *    chain-linked to their 3 nearest same-nation neighbors (25
+    *    nation-level communities built from local sub-chains) plus a
+    *    sparse deterministic sprinkle of cross-nation edges. The
+    *    customer–supplier trade graph q_louvain runs on is
+    *    near-structureless at these SFs (its modularity optimum sits
+    *    near zero), so synchronous rounds there pile nodes into
+    *    Q-NEGATIVE giants — no coarsening level can rescue a partition
+    *    Louvain's merge-only moves cannot split (measured and
+    *    documented in PLANS.md r15). Hierarchy needs hierarchy to find.
+    *  - **The coarse round is Q-GUARDED** (hill-climbing accept rule):
+    *    synchronous argmax moves are individually non-negative but can
+    *    collectively overshoot (two meta-nodes swapping targets), so
+    *    the round computes the EXACT scaled-integer modularity
+    *    Q·(2m)² = Σ_C [2m·w_in(C) − tot(C)²] of both the incoming and
+    *    the candidate partition on the meta-graph and keeps the
+    *    candidate only on STRICT improvement. Q non-decreasing across
+    *    levels therefore holds by construction (LouvainSpec pins it,
+    *    plus the accept branch at the graded SF and the reject branch
+    *    at spec SF — both live paths).
+    *
+    * Scale: the contracted graph is community-count-sized, orders of
+    * magnitude below the edge list — coarsening is one edge-stream
+    * aggregation with broadcast endpoint lookups, the guard two
+    * meta-graph-sized aggregates, and every later level costs a
+    * vanishing fraction of level 0. The weighted template keeps the
+    * same integer-exact argmax, so determinism survives the hierarchy.
+    */
+  private val louvainCoarse = QueryDef(
+    "q_louvain_coarse",
+    "Hierarchical Louvain with one coarsening level over a planted " +
+      "community graph (customers chained to 3 same-nation neighbors " +
+      "+ sparse cross-nation edges): two synchronous local-move " +
+      "rounds, contraction (edges re-keyed to community ids, weights " +
+      "summed, intra mass on self-loops), then a weighted meta-round " +
+      "with the same exact integer gain, accepted only if the exact " +
+      "scaled modularity strictly improves; per node its degree, " +
+      "level-2 community and guarded level-3 community.",
+    Some(s"""WITH cust AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+            |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+            |  FROM customer),
+            |pairs AS (
+            |  SELECT a.ck AS s1, b.ck AS s2 FROM cust a JOIN cust b
+            |    ON a.nk = b.nk AND b.rn - a.rn BETWEEN 1 AND 3
+            |  UNION ALL
+            |  SELECT a.ck, b.ck FROM cust a JOIN cust b ON b.ck = a.ck + 1
+            |   WHERE a.nk <> b.nk AND (a.ck + b.ck) % 7 = 0),
+            |e2 AS (SELECT s1 AS src, s2 AS dst FROM pairs UNION ALL SELECT s2, s1 FROM pairs),
+            |deg AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS k FROM e2 GROUP BY 1),
+            |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+            |c0 AS (SELECT i, i AS c FROM deg),
+            |${louvainRoundDuck(1, "c0", materialized = true)},
+            |${louvainRoundDuck(2, "c1", materialized = true)},
+            |ce AS MATERIALIZED (SELECT cs.c AS src, cd.c AS dst, CAST(count(*) AS BIGINT) AS w
+            |       FROM e2 JOIN c2 cs ON cs.i = e2.src JOIN c2 cd ON cd.i = e2.dst
+            |       GROUP BY 1, 2),
+            |degc AS MATERIALIZED (SELECT src AS i, CAST(sum(w) AS BIGINT) AS k FROM ce GROUP BY 1),
+            |mc0 AS MATERIALIZED (SELECT i, i AS c FROM degc),
+            |w3 AS (SELECT ce.src AS i, cm.c AS c, CAST(sum(ce.w) AS BIGINT) AS w
+            |       FROM ce JOIN mc0 cm ON cm.i = ce.dst WHERE ce.src <> ce.dst GROUP BY 1, 2),
+            |t3 AS (SELECT cm.c AS c, CAST(sum(degc.k) AS BIGINT) AS tot
+            |       FROM mc0 cm JOIN degc ON degc.i = cm.i GROUP BY 1),
+            |cand3 AS (SELECT i, c, max(w) AS w FROM (
+            |  SELECT i, c, w FROM w3
+            |  UNION ALL SELECT i, c, CAST(0 AS BIGINT) AS w FROM mc0) GROUP BY 1, 2),
+            |sc3 AS (SELECT cand3.i, cand3.c,
+            |         2 * m.m * cand3.w - degc.k *
+            |           (t3.tot - CASE WHEN cand3.c = cm.c THEN degc.k ELSE 0 END) AS score
+            |        FROM cand3 JOIN degc ON degc.i = cand3.i
+            |        JOIN mc0 cm ON cm.i = cand3.i
+            |        JOIN t3 ON t3.c = cand3.c CROSS JOIN m),
+            |c3m AS MATERIALIZED (SELECT i, c FROM (
+            |  SELECT i, c, row_number() OVER (PARTITION BY i ORDER BY score DESC, c) AS rn
+            |  FROM sc3) WHERE rn = 1),
+            |q2 AS MATERIALIZED (SELECT 2 * m.m * COALESCE((SELECT sum(w) FROM ce WHERE src = dst), 0)
+            |         - (SELECT sum(k * k) FROM degc) AS q FROM m),
+            |q3 AS MATERIALIZED (SELECT 2 * m.m * (SELECT COALESCE(sum(ce.w), 0) FROM ce
+            |           JOIN c3m ca ON ca.i = ce.src JOIN c3m cb ON cb.i = ce.dst
+            |           WHERE ca.c = cb.c)
+            |         - (SELECT sum(tot * tot) FROM (
+            |             SELECT CAST(sum(degc.k) AS BIGINT) AS tot FROM degc
+            |             JOIN c3m ON c3m.i = degc.i GROUP BY c3m.c)) AS q FROM m),
+            |accept AS (SELECT q3.q > q2.q AS ok FROM q2 CROSS JOIN q3)
+            |SELECT CAST(deg.i AS BIGINT) AS node, deg.k AS degree,
+            |       CAST(c2.c AS BIGINT) AS comm2,
+            |       CAST(CASE WHEN accept.ok THEN c3m.c ELSE c2.c END AS BIGINT) AS comm3
+            |FROM deg JOIN c2 ON c2.i = deg.i JOIN c3m ON c3m.i = c2.c
+            |CROSS JOIN accept
+            |ORDER BY node""".stripMargin),
+    (s, d) => {
+      val parts = louvainCoarseParts(s, d)
+      parts._1
+    }
+  )
+
+  /** The level frames behind q_louvain_coarse, exposed so LouvainSpec
+    * can compute modularity per level. Returns (out, e2, m,
+    * Seq(c1, c2, c3-projected-and-guarded)).
+    */
+  private[graft] def louvainCoarseParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
+    // custkeys are dense from 0 (the TPC-H convention, asserted by the
+    // rn == ck + 1 relation the oracle shares), so the global-adjacency
+    // cross edges join on ck + 1 directly — no unpartitioned window
+    val wNat = Window.partitionBy("nk").orderBy("ck")
+    val cust = customer(s, d)
+      .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+      .withColumn("rn", row_number().over(wNat))
+      .persist()
+    val a = cust.select(col("ck").as("ack"), col("nk").as("ank"),
+      col("rn").as("arn"))
+    val chain = a.join(cust,
+        col("ank") === col("nk") &&
+          (col("rn") - col("arn")).between(1, 3))
+      .select(col("ack").as("s1"), col("ck").as("s2"))
+    val cross = a.join(cust, col("ck") === col("ack") + 1)
+      .filter(col("ank") =!= col("nk") &&
+        pmod(col("ack") + col("ck"), lit(7L)) === 0)
+      .select(col("ack").as("s1"), col("ck").as("s2"))
+    val pairs = chain.unionByName(cross).persist()
+    val e2 = pairs.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(pairs.select(col("s2").as("src"), col("s1").as("dst")))
+      .persist()
+    val deg = e2.groupBy(col("src").as("i"))
+      .agg(lng(count(lit(1))).as("k")).persist()
+    val m = pairs.agg(lng(count(lit(1))).as("m"))
+    val c0 = deg.select(col("i"), col("i").as("c"))
+    val c1 = louvainRound(e2, deg, m, c0).localCheckpoint()
+    val c2 = louvainRound(e2, deg, m, c1).localCheckpoint()
+    // ---- contraction: one edge-stream aggregation; both endpoint
+    // lookups broadcast (node-sized vs edge-sized)
+    val ce = e2
+      .join(broadcast(c2.select(col("i").as("src"), col("c").as("cs"))), "src")
+      .join(broadcast(c2.select(col("i").as("dst"), col("c").as("cd"))), "dst")
+      .groupBy(col("cs").as("src"), col("cd").as("dst"))
+      .agg(lng(count(lit(1))).as("w"))
+      .localCheckpoint()
+    val degc = ce.groupBy(col("src").as("i")).agg(lng(sum(col("w"))).as("k"))
+      .localCheckpoint()
+    val mc0 = degc.select(col("i"), col("i").as("c"))
+    val c3meta = louvainRoundW(ce, degc, m, mc0).localCheckpoint()
+    // ---- Q-guard: exact scaled modularity of the incoming (singleton
+    // meta) and candidate partitions, both meta-graph-sized aggregates
+    val q2 = ce.filter(col("src") === col("dst"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("win"))
+      .crossJoin(degc.agg(sum(col("k") * col("k")).as("kk")))
+      .crossJoin(m)
+      .select((lit(2L) * col("m") * col("win") - col("kk")).as("q2"))
+    val q3 = ce
+      .join(broadcast(c3meta.select(col("i").as("src"), col("c").as("ca"))), "src")
+      .join(broadcast(c3meta.select(col("i").as("dst"), col("c").as("cb"))), "dst")
+      .filter(col("ca") === col("cb"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("win"))
+      .crossJoin(degc.join(broadcast(c3meta), "i")
+        .groupBy("c").agg(sum(col("k")).as("tot"))
+        .agg(sum(col("tot") * col("tot")).as("kk")))
+      .crossJoin(m)
+      .select((lit(2L) * col("m") * col("win") - col("kk")).as("q3"))
+    val accept = q2.crossJoin(q3)
+      .select((col("q3") > col("q2")).as("ok"))
+    // project the guarded meta-move back to original nodes
+    val c3 = c2.join(broadcast(
+        c3meta.select(col("i").as("c"), col("c").as("cm3"))), "c")
+      .crossJoin(broadcast(accept))
+      .select(col("i"),
+        when(col("ok"), col("cm3")).otherwise(col("c")).as("c"))
+    val out = deg
+      .join(c2.withColumnRenamed("c", "comm2"), "i")
+      .join(c3.withColumnRenamed("c", "comm3"), "i")
+      .select(lng(col("i")).as("node"), col("k").as("degree"),
+        lng(col("comm2")).as("comm2"), lng(col("comm3")).as("comm3"))
+      .orderBy("node")
+    (materializeThenRelease(out, cust, pairs, e2, deg), e2, m, Seq(c1, c2, c3))
+  }
+
   val defs: Seq[QueryDef] = Seq(pagerank, triangles, khop, linkJaccard,
     modularity, hits, labelProp, kcore, randomWalk, betweenness, sssp,
-    louvain)
+    louvain, louvainCoarse)
 }

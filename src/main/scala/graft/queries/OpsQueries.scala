@@ -805,11 +805,15 @@ object OpsQueries {
            |FROM prof WHERE rk = 1 ORDER BY i""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val idx = orders(s, d).groupBy(col("o_orderdate").as("d"))
+      // day index via the bucketed two-pass global sequence (the
+      // q_enrich discipline — PlanSpec bans unpartitioned windows);
+      // unix_date is the unique numeric key the scheme needs
+      val daily = orders(s, d).groupBy(col("o_orderdate").as("d"))
         .agg((sum(money(col("o_totalprice"))) * 100)
           .cast(DecimalType(12, 0)).as("v"))
-        .withColumn("i", lng(row_number().over(Window.orderBy("d"))))
-        .select("i", "v")
+        .withColumn("dk", unix_date(col("d").cast("date")))
+      val idx = graft.ops.Sequence.globalSequence(daily, "dk", "i")
+        .select(lng(col("i")).as("i"), col("v"))
       graft.ops.MatrixProfile.profile(idx, m = 16, excl = 8)
     }
   )

@@ -616,8 +616,209 @@ object DocStoreQueries {
     }
   )
 
+  private val docstoreDv = QueryDef(
+    "q_docstore_dv",
+    "Merge-on-read DELETE via deletion vectors (the Delta DV / " +
+      "Iceberg v2 positional-delete shape): two takedown batches " +
+      "(doc_id % 11 = 0, then doc_id % 7 = 3) each commit per-file " +
+      "SIDECARS of deleted row ordinals bound by manifest #dv headers " +
+      "— ZERO data files rewritten (spec-pinned), overlapping files' " +
+      "vectors MERGED; readers subtract the mask at scan time. Phase " +
+      "1 reads the masked table; materializeDvs then folds every mask " +
+      "into a survivors-only rewrite of only the masked files, and " +
+      "phase 2 re-reads — identical values, proving the mask and its " +
+      "materialization agree. SCALE: a takedown writes O(deleted " +
+      "ordinals), not O(affected-file bytes) — the write-amplification " +
+      "fix for small deletes against huge files.",
+    Some("""WITH surv AS (SELECT doc_id, lang, n_chars FROM documents
+           |              WHERE NOT (doc_id % 11 = 0) AND NOT (doc_id % 7 = 3)),
+           |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |      FROM surv GROUP BY lang)
+           |SELECT CAST(1 AS BIGINT) AS phase, lang, n_docs, sum_chars FROM r
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), lang, n_docs, sum_chars FROM r
+           |ORDER BY phase, lang""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_dv/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore").mode("overwrite").save(outDir)
+      graft.sources.DocStoreOps.deleteVectors(s, outDir,
+        docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")), "doc_id")
+      graft.sources.DocStoreOps.deleteVectors(s, outDir,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+      def rollup(tag: Long) = s.read.format("docstore").load(outDir)
+        .groupBy(col("lang"))
+        .agg(lng(count(lit(1))).as("n_docs"), lng(sum("n_chars")).as("sum_chars"))
+        .select(lit(tag).as("phase"), col("lang"), col("n_docs"),
+          col("sum_chars"))
+      val masked = rollup(1L).localCheckpoint()
+      graft.sources.DocStoreOps.materializeDvs(s, outDir)
+      masked.unionAll(rollup(2L)).orderBy("phase", "lang")
+    }
+  )
+
+  private val docstoreCount = QueryDef(
+    "q_docstore_count",
+    "Metadata-only aggregates on the docstore DSv2 source (the " +
+      "Iceberg/Delta count-from-manifests shape): ungrouped COUNT / " +
+      "MIN / MAX push into the scan as one partial row PER FILE " +
+      "computed from block headers and deletion-vector sidecar counts " +
+      "— no column chunk decoded (spec pins PushedAggregates in the " +
+      "plan and a flat blocksRead counter). State 1 aggregates the " +
+      "clean table; state 2 re-counts after a merge-on-read DELETE " +
+      "(doc_id % 9 = 1) — counts stay pushable under masks because " +
+      "sidecar headers carry exact counts, while MIN/MAX correctly " +
+      "refuse pushdown when a mask is live (a masked row could hold " +
+      "the extremum).",
+    Some("""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |                  CAST(min(doc_id) AS BIGINT) AS min_id,
+           |                  CAST(max(doc_id) AS BIGINT) AS max_id
+           |           FROM documents),
+           |d AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents
+           |      WHERE NOT (doc_id % 9 = 1))
+           |SELECT CAST(1 AS BIGINT) AS state, n_rows, min_id, max_id FROM m
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), n_rows, CAST(NULL AS BIGINT),
+           |       CAST(NULL AS BIGINT) FROM d
+           |ORDER BY state""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_cnt/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore").mode("overwrite").save(outDir)
+      val clean = s.read.format("docstore").load(outDir)
+        .agg(lng(count(lit(1))).as("n_rows"), lng(min("doc_id")).as("min_id"),
+          lng(max("doc_id")).as("max_id"))
+        .select(lit(1L).as("state"), col("n_rows"), col("min_id"),
+          col("max_id"))
+        .localCheckpoint()
+      graft.sources.DocStoreOps.deleteVectors(s, outDir,
+        docs.filter(col("doc_id") % 9 === 1).select(col("doc_id")), "doc_id")
+      val masked = s.read.format("docstore").load(outDir)
+        .agg(lng(count(lit(1))).as("n_rows"))
+        .select(lit(2L).as("state"), col("n_rows"),
+          lit(null).cast("bigint").as("min_id"),
+          lit(null).cast("bigint").as("max_id"))
+      clean.unionAll(masked).orderBy("state")
+    }
+  )
+
+  private val docstoreIncrView = QueryDef(
+    "q_docstore_incr_view",
+    "Incremental view maintenance from the change data feed: a " +
+      "per-lang (count, char-sum) rollup materialized at v1 is " +
+      "REFRESHED to the v3 state by applying only the CDF deltas " +
+      "(insert/update_postimage add, delete/update_preimage subtract " +
+      "— exact signed aggregation over O(churn) rows) after a MERGE " +
+      "upsert (v2) and a DELETE takedown (v3) mutate the store. The " +
+      "oracle recomputes the v3 rollup directly from source parquet, " +
+      "so the hash match proves incremental refresh == full " +
+      "recompute. SCALE: the view refresh reads O(changed files), " +
+      "never the corpus — the downstream-materialization story the " +
+      "CDF exists for.",
+    Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+           |ups AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM base
+           |        WHERE doc_id % 7 = 0 AND doc_id < 1000),
+           |merged AS (SELECT * FROM base
+           |           WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+           |           UNION ALL SELECT * FROM ups),
+           |fin AS (SELECT * FROM merged WHERE NOT (doc_id % 13 = 0 AND doc_id < 1300))
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM fin GROUP BY lang ORDER BY lang""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_ivm/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore").mode("overwrite").save(outDir)
+      val v1 = graft.sources.DocStore.latestVersion(outDir).get
+      graft.sources.DocStoreOps.merge(s, outDir,
+        docs.filter(col("doc_id") % 7 === 0 && col("doc_id") < 1000)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars")), "doc_id")
+      graft.sources.DocStoreOps.delete(s, outDir,
+        docs.filter(col("doc_id") % 13 === 0 && col("doc_id") < 1300)
+          .select(col("doc_id")), "doc_id")
+      val v3 = graft.sources.DocStore.latestVersion(outDir).get
+      // the materialized view, as of v1 (pinned read)
+      val view1 = s.read.format("docstore")
+        .option("snapshotVersion", v1.toString).load(outDir)
+        .groupBy("lang")
+        .agg(lng(count(lit(1))).as("n1"), lng(sum("n_chars")).as("s1"))
+      // signed CDF deltas — O(churn) rows
+      val feed = graft.sources.DocStoreOps.changeFeed(s, outDir, v1, v3, "doc_id")
+      val deltas = feed
+        .withColumn("sign",
+          when(col("change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("lang")
+        .agg(lng(sum(col("sign"))).as("dn"),
+          lng(sum(col("sign") * col("n_chars"))).as("ds"))
+      view1.join(deltas, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+          (coalesce(col("s1"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sum_chars"))
+        .filter(col("n_docs") > 0)
+        .orderBy("lang")
+    }
+  )
+
+  private val docstorePruneString = QueryDef(
+    "q_docstore_prune_string",
+    "STRING-predicate block skipping on the docstore DSv2 source: " +
+      "the documents table lands clustered by (lang, doc_id), so each " +
+      "512-row block carries a tight tag-3 string stat — the unsigned " +
+      "min/max of the packed 8-byte UTF-8 prefix — and a `lang = " +
+      "'de'` / IN-list scan prunes every other lang's blocks without " +
+      "decoding them (spec pins blocksSkipped rising; prefix-to-" +
+      "prefix comparison makes the pruning sound with no collation " +
+      "assumption). Equality and IN are exactly the corpus-slicing " +
+      "predicates a 100 TB scan lives on; the oracle recomputes both " +
+      "rollups from source parquet, so a block wrongly skipped (the " +
+      "catastrophic direction) fails the hash.",
+    Some("""WITH de AS (SELECT lang, count(*) AS c, sum(n_chars) AS sc
+           |            FROM documents WHERE lang = 'de' GROUP BY lang),
+           |pair AS (SELECT lang, count(*) AS c, sum(n_chars) AS sc
+           |         FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang)
+           |SELECT lang, CAST(c AS BIGINT) AS n_docs,
+           |       CAST(sc AS BIGINT) AS sum_chars
+           |FROM (SELECT * FROM de UNION ALL SELECT * FROM pair)
+           |ORDER BY lang""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_strp/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(4, col("lang"), col("doc_id"))
+        .sortWithinPartitions("lang", "doc_id")
+        .write.format("docstore").mode("overwrite").save(outDir)
+      val t = s.read.format("docstore").load(outDir)
+      def roll(df: org.apache.spark.sql.DataFrame) = df.groupBy("lang")
+        .agg(lng(count(lit(1))).as("n_docs"), lng(sum("n_chars")).as("sum_chars"))
+      roll(t.filter(col("lang") === "de"))
+        .unionAll(roll(t.filter(col("lang").isin("en", "fr"))))
+        .orderBy("lang")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot,
     docstoreMerge, docstoreCompact, docstoreCdf, docstoreZorder,
     docstoreStream, docstoreEvolve, docstoreConcurrent, docstoreTimetravel,
-    docstoreRestore, docstoreVacuum)
+    docstoreRestore, docstoreVacuum, docstoreDv, docstoreCount,
+    docstoreIncrView, docstorePruneString)
 }

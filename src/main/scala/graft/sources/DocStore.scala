@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
@@ -34,8 +35,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   * "GDS1" | int schemaLen | schema DDL (utf8)
   * repeat per block (<=512 rows):
-  *   int rowCount | per column: byte statsTag (0 none / 1 long / 2 double),
-  *   [8-byte raw min, 8-byte raw max], int colByteLen
+  *   int rowCount | per column: byte statsTag (0 none / 1 long /
+  *   2 double / 3 string-prefix: unsigned min/max of the packed
+  *   8-byte UTF-8 prefix), [8-byte raw min, 8-byte raw max],
+  *   int colByteLen
   *   then column chunks in schema order:
   *     null bitmap (ceil(rows/8) bytes, row-major, bit set = null)
   *     values for non-null rows (long/double 8B BE, boolean 1B,
@@ -144,6 +147,51 @@ object DocStore {
       case In(_, xs) => xs.exists(x => cmp(x, min) >= 0 && cmp(x, max) <= 0)
       case _ => true
     }
+
+  // ---------------------------------------- string block stats (r15)
+  //
+  // String columns carry tag-3 stats: the unsigned min/max of each
+  // value's PACKED 8-BYTE UTF-8 PREFIX (zero-padded, big-endian in one
+  // long). Pruning uses ONLY prefix-to-prefix comparisons, so it is
+  // sound with zero assumptions about string collation: a probe prefix
+  // outside the block's [minP, maxP] prefix range cannot equal any
+  // row's prefix, hence the probe cannot equal any row. That limits
+  // stat pruning to the EQUALITY-SHAPED filters (EqualTo / In) — which
+  // are exactly the corpus-slicing predicates (lang = 'de',
+  // source = 'cc') a 100 TB scan lives on; range predicates on strings
+  // never prune (blockMayMatchString returns true), they still
+  // row-filter exactly.
+
+  /** Big-endian packed first-8-UTF-8-bytes of `s`, zero-padded. */
+  private[graft] def packPrefix(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
+
+  /** Tag-3 pruning: can any row whose packed prefix lies in
+    * [minP, maxP] satisfy `f`? Unsigned compares throughout.
+    */
+  private[sources] def blockMayMatchString(f: Filter, minP: Long,
+      maxP: Long): Boolean = {
+    def in(x: Any): Boolean = x match {
+      case s: String =>
+        val p = packPrefix(s)
+        java.lang.Long.compareUnsigned(p, minP) >= 0 &&
+          java.lang.Long.compareUnsigned(p, maxP) <= 0
+      case _ => true
+    }
+    f match {
+      case EqualTo(_, x) => in(x)
+      case In(_, xs) => xs.exists(in)
+      case _ => true
+    }
+  }
 
   private[sources] def filterColumn(f: Filter): Option[String] = f match {
     case EqualTo(c, _) => Some(c)
@@ -270,7 +318,8 @@ object DocStore {
     */
   private[graft] def writeManifest(dir: String, v: Long,
       files: Seq[(String, Long)],
-      commitTs: Long = System.currentTimeMillis()): Boolean = {
+      commitTs: Long = System.currentTimeMillis(),
+      dvs: Map[String, String] = Map.empty): Boolean = {
     val fs = fsFor(dir)
     val fin = new Path(dir, manifestName(v))
     if (fs.exists(fin)) return false
@@ -281,11 +330,15 @@ object DocStore {
       // `#ts` header = in-commit timestamp (Delta's ICT shape): time
       // travel by timestamp must not depend on FS mtimes surviving
       // copies/restores. Readers predating the header already skip
-      // `#` lines
-      val body = (s"#ts\t$commitTs" +: files.map { case (f, len) =>
-        s"${new Path(f).getName}\t$len"
-      }).mkString("", "\n", "\n")
-      out.write(body.getBytes("UTF-8"))
+      // `#` lines. `#dv` headers bind deletion vectors (r15) — only
+      // for files this manifest actually lists
+      val names = files.map { case (f, _) => new Path(f).getName }.toSet
+      val dvLines = dvs.toSeq.filter { case (n, _) => names.contains(n) }
+        .sortBy(_._1).map { case (n, dv) => s"#dv\t$n\t$dv" }
+      val body = (s"#ts\t$commitTs" +: dvLines) ++ files.map {
+        case (f, len) => s"${new Path(f).getName}\t$len"
+      }
+      out.write(body.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
     if (fs.rename(tmp, fin)) true
     else { fs.delete(tmp, false); false }
@@ -304,6 +357,83 @@ object DocStore {
       }
     }
 
+  // ---------------------------------------------- deletion vectors (r15)
+  //
+  // Merge-on-read DELETE (the Delta deletion-vector / Iceberg v2
+  // positional-delete shape): instead of rewriting a data file to drop
+  // rows, a commit publishes a SIDECAR file of deleted row ordinals
+  // (0-based position within the data file, counting every row in
+  // block order) and binds it in the manifest via a `#dv` header line
+  // `#dv\t<dataFileName>\t<dvFileName>`. Readers subtract the mask at
+  // scan time; the data file is untouched. Because `#`-headers are
+  // skipped by every manifest parser that ever shipped, DV commits are
+  // fully back-compatible: an old reader sees the same file list (and
+  // would see deleted rows — which is why the STREAM source treats a
+  // dv change as a non-append commit and fails loudly).
+  //
+  // Sidecar format: DvMagic, count (int), then `count` longs sorted
+  // ascending. At fixture scale the mask loads as a long[] + binary
+  // search; a production store would swap in a roaring bitmap behind
+  // the same two functions.
+
+  val DvMagic = 0x47445644 // "GDVD"
+
+  private[graft] def writeDv(dir: String, name: String,
+      ordinals: Array[Long]): Unit = {
+    val fs = fsFor(dir)
+    val out = new java.io.DataOutputStream(
+      fs.create(new Path(dir, name), false))
+    try {
+      out.writeInt(DvMagic)
+      out.writeInt(ordinals.length)
+      ordinals.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  private[graft] def readDv(path: String): Array[Long] = {
+    val p = new Path(path)
+    val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+    try {
+      require(in.readInt() == DvMagic, s"not a deletion vector: $path")
+      val n = in.readInt()
+      Array.fill(n)(in.readLong())
+    } finally in.close()
+  }
+
+  /** Deleted-row count from the sidecar header alone — O(1), the read
+    * metadata-only COUNT pushdown needs under merge-on-read deletes.
+    */
+  private[graft] def dvCountOf(path: String): Long = {
+    val p = new Path(path)
+    val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+    try {
+      require(in.readInt() == DvMagic, s"not a deletion vector: $path")
+      in.readInt().toLong
+    } finally in.close()
+  }
+
+  /** Data-file name → deletion-vector file name bindings of snapshot
+    * `v`, from the manifest's `#dv` header lines. Empty for pre-DV
+    * manifests.
+    */
+  private[graft] def readDvMap(dir: String, v: Long): Map[String, String] =
+    manifestBody(dir, v).linesIterator
+      .filter(_.startsWith("#dv\t"))
+      .map { l =>
+        val a = l.split('\t')
+        (a(1), a(2))
+      }.toMap
+
+  /** The DV bindings a scan applies: requested snapshot, else latest,
+    * else (legacy dir) none.
+    */
+  private[graft] def snapshotDvs(dir: String,
+      requested: Option[Long]): Map[String, String] =
+    requested.orElse(latestVersion(dir)) match {
+      case Some(v) => readDvMap(dir, v)
+      case None    => Map.empty
+    }
+
   /** Reclaim storage: delete data files not referenced by the LATEST
     * manifest and drop all older manifests. After vacuum, pinned reads
     * of older snapshots fail (their files are gone) — the standard
@@ -318,6 +448,14 @@ object DocStore {
       val p = new Path(f)
       if (!live.contains(p.getName)) fs.delete(p, false)
     }
+    // deletion-vector sidecars: keep only the ones the latest manifest
+    // binds; superseded vectors (re-deletes, materialized files) go
+    val liveDvs = readDvMap(dir, v).values.toSet
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.contains(".gds.dv"))
+      .foreach { s =>
+        if (!liveDvs.contains(s.getPath.getName)) fs.delete(s.getPath, false)
+      }
     manifestVersions(dir).filter(_ < v).foreach { old =>
       fs.delete(new Path(dir, manifestName(old)), false)
     }
@@ -360,11 +498,12 @@ object DocStore {
             val stats: (Any, Any) = tag match {
               case 1 => (in.readLong(), in.readLong())
               case 2 => (in.readDouble(), in.readDouble())
+              case 3 => in.readLong(); in.readLong(); (null, null)
               case _ => (null, null)
             }
             val bmn = stats._1
             val bmx = stats._2
-            if (i == ci && tag != 0) {
+            if (i == ci && (tag == 1 || tag == 2)) {
               if (mn == null || cmp(bmn, mn) < 0) mn = bmn
               if (mx == null || cmp(bmx, mx) > 0) mx = bmx
             }
@@ -376,6 +515,123 @@ object DocStore {
         }
       }
       if (mn == null) None else Some((mn, mx))
+    } finally in.close()
+  }
+
+  /** Executor-side header-only aggregate of one data file: total row
+    * count plus per-column (min, max) folded over block stats — every
+    * column chunk is skipped, so the cost is O(blocks). The metadata
+    * read behind the aggregate pushdown ([[DocStoreAggScan]]); a
+    * column with no stats in any block (all-null, or absent from this
+    * file's schema) reports no entry.
+    */
+  private[graft] def fileHeaderAgg(
+      file: String): (Long, Map[String, (Any, Any)]) = {
+    val p = new Path(file)
+    val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+    try {
+      require(in.readInt() == Magic, s"not a GDS file: $file")
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val schema = StructType.fromDDL(new String(bytes, "UTF-8"))
+      val mn = new Array[Any](schema.length)
+      val mx = new Array[Any](schema.length)
+      var total = 0L
+      var done = false
+      while (!done) {
+        val rows =
+          try in.readInt()
+          catch { case _: EOFException => done = true; 0 }
+        if (!done) {
+          total += rows
+          var skip = 0L
+          var i = 0
+          while (i < schema.length) {
+            val tag = in.readByte()
+            val stats: (Any, Any) = tag match {
+              case 1 => (in.readLong(), in.readLong())
+              case 2 => (in.readDouble(), in.readDouble())
+              case 3 => in.readLong(); in.readLong(); (null, null)
+              case _ => (null, null)
+            }
+            if (tag == 1 || tag == 2) {
+              if (mn(i) == null || cmp(stats._1, mn(i)) < 0) mn(i) = stats._1
+              if (mx(i) == null || cmp(stats._2, mx(i)) > 0) mx(i) = stats._2
+            }
+            skip += in.readInt()
+            i += 1
+          }
+          var left = skip
+          while (left > 0) left -= in.skip(left)
+        }
+      }
+      val stats = schema.fieldNames.zipWithIndex.collect {
+        case (n, i) if mn(i) != null => n -> ((mn(i), mx(i)))
+      }.toMap
+      (total, stats)
+    } finally in.close()
+  }
+
+  /** Executor-side (file-ordinal, key-value) stream of one data file's
+    * LONG `keyCol` — the per-file scan behind [[DocStoreOps
+    * .deleteVectors]]: ordinals count EVERY row in block order (the
+    * same numbering the partition reader's mask uses), null keys keep
+    * their ordinal but emit nothing (a null never matches a delete
+    * key). Decodes ONLY the key column; other chunks are skipped.
+    */
+  private[graft] def scanKeyOrdinals(file: String,
+      keyCol: String): Array[(Long, Long)] = {
+    val p = new Path(file)
+    val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
+    try {
+      require(in.readInt() == Magic, s"not a GDS file: $file")
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      val schema = StructType.fromDDL(new String(bytes, "UTF-8"))
+      val ci = schema.fieldNames.indexOf(keyCol)
+      if (ci < 0) return Array.empty // evolved file predating the key
+      require(schema.fields(ci).dataType == LongType,
+        s"docstore: deletion-vector key $keyCol must be BIGINT")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var base = 0L
+      var done = false
+      while (!done) {
+        val rows =
+          try in.readInt()
+          catch { case _: EOFException => done = true; 0 }
+        if (!done) {
+          val colLen = new Array[Int](schema.length)
+          var i = 0
+          while (i < schema.length) {
+            in.readByte() match {
+              case 1 => in.readLong(); in.readLong()
+              case 2 => in.readDouble(); in.readDouble()
+              case 3 => in.readLong(); in.readLong()
+              case _ =>
+            }
+            colLen(i) = in.readInt()
+            i += 1
+          }
+          i = 0
+          while (i < schema.length) {
+            if (i == ci) {
+              val bitmap = new Array[Byte]((rows + 7) / 8)
+              in.readFully(bitmap)
+              var r = 0
+              while (r < rows) {
+                if ((bitmap(r >> 3) & (1 << (r & 7))) == 0)
+                  out += ((base + r, in.readLong()))
+                r += 1
+              }
+            } else in.skipBytes(colLen(i))
+            i += 1
+          }
+          base += rows
+        }
+      }
+      out.toArray
     } finally in.close()
   }
 
@@ -495,10 +751,50 @@ class DocStoreScanBuilder(dir: String, fullSchema: StructType,
     ignoreChanges: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Seq[DocStoreAggExpr] = Seq.empty
+
+  /** Metadata-only aggregate pushdown (the Iceberg/Delta
+    * count-from-manifests shape): ungrouped COUNT(*) / MIN / MAX with
+    * no filters are answered from BLOCK HEADERS alone — one partition
+    * per file emits a partial row (count from block row counts minus
+    * the deletion-vector count; min/max folded from block stats), and
+    * Spark's final aggregation combines the partials, so not a single
+    * column chunk is decoded. PARTIAL pushdown (not complete): the
+    * combine stays in Spark, the scan stays one-task-per-file
+    * parallel. MIN/MAX are refused when any deletion vector is live
+    * (a masked row could hold the extremum — the mask is positional,
+    * stats are not) and for non-primitive-stat columns; COUNT stays
+    * valid under masks because sidecar headers carry exact counts.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty ||
+      fileSubset.nonEmpty) return false
+    val dvsLive = DocStore.snapshotDvs(dir, snapshotVersion).nonEmpty
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+        if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+    def statCapable(c: String): Boolean =
+      fullSchema.fields.find(_.name == c).exists(f =>
+        f.dataType == LongType || f.dataType == DoubleType)
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(DocStoreAggExpr("count", ""))
+      case m: Min if !dvsLive =>
+        colOf(m.column()).filter(statCapable).map(DocStoreAggExpr("min", _))
+      case m: Max if !dvsLive =>
+        colOf(m.column()).filter(statCapable).map(DocStoreAggExpr("max", _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) false
+    else { pushedAgg = specs.flatten; true }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition { f =>
@@ -529,15 +825,93 @@ class DocStoreScanBuilder(dir: String, fullSchema: StructType,
       }
       case None => snap
     }
-    new DocStoreScan(dir, fullSchema, required, pushed, planned, ignoreChanges)
+    val dvs = DocStore.snapshotDvs(dir, snapshotVersion)
+    if (pushedAgg.nonEmpty)
+      new DocStoreAggScan(dir, planned, dvs, pushedAgg, fullSchema)
+    else
+      new DocStoreScan(dir, fullSchema, required, pushed, planned,
+        ignoreChanges, dvs)
+  }
+}
+
+/** One pushed aggregate: op ∈ count / min / max, col empty for count. */
+case class DocStoreAggExpr(op: String, col: String)
+
+/** The header-only scan an aggregate pushdown plans: one partition per
+  * data file, each emitting ONE partial row computed from block
+  * headers ([[DocStore.fileHeaderAgg]]) and the deletion-vector
+  * sidecar count — no column chunk is ever decoded. Spark's final
+  * aggregation combines the per-file partials (partial pushdown), so
+  * the scan keeps one-task-per-file parallelism at any corpus size.
+  */
+class DocStoreAggScan(
+    dir: String,
+    files: Seq[(String, Long)],
+    dvs: Map[String, String],
+    exprs: Seq[DocStoreAggExpr],
+    fullSchema: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(exprs.zipWithIndex.map {
+    case (DocStoreAggExpr("count", _), i) =>
+      StructField(s"agg$i", LongType, nullable = false)
+    case (DocStoreAggExpr(_, c), i) =>
+      StructField(s"agg$i",
+        fullSchema.fields.find(_.name == c).get.dataType, nullable = true)
+  })
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"docstore $dir, PushedAggregates: [${exprs.map(e =>
+      if (e.op == "count") "COUNT(*)" else s"${e.op.toUpperCase}(${e.col})")
+      .mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (f, len) =>
+      DocStoreInputPartition(f, len,
+        dvs.get(new Path(f).getName).map(dv => new Path(dir, dv).toString))
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocStoreAggReaderFactory(exprs)
+}
+
+class DocStoreAggReaderFactory(exprs: Seq[DocStoreAggExpr])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dp = p.asInstanceOf[DocStoreInputPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (done) return false
+        done = true
+        val (rows, stats) = DocStore.fileHeaderAgg(dp.file)
+        val masked = dp.dv.map(DocStore.dvCountOf).getOrElse(0L)
+        val vals: Array[Any] = exprs.map {
+          case DocStoreAggExpr("count", _) => rows - masked
+          case DocStoreAggExpr("min", c) => stats.get(c).map(_._1).orNull
+          case DocStoreAggExpr("max", c) => stats.get(c).map(_._2).orNull
+          case other =>
+            throw new IllegalStateException(s"docstore: bad agg $other")
+        }.toArray
+        row = new GenericInternalRow(vals)
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
   }
 }
 
 /** One InputPartition per data file — the unit of parallelism a
   * cluster scheduler distributes; locality would come from file block
-  * hosts in a distributed FS deployment.
+  * hosts in a distributed FS deployment. `dv` is the absolute path of
+  * the snapshot's deletion-vector sidecar for this file, if any.
   */
-case class DocStoreInputPartition(file: String, length: Long)
+case class DocStoreInputPartition(file: String, length: Long,
+    dv: Option[String] = None)
     extends InputPartition
 
 class DocStoreScan(
@@ -546,7 +920,8 @@ class DocStoreScan(
     required: StructType,
     pushed: Array[Filter],
     files: Seq[(String, Long)],
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    dvs: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -561,7 +936,10 @@ class DocStoreScan(
       s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (f, len) => DocStoreInputPartition(f, len) }.toArray
+    files.map { case (f, len) =>
+      DocStoreInputPartition(f, len,
+        dvs.get(new Path(f).getName).map(dv => new Path(dir, dv).toString))
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     // JSON (not DDL): a count(*) prunes required down to an EMPTY
@@ -637,10 +1015,28 @@ class DocStoreMicroBatchStream(
         s"$v1 (${removed.size} file(s) retired by a rewrite); pass " +
         "ignoreChanges=true to stream the added files anyway " +
         "(rewritten rows re-emit; downstream must dedup by key)")
+    // a merge-on-read DELETE changes no file name or length — only the
+    // `#dv` bindings — so the (name, length) diff alone would stream
+    // right past it and silently KEEP the deleted rows downstream.
+    // Same contract as rewrites: loud unless ignoreChanges, in which
+    // case the re-masked files re-emit (with the new mask applied)
+    val dv0 = if (v0 <= 0) Map.empty[String, String]
+      else DocStore.readDvMap(dir, v0)
+    val dv1 = DocStore.readDvMap(dir, v1)
+    val dvChanged = after.map { case (f, _) => new Path(f).getName }
+      .filter(n => dv0.get(n) != dv1.get(n)).toSet
+    require(dvChanged.isEmpty || ignoreChanges,
+      s"docstore streaming: deletion-vector commit between versions $v0 " +
+        s"and $v1 (${dvChanged.size} file(s) re-masked); pass " +
+        "ignoreChanges=true to re-emit the re-masked files " +
+        "(downstream must dedup by key)")
+    def part(f: String, len: Long) = DocStoreInputPartition(f, len,
+      dv1.get(new Path(f).getName).map(dv => new Path(dir, dv).toString))
     after.filter { case (f, len) =>
-        !beforeKeys.contains((new Path(f).getName, len))
+        !beforeKeys.contains((new Path(f).getName, len)) ||
+          dvChanged.contains(new Path(f).getName)
       }
-      .map { case (f, len) => DocStoreInputPartition(f, len) }.toArray
+      .map { case (f, len) => part(f, len) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -659,11 +1055,13 @@ class DocStoreReaderFactory(
     requiredJson: String,
     pushed: Array[Filter])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DocStorePartitionReader(
-      p.asInstanceOf[DocStoreInputPartition].file,
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dp = p.asInstanceOf[DocStoreInputPartition]
+    new DocStorePartitionReader(dp.file,
       DataType.fromJson(fullJson).asInstanceOf[StructType],
-      DataType.fromJson(requiredJson).asInstanceOf[StructType], pushed)
+      DataType.fromJson(requiredJson).asInstanceOf[StructType], pushed,
+      dp.dv)
+  }
 }
 
 /** Streams one file: per block, stats-prunes against pushed filters,
@@ -674,8 +1072,22 @@ class DocStorePartitionReader(
     file: String,
     fullSchema: StructType,
     required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    dv: Option[String] = None)
     extends PartitionReader[InternalRow] {
+
+  // deletion-vector mask: sorted deleted ordinals; binary search per
+  // row. Loaded once per partition — O(deleted) memory, the positional
+  // analogue of Delta's DV bitmap
+  private val deleted: Array[Long] =
+    dv.map(DocStore.readDv).getOrElse(Array.emptyLongArray)
+  private def isDeleted(ordinal: Long): Boolean =
+    deleted.length > 0 &&
+      java.util.Arrays.binarySearch(deleted, ordinal) >= 0
+  // file-wide row ordinal of this block's first row — advances past
+  // PRUNED blocks too (their row counts are read before skipping)
+  private var blockBase: Long = 0L
+  private var nextBlockBase: Long = 0L
 
   private val in: DataInputStream = {
     val p = new Path(file)
@@ -742,15 +1154,23 @@ class DocStorePartitionReader(
         statsTag(i) match {
           case 1 => statMin(i) = in.readLong(); statMax(i) = in.readLong()
           case 2 => statMin(i) = in.readDouble(); statMax(i) = in.readDouble()
+          case 3 => statMin(i) = in.readLong(); statMax(i) = in.readLong()
           case _ =>
         }
         colLen(i) = in.readInt()
         i += 1
       }
       val prune = filtersByCol.exists { case (ci, fs) =>
-        statsTag(ci) != 0 && fs.exists(f =>
-          !DocStore.blockMayMatch(f, statMin(ci), statMax(ci)))
+        (statsTag(ci): @unchecked) match {
+          case 0 => false
+          case 3 => fs.exists(f => !DocStore.blockMayMatchString(f,
+            statMin(ci).asInstanceOf[Long], statMax(ci).asInstanceOf[Long]))
+          case _ => fs.exists(f =>
+            !DocStore.blockMayMatch(f, statMin(ci), statMax(ci)))
+        }
       }
+      blockBase = nextBlockBase
+      nextBlockBase = blockBase + rows
       if (prune) {
         DocStore.blocksSkipped.increment()
         var skip = 0L
@@ -809,9 +1229,12 @@ class DocStorePartitionReader(
       while (rowInBlock < blockRows) {
         val r = rowInBlock
         rowInBlock += 1
-        val ok = filtersByCol.forall { case (ci, fs) =>
-          fs.forall(f => DocStore.rowMatches(f, block(ci)(r)))
-        }
+        // the deletion-vector mask applies BEFORE filters: a deleted
+        // row does not exist, whatever the predicate says
+        val ok = !isDeleted(blockBase + r) &&
+          filtersByCol.forall { case (ci, fs) =>
+            fs.forall(f => DocStore.rowMatches(f, block(ci)(r)))
+          }
         if (ok) {
           val vals = new Array[Any](requiredIdx.length)
           var i = 0
@@ -971,9 +1394,16 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       val base = inherited.filterNot { case (f, _) =>
         replaceFiles.contains(new Path(f).getName)
       }
+      // deletion vectors ride forward for inherited files; files this
+      // commit replaces lose theirs (the rewrite read them MASKED, so
+      // the new files already materialize the deletes), and new files
+      // never start with one
+      val dvs = latest.map(v => DocStore.readDvMap(dir, v))
+        .getOrElse(Map.empty)
+        .filterNot { case (n, _) => replaceFiles.contains(n) }
       val v = latest.getOrElse(0L) + 1
       committed = DocStore.writeManifest(dir, v, base ++ newFiles,
-        commitTs.getOrElse(System.currentTimeMillis()))
+        commitTs.getOrElse(System.currentTimeMillis()), dvs)
     }
   }
 
@@ -1083,6 +1513,16 @@ class DocStoreDataWriter(
         case DoubleType if nonNull.nonEmpty =>
           val ds = nonNull.map(_.asInstanceOf[Double])
           out.writeByte(2); out.writeDouble(ds.min); out.writeDouble(ds.max)
+        case StringType if nonNull.nonEmpty =>
+          // tag 3: unsigned min/max of the packed 8-byte UTF-8 prefix
+          // (equality-shaped pruning; see blockMayMatchString)
+          val ps = nonNull.map(s =>
+            DocStore.packPrefix(s.asInstanceOf[String]))
+          out.writeByte(3)
+          out.writeLong(ps.reduce((a, b) =>
+            if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b))
+          out.writeLong(ps.reduce((a, b) =>
+            if (java.lang.Long.compareUnsigned(a, b) >= 0) a else b))
         case _ => out.writeByte(0)
       }
       out.writeInt(chunks(ci).length)

@@ -243,9 +243,104 @@ object DocStoreOps {
     */
   def restore(dir: String, toVersion: Long): Long = {
     val files = DocStore.readManifest(dir, toVersion) // loud if absent
+    val dvs = DocStore.readDvMap(dir, toVersion) // restored masks too
     var v = DocStore.latestVersion(dir).getOrElse(0L) + 1
-    while (!DocStore.writeManifest(dir, v, files)) v += 1
+    while (!DocStore.writeManifest(dir, v, files, dvs = dvs)) v += 1
     v
+  }
+
+  /** Merge-on-read DELETE (Delta deletion vectors / Iceberg v2
+    * positional deletes): instead of rewriting the affected files
+    * ([[delete]]'s copy-on-write), publish per-file SIDECARS of
+    * deleted row ordinals and bind them in the manifest (`#dv`
+    * headers). ZERO data files are read-rewritten or created — the
+    * write amplification of a takedown batch drops from
+    * O(affected-file bytes) to O(deleted-row count) — and readers
+    * subtract the mask at scan time. A later [[materializeDvs]] (or
+    * any copy-on-write rewrite of the file) folds the mask in.
+    *
+    * Shape: affected-file detection is the shared block-stat pruning;
+    * then ONE TASK PER AFFECTED FILE streams (ordinal, key) pairs
+    * decoding only the key column, joins the distributed delete-key
+    * set, merges with the file's existing vector, and writes the new
+    * sidecar executor-side; the driver collects only (file → sidecar)
+    * bindings. Commit is the standard version-CAS with rebase; it
+    * aborts loudly if a racing commit retired an affected file OR
+    * re-masked it (two writers merging vectors from different bases
+    * would lose deletes).
+    */
+  def deleteVectors(spark: SparkSession, dir: String, keys: DataFrame,
+      key: String): Unit = {
+    val v0 = DocStore.latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"docstore: no snapshot under $dir"))
+    val affected = affectedFiles(spark, dir, keys, key)
+    if (affected.isEmpty) return
+    val dv0 = DocStore.readDvMap(dir, v0)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    import spark.implicits._
+    val dirB = dir
+    val pairs = spark.createDataset(affected.toSeq.sorted)
+      .flatMap { name =>
+        DocStore.scanKeyOrdinals(new Path(dirB, name).toString, key)
+          .map { case (ord, k) => (name, ord, k) }
+      }.toDF("__file", "__ord", "__k")
+    val hits = pairs
+      .join(keys.select(col(key).as("__k")).distinct(), "__k")
+      .groupBy("__file")
+      .agg(sort_array(collect_list(col("__ord"))).as("__ords"))
+      .as[(String, Seq[Long])]
+    val dv0B = dv0
+    val bindings: Array[(String, String)] = hits.map { case (name, ords) =>
+      val old = dv0B.get(name)
+        .map(d => DocStore.readDv(new Path(dirB, d).toString))
+        .getOrElse(Array.emptyLongArray)
+      val merged = (old ++ ords).distinct.sorted
+      val dvn = s"$name.dv$token"
+      DocStore.writeDv(dirB, dvn, merged)
+      (name, dvn)
+    }.collect() // file-count-sized
+    if (bindings.isEmpty) return
+    var committed = false
+    while (!committed) {
+      val latest = DocStore.latestVersion(dir).getOrElse(0L)
+      val files = DocStore.readManifest(dir, latest)
+      val liveNames = files.map { case (f, _) =>
+        new Path(f).getName
+      }.toSet
+      val dvNow = DocStore.readDvMap(dir, latest)
+      val conflict = bindings.filter { case (n, _) =>
+        !liveNames.contains(n) || dvNow.get(n) != dv0.get(n)
+      }
+      if (conflict.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"docstore: conflicting concurrent commit under $dir — " +
+            s"${conflict.size} file(s) this delete masks were retired " +
+            "or re-masked by another writer; rerun against the new " +
+            "snapshot")
+      committed = DocStore.writeManifest(dir, latest + 1, files,
+        dvs = dvNow ++ bindings.toMap)
+    }
+  }
+
+  /** Fold every live deletion vector into its data file: the masked
+    * files are read back THROUGH the mask and rewritten survivors-only
+    * in one replaceFiles commit (which drops their `#dv` bindings) —
+    * the compaction half of merge-on-read, run when accumulated masks
+    * make read-time subtraction more expensive than one rewrite.
+    */
+  def materializeDvs(spark: SparkSession, dir: String): Unit = {
+    val v = DocStore.latestVersion(dir).getOrElse(return)
+    val dvs = DocStore.readDvMap(dir, v)
+    if (dvs.isEmpty) return
+    val names = dvs.keys.toSeq.sorted
+    val tableCols = spark.read.format("docstore").load(dir).columns
+    spark.read.format("docstore")
+      .option("files", names.mkString(","))
+      .load(dir)
+      .select(tableCols.map(col).toSeq: _*)
+      .write.format("docstore").mode("append")
+      .option("replaceFiles", names.mkString(","))
+      .save(dir)
   }
 
   /** OPTIMIZE: rewrite every data file smaller than `targetBytes` into

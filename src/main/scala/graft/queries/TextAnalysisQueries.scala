@@ -299,11 +299,17 @@ object TextAnalysisQueries {
           (java.lang.Long.parseLong(hex, 16) % 256L).toInt
         }
         val nf = (1 + id % 8).toInt
-        val frames = (0 until nf).map { f =>
-          // planted duplicate frames: every (id+f) % 4 == 0 frame is an
-          // exact repeat of its predecessor — the dup the screen catches
-          val cf = if (f > 0 && (id + f) % 4 == 0) f - 1 else f
-          (x: Int, y: Int) => px(cf, y * 8 + x)
+        // planted duplicate frames: every (id+f) % 4 == 0 frame is an
+        // exact repeat of its predecessor — the dup the screen catches.
+        // Pixels materialize once per DISTINCT source frame (dups reuse
+        // the array instead of re-hashing 64 md5s)
+        val cfs = (0 until nf).map(f =>
+          if (f > 0 && (id + f) % 4 == 0) f - 1 else f)
+        val lut = cfs.distinct
+          .map(cf => cf -> Array.tabulate(64)(j => px(cf, j))).toMap
+        val frames = cfs.map { cf =>
+          val a = lut(cf)
+          (x: Int, y: Int) => a(y * 8 + x)
         }
         val payload = graft.ops.Gif.encodeFrames(8, 8, i => (i, i, i), frames)
         Multimodal.MediaRow(id, "video", payload, payload.length.toLong)

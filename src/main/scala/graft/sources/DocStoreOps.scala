@@ -165,6 +165,13 @@ object DocStoreOps {
   /** The manifest-level file diff behind [[changeFeed]], exposed so
     * specs can pin that unchanged files are excluded from BOTH sides:
     * (removed file names, added file names) between two versions.
+    * A file whose DELETION-VECTOR binding changed between the versions
+    * counts as removed AND added (it contributes its vFrom rows through
+    * the old mask to one side and its vTo rows through the new mask to
+    * the other — the full-outer join then nets exactly the
+    * incrementally masked rows as deletes): a merge-on-read DELETE
+    * changes no file name, and a name-only diff would silently emit an
+    * EMPTY feed for it.
     */
   private[graft] def manifestDiff(dir: String, vFrom: Long,
       vTo: Long): (Set[String], Set[String]) = {
@@ -174,7 +181,10 @@ object DocStoreOps {
       }.toSet
     val f1 = names(vFrom)
     val f2 = names(vTo)
-    (f1 -- f2, f2 -- f1)
+    val dv1 = DocStore.readDvMap(dir, vFrom)
+    val dv2 = DocStore.readDvMap(dir, vTo)
+    val reMasked = (f1 & f2).filter(n => dv1.get(n) != dv2.get(n))
+    ((f1 -- f2) ++ reMasked, (f2 -- f1) ++ reMasked)
   }
 
   /** Change data feed (Delta CDF / Iceberg changelog shape): the

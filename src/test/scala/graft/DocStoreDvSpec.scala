@@ -154,6 +154,25 @@ class DocStoreDvSpec extends AnyFunSuite {
       "re-masked file must re-emit WITHOUT the deleted row")
   }
 
+  test("change data feed sees a DV delete (re-masked file enters both " +
+    "diff sides); materialize after it nets to an empty feed") {
+    val dir = tmp("gds_dv6")
+    land(dir, 200)
+    val v1 = DocStore.latestVersion(dir).get
+    DocStoreOps.deleteVectors(spark, dir, keysDf(Seq(11L, 150L)), "k")
+    val v2 = DocStore.latestVersion(dir).get
+    // a name-only manifest diff would return ((),()) here and the feed
+    // would silently claim "no changes" across a delete
+    val feed = DocStoreOps.changeFeed(spark, dir, v1, v2, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("delete", 11L), ("delete", 150L)),
+      s"feed must carry exactly the masked rows as deletes, got $feed")
+    DocStoreOps.materializeDvs(spark, dir)
+    val v3 = DocStore.latestVersion(dir).get
+    assert(DocStoreOps.changeFeed(spark, dir, v2, v3, "k").isEmpty,
+      "materializing an existing mask changes no row — the feed must net empty")
+  }
+
   test("aggregate pushdown: header-only partials, flat blocksRead; " +
     "COUNT pushable under a mask, MIN/MAX refuse") {
     val dir = tmp("gds_dv5")

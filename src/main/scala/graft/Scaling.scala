@@ -42,25 +42,44 @@ object Scaling {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // per (sf, key): min over three interleaved passes
-    val times: Map[(String, String), Double] = (1 to 3).flatMap { _ =>
+    // per (sf, key): min over three interleaved passes. A failed pass
+    // records None, NOT a near-zero elapsed time (ADVICE r15: timing an
+    // exception as a measurement silently reports a bogus slope) — a
+    // key that failed at any SF emits "failed" in the JSON instead of
+    // numbers.
+    val times: Map[(String, String), Option[Double]] = (1 to 3).flatMap { _ =>
       spark.sharedState.cacheManager.clearCache()
       sfs.flatMap { sf =>
         keys.map { k =>
           val t0 = System.nanoTime()
-          try SparkEntry.queries(k)(spark, sf)
-            .write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-          (sf, k) -> (System.nanoTime() - t0) / 1e9
+          val ok =
+            try {
+              SparkEntry.queries(k)(spark, sf)
+                .write.format("noop").mode("overwrite").save()
+              true
+            } catch { case e: Throwable =>
+              System.err.println(s"[scaling] $k failed at $sf: ${e.getMessage}")
+              false
+            }
+          (sf, k) -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
         }
       }
-    }.groupBy(_._1).map { case (sk, ts) => sk -> ts.map(_._2).min }
+    }.groupBy(_._1).map { case (sk, ts) =>
+      // all three passes must succeed — a key that throws is flaky or
+      // broken at that SF, and a min over the surviving passes would
+      // still hide the failure
+      val vs = ts.map(_._2)
+      sk -> (if (vs.forall(_.isDefined)) Some(vs.flatten.min) else None)
+    }
     val lines = keys.map { k =>
-      val t1 = times((sfs(0), k)); val t2 = times((sfs(1), k))
-      val t3 = times((sfs(2), k))
-      val slope = math.log10(t3 / t2) // per-decade exponent, top decade
-      val slopeLow = math.log10(t2 / t1)
-      f"""  "$k": {"t_sf0001": $t1%.3f, "t_sf001": $t2%.3f, "t_sf01": $t3%.3f, "slope_top": $slope%.3f, "slope_low": $slopeLow%.3f}"""
+      (times((sfs(0), k)), times((sfs(1), k)), times((sfs(2), k))) match {
+        case (Some(t1), Some(t2), Some(t3)) =>
+          val slope = math.log10(t3 / t2) // per-decade exponent, top decade
+          val slopeLow = math.log10(t2 / t1)
+          f"""  "$k": {"t_sf0001": $t1%.3f, "t_sf001": $t2%.3f, "t_sf01": $t3%.3f, "slope_top": $slope%.3f, "slope_low": $slopeLow%.3f}"""
+        case _ =>
+          s"""  "$k": "failed""""
+      }
     }
     val json = "{\n" + lines.mkString(",\n") + "\n}\n"
     print(json)

@@ -25,26 +25,38 @@ import graft.util.Det._
   * so the result is bit-stable across partitionings, retries, and
   * engines (the DuckDB oracle twin mirrors the chain).
   *
-  * Plan shape = the SCAMP/SCRIMP parallelization: QT along a diagonal
-  * d = i−j is a sliding sum of the product series v_p·v_{p−d}, so the
-  * O(n²) work partitions BY DIAGONAL — each diagonal an independent
-  * windowed-sum task, exactly how GPU/cluster matrix-profile engines
-  * shard. Window stats are series-sized and broadcast.
+  * Plan shape = the SCAMP/SCRIMP parallelization, realized WITHOUT a
+  * physical cartesian: QT along a diagonal d = i−j is a sliding sum of
+  * the product series v_p·v_{p−d}. Each series row EXPLODES its own
+  * positive diagonals d ∈ [excl, i−1] (a Generate, codegen'd), the
+  * partner value arrives via one key-partitioned equi-join on the
+  * partner index, and the sliding sum runs per-diagonal — so the n²/2
+  * product rows are born already keyed by diagonal and never pass
+  * through a CartesianProduct or BroadcastNestedLoopJoin. The lower
+  * triangle is recovered by mirroring (QT is symmetric). Window stats
+  * are the same explode-to-owning-windows shape (n·m rows, hash-agg).
+  *
+  * The series is calendar-bounded (n ≈ days), not corpus-bounded: the
+  * only corpus-sized work is the upstream rollup. That rollup lineage
+  * is re-evaluated once per reuse (≤3×) rather than pinned with
+  * localCheckpoint — checkpoint blocks live outside the SQL cache,
+  * survive Bench's cache clearing, and were the prime suspect for the
+  * r15 2.21× full-sweep drift; a map-side-combined rollup re-scan is
+  * the cheaper, plan-transparent trade. Callers at 100 TB should
+  * materialize the daily rollup upstream if the scan dominates.
   */
 object MatrixProfile {
 
   def profile(idxIn: DataFrame, m: Int, excl: Int): DataFrame = {
+    require(excl >= 1, "exclusion zone must be >= 1 (mirroring doubles d=0)")
     val mL = lit(m)
-    // cut the n² self-join's double-scan lineage
-    val idx = idxIn.select(col("i"), col("v")).localCheckpoint()
-    // window stats via a bounded range join, not an unpartitioned
-    // window (PlanSpec bans the single-task sort): each window start i
-    // gathers its m member rows — n·m intermediate rows, a strictly
-    // smaller footprint than the n² product join below, and fully
-    // partition-parallel
+    val idx = idxIn.select(col("i"), col("v"))
+    // window stats: each row p contributes to the m window starts
+    // i ∈ [p−m+1, p] ∩ [1, n] — explode to owners, hash-aggregate.
+    // n·m rows, key-partitioned, no join, no unpartitioned window.
     val wv = idx.select(col("i").as("p"), col("v"))
-      .join(broadcast(idx.select(col("i"))),
-        col("p").between(col("i"), col("i") + (m - 1)))
+      .withColumn("i",
+        explode(sequence(greatest(col("p") - (m - 1), lit(1L)), col("p"))))
       .groupBy("i")
       .agg(sum("v").cast(DecimalType(14, 0)).as("s"),
         sum(col("v").cast(DecimalType(25, 0)) * col("v"))
@@ -52,17 +64,30 @@ object MatrixProfile {
         count(lit(1)).as("cnt"))
       .filter(col("cnt") === m)
       .select("i", "s", "q2")
-    val prod = idx.select(col("i").as("pi"),
-        col("v").cast(DecimalType(25, 0)).as("va"))
-      .crossJoin(idx.select(col("i").as("pj"), col("v").as("vb")))
-      .select(col("pi"), col("pj"), (col("va") * col("vb")).as("p"))
-    val dwin = Window.partitionBy(col("pi") - col("pj")).orderBy("pi")
+    // positive diagonals only: row pi pairs with pj = pi − d for every
+    // d ∈ [excl, pi−1]; the partner value arrives via an equi-join on
+    // pj (broadcastable — the series side is calendar-sized)
+    val left = idx
+      .select(col("i").as("pi"), col("v").cast(DecimalType(25, 0)).as("va"))
+      .withColumn("d",
+        explode(when(col("pi") > excl,
+            sequence(lit(excl.toLong), col("pi") - 1))
+          .otherwise(typedLit(Seq.empty[Long]))))
+      .withColumn("pj", col("pi") - col("d"))
+    val prod = left
+      .join(idx.select(col("i").as("pj"), col("v").as("vb")), Seq("pj"))
+      .select(col("pi"), col("pj"), col("d"), (col("va") * col("vb")).as("p"))
+    val dwin = Window.partitionBy("d").orderBy("pi")
       .rowsBetween(Window.currentRow, m - 1)
-    val qt = prod
+    val qtPos = prod
       .withColumn("qt", sum("p").over(dwin).cast(DecimalType(28, 0)))
       .withColumn("cnt", count(lit(1)).over(dwin))
-      .filter(col("cnt") === m && abs(col("pi") - col("pj")) >= excl)
+      .filter(col("cnt") === m)
       .select(col("pi").as("i"), col("pj").as("j"), col("qt"))
+    // QT(i,j) = Σ v_{i+k}·v_{j+k} is symmetric — mirror the computed
+    // upper triangle instead of paying for the lower one
+    val qt = qtPos.unionByName(
+      qtPos.select(col("j").as("i"), col("i").as("j"), col("qt")))
     val pairs = qt
       .join(broadcast(wv.select(col("i"), col("s").as("si"),
         col("q2").as("qi"))), Seq("i"))

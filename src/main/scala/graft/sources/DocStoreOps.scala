@@ -69,6 +69,14 @@ object DocStoreOps {
     (hit ++ statless).toSet
   }
 
+  /** Columns any file of snapshot `v` carries a Bloom index for —
+    * copy-on-write rewrites re-declare them on their own output so
+    * table maintenance never silently degrades point-lookup pruning.
+    */
+  private def bloomedCols(dir: String, v: Long): String =
+    DocStore.readBloomMap(dir, v).keys.map(_._2).toSeq.distinct.sorted
+      .mkString(",")
+
   /** MERGE `batch` into the docstore table at `dir` on long key `key`:
     * rows whose key matches an existing row replace it; the rest
     * insert. Concurrency: the commit is optimistic (r15) — racing
@@ -106,6 +114,7 @@ object DocStoreOps {
       }
     val w = out.write.format("docstore").mode("append")
       .option("replaceFiles", affected.mkString(","))
+      .option("bloomCols", bloomedCols(dir, v0))
       .option("readVersion", v0.toString)
     (if (kd.isNullAt(0)) w
      else w.option("keyDomain", s"$key,${kd.getLong(0)},${kd.getLong(1)}"))
@@ -137,6 +146,7 @@ object DocStoreOps {
       .select(tableCols.map(col).toSeq: _*)
       .write.format("docstore").mode("append")
       .option("replaceFiles", affected.mkString(","))
+      .option("bloomCols", bloomedCols(dir, v0))
       .option("readVersion", v0.toString)
       .save(dir)
   }
@@ -180,6 +190,7 @@ object DocStoreOps {
       .select(cols.map(col).toSeq: _*)
       .write.format("docstore").mode("append")
       .option("replaceFiles", all.mkString(","))
+      .option("bloomCols", bloomedCols(dir, v))
       .option("readVersion", v.toString)
       .save(dir)
   }
@@ -276,8 +287,10 @@ object DocStoreOps {
   def restore(dir: String, toVersion: Long): Long = {
     val files = DocStore.readManifest(dir, toVersion) // loud if absent
     val dvs = DocStore.readDvMap(dir, toVersion) // restored masks too
+    val blooms = DocStore.readBloomMap(dir, toVersion) // and Bloom indexes
     var v = DocStore.latestVersion(dir).getOrElse(0L) + 1
-    while (!DocStore.writeManifest(dir, v, files, dvs = dvs)) v += 1
+    while (!DocStore.writeManifest(dir, v, files, dvs = dvs,
+        blooms = blooms)) v += 1
     v
   }
 
@@ -349,8 +362,11 @@ object DocStoreOps {
             s"${conflict.size} file(s) this delete masks were retired " +
             "or re-masked by another writer; rerun against the new " +
             "snapshot")
+      // Bloom indexes stay valid under a mask (one-sided: they may
+      // report a deleted key present, never a live key absent)
       committed = DocStore.writeManifest(dir, latest + 1, files,
-        dvs = dvNow ++ bindings.toMap)
+        dvs = dvNow ++ bindings.toMap,
+        blooms = DocStore.readBloomMap(dir, latest))
     }
   }
 
@@ -373,6 +389,7 @@ object DocStoreOps {
       .select(tableCols.map(col).toSeq: _*)
       .write.format("docstore").mode("append")
       .option("replaceFiles", names.mkString(","))
+      .option("bloomCols", bloomedCols(dir, v))
       .option("readVersion", v.toString)
       .save(dir)
   }
@@ -399,6 +416,7 @@ object DocStoreOps {
       .repartition(bins)
       .write.format("docstore").mode("append")
       .option("replaceFiles", names.mkString(","))
+      .option("bloomCols", bloomedCols(dir, v))
       .option("readVersion", v.toString)
       .save(dir)
     val after = DocStore.readManifest(dir,

@@ -184,6 +184,41 @@ class DocStoreSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq === (20L until 25L))
   }
 
+  test("vacuum retention window: pinned reads within retention keep " +
+    "their files; past retention they fail loudly, never empty") {
+    val dir = tmpDir("gds_vac_ret")
+    def land(lo: Long, hi: Long, mode: String): Unit =
+      spark.range(lo, hi).select(col("id").as("k")).coalesce(1)
+        .write.format("docstore").mode(mode).save(dir)
+    land(0, 10, "overwrite")   // v1
+    land(10, 20, "overwrite")  // v2 (retires v1's file)
+    land(20, 30, "overwrite")  // v3 (retires v2's file)
+    val v3 = DocStore.latestVersion(dir).get
+    DocStore.vacuum(dir, retainLast = 2)
+    // within retention: v2's file survives BECAUSE the v2 manifest is
+    // retained, even though the v3 head no longer references it
+    assert(DocStore.manifestVersions(dir) === Seq(v3 - 1, v3))
+    val pinned = spark.read.format("docstore")
+      .option("snapshotVersion", (v3 - 1).toString).load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pinned === (10L until 20L),
+      "pinned read within retention must see its full snapshot")
+    // past retention: loud planning-time failure, not an empty result
+    val ex = intercept[Exception] {
+      spark.read.format("docstore")
+        .option("snapshotVersion", (v3 - 2).toString).load(dir).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(t => Option(t.getMessage)
+      .exists(_.contains("no snapshot version"))),
+      s"expected loud no-snapshot failure, got $ex")
+    // retainLast=1 reproduces the old latest-only behavior
+    DocStore.vacuum(dir)
+    assert(DocStore.manifestVersions(dir) === Seq(v3))
+    assert(DocStore.listDataFiles(dir).length === 1)
+  }
+
   test("parallel write: one file per partition, one input partition per file") {
     val dir = tmpDir("gds_par")
     spark.range(1000).select(col("id").as("k")).repartition(4)

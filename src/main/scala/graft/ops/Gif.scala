@@ -114,6 +114,28 @@ object Gif {
       index: (Int, Int) => Int, minCodeSize: Int = 8): Array[Byte] =
     encodeFrames(width, height, palette, Seq(index), minCodeSize)
 
+  /** One frame of [[encodeGif]]: the pixel-index function, an optional
+    * LOCAL color table (overrides the global one for this frame —
+    * r16: real multi-image GIFs carry per-image palettes), and the
+    * interlace flag (r16: rows stored in the 4-pass GIF order
+    * 0,8,16,… / 4,12,… / 2,6,… / 1,3,…).
+    */
+  final case class Frame(index: (Int, Int) => Int,
+      localPalette: Option[Int => (Int, Int, Int)] = None,
+      interlaced: Boolean = false)
+
+  /** The GIF-interlace row schedule for `h` rows: stream position →
+    * display row (spec appendix: passes start 0/4/2/1, steps 8/8/4/2).
+    */
+  private[graft] def interlaceOrder(h: Int): Array[Int] = {
+    val order = new ArrayBuffer[Int](h)
+    Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+      var r = start
+      while (r < h) { order += r; r += step }
+    }
+    order.toArray
+  }
+
   /** Encode an (optionally animated) GIF89a: one full-frame image
     * descriptor per entry of `frames`, each preceded by a Graphic
     * Control Extension (as real animation encoders emit — also
@@ -125,6 +147,18 @@ object Gif {
   def encodeFrames(width: Int, height: Int,
       palette: Int => (Int, Int, Int),
       frames: Seq[(Int, Int) => Int],
+      minCodeSize: Int = 8): Array[Byte] =
+    encodeGif(width, height, Some(palette), frames.map(Frame(_)),
+      minCodeSize)
+
+  /** The general encoder behind [[encodeFrames]]: optional global
+    * color table, per-frame local tables and interlacing. At least one
+    * of `globalPalette` / the frame's `localPalette` must cover each
+    * frame (the decoder is loud otherwise — same as real files).
+    */
+  def encodeGif(width: Int, height: Int,
+      globalPalette: Option[Int => (Int, Int, Int)],
+      frames: Seq[Frame],
       minCodeSize: Int = 8): Array[Byte] = {
     require(width > 0 && height > 0 && frames.nonEmpty)
     require(minCodeSize >= 2 && minCodeSize <= 8,
@@ -132,36 +166,47 @@ object Gif {
     val out = ArrayBuffer.empty[Byte]
     out ++= "GIF89a".getBytes("US-ASCII")
     def u16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+    def writeTable(palette: Int => (Int, Int, Int)): Unit = {
+      var i = 0
+      while (i < 256) {
+        val (r, g, b) = palette(i)
+        out += r.toByte; out += g.toByte; out += b.toByte
+        i += 1
+      }
+    }
     u16(width); u16(height)
-    out += 0xf7.toByte // GCT present, 8-bit color resolution, 256 entries
+    // packed: GCT flag, 8-bit color resolution, 256 entries
+    out += (if (globalPalette.isDefined) 0xf7 else 0x77).toByte
     out += 0x00.toByte // background color index
     out += 0x00.toByte // pixel aspect ratio
-    var i = 0
-    while (i < 256) {
-      val (r, g, b) = palette(i)
-      out += r.toByte; out += g.toByte; out += b.toByte
-      i += 1
-    }
-    frames.foreach { index =>
+    globalPalette.foreach(writeTable)
+    frames.foreach { frame =>
       // graphic control extension (delay 10 cs, no disposal/transparency)
       out += 0x21.toByte; out += 0xf9.toByte; out += 0x04.toByte
       out += 0x00.toByte; u16(10); out += 0x00.toByte; out += 0x00.toByte
       out += 0x2c.toByte // image descriptor
       u16(0); u16(0); u16(width); u16(height)
-      out += 0x00.toByte // no local color table, not interlaced
+      val lctFlag = if (frame.localPalette.isDefined) 0x87 else 0x00 // 256-entry LCT
+      val intFlag = if (frame.interlaced) 0x40 else 0x00
+      out += (lctFlag | intFlag).toByte
+      frame.localPalette.foreach(writeTable)
       out += minCodeSize.toByte // LZW minimum code size
       val indices = new Array[Int](width * height)
-      var y = 0
-      while (y < height) {
+      val order =
+        if (frame.interlaced) interlaceOrder(height)
+        else Array.tabulate(height)(identity)
+      var s = 0
+      while (s < height) {
+        val y = order(s) // stream row s carries display row y
         var x = 0
         while (x < width) {
-          val v = index(x, y)
+          val v = frame.index(x, y)
           require(v >= 0 && v < (1 << minCodeSize),
             s"palette index out of range for min code $minCodeSize: $v")
-          indices(y * width + x) = v
+          indices(s * width + x) = v
           x += 1
         }
-        y += 1
+        s += 1
       }
       val lzw = lzwEncode(indices, minCodeSize)
       var off = 0
@@ -323,7 +368,7 @@ object Gif {
           val ipacked = bytes(pos + 9) & 0xff
           require(ix == 0 && iy == 0 && iw == sw && ih == sh,
             "gif: only full-frame images supported")
-          require((ipacked & 0x40) == 0, "gif: interlaced images not supported")
+          val interlaced = (ipacked & 0x40) != 0 // r16: de-interlaced below
           pos += 10
           var ct = gct
           if ((ipacked & 0x80) != 0) { // local color table wins
@@ -344,13 +389,18 @@ object Gif {
           }
           pos += 1 // block terminator
           val indices = lzwDecode(lzw.toArray, iw * ih, minCode)
-          val rows = Vector.newBuilder[Array[Byte]]
-          var y = 0
-          while (y < ih) {
+          // interlaced streams store rows in 4-pass order; map each
+          // STREAM row back to its DISPLAY row (r16)
+          val order =
+            if (interlaced) interlaceOrder(ih)
+            else Array.tabulate(ih)(identity)
+          val rowsArr = new Array[Array[Byte]](ih)
+          var s = 0
+          while (s < ih) {
             val row = new Array[Byte](iw * 3)
             var x = 0
             while (x < iw) {
-              val idx = indices(y * iw + x)
+              val idx = indices(s * iw + x)
               require(idx * 3 + 2 < ct.length,
                 s"gif: palette index $idx out of table")
               row(x * 3) = ct(idx * 3)
@@ -358,10 +408,10 @@ object Gif {
               row(x * 3 + 2) = ct(idx * 3 + 2)
               x += 1
             }
-            rows += row
-            y += 1
+            rowsArr(order(s)) = row
+            s += 1
           }
-          frames += Decoded(iw, ih, rows.result())
+          frames += Decoded(iw, ih, rowsArr.toVector)
         case other => throw new IllegalArgumentException(
           f"gif: unexpected block 0x$other%02x at offset $pos")
       }

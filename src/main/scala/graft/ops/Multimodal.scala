@@ -313,6 +313,26 @@ object Multimodal {
   }
 
   /** Channel readout of a decoded RGB image. */
+  /** Sniff-routing image decoder (r16): routes each payload to the
+    * matching real codec by magic — what a MIXED-container image
+    * column (the shape web corpora actually have) needs behind one
+    * decode seam. Non-image / unknown payloads are loud, not skipped.
+    */
+  final case class ImageRowDecoder() extends Decoder {
+    def frameStride: Int = 0
+    def frameLen: Int = 0
+    def sampleFrames(payload: Array[Byte]): Vector[Array[Byte]] =
+      detectFormat(payload) match {
+        case "image/gif" => Gif.decode(payload).rows
+        case "image/png" => Png.decodeRgb8(payload).rows
+        case "image/bmp" => Bmp.RowDecoder().sampleFrames(payload)
+        case f if f.startsWith("image/jpeg") =>
+          Jpeg.RowDecoder().sampleFrames(payload)
+        case other => throw new IllegalArgumentException(
+          s"not a decodable image container: $other")
+      }
+  }
+
   final case class RgbReadout(media_id: Long, width: Long, height: Long,
                               n_pixels: Long, sum_r: Long, sum_g: Long,
                               sum_b: Long, checksum: Long)

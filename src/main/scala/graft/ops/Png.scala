@@ -93,6 +93,57 @@ object Png {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** Adam7 pass geometry (PNG spec §8.2): (xstart, ystart, xstep,
+    * ystep) per pass. Each pass is an independently-filtered
+    * sub-image; empty passes (zero pixels for small geometries) emit
+    * no scanlines at all.
+    */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def passDims(width: Int, height: Int,
+      p: (Int, Int, Int, Int)): (Int, Int) = {
+    val (xs, ys, xstep, ystep) = p
+    (math.max(0, (width - xs + xstep - 1) / xstep),
+      math.max(0, (height - ys + ystep - 1) / ystep))
+  }
+
+  /** Encode a width×height truecolor PNG with Adam7 interlacing (r16:
+    * the progressive-render layout real web PNGs ship): the raw
+    * stream is the concatenation of the 7 passes' scanlines, each
+    * pass filtered independently (filter 0 rows here), IHDR interlace
+    * byte 1. Same stored-zlib determinism as [[encodeRgb8]].
+    */
+  def encodeRgb8Adam7(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val raw = new java.io.ByteArrayOutputStream()
+    Adam7.foreach { p =>
+      val (xs, ys, xstep, ystep) = p
+      val (pw, ph) = passDims(width, height, p)
+      if (pw > 0 && ph > 0) {
+        var ry = 0
+        while (ry < ph) {
+          raw.write(0) // filter type None
+          val y = ys + ry * ystep
+          var rx = 0
+          while (rx < pw) {
+            val (r, g, b) = rgb(xs + rx * xstep, y)
+            raw.write(r); raw.write(g); raw.write(b)
+            rx += 1
+          }
+          ry += 1
+        }
+      }
+    }
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 1) // depth 8, color 2 (RGB), Adam7
+    val idat = deflateStored(raw.toByteArray)
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** zlib stream with STORED blocks only (Deflater level 0):
     * deterministic, closed-form length n + 11 per ≤ 65535-byte input.
     */
@@ -122,6 +173,7 @@ object Png {
     var off = 8
     var width = 0
     var height = 0
+    var interlaced = false
     var sawIhdr = false
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
@@ -146,8 +198,11 @@ object Png {
           val inter = bytes(off + 20) & 0xff
           require(depth == 8 && color == 2,
             s"unsupported PNG depth/color $depth/$color (8-bit RGB only)")
-          require(comp == 0 && filt == 0 && inter == 0,
-            "unsupported compression/filter/interlace method")
+          require(comp == 0 && filt == 0,
+            "unsupported compression/filter method")
+          require(inter == 0 || inter == 1,
+            s"unknown interlace method $inter (none/Adam7 only)")
+          interlaced = inter == 1
           require(width > 0 && height > 0, "bad geometry")
           sawIhdr = true
         case "IDAT" =>
@@ -164,41 +219,82 @@ object Png {
     // ADVICE r10/r11): an adversarial IHDR width ~2^30 overflows Int
     // stride math into a wrong small positive — or negative — expected
     // size before any allocation check
-    val expectedL = height.toLong * (1L + 3L * width)
+    val expectedL =
+      if (!interlaced) height.toLong * (1L + 3L * width)
+      else Adam7.map { p =>
+        val (pw, ph) = passDims(width, height, p)
+        if (pw > 0 && ph > 0) ph.toLong * (1L + 3L * pw) else 0L
+      }.sum
     require(expectedL <= Int.MaxValue,
       s"implausible geometry ${width}x$height: pixel stream $expectedL bytes")
-    val stride = 3 * width
     val expected = expectedL.toInt
     val raw = inflate(idat.toByteArray, expected)
     require(raw.length == expected,
       s"pixel stream length ${raw.length} != expected $expected")
-    val rows = Vector.newBuilder[Array[Byte]]
-    var prev: Array[Byte] = null
-    var y = 0
-    while (y < height) {
-      val base = y * (1 + stride)
-      val ft = raw(base) & 0xff
-      val row = new Array[Byte](stride)
-      System.arraycopy(raw, base + 1, row, 0, stride)
-      ft match {
-        case 0 => // None
-        case 1 => // Sub: add the pixel 3 bytes to the left
-          var i = 3
-          while (i < stride) { row(i) = (row(i) + row(i - 3)).toByte; i += 1 }
-        case 2 => // Up: add the byte directly above
-          if (prev != null) {
-            var i = 0
-            while (i < stride) { row(i) = (row(i) + prev(i)).toByte; i += 1 }
-          }
-        case other =>
-          throw new IllegalArgumentException(
-            s"unsupported scanline filter $other (None/Sub/Up only)")
+    /** De-filter `count` scanlines of `stride` bytes starting at
+      * `base`; `prev` resets per call (each Adam7 pass filters
+      * independently, exactly like the single pass of a plain PNG).
+      */
+    def defilter(base: Int, count: Int, stride: Int): Array[Array[Byte]] = {
+      val out = new Array[Array[Byte]](count)
+      var prev: Array[Byte] = null
+      var y = 0
+      while (y < count) {
+        val b = base + y * (1 + stride)
+        val ft = raw(b) & 0xff
+        val row = new Array[Byte](stride)
+        System.arraycopy(raw, b + 1, row, 0, stride)
+        ft match {
+          case 0 => // None
+          case 1 => // Sub: add the pixel 3 bytes to the left
+            var i = 3
+            while (i < stride) { row(i) = (row(i) + row(i - 3)).toByte; i += 1 }
+          case 2 => // Up: add the byte directly above
+            if (prev != null) {
+              var i = 0
+              while (i < stride) { row(i) = (row(i) + prev(i)).toByte; i += 1 }
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported scanline filter $other (None/Sub/Up only)")
+        }
+        out(y) = row
+        prev = row
+        y += 1
       }
-      rows += row
-      prev = row
-      y += 1
+      out
     }
-    Parsed(width, height, rows.result())
+    if (!interlaced) {
+      Parsed(width, height, defilter(0, height, 3 * width).toVector)
+    } else {
+      // Adam7 (r16): de-filter each pass independently, then scatter
+      // its pixels to their full-image positions
+      val full = Array.fill(height)(new Array[Byte](3 * width))
+      var base = 0
+      Adam7.foreach { p =>
+        val (xs, ys, xstep, ystep) = p
+        val (pw, ph) = passDims(width, height, p)
+        if (pw > 0 && ph > 0) {
+          val rows = defilter(base, ph, 3 * pw)
+          base += ph * (1 + 3 * pw)
+          var ry = 0
+          while (ry < ph) {
+            val src = rows(ry)
+            val dst = full(ys + ry * ystep)
+            var rx = 0
+            while (rx < pw) {
+              val x = xs + rx * xstep
+              dst(x * 3) = src(rx * 3)
+              dst(x * 3 + 1) = src(rx * 3 + 1)
+              dst(x * 3 + 2) = src(rx * 3 + 2)
+              rx += 1
+            }
+            ry += 1
+          }
+        }
+      }
+      Parsed(width, height, full.toVector)
+    }
   }
 
   private def inflate(data: Array[Byte], sizeHint: Int): Array[Byte] = {

@@ -193,5 +193,74 @@ object ArchiveQueries {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(zipScan, tarScan, gzipScan, warcScan)
+  private val warcGzScan = QueryDef(
+    "q_warc_gz",
+    "Per-record-gzip WARC ingestion (.warc.gz — the EXACT container " +
+      "Common Crawl publishes, VERDICT r15 #2: one RFC-1952 gzip " +
+      "member PER WARC RECORD, members concatenated; that is what " +
+      "makes a 1 GiB crawl shard seekable/splittable without a format " +
+      "index): each shard opens with a gzipped warcinfo record " +
+      "(consumers must skip it, not choke) followed by one gzipped " +
+      "response record per document. Decode composes the two layers " +
+      "the engine already proves separately — the gzip member splitter " +
+      "(CRC-32 + ISIZE verified per member; a reader that stops at the " +
+      "first trailer drops the shard) and the length-framed WARC " +
+      "parser applied PER MEMBER. Record-count conservation (members " +
+      "== warcinfo + documents) is spec-pinned; per record the doc id " +
+      "+ host from WARC-Target-URI, the WET-convention language " +
+      "header, block byte length and md5 — all recomputed by the " +
+      "oracle from the source table, so a byte lost in either layer " +
+      "fails the hash.",
+    Some("""SELECT doc_id, lang, source AS host,
+           |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |       md5(text) AS digest
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val recs = shardInput(s, d)
+        .select(col("source"), col("shard"), col("doc_id"), col("lang"),
+          col("text"))
+        .as[(String, Long, Long, String, String)]
+        .groupByKey { case (src, sh, _, _, _) => (src, sh) }
+        .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, String, String)]) =>
+          val (src, sh) = key
+          val info = Warc.encodeRecord(
+            Seq("WARC-Type" -> "warcinfo",
+              "WARC-Filename" -> s"$src-$sh.warc.gz"),
+            "software: graft\r\n".getBytes("UTF-8"))
+          val bodies = it.toSeq.sortBy(_._3).map { case (_, _, id, lg, tx) =>
+            Warc.encodeRecord(Seq(
+              "WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:graft:doc-$id>",
+              "WARC-Target-URI" -> s"http://$src/docs/$id",
+              "WARC-Identified-Content-Language" -> lg,
+              "Content-Type" -> "text/plain"),
+              tx.getBytes("UTF-8"))
+          }
+          // one gzip member PER RECORD, concatenated — .warc.gz
+          (info +: bodies).iterator
+            .flatMap(r => Gzip.encodeMember(r)).toArray
+        }
+        .flatMap { shard =>
+          Gzip.decode(shard) // member split, CRC-32 + ISIZE verified
+            .iterator
+            .flatMap { case (_, member) => Warc.decode(member) }
+            .filter(_.header("WARC-Type").contains("response"))
+            .map { r =>
+              val uri = r.header("warc-target-uri").get // case-insensitive
+              val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+              (uri.substring(uri.lastIndexOf('/') + 1).toLong,
+                r.header("WARC-Identified-Content-Language").get,
+                host, r.block)
+            }
+        }
+        .toDF("doc_id", "lang", "host", "body")
+      recs.select(col("doc_id"), col("lang"), col("host"),
+        lng(length(col("body"))).as("n_bytes"), md5(col("body")).as("digest"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = Seq(zipScan, tarScan, gzipScan, warcScan,
+    warcGzScan)
 }

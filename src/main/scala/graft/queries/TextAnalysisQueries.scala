@@ -691,6 +691,85 @@ object TextAnalysisQueries {
     }
   )
 
+  /** Interlaced real-world image variants through ONE sniffing decode
+    * seam (VERDICT r15 #4 — the last loud rejects on the web-image
+    * surface): per document an INTERLACED GIF with a LOCAL color
+    * table and no global one (the multi-image web-GIF layout; rows
+    * stored in the 4-pass 0/4/2/1 schedule) and an ADAM7 PNG (the
+    * progressive-render layout; seven independently-filtered passes
+    * scattered on decode), both routed by magic through
+    * Multimodal.ImageRowDecoder — the mixed-container column shape a
+    * real corpus has. Both codecs are lossless, so the oracle states
+    * the de-interlaced pixels in closed form; a decoder that ignored
+    * the interlace flag (rows permuted) or misread the local palette
+    * shifts the position-weighted checksum and fails the hash.
+    * GifSpec/PngSpec kill the sub-cases (odd heights, empty Adam7
+    * passes, local-vs-global precedence, flag honored not ignored).
+    *
+    * Scale: identical altitude to q_media_decode — one mapPartitions
+    * batch pass, payloads never leave the scan stage.
+    */
+  private val mediaInterlace = QueryDef(
+    "q_media_interlace",
+    "Interlaced web-image variants through the sniffing decode seam: " +
+      "per document an interlaced local-palette GIF (4-pass row " +
+      "schedule, no global table) and an Adam7 PNG (7 scattered " +
+      "passes), each decoded by the magic-routed image decoder; " +
+      "geometry, exact channel sums and a position-weighted checksum " +
+      "out — the oracle recomputes the de-interlaced pixels in closed " +
+      "form.",
+    Some("""WITH gifpx AS (
+           |  SELECT doc_id, y, x,
+           |    (doc_id * 7 + x * 13 + y * 31) % 256 AS i
+           |  FROM documents,
+           |       unnest(generate_series(0, 15)) AS yy(y),
+           |       unnest(generate_series(0, 23)) AS xx(x)),
+           |gif AS (
+           |  SELECT doc_id * 2 AS media_id, 24 AS w, 16 AS h, y, x,
+           |         (i * 5) % 256 AS r, (i * 11) % 256 AS g,
+           |         (i * 19) % 256 AS b
+           |  FROM gifpx),
+           |png AS (
+           |  SELECT doc_id * 2 + 1 AS media_id, 13 AS w, 9 AS h, y, x,
+           |         (doc_id * 3 + x * 11 + y * 5) % 256 AS r,
+           |         (doc_id * 7 + y * 13) % 256 AS g,
+           |         (doc_id * 11 + x * 17) % 256 AS b
+           |  FROM documents,
+           |       unnest(generate_series(0, 8)) AS yy(y),
+           |       unnest(generate_series(0, 12)) AS xx(x)),
+           |px AS (SELECT * FROM gif UNION ALL SELECT * FROM png)
+           |SELECT media_id, CAST(w AS BIGINT) AS width,
+           |       CAST(h AS BIGINT) AS height,
+           |       CAST(w * h AS BIGINT) AS n_pixels,
+           |       CAST(sum(r) AS BIGINT) AS sum_r,
+           |       CAST(sum(g) AS BIGINT) AS sum_g,
+           |       CAST(sum(b) AS BIGINT) AS sum_b,
+           |       CAST(sum(((y*w + x)*3 + 1) * r + ((y*w + x)*3 + 2) * g
+           |                + ((y*w + x)*3 + 3) * b) AS BIGINT) AS checksum
+           |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin),
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+        val gif = Gif.encodeGif(24, 16, None,
+          Seq(Gif.Frame(
+            (x, y) => ((id * 7 + x * 13 + y * 31) % 256).toInt,
+            localPalette = Some(i =>
+              ((i * 5) % 256, (i * 11) % 256, (i * 19) % 256)),
+            interlaced = true)))
+        val png = Png.encodeRgb8Adam7(13, 9, (x, y) => (
+          ((id * 3 + x * 11 + y * 5) % 256).toInt,
+          ((id * 7 + y * 13) % 256).toInt,
+          ((id * 11 + x * 17) % 256).toInt))
+        Seq(
+          Multimodal.MediaRow(id * 2, "image", gif, gif.length.toLong),
+          Multimodal.MediaRow(id * 2 + 1, "image", png, png.length.toLong))
+      }
+      Multimodal.decodeRgbReadout(media, Multimodal.ImageRowDecoder())
+        .orderBy("media_id")
+    }
+  )
+
   /** Real PROGRESSIVE JPEG decode through the multimodal seam —
     * completing VERDICT r13 #10 past the sniff-and-route triage:
     * web corpora are ~10–20% progressive (SOF2), and a pipeline that
@@ -1821,6 +1900,6 @@ object TextAnalysisQueries {
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
     distinctN, distinctNSketch, mediaDecode, wavDecode, pngDecode,
-    gifDecode, jpegDecode, jpegProgressive, mediaSniff,
+    gifDecode, mediaInterlace, jpegDecode, jpegProgressive, mediaSniff,
     fixEncoding, bleu, rougeN, chrf, cer, c4Gopher)
 }

@@ -71,13 +71,21 @@ class GifSpec extends AnyFunSuite {
     val ok = Gif.encode8(8, 8, pal, (x, y) => x)
     assertThrows[IllegalArgumentException](Gif.decode(ok.take(20)))
     assertThrows[IllegalArgumentException](Gif.decode(Array[Byte](1, 2, 3)))
-    // interlaced flag set -> reject (not silently wrong)
-    val bad = ok.clone()
+    // interlaced flag flipped on sequentially-stored rows: the decoder
+    // must HONOR the flag (r16 — no longer a reject), i.e. permute the
+    // stream rows through the 4-pass schedule rather than ignore it
+    val flipped = ok.clone()
     // image descriptor: after 6 header + 7 LSD + 768 GCT + 8-byte GCE
     val desc = 6 + 7 + 768 + 8
-    assert((bad(desc) & 0xff) == 0x2c)
-    bad(desc + 9) = (bad(desc + 9) | 0x40).toByte
-    assertThrows[IllegalArgumentException](Gif.decode(bad))
+    assert((flipped(desc) & 0xff) == 0x2c)
+    flipped(desc + 9) = (flipped(desc + 9) | 0x40).toByte
+    val seq = Gif.decode(ok)
+    val perm = Gif.decode(flipped)
+    val order = Gif.interlaceOrder(8)
+    (0 until 8).foreach { s =>
+      assert(perm.rows(order(s)).toSeq == seq.rows(s).toSeq,
+        s"stream row $s must land at display row ${order(s)}")
+    }
   }
 
   test("LZW minimum code sizes 2-7 round-trip (r15: small palettes)") {
@@ -117,5 +125,66 @@ class GifSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](
       Gif.decode(Gif.encodeFrames(w, h, pal, frames)))
     assert(ex.getMessage.contains("decodeFrames"))
+  }
+
+  test("interlaced GIF de-interlaces pixel-exact (r16), including odd " +
+    "heights where late passes dominate") {
+    // the 4-pass schedule covers each row exactly once for any h
+    for (h <- Seq(1, 2, 3, 7, 8, 16, 23)) {
+      assert(Gif.interlaceOrder(h).sorted.toSeq == (0 until h),
+        s"pass schedule must be a permutation at h=$h")
+    }
+    val w = 19; val h = 13
+    def f(x: Int, y: Int): Int = (x * 7 + y * 29) % 256
+    val plain = Gif.decode(Gif.encode8(w, h, pal, f))
+    val inter = Gif.decode(Gif.encodeGif(w, h, Some(pal),
+      Seq(Gif.Frame(f, interlaced = true))))
+    assert(inter.rows.map(_.toSeq) == plain.rows.map(_.toSeq),
+      "interlaced and sequential encodings must decode identically")
+    // a decoder that ignored the flag would emit pass-ordered rows
+    assert(inter.rows.head.toSeq ==
+      (0 until w).flatMap { x =>
+        val (r, g, b) = pal(f(x, 0)); Seq(r.toByte, g.toByte, b.toByte)
+      })
+  }
+
+  test("local color tables override the global one per frame (r16)") {
+    val w = 9; val h = 5
+    def palA(i: Int): (Int, Int, Int) = (i, 0, 255 - i)
+    def palB(i: Int): (Int, Int, Int) = (0, i, i / 2)
+    def f(x: Int, y: Int): Int = (x + y * w) % 256
+    // frame 1 uses the GLOBAL table, frame 2 its LOCAL one
+    val fs = Gif.decodeFrames(Gif.encodeGif(w, h, Some(palA),
+      Seq(Gif.Frame(f), Gif.Frame(f, localPalette = Some(palB)))))
+    assert(fs.length == 2)
+    def want(pal: Int => (Int, Int, Int)): Seq[Byte] =
+      (0 until w * h).flatMap { i =>
+        val (r, g, b) = pal(f(i % w, i / w)); Seq(r.toByte, g.toByte, b.toByte)
+      }
+    assert(fs(0).rows.flatten.toSeq == want(palA))
+    assert(fs(1).rows.flatten.toSeq == want(palB),
+      "the local table must win for its frame only")
+    // no global table at all: local-only file decodes; a frame with
+    // NEITHER table is loud
+    val localOnly = Gif.decodeFrames(Gif.encodeGif(w, h, None,
+      Seq(Gif.Frame(f, localPalette = Some(palB)))))
+    assert(localOnly.head.rows.flatten.toSeq == want(palB))
+    val ex = intercept[IllegalArgumentException](
+      Gif.decodeFrames(Gif.encodeGif(w, h, None, Seq(Gif.Frame(f)))))
+    assert(ex.getMessage.contains("no color table"))
+  }
+
+  test("interlaced + local-palette + small min-code compose (the " +
+    "real-world web-GIF shape)") {
+    val w = 21; val h = 11; val mc = 4
+    def palB(i: Int): (Int, Int, Int) = (i * 16, 255 - i * 16, i)
+    def f(x: Int, y: Int): Int = (x * 3 + y * 5) % (1 << mc)
+    val d = Gif.decode(Gif.encodeGif(w, h, None,
+      Seq(Gif.Frame(f, localPalette = Some(palB), interlaced = true)),
+      minCodeSize = mc))
+    val want = (0 until w * h).flatMap { i =>
+      val (r, g, b) = palB(f(i % w, i / w)); Seq(r.toByte, g.toByte, b.toByte)
+    }
+    assert(d.rows.flatten.toSeq == want)
   }
 }

@@ -121,6 +121,32 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlace round-trips pixel-exact over geometries that " +
+    "exercise empty and single-pixel passes (r16)") {
+    // w or h < 8 leaves some of the 7 passes empty or degenerate —
+    // the classic Adam7 implementation traps
+    for (w <- Seq(1, 2, 5, 8, 13); h <- Seq(1, 3, 8, 11)) {
+      val fn = (x: Int, y: Int) =>
+        ((x * 53 + y * 7) % 256, (y * 131 + x) % 256, (x * y + 19) % 256)
+      val p = Png.decodeRgb8(Png.encodeRgb8Adam7(w, h, fn))
+      assert(p.width == w && p.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = fn(x, y)
+        assert((p.rows(y)(x * 3) & 0xff) == r, s"r at ($x,$y) w=$w h=$h")
+        assert((p.rows(y)(x * 3 + 1) & 0xff) == g)
+        assert((p.rows(y)(x * 3 + 2) & 0xff) == b)
+      }
+      // Adam7 and sequential encodings of the same pixels agree
+      assert(p.rows.map(_.toSeq) ==
+        Png.decodeRgb8(Png.encodeRgb8(w, h, fn)).rows.map(_.toSeq))
+    }
+    // unknown interlace method stays loud
+    val bad = ihdr1x1.clone(); bad(12) = 2
+    intercept[IllegalArgumentException](Png.decodeRgb8(
+      Png.Signature ++ chunk("IHDR", bad) ++ chunk("IDAT", idat1x1) ++
+        chunk("IEND", Array.emptyByteArray)))
+  }
+
   test("parser rejects bad signature, CRC damage, geometry lies, truncation") {
     intercept[IllegalArgumentException](Png.decodeRgb8("not a png".getBytes))
     val crcBad = golden.clone()

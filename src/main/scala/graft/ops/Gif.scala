@@ -116,13 +116,22 @@ object Gif {
 
   /** One frame of [[encodeGif]]: the pixel-index function, an optional
     * LOCAL color table (overrides the global one for this frame —
-    * r16: real multi-image GIFs carry per-image palettes), and the
+    * r16: real multi-image GIFs carry per-image palettes), the
     * interlace flag (r16: rows stored in the 4-pass GIF order
-    * 0,8,16,… / 4,12,… / 2,6,… / 1,3,…).
+    * 0,8,16,… / 4,12,… / 2,6,… / 1,3,…), an optional REGION
+    * (ix, iy, iw, ih — partial-frame animation, the dominant real
+    * animated-GIF layout: only the changed rectangle is stored),
+    * the GCE disposal method (0/1 leave, 2 restore-to-background,
+    * 3 restore-to-previous), and an optional transparent index
+    * (pixels with that index leave the canvas untouched). `index` is
+    * evaluated in REGION-LOCAL coordinates.
     */
   final case class Frame(index: (Int, Int) => Int,
       localPalette: Option[Int => (Int, Int, Int)] = None,
-      interlaced: Boolean = false)
+      interlaced: Boolean = false,
+      region: Option[(Int, Int, Int, Int)] = None,
+      disposal: Int = 0,
+      transparent: Option[Int] = None)
 
   /** The GIF-interlace row schedule for `h` rows: stream position →
     * display row (spec appendix: passes start 0/4/2/1, steps 8/8/4/2).
@@ -181,29 +190,39 @@ object Gif {
     out += 0x00.toByte // pixel aspect ratio
     globalPalette.foreach(writeTable)
     frames.foreach { frame =>
-      // graphic control extension (delay 10 cs, no disposal/transparency)
+      val (ix, iy, iw, ih) = frame.region.getOrElse((0, 0, width, height))
+      require(ix >= 0 && iy >= 0 && iw > 0 && ih > 0 &&
+        ix + iw <= width && iy + ih <= height,
+        s"gif: frame region ($ix,$iy ${iw}x$ih) outside ${width}x$height")
+      require(frame.disposal >= 0 && frame.disposal <= 3,
+        s"gif: disposal method ${frame.disposal}")
+      // graphic control extension: disposal + optional transparency
       out += 0x21.toByte; out += 0xf9.toByte; out += 0x04.toByte
-      out += 0x00.toByte; u16(10); out += 0x00.toByte; out += 0x00.toByte
+      out += ((frame.disposal << 2) |
+        (if (frame.transparent.isDefined) 1 else 0)).toByte
+      u16(10) // delay 10 cs
+      out += frame.transparent.getOrElse(0).toByte
+      out += 0x00.toByte
       out += 0x2c.toByte // image descriptor
-      u16(0); u16(0); u16(width); u16(height)
+      u16(ix); u16(iy); u16(iw); u16(ih)
       val lctFlag = if (frame.localPalette.isDefined) 0x87 else 0x00 // 256-entry LCT
       val intFlag = if (frame.interlaced) 0x40 else 0x00
       out += (lctFlag | intFlag).toByte
       frame.localPalette.foreach(writeTable)
       out += minCodeSize.toByte // LZW minimum code size
-      val indices = new Array[Int](width * height)
+      val indices = new Array[Int](iw * ih)
       val order =
-        if (frame.interlaced) interlaceOrder(height)
-        else Array.tabulate(height)(identity)
+        if (frame.interlaced) interlaceOrder(ih)
+        else Array.tabulate(ih)(identity)
       var s = 0
-      while (s < height) {
-        val y = order(s) // stream row s carries display row y
+      while (s < ih) {
+        val y = order(s) // stream row s carries region-local row y
         var x = 0
-        while (x < width) {
+        while (x < iw) {
           val v = frame.index(x, y)
           require(v >= 0 && v < (1 << minCodeSize),
             s"palette index out of range for min code $minCodeSize: $v")
-          indices(s * width + x) = v
+          indices(s * iw + x) = v
           x += 1
         }
         s += 1
@@ -324,9 +343,14 @@ object Gif {
   }
 
   /** Decode EVERY image descriptor up to the trailer (r15: animated
-    * GIFs). Frames must be full-logical-screen (the animation shape
-    * our encoder emits; partial-frame compositing with disposal
-    * methods is rejected loudly, not approximated).
+    * GIFs; r16: full COMPOSITING). Each emitted frame is a logical-
+    * screen-sized SNAPSHOT of the compositing canvas after that image
+    * draws — partial-frame regions, disposal methods 0-3 (leave /
+    * restore-to-background / restore-to-previous) and transparent
+    * indexes all honored, which is the dominant real animated-GIF
+    * layout (only the changed rectangle is stored per frame). For
+    * full-screen opaque frames this degenerates to exactly the r15
+    * per-image decode.
     */
   def decodeFrames(bytes: Array[Byte]): Vector[Decoded] =
     try decodeImpl(bytes)
@@ -344,6 +368,7 @@ object Gif {
     var pos = 6
     val sw = u16(pos); val sh = u16(pos + 2)
     val packed = bytes(pos + 4) & 0xff
+    val bgIdx = bytes(pos + 5) & 0xff
     pos += 7
     var gct: Array[Byte] = null
     if ((packed & 0x80) != 0) {
@@ -351,11 +376,41 @@ object Gif {
       gct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
       pos += sz
     }
+    // the compositing canvas (r16 — partial-frame animation): each
+    // image descriptor draws its region onto the canvas; each emitted
+    // frame is a SNAPSHOT of the canvas after the draw (what a viewer
+    // shows). Initialized to the background color (GCT[bgIdx], black
+    // without a GCT — deterministic; real viewers differ on bg vs
+    // transparent, and a closed-form oracle needs ONE answer).
+    val bg: Array[Byte] =
+      if (gct != null && bgIdx * 3 + 2 < gct.length)
+        Array(gct(bgIdx * 3), gct(bgIdx * 3 + 1), gct(bgIdx * 3 + 2))
+      else Array[Byte](0, 0, 0)
+    lazy val canvas: Array[Array[Byte]] = Array.fill(sh) {
+      val row = new Array[Byte](sw * 3)
+      var x = 0
+      while (x < sw) {
+        row(x * 3) = bg(0); row(x * 3 + 1) = bg(1); row(x * 3 + 2) = bg(2)
+        x += 1
+      }
+      row
+    }
+    // graphic-control state for the NEXT image descriptor
+    var disposal = 0
+    var transparent = -1
     val frames = Vector.newBuilder[Decoded]
     var done = false
     while (!done) {
-      // skip extensions (graphic control, comment, application, …)
+      // extensions: PARSE the graphic control one (disposal +
+      // transparency feed compositing), skip the rest (comment,
+      // application, …)
       while ((bytes(pos) & 0xff) == 0x21) {
+        val label = bytes(pos + 1) & 0xff
+        if (label == 0xf9 && (bytes(pos + 2) & 0xff) == 4) {
+          val gp = bytes(pos + 3) & 0xff
+          disposal = (gp >> 2) & 7
+          transparent = if ((gp & 1) != 0) bytes(pos + 6) & 0xff else -1
+        }
         pos += 2 // extension introducer + label
         while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
         pos += 1
@@ -366,8 +421,8 @@ object Gif {
           val ix = u16(pos + 1); val iy = u16(pos + 3)
           val iw = u16(pos + 5); val ih = u16(pos + 7)
           val ipacked = bytes(pos + 9) & 0xff
-          require(ix == 0 && iy == 0 && iw == sw && ih == sh,
-            "gif: only full-frame images supported")
+          require(ix + iw <= sw && iy + ih <= sh && iw > 0 && ih > 0,
+            s"gif: image region ($ix,$iy ${iw}x$ih) outside ${sw}x$sh")
           val interlaced = (ipacked & 0x40) != 0 // r16: de-interlaced below
           pos += 10
           var ct = gct
@@ -394,24 +449,58 @@ object Gif {
           val order =
             if (interlaced) interlaceOrder(ih)
             else Array.tabulate(ih)(identity)
-          val rowsArr = new Array[Array[Byte]](ih)
+          // disposal 3 (restore-to-previous): save the region's
+          // pre-draw pixels — region-sized, not canvas-sized
+          val saved: Array[Array[Byte]] =
+            if (disposal == 3)
+              Array.tabulate(ih)(r => java.util.Arrays.copyOfRange(
+                canvas(iy + r), ix * 3, (ix + iw) * 3))
+            else null
           var s = 0
           while (s < ih) {
-            val row = new Array[Byte](iw * 3)
+            val y = iy + order(s)
+            val row = canvas(y)
             var x = 0
             while (x < iw) {
               val idx = indices(s * iw + x)
-              require(idx * 3 + 2 < ct.length,
-                s"gif: palette index $idx out of table")
-              row(x * 3) = ct(idx * 3)
-              row(x * 3 + 1) = ct(idx * 3 + 1)
-              row(x * 3 + 2) = ct(idx * 3 + 2)
+              if (idx != transparent) { // transparent pixels leave canvas
+                require(idx * 3 + 2 < ct.length,
+                  s"gif: palette index $idx out of table")
+                val o = (ix + x) * 3
+                row(o) = ct(idx * 3)
+                row(o + 1) = ct(idx * 3 + 1)
+                row(o + 2) = ct(idx * 3 + 2)
+              }
               x += 1
             }
-            rowsArr(order(s)) = row
             s += 1
           }
-          frames += Decoded(iw, ih, rowsArr.toVector)
+          // emitted frame = canvas snapshot after the draw
+          frames += Decoded(sw, sh, canvas.map(_.clone()).toVector)
+          // dispose for the NEXT frame
+          disposal match {
+            case 2 => // restore the region to the background color
+              var r = 0
+              while (r < ih) {
+                val row = canvas(iy + r)
+                var x = 0
+                while (x < iw) {
+                  val o = (ix + x) * 3
+                  row(o) = bg(0); row(o + 1) = bg(1); row(o + 2) = bg(2)
+                  x += 1
+                }
+                r += 1
+              }
+            case 3 => // restore the region to its pre-draw pixels
+              var r = 0
+              while (r < ih) {
+                System.arraycopy(saved(r), 0, canvas(iy + r), ix * 3, iw * 3)
+                r += 1
+              }
+            case _ => // 0/1: leave in place
+          }
+          disposal = 0
+          transparent = -1
         case other => throw new IllegalArgumentException(
           f"gif: unexpected block 0x$other%02x at offset $pos")
       }

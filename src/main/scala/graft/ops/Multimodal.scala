@@ -377,6 +377,50 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Per-FRAME readout of a multi-frame decode (r16 — the animation
+    * twin of [[RgbReadout]]): one row per (media, frame index).
+    */
+  final case class FrameRgbReadout(media_id: Long, frame: Long,
+                                   width: Long, height: Long,
+                                   sum_r: Long, sum_g: Long, sum_b: Long,
+                                   checksum: Long)
+
+  /** Decode + per-frame channel-sum readout for animated payloads:
+    * `decode` returns (width, height, top-down RGB rows) per frame
+    * (e.g. [[Gif.decodeFrames]] composited snapshots). Same exact
+    * integer outputs and position-weighted checksum as
+    * [[decodeRgbReadout]], per frame. One mapPartitions batch pass.
+    */
+  def decodeRgbFramesReadout(media: Dataset[MediaRow],
+      decode: Array[Byte] => Vector[(Int, Int, Vector[Array[Byte]])])
+      (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decode(m.payload).zipWithIndex.map { case ((width, height, fr), f) =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+          var y = 0
+          while (y < height) {
+            val row = fr(y)
+            var x = 0
+            while (x < width) {
+              val base = (y.toLong * width + x) * 3
+              val r = row(x * 3) & 0xff
+              val g = row(x * 3 + 1) & 0xff
+              val b = row(x * 3 + 2) & 0xff
+              sr += r; sg += g; sb += b
+              ck += (base + 1) * r + (base + 2) * g + (base + 3) * b
+              x += 1
+            }
+            y += 1
+          }
+          FrameRgbReadout(m.media_id, f.toLong, width.toLong, height.toLong,
+            sr, sg, sb, ck)
+        }
+      }
+    }.toDF()
+  }
+
   /** Sample readout of decoded PCM audio. */
   final case class PcmReadout(media_id: Long, sample_rate: Long,
                               n_channels: Long, n_samples: Long,

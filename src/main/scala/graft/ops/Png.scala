@@ -24,8 +24,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * planted-twin oracles reason about payload sizes exactly. The
   * parser is deliberately MORE general than the writer (the Bmp
   * data-offset discipline): any zlib compression level, IDAT split at
-  * any boundary, foreign ancillary chunks skipped, and scanline
-  * filters None/Sub/Up reversed. CRCs are verified on every chunk.
+  * any boundary, foreign ancillary chunks skipped, ALL FIVE scanline
+  * filters (None/Sub/Up/Average/Paeth — r16 completed the set libpng's
+  * adaptive filtering actually emits) reversed, and Adam7 interlacing
+  * de-scattered. CRCs are verified on every chunk.
   *
   * Scale: encode/decode are per-row executor byte loops inside a
   * mapPartitions batch; payloads never leave the scan stage —
@@ -163,7 +165,7 @@ object Png {
 
   /** Parse an 8-bit truecolor PNG: signature + chunk walk with CRC
     * verification, IDAT concatenation, zlib inflate, and scanline
-    * de-filtering (types 0 None / 1 Sub / 2 Up). Rows come back
+    * de-filtering (all five types: None/Sub/Up/Average/Paeth). Rows come back
     * TOP-DOWN in RGB order — the [[Bmp.decode24]] contract, so the
     * same readout consumes both decoders.
     */
@@ -244,6 +246,12 @@ object Png {
         val ft = raw(b) & 0xff
         val row = new Array[Byte](stride)
         System.arraycopy(raw, b + 1, row, 0, stride)
+        // left / up / upper-left RECONSTRUCTED bytes (0 past the
+        // edge) — the PNG filter neighborhood a/b/c, bpp = 3
+        def left(i: Int): Int = if (i >= 3) row(i - 3) & 0xff else 0
+        def up(i: Int): Int = if (prev != null) prev(i) & 0xff else 0
+        def ul(i: Int): Int =
+          if (prev != null && i >= 3) prev(i - 3) & 0xff else 0
         ft match {
           case 0 => // None
           case 1 => // Sub: add the pixel 3 bytes to the left
@@ -254,9 +262,27 @@ object Png {
               var i = 0
               while (i < stride) { row(i) = (row(i) + prev(i)).toByte; i += 1 }
             }
+          case 3 => // Average: + floor((left + up) / 2)  (r16)
+            var i = 0
+            while (i < stride) {
+              row(i) = (row(i) + ((left(i) + up(i)) >> 1)).toByte; i += 1
+            }
+          case 4 => // Paeth: + PaethPredictor(left, up, upper-left) (r16)
+            var i = 0
+            while (i < stride) {
+              val pa = left(i); val pb = up(i); val pc = ul(i)
+              val p = pa + pb - pc
+              val da = math.abs(p - pa); val db = math.abs(p - pb)
+              val dc = math.abs(p - pc)
+              // spec tie-break order: a, then b, then c
+              val pred = if (da <= db && da <= dc) pa
+                else if (db <= dc) pb else pc
+              row(i) = (row(i) + pred).toByte
+              i += 1
+            }
           case other =>
             throw new IllegalArgumentException(
-              s"unsupported scanline filter $other (None/Sub/Up only)")
+              s"bad scanline filter $other (PNG defines 0-4)")
         }
         out(y) = row
         prev = row

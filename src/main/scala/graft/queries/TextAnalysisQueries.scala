@@ -249,7 +249,9 @@ object TextAnalysisQueries {
     *
     * Scale: one mapPartitions batch pass (graft.ops.Multimodal
     * .frameHistogramsOf); per media the state is 8 ints × ≤8 frames
-    * and payloads never leave the scan stage.
+    * and payloads never leave the scan stage. The planted GIFs are a
+    * build-once parquet fixture (r16) so the timed query prices the
+    * DECODE, not the synthesis+encode of its own inputs.
     */
   private val frameHist = QueryDef(
     "q_frame_hist",
@@ -291,29 +293,41 @@ object TextAnalysisQueries {
     (s, d) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
       import s.implicits._
-      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def px(cf: Int, j: Int): Int = {
-          val hex = md.digest(s"${id}_${cf}_$j".getBytes("UTF-8"))
-            .take(6).map(b => f"$b%02x").mkString
-          (java.lang.Long.parseLong(hex, 16) % 256L).toInt
+      // Planted payloads live in a BUILD-ONCE parquet fixture (VERDICT
+      // r15 #3): the key exists to price the DECODE path, and r15's
+      // in-query synthesis + LZW ENCODE of every GIF dominated the
+      // timed row (~10 s, the heaviest media key). The build step is
+      // deterministic in (sf, doc_ids) — the planted-twin discipline
+      // allows it — and a real corpus's payloads arrive on disk too.
+      val fixDir = s"/root/repo/target/media_framehist/${new java.io.File(d).getName}"
+      val fixPath = new org.apache.hadoop.fs.Path(fixDir)
+      val ffs = fixPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (!ffs.exists(new org.apache.hadoop.fs.Path(fixDir + "/_SUCCESS"))) {
+        val build = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def px(cf: Int, j: Int): Int = {
+            val hex = md.digest(s"${id}_${cf}_$j".getBytes("UTF-8"))
+              .take(6).map(b => f"$b%02x").mkString
+            (java.lang.Long.parseLong(hex, 16) % 256L).toInt
+          }
+          val nf = (1 + id % 8).toInt
+          // planted duplicate frames: every (id+f) % 4 == 0 frame is an
+          // exact repeat of its predecessor — the dup the screen
+          // catches. Pixels materialize once per DISTINCT source frame
+          val cfs = (0 until nf).map(f =>
+            if (f > 0 && (id + f) % 4 == 0) f - 1 else f)
+          val lut = cfs.distinct
+            .map(cf => cf -> Array.tabulate(64)(j => px(cf, j))).toMap
+          val frames = cfs.map { cf =>
+            val a = lut(cf)
+            (x: Int, y: Int) => a(y * 8 + x)
+          }
+          val payload = graft.ops.Gif.encodeFrames(8, 8, i => (i, i, i), frames)
+          Multimodal.MediaRow(id, "video", payload, payload.length.toLong)
         }
-        val nf = (1 + id % 8).toInt
-        // planted duplicate frames: every (id+f) % 4 == 0 frame is an
-        // exact repeat of its predecessor — the dup the screen catches.
-        // Pixels materialize once per DISTINCT source frame (dups reuse
-        // the array instead of re-hashing 64 md5s)
-        val cfs = (0 until nf).map(f =>
-          if (f > 0 && (id + f) % 4 == 0) f - 1 else f)
-        val lut = cfs.distinct
-          .map(cf => cf -> Array.tabulate(64)(j => px(cf, j))).toMap
-        val frames = cfs.map { cf =>
-          val a = lut(cf)
-          (x: Int, y: Int) => a(y * 8 + x)
-        }
-        val payload = graft.ops.Gif.encodeFrames(8, 8, i => (i, i, i), frames)
-        Multimodal.MediaRow(id, "video", payload, payload.length.toLong)
+        build.toDF().write.mode("overwrite").parquet(fixDir)
       }
+      val media = s.read.parquet(fixDir).as[Multimodal.MediaRow]
       // decode: animated GIF -> per-frame 64-px luminance (identity
       // grayscale palette makes luminance == palette index exactly)
       val decodeLum = (payload: Array[Byte]) =>
@@ -767,6 +781,81 @@ object TextAnalysisQueries {
       }
       Multimodal.decodeRgbReadout(media, Multimodal.ImageRowDecoder())
         .orderBy("media_id")
+    }
+  )
+
+  /** Partial-frame animated-GIF COMPOSITING (r16 — the dominant real
+    * animated-GIF layout: only the changed rectangle is stored per
+    * frame): each document's payload is a 3-frame GIF — a full-screen
+    * base, a partial opaque overlay with DISPOSAL 2 (its region
+    * restores to the background color before the next frame), and a
+    * partial TRANSPARENT-checker overlay (transparent pixels leave the
+    * canvas) — and the decoder emits logical-screen-sized canvas
+    * SNAPSHOTS per frame. Everything is lossless and the compositing
+    * rules are pure case analysis on (x, y, frame), so the oracle
+    * states every composited pixel in closed form; a decoder that
+    * ignored the region offset, the disposal, or the transparency
+    * moves the per-frame position-weighted checksum and fails the
+    * hash. GifSpec pins disposal 3 (restore-to-previous) and the
+    * region-bounds reject the oracle can't reach.
+    *
+    * Scale: identical altitude to q_frame_hist — one mapPartitions
+    * batch pass, payloads never leave the scan stage.
+    */
+  private val gifAnim = QueryDef(
+    "q_gif_anim",
+    "Partial-frame animated-GIF compositing: 3-frame payloads (full " +
+      "base, disposal-2 opaque overlay, transparent-checker overlay) " +
+      "decoded to logical-screen canvas snapshots; per (media, frame) " +
+      "geometry, exact channel sums and a position-weighted checksum " +
+      "— the oracle recomputes every composited pixel in closed form.",
+    Some("""WITH px AS (
+           |  SELECT doc_id, f, y, x,
+           |    CASE
+           |      WHEN f = 0 THEN (doc_id * 3 + x + y * 7) % 256
+           |      WHEN f = 1 THEN
+           |        CASE WHEN x >= 3 AND x < 8 AND y >= 2 AND y < 6 THEN 200
+           |             ELSE (doc_id * 3 + x + y * 7) % 256 END
+           |      ELSE
+           |        CASE WHEN x >= 6 AND x < 10 AND y >= 5 AND y < 8
+           |                  AND ((x - 6) + (y - 5)) % 2 = 1 THEN 90
+           |             WHEN x >= 3 AND x < 8 AND y >= 2 AND y < 6 THEN 0
+           |             ELSE (doc_id * 3 + x + y * 7) % 256 END
+           |    END AS i
+           |  FROM documents,
+           |       unnest(generate_series(0, 2)) AS ff(f),
+           |       unnest(generate_series(0, 9)) AS yy(y),
+           |       unnest(generate_series(0, 11)) AS xx(x)),
+           |rgb AS (
+           |  SELECT doc_id, f, y, x,
+           |    (i * 5) % 256 AS r, (i * 11) % 256 AS g, (i * 19) % 256 AS b
+           |  FROM px)
+           |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame,
+           |       CAST(12 AS BIGINT) AS width, CAST(10 AS BIGINT) AS height,
+           |       CAST(sum(r) AS BIGINT) AS sum_r,
+           |       CAST(sum(g) AS BIGINT) AS sum_g,
+           |       CAST(sum(b) AS BIGINT) AS sum_b,
+           |       CAST(sum(((y*12 + x)*3 + 1) * r + ((y*12 + x)*3 + 2) * g
+           |                + ((y*12 + x)*3 + 3) * b) AS BIGINT) AS checksum
+           |FROM rgb GROUP BY doc_id, f ORDER BY media_id, frame""".stripMargin),
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        def base(x: Int, y: Int): Int = ((id * 3 + x + y * 7) % 256).toInt
+        val payload = Gif.encodeGif(12, 10,
+          Some(i => ((i * 5) % 256, (i * 11) % 256, (i * 19) % 256)),
+          Seq(
+            Gif.Frame(base),
+            Gif.Frame((_, _) => 200, region = Some((3, 2, 5, 4)),
+              disposal = 2),
+            Gif.Frame((x, y) => if ((x + y) % 2 == 0) 7 else 90,
+              region = Some((6, 5, 4, 3)), transparent = Some(7))))
+        Multimodal.MediaRow(id, "video", payload, payload.length.toLong)
+      }
+      Multimodal.decodeRgbFramesReadout(media,
+        p => Gif.decodeFrames(p).map(dd => (dd.width, dd.height, dd.rows)))
+        .orderBy("media_id", "frame")
     }
   )
 
@@ -1900,6 +1989,6 @@ object TextAnalysisQueries {
     multimodalMeta, mediaEnergy, frameHist, fertility, textClean,
     piiRedact, repetition, charDiversity, htmlStrip, urlNormalize,
     distinctN, distinctNSketch, mediaDecode, wavDecode, pngDecode,
-    gifDecode, mediaInterlace, jpegDecode, jpegProgressive, mediaSniff,
-    fixEncoding, bleu, rougeN, chrf, cer, c4Gopher)
+    gifDecode, mediaInterlace, gifAnim, jpegDecode, jpegProgressive,
+    mediaSniff, fixEncoding, bleu, rougeN, chrf, cer, c4Gopher)
 }

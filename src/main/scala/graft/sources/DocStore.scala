@@ -436,7 +436,8 @@ object DocStore {
       commitTs: Long = System.currentTimeMillis(),
       dvs: Map[String, String] = Map.empty,
       keyDomain: Option[(String, Long, Long)] = None,
-      blooms: Map[(String, String), String] = Map.empty): Boolean = {
+      blooms: Map[(String, String), String] = Map.empty,
+      schemaDdl: Option[String] = None): Boolean = {
     val fs = fsFor(dir)
     val fin = new Path(dir, manifestName(v))
     if (fs.exists(fin)) return false
@@ -461,7 +462,12 @@ object DocStore {
         .filter { case ((n, _), _) => names.contains(n) }
         .sortBy { case ((n, c), _) => (n, c) }
         .map { case ((n, c), b64) => s"#bloom\t$n\t$c\t$b64" }
-      val body = (s"#ts\t$commitTs" +: (kdLines ++ dvLines ++ bloomLines)) ++
+      // `#schema` (r16): the committing writer's schema, so a table
+      // whose every row was deleted (EMPTY file list — zero-row tasks
+      // publish nothing) still infers its schema on read
+      val schemaLines = schemaDdl.toSeq.map(ddl => s"#schema\t$ddl")
+      val body = (s"#ts\t$commitTs" +:
+        (schemaLines ++ kdLines ++ dvLines ++ bloomLines)) ++
         files.map { case (f, len) => s"${new Path(f).getName}\t$len" }
       out.write(body.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
@@ -547,6 +553,17 @@ object DocStore {
     * `v`, from the manifest's `#dv` header lines. Empty for pre-DV
     * manifests.
     */
+  /** The committing writer's schema DDL of snapshot `v` (`#schema`
+    * header), when recorded. The authoritative table schema is still
+    * the by-name union of LIVE file schemas; this header only serves
+    * reads of an EMPTY snapshot (every row deleted) and carries
+    * forward through metadata-only commits.
+    */
+  private[graft] def readSchemaHeader(dir: String, v: Long): Option[String] =
+    manifestBody(dir, v).linesIterator
+      .find(_.startsWith("#schema\t"))
+      .map(_.stripPrefix("#schema\t"))
+
   /** The logical key domain commit `v` declared (`#keydomain` header):
     * (column, min, max) of the keys a MERGE read-modified. None for
     * commits that declared none (appends, compaction, pre-r16).
@@ -834,8 +851,16 @@ class DocStoreDataSource extends TableProvider with DataSourceRegister {
     // in the manifest the way Delta logs it.
     val dir = path(options)
     val files = DocStore.snapshotFiles(dir, None)
-    require(files.nonEmpty,
-      s"docstore: no .gds files under $dir and no schema given")
+    if (files.isEmpty) {
+      // an EMPTY snapshot (every row deleted — zero-row tasks publish
+      // no file) still has a schema: the last committing writer's,
+      // recorded in the manifest's #schema header (r16)
+      val fromHeader = DocStore.latestVersion(dir)
+        .flatMap(v => DocStore.readSchemaHeader(dir, v))
+      require(fromHeader.isDefined,
+        s"docstore: no .gds files under $dir and no schema given")
+      return StructType.fromDDL(fromHeader.get)
+    }
     val schemas = files.map(f => DocStore.readFileSchema(f._1))
     val merged = schemas.reduceLeft { (acc, s) =>
       s.fields.foldLeft(acc) { (a, f) =>
@@ -1677,7 +1702,8 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
         newBlooms
       val v = latest.getOrElse(0L) + 1
       committed = DocStore.writeManifest(dir, v, base ++ newFiles,
-        commitTs.getOrElse(System.currentTimeMillis()), dvs, keyDomain, blooms)
+        commitTs.getOrElse(System.currentTimeMillis()), dvs, keyDomain,
+        blooms, Some(schema.toDDL))
     }
   }
 

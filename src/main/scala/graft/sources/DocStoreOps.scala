@@ -288,9 +288,10 @@ object DocStoreOps {
     val files = DocStore.readManifest(dir, toVersion) // loud if absent
     val dvs = DocStore.readDvMap(dir, toVersion) // restored masks too
     val blooms = DocStore.readBloomMap(dir, toVersion) // and Bloom indexes
+    val schemaDdl = DocStore.readSchemaHeader(dir, toVersion)
     var v = DocStore.latestVersion(dir).getOrElse(0L) + 1
     while (!DocStore.writeManifest(dir, v, files, dvs = dvs,
-        blooms = blooms)) v += 1
+        blooms = blooms, schemaDdl = schemaDdl)) v += 1
     v
   }
 
@@ -363,10 +364,12 @@ object DocStoreOps {
             "or re-masked by another writer; rerun against the new " +
             "snapshot")
       // Bloom indexes stay valid under a mask (one-sided: they may
-      // report a deleted key present, never a live key absent)
+      // report a deleted key present, never a live key absent);
+      // schema header carries forward (metadata-only commit)
       committed = DocStore.writeManifest(dir, latest + 1, files,
         dvs = dvNow ++ bindings.toMap,
-        blooms = DocStore.readBloomMap(dir, latest))
+        blooms = DocStore.readBloomMap(dir, latest),
+        schemaDdl = DocStore.readSchemaHeader(dir, latest))
     }
   }
 

@@ -219,6 +219,27 @@ class DocStoreSpec extends AnyFunSuite {
     assert(DocStore.listDataFiles(dir).length === 1)
   }
 
+  test("delete-to-empty: a snapshot with ZERO files reads back empty " +
+    "with the schema intact (manifest #schema header)") {
+    // r16: zero-row tasks publish no file, so deleting every row leaves
+    // an EMPTY manifest; the committing writer's schema rides in the
+    // #schema header and inference falls back to it
+    val dir = tmpDir("gds_empty")
+    spark.range(50).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .coalesce(1).write.format("docstore").mode("overwrite").save(dir)
+    sources.DocStoreOps.delete(spark, dir,
+      spark.range(50).select(col("id").as("k")), "k")
+    assert(DocStore.readManifest(dir,
+      DocStore.latestVersion(dir).get).isEmpty, "all files retired")
+    val df = spark.read.format("docstore").load(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(df.count() === 0L)
+    // and the table stays writable: a fresh append revives it
+    spark.range(5).select(col("id").as("k"), lit(9L).as("v"))
+      .coalesce(1).write.format("docstore").mode("append").save(dir)
+    assert(spark.read.format("docstore").load(dir).count() === 5L)
+  }
+
   test("parallel write: one file per partition, one input partition per file") {
     val dir = tmpDir("gds_par")
     spark.range(1000).select(col("id").as("k")).repartition(4)

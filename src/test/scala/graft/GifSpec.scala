@@ -174,6 +174,62 @@ class GifSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no color table"))
   }
 
+  test("partial-frame compositing: regions, disposal 0/2/3, and " +
+    "transparency all honored (r16 — the real animated-GIF layout)") {
+    val w = 12; val h = 10
+    // base: full screen, index = x + y (opaque)
+    def base(x: Int, y: Int): Int = (x + y) % 256
+    // overlay A at (3,2) 5x4, disposal 2 (region restores to bg after),
+    // all-opaque constant 200
+    // overlay B at (6,5) 4x3, transparent index 7 in a checker pattern
+    val frames = Seq(
+      Gif.Frame(base),
+      Gif.Frame((_, _) => 200, region = Some((3, 2, 5, 4)), disposal = 2),
+      Gif.Frame((x, y) => if ((x + y) % 2 == 0) 7 else 90,
+        region = Some((6, 5, 4, 3)), transparent = Some(7)))
+    val fs = Gif.decodeFrames(Gif.encodeGif(w, h, Some(pal), frames))
+    assert(fs.length == 3)
+    assert(fs.forall(f => f.width == w && f.height == h),
+      "every composited frame is logical-screen-sized")
+    // reference compositor: bg = pal(0) (background index 0)
+    val bgc = pal(0)
+    def rgbAt(f: Int, x: Int, y: Int): (Int, Int, Int) = f match {
+      case 0 => pal(base(x, y))
+      case 1 => // base + opaque overlay A
+        if (x >= 3 && x < 8 && y >= 2 && y < 6) pal(200) else pal(base(x, y))
+      case 2 => // A's region restored to BG (disposal 2), then B drawn
+        // with transparent pixels leaving the canvas
+        val underA = x >= 3 && x < 8 && y >= 2 && y < 6
+        val under = if (underA) bgc else pal(base(x, y))
+        if (x >= 6 && x < 10 && y >= 5 && y < 8) {
+          val lx = x - 6; val ly = y - 5
+          if ((lx + ly) % 2 == 0) under else pal(90)
+        } else under
+    }
+    for (f <- 0 until 3; y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbAt(f, x, y)
+      val row = fs(f).rows(y)
+      assert((row(x * 3) & 0xff, row(x * 3 + 1) & 0xff,
+        row(x * 3 + 2) & 0xff) == ((r, g, b)),
+        s"frame $f pixel ($x,$y)")
+    }
+    // disposal 3: a frame drawn over the base REVERTS after emission
+    val fs3 = Gif.decodeFrames(Gif.encodeGif(w, h, Some(pal), Seq(
+      Gif.Frame(base),
+      Gif.Frame((_, _) => 200, region = Some((1, 1, 3, 3)), disposal = 3),
+      Gif.Frame((_, _) => 99, region = Some((9, 8, 2, 1))))))
+    val prev = fs3(0).rows.map(_.toSeq)
+    val after = fs3(2).rows.map(_.toSeq)
+    // outside B's tiny region, frame 2 must equal frame 0 exactly —
+    // overlay A was restored-to-previous
+    for (y <- 0 until h if y != 8) assert(after(y) == prev(y), s"row $y")
+    // a region outside the logical screen stays loud
+    val ex = intercept[IllegalArgumentException](
+      Gif.encodeGif(w, h, Some(pal),
+        Seq(Gif.Frame(base, region = Some((8, 8, 8, 8))))))
+    assert(ex.getMessage.contains("region"))
+  }
+
   test("interlaced + local-palette + small min-code compose (the " +
     "real-world web-GIF shape)") {
     val w = 21; val h = 11; val mc = 4

@@ -133,15 +133,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), "shuffled cartesian in KN plan")
   }
 
-  test("q_frame_hist: scan reads only doc_id and text") {
+  test("q_frame_hist: timed plan reads the payload FIXTURE, never the " +
+    "documents table") {
+    // r16: payload synthesis moved to a build-once parquet fixture so
+    // the timed query prices the decode; the plan must scan only the
+    // narrow MediaRow fixture — a documents scan here means the build
+    // leaked back into the steady-state path
     val s = formatted("q_frame_hist")
     val readSchemas = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(s).map(_.group(1)).toList
     assert(readSchemas.nonEmpty)
-    // payloads are synthesized from text; the wide documents columns
-    // (lang, source, n_chars) must be pruned from the scan
-    assert(readSchemas.forall(_.split(",").length <= 2),
-      s"unpruned read schema: $readSchemas")
+    assert(readSchemas.forall(rs =>
+      rs.contains("payload") && !rs.contains("text")),
+      s"expected fixture-only scan, got: $readSchemas")
+    assert(!s.contains("documents.parquet"),
+      "documents must not be scanned once the fixture exists")
   }
 
   test("q_tpch_q1: l_shipdate predicate survives NTZ normalization (PushedFilters)") {

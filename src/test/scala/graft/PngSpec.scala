@@ -158,11 +158,53 @@ class PngSpec extends AnyFunSuite {
       Png.Signature ++ chunk("IHDR", gray) ++ chunk("IDAT", idat1x1) ++
         chunk("IEND", Array.emptyByteArray)))
     intercept[IllegalArgumentException](Png.decodeRgb8(golden.dropRight(6)))
-    // filter type 3 (Average) in the stream: declared unsupported
-    val raw3 = Array[Int](3, 1, 2, 3).map(_.toByte)
+    // filter type 5: outside the spec's 0-4, must refuse not misread
+    val raw5 = Array[Int](5, 1, 2, 3).map(_.toByte)
     intercept[IllegalArgumentException](Png.decodeRgb8(
       Png.Signature ++ chunk("IHDR", ihdr1x1) ++
-        chunk("IDAT", deflate(raw3, 6)) ++ chunk("IEND", Array.emptyByteArray)))
+        chunk("IDAT", deflate(raw5, 6)) ++ chunk("IEND", Array.emptyByteArray)))
+  }
+
+  test("decoder reverses Average and Paeth filters (r16 — the types " +
+    "libpng's adaptive filtering actually emits)") {
+    // build the reconstructed image, then FORWARD-filter rows by hand
+    // (filt = recon − predictor mod 256) per the spec, alternating
+    // Average (3) and Paeth (4) rows so both see non-trivial a/b/c
+    val w = 7; val h = 6
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 41 + y * 13) % 256, (x * 7 + y * 99) % 256, (x * x + y) % 256)
+    val recon = Array.tabulate(h, w * 3) { (y, i) =>
+      val (r, g, b) = px(i / 3, y)
+      (Seq(r, g, b)(i % 3)).toByte
+    }
+    def rb(y: Int, i: Int): Int =
+      if (y < 0 || i < 0) 0 else recon(y)(i) & 0xff
+    val raw = new scala.collection.mutable.ArrayBuffer[Byte]()
+    for (y <- 0 until h) {
+      val ft = if (y % 2 == 0) 3 else 4
+      raw += ft.toByte
+      for (i <- 0 until w * 3) {
+        val a = rb(y, i - 3); val b = rb(y - 1, i); val c = rb(y - 1, i - 3)
+        val pred = if (ft == 3) (a + b) >> 1
+        else {
+          val p = a + b - c
+          val da = math.abs(p - a); val db = math.abs(p - b)
+          val dc = math.abs(p - c)
+          if (da <= db && da <= dc) a else if (db <= dc) b else c
+        }
+        raw += ((rb(y, i) - pred) & 0xff).toByte
+      }
+    }
+    val ihdr = (Seq(0, 0, 0, w, 0, 0, 0, h).map(_.toByte) ++
+      Seq[Byte](8, 2, 0, 0, 0)).toArray
+    val png = Png.Signature ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflate(raw.toArray, 6)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val p = Png.decodeRgb8(png)
+    assert(p.width == w && p.height == h)
+    (0 until h).foreach { y =>
+      assert(p.rows(y).toSeq == recon(y).toSeq, s"row $y")
+    }
   }
 
   test("seam decoder: frames are the decoded rows") {

@@ -19,7 +19,10 @@ object Scaling {
   val defaultKeys: Seq[String] = Seq(
     "q_ann_hnsw_delta", "q_ann_hnsw_layered_persisted", "q_ann_hnsw_layered",
     "q_ann_hnsw", "q_betweenness", "q_ann_delete", "q_dedup_substring_exact",
-    "q_pagerank", "q_louvain", "q_kcore", "q_dedup_span", "q_ann_compact")
+    "q_pagerank", "q_louvain", "q_kcore", "q_dedup_span", "q_ann_compact",
+    // r16: re-planned diagonal equi-join — the slope should read ~0 past
+    // the rollup (the series is calendar-sized, not corpus-sized)
+    "q_matrix_profile")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

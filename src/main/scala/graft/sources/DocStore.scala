@@ -285,23 +285,7 @@ object DocStore {
     * the manifest's `#bloom` header lines.
     */
   private[graft] def readBloomMap(dir: String,
-      v: Long): Map[(String, String), String] =
-    manifestBody(dir, v).linesIterator
-      .filter(_.startsWith("#bloom\t"))
-      .map { l =>
-        val a = l.split('\t')
-        ((a(1), a(2)), a(3))
-      }.toMap
-
-  /** The Bloom bindings a scan consults: requested snapshot, else
-    * latest, else none.
-    */
-  private[graft] def snapshotBlooms(dir: String,
-      requested: Option[Long]): Map[(String, String), String] =
-    requested.orElse(latestVersion(dir)) match {
-      case Some(v) => readBloomMap(dir, v)
-      case None    => Map.empty
-    }
+      v: Long): Map[(String, String), String] = readSnapshot(dir, v).blooms
 
   /** Planner-side test instrumentation: files dropped by Bloom pruning
     * (local-mode analogue of a DSv2 custom metric, like blocksSkipped).
@@ -379,18 +363,53 @@ object DocStore {
     } finally in.close()
   }
 
+  /** Everything one manifest carries, parsed in ONE body read (r16):
+    * the commit loop and the scan planner consult files + DV bindings
+    * + Bloom indexes + key domain + schema together, and a manifest at
+    * 100 TB is file-count-sized (MBs) — re-reading it once per header
+    * kind multiplied per commit ATTEMPT is real I/O. The single-header
+    * readers below stay as thin wrappers for call sites that need one
+    * thing.
+    */
+  private[graft] final case class Snapshot(
+      version: Long,
+      files: Seq[(String, Long)],
+      dvs: Map[String, String],
+      blooms: Map[(String, String), String],
+      keyDomain: Option[(String, Long, Long)],
+      schemaDdl: Option[String])
+
+  private[graft] def readSnapshot(dir: String, v: Long): Snapshot = {
+    val files = Seq.newBuilder[(String, Long)]
+    val dvs = Map.newBuilder[String, String]
+    val blooms = Map.newBuilder[(String, String), String]
+    var kd: Option[(String, Long, Long)] = None
+    var schema: Option[String] = None
+    manifestBody(dir, v).linesIterator.foreach { l =>
+      if (l.isEmpty) ()
+      else if (l.startsWith("#dv\t")) {
+        val a = l.split('\t'); dvs += ((a(1), a(2)))
+      } else if (l.startsWith("#bloom\t")) {
+        val a = l.split('\t'); blooms += (((a(1), a(2)), a(3)))
+      } else if (l.startsWith("#keydomain\t")) {
+        val a = l.split('\t'); kd = Some((a(1), a(2).toLong, a(3).toLong))
+      } else if (l.startsWith("#schema\t")) {
+        schema = Some(l.stripPrefix("#schema\t"))
+      } else if (!l.startsWith("#")) {
+        val Array(name, len) = l.split('\t')
+        files += ((new Path(dir, name).toString, len.toLong))
+      }
+    }
+    Snapshot(v, files.result(), dvs.result(), blooms.result(), kd, schema)
+  }
+
   /** Data files of snapshot `v`: absolute path + byte length.
     * `#`-prefixed header lines (commit metadata, e.g. `#ts`) are
     * skipped — and were already skipped by every reader version that
     * shipped, so old manifests (no header) and new ones interread.
     */
   private[graft] def readManifest(dir: String, v: Long): Seq[(String, Long)] =
-    manifestBody(dir, v).linesIterator
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { line =>
-        val Array(name, len) = line.split('\t')
-        (new Path(dir, name).toString, len.toLong)
-      }.toSeq
+    readSnapshot(dir, v).files
 
   /** Commit timestamp of snapshot `v` in epoch millis: the embedded
     * `#ts` manifest header when present, else (legacy manifests
@@ -560,30 +579,17 @@ object DocStore {
     * forward through metadata-only commits.
     */
   private[graft] def readSchemaHeader(dir: String, v: Long): Option[String] =
-    manifestBody(dir, v).linesIterator
-      .find(_.startsWith("#schema\t"))
-      .map(_.stripPrefix("#schema\t"))
+    readSnapshot(dir, v).schemaDdl
 
   /** The logical key domain commit `v` declared (`#keydomain` header):
     * (column, min, max) of the keys a MERGE read-modified. None for
     * commits that declared none (appends, compaction, pre-r16).
     */
   private[graft] def readKeyDomain(dir: String,
-      v: Long): Option[(String, Long, Long)] =
-    manifestBody(dir, v).linesIterator
-      .find(_.startsWith("#keydomain\t"))
-      .map { l =>
-        val a = l.split('\t')
-        (a(1), a(2).toLong, a(3).toLong)
-      }
+      v: Long): Option[(String, Long, Long)] = readSnapshot(dir, v).keyDomain
 
   private[graft] def readDvMap(dir: String, v: Long): Map[String, String] =
-    manifestBody(dir, v).linesIterator
-      .filter(_.startsWith("#dv\t"))
-      .map { l =>
-        val a = l.split('\t')
-        (a(1), a(2))
-      }.toMap
+    readSnapshot(dir, v).dvs
 
   /** The DV bindings a scan applies: requested snapshot, else latest,
     * else (legacy dir) none.
@@ -1016,7 +1022,12 @@ class DocStoreScanBuilder(dir: String, fullSchema: StructType,
     // (a set of file NAMES) restricts the scan to a subset of the
     // snapshot — the seam DocStoreOps.merge/compact use to read only
     // the affected files of a copy-on-write rewrite.
-    val snap = DocStore.snapshotFiles(dir, snapshotVersion)
+    // ONE manifest read serves files + DV bindings + Bloom indexes
+    // (r16): scan planning is driver-side and the manifest is
+    // file-count-sized at 100 TB
+    val resolved = snapshotVersion.orElse(DocStore.latestVersion(dir))
+    val snapOpt = resolved.map(v => DocStore.readSnapshot(dir, v))
+    val snap = snapOpt.map(_.files).getOrElse(DocStore.listDataFiles(dir))
     val subset = fileSubset match {
       case Some(names) => snap.filter { case (f, _) =>
         names.contains(new Path(f).getName)
@@ -1029,7 +1040,7 @@ class DocStoreScanBuilder(dir: String, fullSchema: StructType,
     // no Bloom for the column is never pruned. Sound because every
     // non-null stored value was added to the writer's Bloom and
     // equality never matches null.
-    val blooms = DocStore.snapshotBlooms(dir, snapshotVersion)
+    val blooms = snapOpt.map(_.blooms).getOrElse(Map.empty)
     val planned =
       if (blooms.isEmpty || pushed.isEmpty) subset
       else {
@@ -1055,7 +1066,7 @@ class DocStoreScanBuilder(dir: String, fullSchema: StructType,
         DocStore.filesBloomSkipped.add(subset.size - kept.size)
         kept
       }
-    val dvs = DocStore.snapshotDvs(dir, snapshotVersion)
+    val dvs = snapOpt.map(_.dvs).getOrElse(Map.empty)
     if (pushedAgg.nonEmpty)
       new DocStoreAggScan(dir, planned, dvs, pushedAgg, fullSchema)
     else
@@ -1635,10 +1646,14 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       val hook = DocStore.commitRaceHook
       DocStore.commitRaceHook = None
       hook.foreach(_())
+      // ONE manifest body read per attempt serves files + DVs + Blooms
+      // (r16): the manifest is file-count-sized at 100 TB, and the
+      // pre-r16 code re-read it once per header kind
+      val snapNow = latest.map(v => DocStore.readSnapshot(dir, v))
       val inherited: Seq[(String, Long)] =
         if (truncate) Seq.empty
-        else latest match {
-          case Some(v) => DocStore.readManifest(dir, v)
+        else snapNow match {
+          case Some(sn) => sn.files
           // legacy manifest-less dir adopts its listing — minus this
           // job's just-renamed files, which would otherwise double-count
           case None => DocStore.listDataFiles(dir).filterNot { case (f, _) =>
@@ -1661,8 +1676,7 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
         abortConflict(s"${gone.size} file(s) this commit rewrites were " +
           s"already retired by another writer (${gone.take(3).mkString(", ")}" +
           s"${if (gone.size > 3) ", …" else ""})")
-      val dvNow = latest.map(v => DocStore.readDvMap(dir, v))
-        .getOrElse(Map.empty)
+      val dvNow = snapNow.map(_.dvs).getOrElse(Map.empty)
       // a deletion-vector commit landing after this rewrite's read
       // re-masked a file this commit replaces: the rewrite read the OLD
       // mask, so carrying on would silently drop those deletes
@@ -1696,8 +1710,7 @@ class DocStoreBatchWrite(dir: String, schema: StructType, truncate: Boolean,
       val dvs = dvNow.filterNot { case (n, _) => replaceFiles.contains(n) }
       // Bloom indexes ride forward for inherited files (like DVs) and
       // this job's files contribute theirs; replaced files drop theirs
-      val blooms = latest.map(v => DocStore.readBloomMap(dir, v))
-        .getOrElse(Map.empty)
+      val blooms = snapNow.map(_.blooms).getOrElse(Map.empty)
         .filterNot { case ((n, _), _) => replaceFiles.contains(n) } ++
         newBlooms
       val v = latest.getOrElse(0L) + 1

@@ -285,13 +285,11 @@ object DocStoreOps {
     * of corpus size. Returns the new head version.
     */
   def restore(dir: String, toVersion: Long): Long = {
-    val files = DocStore.readManifest(dir, toVersion) // loud if absent
-    val dvs = DocStore.readDvMap(dir, toVersion) // restored masks too
-    val blooms = DocStore.readBloomMap(dir, toVersion) // and Bloom indexes
-    val schemaDdl = DocStore.readSchemaHeader(dir, toVersion)
+    val sn = DocStore.readSnapshot(dir, toVersion) // loud if absent;
+    // files + restored masks + Bloom indexes + schema in one read
     var v = DocStore.latestVersion(dir).getOrElse(0L) + 1
-    while (!DocStore.writeManifest(dir, v, files, dvs = dvs,
-        blooms = blooms, schemaDdl = schemaDdl)) v += 1
+    while (!DocStore.writeManifest(dir, v, sn.files, dvs = sn.dvs,
+        blooms = sn.blooms, schemaDdl = sn.schemaDdl)) v += 1
     v
   }
 
@@ -349,11 +347,14 @@ object DocStoreOps {
     var committed = false
     while (!committed) {
       val latest = DocStore.latestVersion(dir).getOrElse(0L)
-      val files = DocStore.readManifest(dir, latest)
+      // one manifest read per attempt serves files + DVs + Blooms +
+      // schema (r16)
+      val sn = DocStore.readSnapshot(dir, latest)
+      val files = sn.files
       val liveNames = files.map { case (f, _) =>
         new Path(f).getName
       }.toSet
-      val dvNow = DocStore.readDvMap(dir, latest)
+      val dvNow = sn.dvs
       val conflict = bindings.filter { case (n, _) =>
         !liveNames.contains(n) || dvNow.get(n) != dv0.get(n)
       }
@@ -368,8 +369,7 @@ object DocStoreOps {
       // schema header carries forward (metadata-only commit)
       committed = DocStore.writeManifest(dir, latest + 1, files,
         dvs = dvNow ++ bindings.toMap,
-        blooms = DocStore.readBloomMap(dir, latest),
-        schemaDdl = DocStore.readSchemaHeader(dir, latest))
+        blooms = sn.blooms, schemaDdl = sn.schemaDdl)
     }
   }
 

@@ -241,19 +241,19 @@ object DocStore {
     }
 
   /** Kirsch–Mitzenmacher double hashing: probe i hits bit
-    * (h1 + i·h2) mod m, h1/h2 = murmur3 under two seeds.
+    * (h1 + i·h2) mod m, h1/h2 = murmur3 under two seeds — computed
+    * ONCE per value (this runs per row on the write path).
     */
-  private def bloomBit(bytes: Array[Byte], i: Int): Int = {
-    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x2f0e1d3c)
-    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x6b79a355)
+  private def bloomBit(h1: Int, h2: Int, i: Int): Int =
     (((h1.toLong + i.toLong * h2.toLong) % BloomBits + BloomBits) % BloomBits)
       .toInt
-  }
 
   private[graft] def bloomAdd(bits: Array[Long], bytes: Array[Byte]): Unit = {
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x2f0e1d3c)
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x6b79a355)
     var i = 0
     while (i < BloomHashes) {
-      val b = bloomBit(bytes, i)
+      val b = bloomBit(h1, h2, i)
       bits(b >> 6) |= (1L << (b & 63))
       i += 1
     }
@@ -261,9 +261,11 @@ object DocStore {
 
   private[graft] def bloomMayContain(bits: Array[Long],
       bytes: Array[Byte]): Boolean = {
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x2f0e1d3c)
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x6b79a355)
     var i = 0
     while (i < BloomHashes) {
-      val b = bloomBit(bytes, i)
+      val b = bloomBit(h1, h2, i)
       if ((bits(b >> 6) & (1L << (b & 63))) == 0L) return false
       i += 1
     }
@@ -568,10 +570,6 @@ object DocStore {
     } finally in.close()
   }
 
-  /** Data-file name → deletion-vector file name bindings of snapshot
-    * `v`, from the manifest's `#dv` header lines. Empty for pre-DV
-    * manifests.
-    */
   /** The committing writer's schema DDL of snapshot `v` (`#schema`
     * header), when recorded. The authoritative table schema is still
     * the by-name union of LIVE file schemas; this header only serves
@@ -588,6 +586,10 @@ object DocStore {
   private[graft] def readKeyDomain(dir: String,
       v: Long): Option[(String, Long, Long)] = readSnapshot(dir, v).keyDomain
 
+  /** Data-file name → deletion-vector file name bindings of snapshot
+    * `v`, from the manifest's `#dv` header lines. Empty for pre-DV
+    * manifests.
+    */
   private[graft] def readDvMap(dir: String, v: Long): Map[String, String] =
     readSnapshot(dir, v).dvs
 
